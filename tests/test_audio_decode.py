@@ -1,0 +1,124 @@
+"""M0: synthesis determinism + decode correctness (FIXTURES.md F4 decode oracle).
+
+Per-row invariant vs the reference transform semantics (BASELINE.json
+input_hint): decoded PCM allclose with SNR ≥ 30 dB + transcript equality.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hydra_ray.audio import (
+    DecodeError,
+    decode_batch,
+    encode_pcm16,
+    encode_wav,
+    snr_db,
+    synth_wave,
+)
+from hydra_ray.stages.decode import AudioDecoder, split_dlq
+from hydra_ray.synth import synth_clips_table, synth_updates_table, transcript_for
+
+
+def test_synth_deterministic():
+    a = synth_clips_table(200)
+    b = synth_clips_table(200)
+    assert a.equals(b)
+    # block-independent: synthesizing a sub-range matches the full table
+    from hydra_ray.synth import synth_clips_batch
+
+    sub = synth_clips_batch(np.arange(50, 100), 200)
+    assert sub.equals(a.slice(50, 50))
+
+
+def test_hot_keys_present():
+    t = synth_clips_table(2000)
+    ids = t["clip_id"].to_pylist()
+    hot = sum(1 for i, cid in enumerate(ids) if cid != f"clip-{i:08d}")
+    assert 100 < hot < 400  # ~10%
+
+
+def test_decode_oracle_snr():
+    t = synth_clips_table(64, hot_fraction=0.0)
+    pcm, err = decode_batch(t["bytes"].combine_chunks(), t["codec"], t["sr_hz"])
+    assert err.null_count == 64  # all rows ok
+    for i in range(64):
+        ref = synth_wave(i, t["sr_hz"][i].as_py(), t["dur_ms"][i].as_py())
+        got = np.asarray(pcm[i].as_py(), dtype=np.float32)
+        assert snr_db(ref, got) >= 30.0, f"row {i}"
+        assert t["transcript"][i].as_py() == transcript_for(i)
+
+
+def test_decode_error_routing():
+    wave = synth_wave(0, 8000, 250)
+    payloads = pa.array(
+        [
+            encode_pcm16(wave),
+            b"\x01\x02\x03",                      # odd-length pcm16
+            encode_wav(wave, 8000),
+            b"RIFFbadwavpayload",                  # malformed wav
+            encode_pcm16(wave),                    # flac-declared → unsupported stub
+            encode_pcm16(wave),                    # unknown codec
+        ],
+        pa.large_binary(),
+    )
+    codecs = pa.array(["pcm16", "pcm16", "wav", "wav", "flac", "mp3"])
+    srs = pa.array([8000] * 6, pa.int32())
+    pcm, err = decode_batch(payloads, codecs, srs)
+    errs = err.to_pylist()
+    assert errs[0] is None and errs[2] is None
+    assert "odd byte length" in errs[1]
+    assert "RIFF" in errs[3] or "data chunk" in errs[3]
+    assert "UnsupportedCodecError" in errs[4]
+    assert "unknown codec" in errs[5]
+    valid = pcm.is_valid().to_pylist() if hasattr(pcm, "is_valid") else []
+    assert valid[0] and not valid[1]
+
+
+def test_wav_sr_mismatch_rejected():
+    wave = synth_wave(1, 16000, 250)
+    payloads = pa.array([encode_wav(wave, 16000)], pa.large_binary())
+    pcm, err = decode_batch(payloads, pa.array(["wav"]), pa.array([8000], pa.int32()))
+    assert "sample rate" in err[0].as_py()
+
+
+def test_decoder_stage_on_dataset(ray_session):
+    import ray.data as rd
+
+    t = synth_clips_table(300)
+    # poison a few rows
+    codecs = t["codec"].to_pylist()
+    for i in (5, 17, 40):
+        codecs[i] = "flac"
+    t = t.set_column(t.schema.get_field_index("codec"), "codec", pa.array(codecs))
+    ds = rd.from_arrow(t).map_batches(
+        AudioDecoder(), batch_format="pyarrow", batch_size=64
+    )
+    main, dlq = split_dlq(ds)
+    # NB: never take_all() a PCM list column — converting millions of
+    # samples to Python objects is pathological; assert on counts/metadata.
+    assert main.count() == 297
+    dlq_rows = dlq.take_all()
+    assert len(dlq_rows) == 3
+    assert all("flac" in r["decode_error"] for r in dlq_rows)
+    assert "bytes" not in main.schema().names
+    assert "pcm" in main.schema().names
+
+
+def test_updates_table_shape():
+    u = synth_updates_table(1000)
+    assert u.num_rows > 300
+    tombs = u["transcript"].null_count
+    assert 0 < tombs < u.num_rows * 0.15
+    ts = u["event_ts"].to_pylist()
+    # arrival order is sorted by nominal arrival, but event_ts of late rows dips
+    revs = set(u["revision"].to_pylist())
+    assert revs <= {1, 2, 3}
+
+
+def test_size_limit_filter():
+    t = synth_clips_table(16, hot_fraction=0.0)
+    dec = AudioDecoder(record_size_limit=10_000)
+    out = dec(t)
+    errs = [e for e in out["decode_error"].to_pylist() if e]
+    assert any("RecordTooLarge" in e for e in errs)
