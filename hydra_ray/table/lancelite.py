@@ -1,0 +1,363 @@
+"""lancelite — a versioned fragment-table format (Lance-style semantics).
+
+The sandbox has no Lance library, so the engine carries its own minimal
+versioned table format with the four properties the streaming design
+needs (SURVEY.md §7; BASELINE.json north_star "idempotent exactly-once
+Lance sink using per-partition epoch IDs and two-phase commit"):
+
+1. **Versioned manifests** — every commit writes an immutable JSON
+   manifest ``_versions/{v:06d}.json`` listing ALL live fragments (parquet
+   files) with row counts and the ``(partition, epoch)`` that produced
+   them.  Manifest creation is atomic (`os.link` of a temp file → the
+   final name fails if the version already exists, so exactly one writer
+   wins a version number).
+2. **Delta reads** — ``read_fragments(after_version, up_to_version)``
+   returns only the fragments added in that version range; this is the
+   micro-batch source (the reference's seeked consumer stream,
+   `ingestors/kafka/.../algebras/KafkaClientAlgebra.scala:402-434`).
+3. **Two-phase commit** — phase 1: writers stage fragments under
+   ``_staged/`` (``stage_fragment``); phase 2: the driver calls
+   ``commit_epoch`` which renames staged files into ``data/`` and writes
+   one manifest recording the epoch in the table properties.  A crash
+   between the phases leaves only orphaned staged files, which a later
+   ``commit_epoch`` / ``gc_staged`` discards.  Re-committing an
+   already-committed epoch is a **no-op** — this is what turns the
+   reference's at-least-once redelivery
+   (`core/src/main/scala/hydra/core/transport/Transport.scala:27-49`)
+   into exact idempotence.
+4. **Properties / commit log** — each manifest carries a free-form
+   ``properties`` dict (per-pipeline last committed epoch, per-partition
+   lineage, checkpoint URIs), the analogue of the reference's
+   offsets-checkpoint topic
+   (`.../util/ConsumerGroupsOffsetConsumer.scala:59-74, 219-248`).
+
+At 100 TB the same layout holds: fragments are immutable parquet files in
+object storage, manifests are tiny JSON objects, and the atomic-create
+primitive maps to conditional PUT.  Copy-forward manifests grow O(number
+of fragments); compaction (``checkpoint_manifest``) rewrites the list.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["FragmentMeta", "Table"]
+
+_MANIFEST_DIR = "_versions"
+_STAGE_DIR = "_staged"
+_DATA_DIR = "data"
+
+
+@dataclass
+class FragmentMeta:
+    path: str                      # relative to table root
+    rows: int
+    bytes: int
+    partition: int | None = None   # producing partition (sink fragments)
+    epoch: int | None = None       # producing epoch (sink fragments)
+    added_version: int = 0
+
+    def to_json(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_json(d: dict) -> "FragmentMeta":
+        return FragmentMeta(**d)
+
+
+@dataclass
+class _Manifest:
+    version: int
+    fragments: list[FragmentMeta]
+    properties: dict[str, Any] = field(default_factory=dict)
+    schema_json: str | None = None
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "fragments": [f.to_json() for f in self.fragments],
+            "properties": self.properties,
+            "schema_json": self.schema_json,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "_Manifest":
+        return _Manifest(
+            version=d["version"],
+            fragments=[FragmentMeta.from_json(f) for f in d["fragments"]],
+            properties=d.get("properties", {}),
+            schema_json=d.get("schema_json"),
+        )
+
+
+class Table:
+    """A lancelite table rooted at ``root`` (a local dir in this sandbox)."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(cls, root: str, schema: pa.Schema | None = None) -> "Table":
+        t = cls(root)
+        os.makedirs(os.path.join(t.root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.root, _STAGE_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.root, _DATA_DIR), exist_ok=True)
+        if t.latest_version() is None:
+            m = _Manifest(
+                version=0,
+                fragments=[],
+                schema_json=schema.serialize().to_pybytes().hex()
+                if schema is not None
+                else None,
+            )
+            t._write_manifest(m)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.isdir(os.path.join(os.path.abspath(root), _MANIFEST_DIR))
+
+    def schema(self) -> pa.Schema | None:
+        m = self._manifest(self.latest_version())
+        if m.schema_json:
+            return pa.ipc.read_schema(pa.BufferReader(bytes.fromhex(m.schema_json)))
+        return None
+
+    # ------------------------------------------------------------ manifests
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, _MANIFEST_DIR, f"{version:06d}.json")
+
+    def latest_version(self) -> int | None:
+        d = os.path.join(self.root, _MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return None
+        versions = [
+            int(name.split(".")[0])
+            for name in os.listdir(d)
+            if name.endswith(".json") and not name.startswith(".")
+        ]
+        return max(versions) if versions else None
+
+    def _manifest(self, version: int | None) -> _Manifest:
+        if version is None:
+            raise FileNotFoundError(f"no manifests in {self.root}")
+        with open(self._manifest_path(version)) as f:
+            return _Manifest.from_json(json.load(f))
+
+    def _write_manifest(self, m: _Manifest) -> int:
+        """Atomically create manifest for ``m.version``; raise if taken."""
+        tmp = os.path.join(
+            self.root, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json"
+        )
+        with open(tmp, "w") as f:
+            json.dump(m.to_json(), f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = self._manifest_path(m.version)
+        try:
+            os.link(tmp, final)  # atomic create-if-absent
+        finally:
+            os.unlink(tmp)
+        return m.version
+
+    def properties(self) -> dict[str, Any]:
+        return self._manifest(self.latest_version()).properties
+
+    # ---------------------------------------------------------------- reads
+    def fragments(self, version: int | None = None) -> list[FragmentMeta]:
+        v = self.latest_version() if version is None else version
+        return self._manifest(v).fragments
+
+    def read_fragments(
+        self, after_version: int = 0, up_to_version: int | None = None
+    ) -> list[FragmentMeta]:
+        """Fragments ADDED in versions (after_version, up_to_version]."""
+        v = self.latest_version() if up_to_version is None else up_to_version
+        return [f for f in self._manifest(v).fragments if f.added_version > after_version]
+
+    def fragment_paths(self, frags: list[FragmentMeta]) -> list[str]:
+        return [os.path.join(self.root, f.path) for f in frags]
+
+    def to_dataset(
+        self,
+        version: int | None = None,
+        after_version: int = 0,
+        columns: list[str] | None = None,
+        **read_kwargs,
+    ):
+        """A lazy ``ray.data.Dataset`` over a version (or delta) of the table."""
+        import ray.data as rd
+
+        frags = self.read_fragments(after_version, version)
+        paths = self.fragment_paths(frags)
+        if not paths:
+            schema = self.schema()
+            if schema is not None:
+                if columns:
+                    schema = pa.schema([schema.field(c) for c in columns])
+                return rd.from_arrow(schema.empty_table())
+            return rd.from_items([])
+        return rd.read_parquet(paths, columns=columns, **read_kwargs)
+
+    def to_arrow(self, version: int | None = None, after_version: int = 0) -> pa.Table:
+        frags = self.read_fragments(after_version, version)
+        paths = self.fragment_paths(frags)
+        if not paths:
+            schema = self.schema()
+            return schema.empty_table() if schema is not None else pa.table({})
+        return pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+
+    def count_rows(self, version: int | None = None) -> int:
+        return sum(f.rows for f in self.fragments(version))
+
+    # --------------------------------------------------------------- writes
+    def append(
+        self,
+        data: pa.Table,
+        partition: int | None = None,
+        epoch: int | None = None,
+        properties_update: dict[str, Any] | None = None,
+    ) -> int:
+        """Driver-side small append: write one fragment + new manifest."""
+        frag = self._write_fragment(data, _DATA_DIR, partition, epoch)
+        return self._commit_fragments([frag], properties_update)
+
+    def _write_fragment(
+        self, data: pa.Table, subdir: str, partition: int | None, epoch: int | None
+    ) -> FragmentMeta:
+        name = f"f-{uuid.uuid4().hex}.parquet"
+        rel = os.path.join(subdir, name)
+        full = os.path.join(self.root, rel)
+        pq.write_table(data, full, compression="zstd", compression_level=1)
+        return FragmentMeta(
+            path=rel,
+            rows=data.num_rows,
+            bytes=os.path.getsize(full),
+            partition=partition,
+            epoch=epoch,
+        )
+
+    def _commit_fragments(
+        self,
+        new_frags: list[FragmentMeta],
+        properties_update: dict[str, Any] | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Append fragments in a new manifest version (optimistic retry)."""
+        for _ in range(max_retries):
+            base = self._manifest(self.latest_version())
+            v = base.version + 1
+            for f in new_frags:
+                f.added_version = v
+            props = dict(base.properties)
+            if properties_update:
+                props.update(properties_update)
+            m = _Manifest(
+                version=v,
+                fragments=base.fragments + new_frags,
+                properties=props,
+                schema_json=base.schema_json,
+            )
+            try:
+                return self._write_manifest(m)
+            except FileExistsError:
+                continue  # another writer took v; re-read and retry
+        raise RuntimeError(f"could not commit to {self.root}: too much contention")
+
+    # ------------------------------------------------- exactly-once sink API
+    def stage_fragment(
+        self, data: pa.Table, epoch: int, partition: int
+    ) -> FragmentMeta:
+        """Phase 1 of 2PC: write a staged fragment (sink actors call this)."""
+        return self._write_fragment(data, _STAGE_DIR, partition, epoch)
+
+    def committed_epoch(self, pipeline: str) -> int:
+        """Last committed epoch for ``pipeline`` (-1 = none)."""
+        props = self.properties().get("pipelines", {}).get(pipeline, {})
+        return int(props.get("last_epoch", -1))
+
+    def pipeline_state(self, pipeline: str) -> dict[str, Any]:
+        return dict(self.properties().get("pipelines", {}).get(pipeline, {}))
+
+    def commit_epoch(
+        self,
+        pipeline: str,
+        epoch: int,
+        staged: list[FragmentMeta],
+        extra_state: dict[str, Any] | None = None,
+    ) -> bool:
+        """Phase 2 of 2PC: atomically publish one epoch's fragments.
+
+        Returns False (and discards the staged files) if ``epoch`` is not
+        exactly ``committed+1`` — i.e. a replayed epoch no-ops, which is
+        the idempotence that makes total output rows exactly reproducible.
+        """
+        committed = self.committed_epoch(pipeline)
+        if epoch <= committed:
+            for f in staged:
+                p = os.path.join(self.root, f.path)
+                if os.path.exists(p):
+                    os.unlink(p)
+            return False
+        if epoch != committed + 1:
+            raise ValueError(
+                f"epoch gap: committing {epoch} but last committed is {committed}"
+            )
+        moved: list[FragmentMeta] = []
+        for f in staged:
+            new_rel = os.path.join(_DATA_DIR, os.path.basename(f.path))
+            os.replace(os.path.join(self.root, f.path), os.path.join(self.root, new_rel))
+            moved.append(
+                FragmentMeta(
+                    path=new_rel,
+                    rows=f.rows,
+                    bytes=f.bytes,
+                    partition=f.partition,
+                    epoch=f.epoch,
+                )
+            )
+        pipelines = dict(self.properties().get("pipelines", {}))
+        state = dict(pipelines.get(pipeline, {}))
+        state["last_epoch"] = epoch
+        if extra_state:
+            state.update(extra_state)
+        pipelines[pipeline] = state
+        self._commit_fragments(moved, {"pipelines": pipelines})
+        return True
+
+    def gc_staged(self) -> int:
+        """Discard orphaned staged fragments (aborted epochs)."""
+        d = os.path.join(self.root, _STAGE_DIR)
+        n = 0
+        for name in os.listdir(d):
+            os.unlink(os.path.join(d, name))
+            n += 1
+        return n
+
+    # ---------------------------------------------------------- maintenance
+    def register_parquet_dir(self, directory: str) -> int:
+        """Adopt every parquet file of ``directory`` (e.g. a Ray Data
+        ``write_parquet`` output) as fragments via rename — the bulk-load
+        path used to build bench inputs in parallel."""
+        frags = []
+        for name in sorted(os.listdir(directory)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(_DATA_DIR, f"f-{uuid.uuid4().hex}.parquet")
+            src = os.path.join(directory, name)
+            md = pq.read_metadata(src)
+            os.replace(src, os.path.join(self.root, rel))
+            frags.append(
+                FragmentMeta(
+                    path=rel, rows=md.num_rows, bytes=os.path.getsize(os.path.join(self.root, rel))
+                )
+            )
+        return self._commit_fragments(frags)
