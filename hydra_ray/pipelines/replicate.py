@@ -1,0 +1,364 @@
+"""The flagship receive→transform→transport replication pipeline.
+
+Reference lifecycle parity (SURVEY.md §3): micro-batched ingestion of two
+keyed streams (clips, transcript updates) → vectorized decode/validation →
+hash-partition routing to per-partition state actors (windows, symmetric
+join, compacted view) → watermark-driven close → idempotent exactly-once
+commit into versioned sink tables, with per-partition lineage, metrics and
+checkpoint/resume — the Ray-Data-native rebuild of:
+
+- v2 ingest flow `ingest/.../services/IngestionFlowV2.scala:94-141`
+  (validate+convert) → here ``AudioDecoder`` inside ``map_batches``;
+- transport ack semantics `core/.../transport/Transport.scala:51-83`
+  → here 2PC epoch commit (`hydra_ray.table.lancelite`);
+- the consumer-groups replication job's checkpoint/seek/resume design
+  `.../util/ConsumerGroupsOffsetConsumer.scala:47-74, 219-248`
+  → here per-epoch lineage in sink properties + state checkpoints.
+
+Epoch protocol (all steps deterministic given committed state):
+  1. read source deltas (version ranges) as lazy Datasets
+  2. map_batches: decode clips / project updates, add partition column,
+     route per-partition slices to the owning state actor (acks carry
+     max event_ts per partition)
+  3. advance watermark  wm = min over sources(max_ts) − allowed_lateness
+  4. close_epoch(epoch, wm) on every actor → staged sink fragments
+  5. actors checkpoint state for this epoch
+  6. commit aux sinks, then the main sink (single source of truth) with
+     {lineage, watermark, checkpoints}; replay of any step is idempotent
+Crash at ANY point: resume restores the checkpoint of the main sink's
+last committed epoch and replays — output rows are exactly those of a
+single clean run (FIXTURES.md F4 exactly-once oracle).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import partition_for
+from ..stages.decode import AudioDecoder
+from ..state.store import WATERMARK_MAX, PartitionStateActor
+from ..table import Table
+from ..table.lancelite import FragmentMeta
+
+__all__ = ["ReplicateConfig", "ReplicatePipeline", "CrashPoint"]
+
+
+class CrashPoint(RuntimeError):
+    """Injected failure for exactly-once tests."""
+
+
+@dataclass
+class ReplicateConfig:
+    num_partitions: int = 8
+    join_window_ms: int = 60_000
+    allowed_lateness_ms: int = 30_000
+    window_size_ms: int = 10_000
+    session_gap_ms: int = 0                  # 0 = session windows off
+    max_versions_per_epoch: int = 1
+    batch_size: int = 512
+    decode_concurrency: int | tuple = 4      # actor pool size for decode stage
+    actor_num_cpus: float = 0.5
+    keep_checkpoints: int = 2
+    record_size_limit: int = 0
+    # test hooks: raise CrashPoint at a given (epoch, point)
+    crash_at: tuple | None = None            # e.g. (1, "after_prepare")
+
+
+def _route_factory(handles, kind: str, wm: int, key_col: str, P: int):
+    """Build the map_batches routing fn: batch → per-partition slices →
+    owning actor (object-store transfer), return tiny ack rows.
+
+    The ``ray.get`` on the acks is deliberate: it back-pressures the
+    routing task until the actor has absorbed the slice — the bounded
+    alternative to the reference's unbounded producer queue
+    (`KafkaClientAlgebra.scala:244`).
+    """
+
+    def route(batch: pa.Table) -> pa.Table:
+        import ray
+
+        if batch.num_rows == 0:
+            return _empty_ack()
+        parts = partition_for(batch[key_col], P)
+        order = np.argsort(parts, kind="stable")
+        sorted_batch = batch.take(pa.array(order))
+        sorted_parts = parts[order]
+        bounds = np.searchsorted(sorted_parts, np.arange(P + 1))
+        refs, sent = [], []
+        for p in range(P):
+            lo, hi = bounds[p], bounds[p + 1]
+            if hi > lo:
+                sub = sorted_batch.slice(lo, hi - lo)
+                refs.append(handles[p].ingest.remote(kind, sub, wm))
+                sent.append(p)
+        acks = ray.get(refs)
+        return pa.table(
+            {
+                "partition": pa.array(sent, pa.int32()),
+                "n": pa.array([a["n"] for a in acks], pa.int64()),
+                "late": pa.array([a["late"] for a in acks], pa.int64()),
+                "max_ts": pa.array([a["max_ts"] for a in acks], pa.int64()),
+            }
+        )
+
+    return route
+
+
+def _empty_ack() -> pa.Table:
+    return pa.table(
+        {
+            "partition": pa.array([], pa.int32()),
+            "n": pa.array([], pa.int64()),
+            "late": pa.array([], pa.int64()),
+            "max_ts": pa.array([], pa.int64()),
+        }
+    )
+
+
+class ReplicatePipeline:
+    SINKS = ("replicated", "windows", "sessions", "dlq")
+    MAIN = "replicated"
+
+    def __init__(
+        self,
+        clips_root: str,
+        out_root: str,
+        cfg: ReplicateConfig | None = None,
+        updates_root: str | None = None,
+        name: str = "replicate",
+    ):
+        self.cfg = cfg or ReplicateConfig()
+        self.name = name
+        self.clips = Table(clips_root)
+        self.updates = Table(updates_root) if updates_root else None
+        self.out_root = out_root
+        self.sink = {s: Table.create(os.path.join(out_root, s)) for s in self.SINKS}
+        self.ckpt_root = os.path.join(out_root, "_checkpoints")
+        self.actors = []
+
+    # ----------------------------------------------------------- lifecycle
+    def _spawn_actors(self):
+        import ray  # noqa: F401
+
+        cls = PartitionStateActor()
+        cfg = self.cfg
+        sink_roots = {s: t.root for s, t in self.sink.items()}
+        self.actors = [
+            cls.options(num_cpus=cfg.actor_num_cpus).remote(
+                p, _StateCfg(cfg), sink_roots, self.ckpt_root
+            )
+            for p in range(cfg.num_partitions)
+        ]
+
+    def _shutdown_actors(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a, no_restart=True)
+        self.actors = []
+
+    # ---------------------------------------------------------------- run
+    def run(self, max_epochs: int | None = None) -> dict:
+        """Process all available source data (resuming if needed), then
+        flush.  Returns the final merged metrics."""
+        import ray
+
+        state = self.sink[self.MAIN].pipeline_state(self.name)
+        committed = int(state.get("last_epoch", -1))
+        for t in self.sink.values():
+            t.gc_staged()
+        self._spawn_actors()
+        try:
+            if committed >= 0:
+                ray.get([a.restore.remote(committed) for a in self.actors])
+            epoch = committed + 1
+            clips_v = int(state.get("clips_version", 0))
+            updates_v = int(state.get("updates_version", 0))
+            wm = int(state.get("watermark", -(1 << 62)))
+            flushed = bool(state.get("flushed", False))
+            metrics: dict = {}
+            n_epochs = 0
+            while True:
+                if max_epochs is not None and n_epochs >= max_epochs:
+                    break
+                clips_latest = self.clips.latest_version() or 0
+                updates_latest = (
+                    self.updates.latest_version() or 0 if self.updates else 0
+                )
+                cv = min(clips_v + self.cfg.max_versions_per_epoch, clips_latest)
+                uv = min(updates_v + self.cfg.max_versions_per_epoch, updates_latest)
+                has_data = cv > clips_v or uv > updates_v
+                if not has_data:
+                    if flushed:
+                        break
+                    metrics = self._run_epoch(
+                        epoch, clips_v, clips_v, updates_v, updates_v, wm, flush=True
+                    )
+                    flushed = True
+                    epoch += 1
+                    n_epochs += 1
+                    break
+                metrics = self._run_epoch(epoch, clips_v, cv, updates_v, uv, wm)
+                wm = metrics["__watermark"]
+                clips_v, updates_v = cv, uv
+                flushed = False
+                epoch += 1
+                n_epochs += 1
+            return {
+                k: v for k, v in metrics.items() if not k.startswith("__")
+            } | {"epochs": epoch, "watermark": wm}
+        finally:
+            self._shutdown_actors()
+
+    def _run_epoch(
+        self,
+        epoch: int,
+        clips_from: int,
+        clips_to: int,
+        updates_from: int,
+        updates_to: int,
+        wm_prev: int,
+        flush: bool = False,
+    ) -> dict:
+        import ray
+
+        cfg = self.cfg
+        max_ts = wm_prev + cfg.allowed_lateness_ms  # lower bound from prior wm
+
+        # -- 2. ingest -----------------------------------------------------
+        if not flush:
+            ack_tables = []
+            if clips_to > clips_from:
+                ds = self.clips.to_dataset(
+                    after_version=clips_from, version=clips_to
+                )
+                ds = ds.map_batches(
+                    AudioDecoder(record_size_limit=cfg.record_size_limit),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                    concurrency=cfg.decode_concurrency,
+                )
+                ds = ds.map_batches(
+                    _route_factory(
+                        self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size,
+                    max_retries=0,  # epoch-level retry owns failure handling
+                )
+                ack_tables.append(ds)
+            if self.updates and updates_to > updates_from:
+                ds = self.updates.to_dataset(
+                    after_version=updates_from, version=updates_to
+                )
+                ds = ds.map_batches(
+                    _route_factory(
+                        self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=cfg.batch_size * 8,
+                    max_retries=0,
+                )
+                ack_tables.append(ds)
+            per_source_max = []
+            for ds in ack_tables:
+                acks = ds.take_all()
+                if acks:
+                    per_source_max.append(max(a["max_ts"] for a in acks))
+            if per_source_max:
+                max_ts = max(max_ts, min(per_source_max))
+
+        # -- 3. watermark ----------------------------------------------------
+        wm = WATERMARK_MAX if flush else max(wm_prev, max_ts - cfg.allowed_lateness_ms)
+
+        if cfg.crash_at == (epoch, "before_close"):
+            raise CrashPoint(f"injected crash before close of epoch {epoch}")
+
+        # -- 4. close → staged fragments ------------------------------------
+        results = ray.get([a.close_epoch.remote(epoch, wm) for a in self.actors])
+
+        if cfg.crash_at == (epoch, "after_prepare"):
+            raise CrashPoint(f"injected crash after prepare of epoch {epoch}")
+
+        # -- 5. checkpoint ---------------------------------------------------
+        ray.get([a.checkpoint.remote(epoch) for a in self.actors])
+        self._gc_checkpoints(epoch)
+
+        # -- 6. commit (aux first, main last = source of truth) -------------
+        staged: dict[str, list[FragmentMeta]] = {s: [] for s in self.SINKS}
+        for r in results:
+            for sink_name, frag in r["staged"].items():
+                staged[sink_name].append(FragmentMeta.from_json(frag))
+        for s in self.SINKS:
+            if s == self.MAIN:
+                continue
+            self.sink[s].commit_epoch(self.name, epoch, staged[s])
+
+        if cfg.crash_at == (epoch, "before_main_commit"):
+            raise CrashPoint(f"injected crash before main commit of epoch {epoch}")
+
+        merged: dict = {}
+        for r in results:
+            for k, v in r["metrics"].items():
+                merged[k] = merged.get(k, 0) + v
+        lineage = list(
+            self.sink[self.MAIN].pipeline_state(self.name).get("lineage", [])
+        )
+        lineage.append(
+            {
+                "epoch": epoch,
+                "clips": [clips_from, clips_to],
+                "updates": [updates_from, updates_to],
+                "wm_prev": wm_prev,
+                "wm_close": wm,
+            }
+        )
+        self.sink[self.MAIN].commit_epoch(
+            self.name,
+            epoch,
+            staged[self.MAIN],
+            extra_state={
+                "clips_version": clips_to,
+                "updates_version": updates_to,
+                "watermark": wm if wm < WATERMARK_MAX else max_ts,
+                "flushed": flush,
+                # per-epoch lineage history (at very long horizons this
+                # would be truncated to a side log; kept inline here)
+                "lineage": lineage,
+                "metrics": merged,
+            },
+        )
+        merged["__watermark"] = wm if wm < WATERMARK_MAX else max_ts
+        return merged
+
+    def _gc_checkpoints(self, epoch: int):
+        keep = self.cfg.keep_checkpoints
+        for p in range(self.cfg.num_partitions):
+            d = os.path.join(self.ckpt_root, f"p{p:04d}")
+            if not os.path.isdir(d):
+                continue
+            all_e = sorted(int(n[1:]) for n in os.listdir(d) if n.startswith("e"))
+            for e in all_e[:-keep]:
+                import shutil
+
+                shutil.rmtree(os.path.join(d, f"e{e:06d}"), ignore_errors=True)
+
+
+@dataclass
+class _StateCfg:
+    """Plain-data slice of ReplicateConfig shipped to state actors."""
+
+    join_window_ms: int = 60_000
+    allowed_lateness_ms: int = 30_000
+    window_size_ms: int = 10_000
+    session_gap_ms: int = 0
+
+    def __init__(self, cfg: ReplicateConfig):
+        self.join_window_ms = cfg.join_window_ms
+        self.allowed_lateness_ms = cfg.allowed_lateness_ms
+        self.window_size_ms = cfg.window_size_ms
+        self.session_gap_ms = cfg.session_gap_ms

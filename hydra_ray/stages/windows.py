@@ -1,0 +1,278 @@
+"""Event-time windows: tumbling / sliding / session — batch and kernel forms.
+
+The reference has NO window operators (SURVEY.md §2.10: its only periodic
+behavior is 1-minute metric/lag ticks, `ConsumerGroupsAlgebra.scala:212-219`);
+windows + event-time watermarks are the graft's new requirement
+(BASELINE.json north_star).  Design:
+
+- **Assignment kernels** are pure numpy over int64 epoch-millis arrays —
+  shared verbatim by the batch operators here and the streaming
+  per-partition state actors (`hydra_ray.state.store`).
+- **Batch operators** are Ray-Data-first and scale-correct: a vectorized
+  ``map_batches`` assigns windows and PRE-AGGREGATES per batch (pyarrow
+  ``Table.group_by``, C++), so the wide ``groupby`` only shuffles one row
+  per (key, window) per batch — the partial/combiner pattern that keeps
+  the all-to-all exchange tiny at 100 TB.
+- **Session windows** need unbounded-gap merging, so the batch form is
+  ``groupby(key).map_groups`` over (key)-partitioned sorted groups; the
+  streaming form keeps per-key open sessions in actor state and closes
+  them on watermark advance.
+
+All window bounds are [start, end) with end = start + size; timestamps are
+treated as epoch milliseconds (timestamp columns are cast, truncating —
+matching DuckDB's ``epoch_ms``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "AggSpec",
+    "ts_to_ms",
+    "assign_tumbling",
+    "explode_sliding",
+    "sessionize_sorted",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+]
+
+
+# --------------------------------------------------------------------- specs
+@dataclass(frozen=True)
+class AggSpec:
+    """One output aggregate: ``fn`` ∈ {count, sum, min, max, mean} over ``col``."""
+
+    fn: str
+    col: str | None
+    alias: str
+
+    def __post_init__(self):
+        if self.fn not in ("count", "sum", "min", "max", "mean"):
+            raise ValueError(f"unsupported agg fn {self.fn!r}")
+        if self.fn != "count" and self.col is None:
+            raise ValueError(f"{self.fn} needs a column")
+
+
+# ------------------------------------------------------------------- kernels
+def ts_to_ms(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """timestamp[*]/int column → int64 epoch milliseconds (truncating)."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        i = pc.cast(col, pa.int64())
+        unit = t.unit
+        if unit == "s":
+            return pc.multiply(i, pa.scalar(1000, pa.int64())).to_numpy()
+        if unit == "ms":
+            return i.to_numpy()
+        if unit == "us":
+            return pc.divide(i, pa.scalar(1000, pa.int64())).to_numpy()
+        return pc.divide(i, pa.scalar(1_000_000, pa.int64())).to_numpy()
+    return pc.cast(col, pa.int64()).to_numpy()
+
+
+def assign_tumbling(ts_ms: np.ndarray, size_ms: int) -> np.ndarray:
+    """window_start = floor(ts / size) * size (floor-div handles ts<0)."""
+    return (ts_ms // size_ms) * size_ms
+
+
+def explode_sliding(
+    ts_ms: np.ndarray, size_ms: int, slide_ms: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row→window explosion for sliding windows.
+
+    Requires ``size_ms % slide_ms == 0`` (k = size/slide windows per row).
+    Returns (row_indices, window_starts), each of length n·k: row i belongs
+    to windows ``floor(ts/slide)*slide - j*slide`` for j in 0..k-1 (every
+    one satisfies start ≤ ts < start+size).
+    """
+    if size_ms % slide_ms != 0:
+        raise ValueError("sliding window size must be a multiple of slide")
+    k = size_ms // slide_ms
+    n = len(ts_ms)
+    last_start = (ts_ms // slide_ms) * slide_ms
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    offsets = np.tile(np.arange(k, dtype=np.int64) * slide_ms, n)
+    starts = np.repeat(last_start, k) - offsets
+    return rows, starts
+
+
+def sessionize_sorted(ts_sorted_ms: np.ndarray, gap_ms: int) -> np.ndarray:
+    """Session ids (0..) for an ASCENDING-sorted ts array: new session when
+    the gap to the previous event exceeds ``gap_ms``."""
+    if len(ts_sorted_ms) == 0:
+        return np.empty(0, dtype=np.int64)
+    breaks = np.empty(len(ts_sorted_ms), dtype=np.int64)
+    breaks[0] = 0
+    breaks[1:] = (np.diff(ts_sorted_ms) > gap_ms).astype(np.int64)
+    return np.cumsum(breaks)
+
+
+# ----------------------------------------------------- partial-agg framework
+def _partial_columns(aggs: list[AggSpec]) -> list[tuple[str, str, str]]:
+    """→ [(source_col, pyarrow_fn, partial_name)] for the per-batch pass."""
+    cols = []
+    for a in aggs:
+        if a.fn == "count":
+            cols.append((None, "count", f"__{a.alias}__cnt"))
+        elif a.fn == "mean":
+            cols.append((a.col, "sum", f"__{a.alias}__sum"))
+            cols.append((None, "count", f"__{a.alias}__cnt"))
+        else:
+            cols.append((a.col, a.fn, f"__{a.alias}__{a.fn}"))
+    # dedupe (mean+count share a count partial only if aliases differ — keep per-alias)
+    return cols
+
+
+def _partial_agg_batch(
+    batch: pa.Table, group_cols: list[str], aggs: list[AggSpec]
+) -> pa.Table:
+    """Vectorized per-batch pre-aggregation via pyarrow group_by (C++)."""
+    plan, names = [], []
+    for src, fn, pname in _partial_columns(aggs):
+        if fn == "count":
+            # count rows: use count of the first group col (non-null keys)
+            plan.append((group_cols[0], "count"))
+        else:
+            plan.append((src, fn))
+        names.append(pname)
+    gb = batch.group_by(group_cols, use_threads=False).aggregate(plan)
+    # output layout: key columns first, then aggregates in plan order
+    # (duplicate agg names possible) — rename positionally
+    new_names = list(gb.column_names[: len(group_cols)]) + names
+    return gb.rename_columns(new_names)
+
+
+def _final_agg(ds, group_cols: list[str], aggs: list[AggSpec]):
+    """Combine partials with a small Ray groupby, then finalize names/means."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ray_aggs = []
+    for src, fn, pname in _partial_columns(aggs):
+        if fn in ("count", "sum"):
+            ray_aggs.append(Sum(pname, alias_name=pname))
+        elif fn == "min":
+            ray_aggs.append(Min(pname, alias_name=pname))
+        elif fn == "max":
+            ray_aggs.append(Max(pname, alias_name=pname))
+    combined = ds.groupby(group_cols).aggregate(*ray_aggs)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out = {c: t[c] for c in group_cols}
+        for a in aggs:
+            if a.fn == "count":
+                out[a.alias] = pc.cast(t[f"__{a.alias}__cnt"], pa.int64())
+            elif a.fn == "mean":
+                out[a.alias] = pc.divide(
+                    pc.cast(t[f"__{a.alias}__sum"], pa.float64()),
+                    pc.cast(t[f"__{a.alias}__cnt"], pa.float64()),
+                )
+            else:
+                out[a.alias] = t[f"__{a.alias}__{a.fn}"]
+        return pa.table(out)
+
+    return combined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- batch operators
+def tumbling_window(
+    ds,
+    key_cols: list[str],
+    ts_col: str,
+    size_ms: int,
+    aggs: list[AggSpec],
+    window_col: str = "window_start",
+):
+    """Tumbling event-time window aggregate (batch form).
+
+    Pipeline: map_batches(assign + partial agg) → groupby(partials) →
+    finalize.  The shuffle carries ≤ one row per (key, window) per input
+    block.
+    """
+    group_cols = list(key_cols) + [window_col]
+
+    def assign_and_partial(t: pa.Table) -> pa.Table:
+        ts = ts_to_ms(t[ts_col])
+        w = assign_tumbling(ts, size_ms)
+        t = t.append_column(window_col, pa.array(w, pa.int64()))
+        return _partial_agg_batch(t, group_cols, aggs)
+
+    partial = ds.map_batches(assign_and_partial, batch_format="pyarrow")
+    return _final_agg(partial, group_cols, aggs)
+
+
+def sliding_window(
+    ds,
+    key_cols: list[str],
+    ts_col: str,
+    size_ms: int,
+    slide_ms: int,
+    aggs: list[AggSpec],
+    window_col: str = "window_start",
+):
+    """Sliding event-time window aggregate (batch form): explode ×k, then
+    the same partial/combine path as tumbling."""
+    group_cols = list(key_cols) + [window_col]
+
+    def assign_and_partial(t: pa.Table) -> pa.Table:
+        ts = ts_to_ms(t[ts_col])
+        rows, starts = explode_sliding(ts, size_ms, slide_ms)
+        t = t.take(pa.array(rows))
+        t = t.append_column(window_col, pa.array(starts, pa.int64()))
+        return _partial_agg_batch(t, group_cols, aggs)
+
+    partial = ds.map_batches(assign_and_partial, batch_format="pyarrow")
+    return _final_agg(partial, group_cols, aggs)
+
+
+def session_window(
+    ds,
+    key_cols: list[str],
+    ts_col: str,
+    gap_ms: int,
+    aggs: list[AggSpec],
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+):
+    """Session (gap-based) windows, batch form.
+
+    Requires all rows of a key in one group → ``groupby(key).map_groups``
+    (a key-hash shuffle).  Output key = (key_cols…, session_start) with
+    session_end = last event ts (order-insensitive identity).  At scale
+    this shuffle is keyed by the same hash(key) partitioning the streaming
+    engine uses, so state stays co-located.
+    """
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = ts_to_ms(pa.Array.from_pandas(g[ts_col]))
+        sid = sessionize_sorted(ts, gap_ms)
+        g = g.assign(__sid=sid, __ms=ts)
+        out_rows = []
+        for _, s in g.groupby("__sid"):
+            row = {k: s.iloc[0][k] for k in key_cols}
+            row[start_col] = int(s["__ms"].iloc[0])
+            row[end_col] = int(s["__ms"].iloc[-1])
+            for a in aggs:
+                if a.fn == "count":
+                    row[a.alias] = int(len(s))
+                elif a.fn == "sum":
+                    row[a.alias] = s[a.col].sum()
+                elif a.fn == "min":
+                    row[a.alias] = s[a.col].min()
+                elif a.fn == "max":
+                    row[a.alias] = s[a.col].max()
+                elif a.fn == "mean":
+                    row[a.alias] = float(s[a.col].mean())
+            out_rows.append(row)
+        return pd.DataFrame(out_rows)
+
+    return ds.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
+        per_key, batch_format="pandas"
+    )

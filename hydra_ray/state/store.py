@@ -1,0 +1,475 @@
+"""Per-partition state stores: windows, symmetric-hash join, compacted view.
+
+This is the stateful core of the streaming engine — the Ray-native
+replacement for the reference's in-memory ``Ref``-map materialized views
+(`ingestors/kafka/.../algebras/MetadataAlgebra.scala:36-118`,
+`ConsumerGroupsAlgebra.scala:254-325`) and the graft's new CEP operators
+(BASELINE.json north_star): tumbling/sliding/session windows, event-time
+watermarks, and a symmetric-hash stream-stream join of the clip stream
+against the transcript-update stream.
+
+One ``PartitionStateActor`` exists per partition (``hash(clip_id) % P``,
+`hydra_ray.hashing`).  Stateless ``map_batches`` tasks route each batch's
+per-partition slices to the owning actor; the driver advances the
+event-time watermark per epoch and calls ``close_epoch``, which
+
+- emits **replicated** clips whose join horizon has passed
+  (``wm ≥ clip.event_ts + join_window``), enriched with the latest
+  matching transcript revision (tombstone ⇒ ``deleted=True`` — compacted
+  null-payload delete semantics,
+  `core/src/main/scala/hydra/core/ingest/HydraRequest.scala:13-14`);
+- closes windows whose end ≤ watermark;
+- routes late rows (event_ts < watermark at arrival) to the DLQ output
+  (the reference's error topic,
+  `.../ingestors/IngestionErrorHandler.scala:22-91`);
+- evicts join/window state below the watermark;
+- stages its output fragments into the sink tables (phase 1 of the 2PC in
+  `hydra_ray.table.lancelite`), returning fragment metadata + metrics.
+
+**Determinism contract**: all operator semantics depend only on
+(event_ts, revision/seq) — never on arrival order — so any replay of the
+same input slices + watermark sequence produces identical output rows.
+That is what makes the idempotent epoch commit exactly-once end to end.
+
+State is checkpointed per epoch: light state (window partials, open
+sessions, update buffer, compacted view, metrics) as a pickle, the
+buffered clip table (with PCM payloads) as parquet.  Resume loads the
+checkpoint of the last committed epoch and replays source deltas after it.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.windows import assign_tumbling, ts_to_ms
+
+WATERMARK_MAX = (1 << 62)  # end-of-stream sentinel: flush everything
+
+__all__ = ["PartitionState", "PartitionStateActor", "WATERMARK_MAX"]
+
+
+class PartitionState:
+    """Pure-python state container (actor-agnostic; unit-testable)."""
+
+    def __init__(self, partition: int, cfg):
+        self.partition = partition
+        self.cfg = cfg
+        # tumbling window partials: (clip_id, window_start) -> [cnt, sum_dur_ms]
+        self.win: dict[tuple[str, int], list] = {}
+        # open sessions: clip_id -> sorted list of [start, end, cnt, sum_dur]
+        self.sessions: dict[str, list] = defaultdict(list)
+        # join left side: pending decoded clip batches (arrow, includes pcm)
+        self.clip_buf: list[pa.Table] = []
+        # join right side: clip_id -> list[(ts_ms, revision, transcript|None)]
+        self.updates: dict[str, list] = defaultdict(list)
+        # compacted latest-transcript view (last-write-wins by (ts, rev))
+        self.view: dict[str, tuple] = {}
+        # DLQ rows accumulated this epoch: list[(source, reason, table)]
+        self.dlq_buf: list[tuple[str, str, pa.Table]] = []
+        self.max_ts = -(1 << 62)
+        self.metrics = defaultdict(int)
+
+    # ------------------------------------------------------------- ingest
+    def ingest_clips(self, table: pa.Table, wm: int) -> dict:
+        n = table.num_rows
+        if n == 0:
+            return {"n": 0, "late": 0, "max_ts": self.max_ts}
+        ts = ts_to_ms(table["event_ts"])
+        self.max_ts = max(self.max_ts, int(ts.max()))
+
+        err_idx = table.schema.get_field_index("decode_error")
+        if err_idx >= 0:
+            bad = pc.is_valid(table["decode_error"]).to_numpy(zero_copy_only=False)
+        else:
+            bad = np.zeros(n, dtype=bool)
+        late = (ts < wm) & ~bad
+        ok = ~late & ~bad
+
+        if bad.any():
+            self.dlq_buf.append(
+                ("clips", "decode_error", _drop_heavy(table.filter(pa.array(bad))))
+            )
+            self.metrics["clips_decode_error"] += int(bad.sum())
+        if late.any():
+            self.dlq_buf.append(
+                ("clips", "late", _drop_heavy(table.filter(pa.array(late))))
+            )
+            self.metrics["clips_late"] += int(late.sum())
+
+        if ok.any():
+            sub = table.filter(pa.array(ok))
+            if err_idx >= 0:
+                sub = sub.drop_columns(["decode_error"])
+            self.clip_buf.append(sub)
+            sub_ts = ts[ok]
+            self._accumulate_windows(sub, sub_ts)
+            self.metrics["clips_in"] += sub.num_rows
+        return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
+
+    def _accumulate_windows(self, sub: pa.Table, ts: np.ndarray):
+        cfg = self.cfg
+        keys = sub["clip_id"].to_pylist()
+        durs = sub["dur_ms"].to_numpy(zero_copy_only=False)
+        if cfg.window_size_ms:
+            starts = assign_tumbling(ts, cfg.window_size_ms)
+            win = self.win
+            for k, w, d in zip(keys, starts.tolist(), durs.tolist()):
+                acc = win.get((k, w))
+                if acc is None:
+                    win[(k, w)] = [1, d]
+                else:
+                    acc[0] += 1
+                    acc[1] += d
+        if cfg.session_gap_ms:
+            gap = cfg.session_gap_ms
+            for k, t, d in zip(keys, ts.tolist(), durs.tolist()):
+                self._merge_session(k, t, d, gap)
+
+    def _merge_session(self, key: str, t: int, dur: int, gap: int):
+        """Insert an event into the per-key open-session list (kept sorted,
+        non-overlapping under the gap relation)."""
+        lst = self.sessions[key]
+        lo = None
+        for s in lst:
+            if s[0] - gap <= t <= s[1] + gap:
+                lo = s
+                break
+        if lo is None:
+            lst.append([t, t, 1, dur])
+            lst.sort(key=lambda s: s[0])
+            return
+        lo[0] = min(lo[0], t)
+        lo[1] = max(lo[1], t)
+        lo[2] += 1
+        lo[3] += dur
+        # merging may bridge two sessions
+        lst.sort(key=lambda s: s[0])
+        merged = [lst[0]]
+        for s in lst[1:]:
+            prev = merged[-1]
+            if s[0] <= prev[1] + gap:
+                prev[1] = max(prev[1], s[1])
+                prev[2] += s[2]
+                prev[3] += s[3]
+                prev[0] = min(prev[0], s[0])
+            else:
+                merged.append(s)
+        self.sessions[key] = merged
+
+    def ingest_updates(self, table: pa.Table, wm: int) -> dict:
+        n = table.num_rows
+        if n == 0:
+            return {"n": 0, "late": 0, "max_ts": self.max_ts}
+        ts = ts_to_ms(table["event_ts"])
+        self.max_ts = max(self.max_ts, int(ts.max()))
+        late = ts < wm
+        if late.any():
+            self.dlq_buf.append(
+                ("updates", "late", table.filter(pa.array(late)))
+            )
+            self.metrics["updates_late"] += int(late.sum())
+        ok = ~late
+        if ok.any():
+            keys = table["clip_id"].to_pylist()
+            texts = table["transcript"].to_pylist()
+            revs = table["revision"].to_pylist()
+            for i in np.flatnonzero(ok).tolist():
+                rec = (int(ts[i]), int(revs[i]), texts[i])
+                self.updates[keys[i]].append(rec)
+                cur = self.view.get(keys[i])
+                if cur is None or (rec[0], rec[1]) >= (cur[0], cur[1]):
+                    self.view[keys[i]] = rec
+            self.metrics["updates_in"] += int(ok.sum())
+        return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
+
+    # -------------------------------------------------------------- close
+    def close_epoch(self, epoch: int, wm: int) -> dict:
+        """Advance to watermark ``wm``: emit, close, evict.  Returns arrow
+        outputs {replicated, windows, sessions, dlq} (possibly empty)."""
+        out = {}
+        out["replicated"] = self._emit_replicated(epoch, wm)
+        out["windows"] = self._close_windows(epoch, wm)
+        out["sessions"] = self._close_sessions(epoch, wm)
+        out["dlq"] = self._emit_dlq(epoch)
+        # Evict join right-side state: a buffered (non-emitted) clip has
+        # c.ts + W > wm, and any future non-late clip has c.ts ≥ wm, so no
+        # update with u.ts ≤ wm − W can ever match again.
+        # A buffered clip (c.ts + W ≥ wm) can still match u.ts ≥ c.ts ≥ wm − W.
+        horizon = wm - self.cfg.join_window_ms if wm < WATERMARK_MAX else wm
+        evicted = 0
+        for k in list(self.updates.keys()):
+            kept = [u for u in self.updates[k] if u[0] >= horizon]
+            evicted += len(self.updates[k]) - len(kept)
+            if kept:
+                self.updates[k] = kept
+            else:
+                del self.updates[k]
+        self.metrics["updates_evicted"] += evicted
+        self.metrics["epochs_closed"] += 1
+        return out
+
+    def _emit_replicated(self, epoch: int, wm: int) -> pa.Table | None:
+        W = self.cfg.join_window_ms
+        emitted, kept = [], []
+        for t in self.clip_buf:
+            ts = ts_to_ms(t["event_ts"])
+            # strict: an update with u.ts == wm (not yet late) could still
+            # match a clip with c.ts + W == wm, so only emit below it
+            m = ts + W < wm if wm < WATERMARK_MAX else np.ones(len(ts), bool)
+            if m.any():
+                emitted.append((t.filter(pa.array(m)), ts[m]))
+            if not m.all():
+                kept.append(t.filter(pa.array(~m)))
+        self.clip_buf = kept
+        if not emitted:
+            return None
+        parts = []
+        for t, ts in emitted:
+            keys = t["clip_id"].to_pylist()
+            orig = t["transcript"].to_pylist()
+            final_txt, deleted = [], []
+            has_upd = self.updates
+            for i, k in enumerate(keys):
+                best = None
+                if k in has_upd:
+                    lo, hi = int(ts[i]), int(ts[i]) + W
+                    for u in has_upd[k]:
+                        if lo <= u[0] <= hi and (best is None or (u[0], u[1]) > (best[0], best[1])):
+                            best = u
+                if best is None:
+                    final_txt.append(orig[i])
+                    deleted.append(False)
+                else:
+                    final_txt.append(best[2])
+                    deleted.append(best[2] is None)
+            t = t.set_column(
+                t.schema.get_field_index("transcript"),
+                "transcript",
+                pa.array(final_txt, pa.string()),
+            )
+            t = t.append_column("deleted", pa.array(deleted, pa.bool_()))
+            parts.append(t)
+        tbl = pa.concat_tables(parts, promote_options="default")
+        tbl = _stamp(tbl, self.partition, epoch)
+        self.metrics["replicated_out"] += tbl.num_rows
+        return tbl
+
+    def _close_windows(self, epoch: int, wm: int) -> pa.Table | None:
+        size = self.cfg.window_size_ms
+        if not size or not self.win:
+            return None
+        closed_keys = [kw for kw in self.win if kw[1] + size <= wm]
+        if not closed_keys:
+            return None
+        closed_keys.sort()
+        rows = [(k, w, *self.win.pop((k, w))) for (k, w) in closed_keys]
+        tbl = pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "window_start": pa.array([r[1] for r in rows], pa.int64()),
+                "window_end": pa.array([r[1] + size for r in rows], pa.int64()),
+                "n_clips": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        tbl = _stamp(tbl, self.partition, epoch)
+        self.metrics["windows_closed"] += tbl.num_rows
+        return tbl
+
+    def _close_sessions(self, epoch: int, wm: int) -> pa.Table | None:
+        gap = self.cfg.session_gap_ms
+        if not gap or not self.sessions:
+            return None
+        rows = []
+        for k in sorted(self.sessions.keys()):
+            lst = self.sessions[k]
+            still_open = []
+            for s in lst:
+                # strict: a future row with ts == wm joins a session whose
+                # last + gap == wm (gap boundary is inclusive in sessionize)
+                if s[1] + gap < wm:
+                    rows.append((k, *s))
+                else:
+                    still_open.append(s)
+            if still_open:
+                self.sessions[k] = still_open
+            else:
+                del self.sessions[k]
+        if not rows:
+            return None
+        tbl = pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "session_start": pa.array([r[1] for r in rows], pa.int64()),
+                "session_end": pa.array([r[2] for r in rows], pa.int64()),
+                "n_clips": pa.array([r[3] for r in rows], pa.int64()),
+                "sum_dur_ms": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+        tbl = _stamp(tbl, self.partition, epoch)
+        self.metrics["sessions_closed"] += tbl.num_rows
+        return tbl
+
+    def _emit_dlq(self, epoch: int) -> pa.Table | None:
+        if not self.dlq_buf:
+            return None
+        parts = []
+        for source, reason, t in self.dlq_buf:
+            keep = [c for c in ("clip_id", "event_ts", "seq") if c in t.column_names]
+            p = t.select(keep)
+            err = None
+            if "decode_error" in t.column_names:
+                err = t["decode_error"]
+            p = p.append_column("source", pa.array([source] * len(p), pa.string()))
+            p = p.append_column(
+                "reason",
+                err if err is not None and reason == "decode_error"
+                else pa.array([reason] * len(p), pa.string()),
+            )
+            parts.append(p)
+        self.dlq_buf = []
+        tbl = pa.concat_tables(parts, promote_options="default")
+        tbl = _stamp(tbl, self.partition, epoch)
+        self.metrics["dlq_out"] += tbl.num_rows
+        return tbl
+
+    # --------------------------------------------------------- view query
+    def view_snapshot(self) -> pa.Table:
+        keys = sorted(self.view.keys())
+        return pa.table(
+            {
+                "clip_id": pa.array(keys, pa.string()),
+                "ts_ms": pa.array([self.view[k][0] for k in keys], pa.int64()),
+                "revision": pa.array([self.view[k][1] for k in keys], pa.int32()),
+                "transcript": pa.array([self.view[k][2] for k in keys], pa.string()),
+            }
+        )
+
+    # --------------------------------------------------------- checkpoint
+    def save(self, directory: str):
+        os.makedirs(directory, exist_ok=True)
+        light = {
+            "partition": self.partition,
+            "win": self.win,
+            "sessions": dict(self.sessions),
+            "updates": dict(self.updates),
+            "view": self.view,
+            "max_ts": self.max_ts,
+            "metrics": dict(self.metrics),
+        }
+        with open(os.path.join(directory, "state.pkl"), "wb") as f:
+            pickle.dump(light, f, protocol=pickle.HIGHEST_PROTOCOL)
+        import pyarrow.parquet as pq
+
+        if self.clip_buf:
+            buf = pa.concat_tables(self.clip_buf, promote_options="default")
+            pq.write_table(
+                buf, os.path.join(directory, "clip_buf.parquet"),
+                compression="zstd", compression_level=1,
+            )
+
+    def restore(self, directory: str):
+        with open(os.path.join(directory, "state.pkl"), "rb") as f:
+            light = pickle.load(f)
+        self.win = light["win"]
+        self.sessions = defaultdict(list, light["sessions"])
+        self.updates = defaultdict(list, light["updates"])
+        self.view = light["view"]
+        self.max_ts = light["max_ts"]
+        self.metrics = defaultdict(int, light["metrics"])
+        buf_path = os.path.join(directory, "clip_buf.parquet")
+        self.clip_buf = []
+        if os.path.exists(buf_path):
+            import pyarrow.parquet as pq
+
+            self.clip_buf = [pq.read_table(buf_path)]
+        self.dlq_buf = []
+
+
+def _stamp(tbl: pa.Table, partition: int, epoch: int) -> pa.Table:
+    n = tbl.num_rows
+    tbl = tbl.append_column("partition", pa.array([partition] * n, pa.int32()))
+    return tbl.append_column("epoch", pa.array([epoch] * n, pa.int64()))
+
+
+def _drop_heavy(t: pa.Table) -> pa.Table:
+    heavy = [c for c in ("pcm", "bytes") if c in t.column_names]
+    return t.drop_columns(heavy) if heavy else t
+
+
+# --------------------------------------------------------------------- actor
+def _make_actor_cls():
+    import ray
+
+    @ray.remote
+    class _PartitionStateActor:
+        """Ray actor wrapper: state + sink staging + checkpoint I/O.
+
+        ``num_cpus`` is set at creation; one actor per partition, living
+        for the whole pipeline run (the streaming analogue of the
+        reference's partition-pinned consumers,
+        `StreamsManagerActor.scala:153-213`).
+        """
+
+        def __init__(self, partition: int, cfg, sink_roots: dict, ckpt_root: str):
+            from ..table import Table
+
+            self.state = PartitionState(partition, cfg)
+            self.partition = partition
+            self.sinks = {name: Table(root) for name, root in sink_roots.items()}
+            self.ckpt_root = ckpt_root
+
+        def ingest(self, kind: str, table: pa.Table, wm: int) -> dict:
+            if kind == "clips":
+                return self.state.ingest_clips(table, wm)
+            return self.state.ingest_updates(table, wm)
+
+        def close_epoch(self, epoch: int, wm: int) -> dict:
+            outputs = self.state.close_epoch(epoch, wm)
+            staged = {}
+            for name, tbl in outputs.items():
+                if tbl is not None and name in self.sinks and tbl.num_rows:
+                    frag = self.sinks[name].stage_fragment(tbl, epoch, self.partition)
+                    staged[name] = frag.to_json()
+            return {
+                "staged": staged,
+                "metrics": dict(self.state.metrics),
+                "max_ts": self.state.max_ts,
+            }
+
+        def checkpoint(self, epoch: int) -> str:
+            d = os.path.join(self.ckpt_root, f"p{self.partition:04d}", f"e{epoch:06d}")
+            self.state.save(d)
+            return d
+
+        def restore(self, epoch: int) -> bool:
+            d = os.path.join(self.ckpt_root, f"p{self.partition:04d}", f"e{epoch:06d}")
+            if not os.path.exists(os.path.join(d, "state.pkl")):
+                return False
+            self.state.restore(d)
+            return True
+
+        def view_snapshot(self) -> pa.Table:
+            return self.state.view_snapshot()
+
+        def ping(self) -> int:
+            return self.partition
+
+    return _PartitionStateActor
+
+
+_ACTOR_CLS = None
+
+
+def PartitionStateActor():
+    """Lazy accessor for the Ray actor class (keeps module import Ray-free)."""
+    global _ACTOR_CLS
+    if _ACTOR_CLS is None:
+        _ACTOR_CLS = _make_actor_cls()
+    return _ACTOR_CLS

@@ -1,0 +1,249 @@
+"""Streaming replication pipeline: join/window oracles + exactly-once.
+
+FIXTURES.md F4: the pandas oracle recomputes emission/join/window results
+from the committed per-epoch lineage (wm_prev / wm_close per epoch), and
+the exactly-once oracle compares a clean run against crash+resume runs.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hydra_ray.pipelines.replicate import CrashPoint, ReplicateConfig, ReplicatePipeline
+from hydra_ray.stages.windows import sessionize_sorted
+from hydra_ray.synth import synth_clips_table, synth_updates_table
+from hydra_ray.table import Table
+
+N_CLIPS = 800
+VERSIONS = 4
+W = 60_000
+LATENESS = 30_000
+
+
+def build_sources(root):
+    clips = synth_clips_table(N_CLIPS)
+    ct = Table.create(f"{root}/clips", schema=clips.schema)
+    step = N_CLIPS // VERSIONS
+    for v in range(VERSIONS):
+        ct.append(clips.slice(v * step, step))
+    upd = synth_updates_table(N_CLIPS)
+    ut = Table.create(f"{root}/updates", schema=upd.schema)
+    ustep = -(-upd.num_rows // VERSIONS)
+    for v in range(VERSIONS):
+        ut.append(upd.slice(v * ustep, min(ustep, upd.num_rows - v * ustep)))
+    return clips, upd
+
+
+def cfg(**kw):
+    return ReplicateConfig(
+        num_partitions=4,
+        join_window_ms=W,
+        allowed_lateness_ms=LATENESS,
+        window_size_ms=10_000,
+        session_gap_ms=5_000,
+        decode_concurrency=2,
+        actor_num_cpus=0.25,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def clean_run(tmp_path_factory, ray_session):
+    root = str(tmp_path_factory.mktemp("repl"))
+    clips, upd = build_sources(root)
+    pipe = ReplicatePipeline(f"{root}/clips", f"{root}/out", cfg(), f"{root}/updates")
+    metrics = pipe.run()
+    return root, clips, upd, pipe, metrics
+
+
+def _epoch_of(lineage, source, version):
+    """Which epoch ingested `version` of `source` (versions are 1-based)."""
+    for ent in lineage:
+        lo, hi = ent[source]
+        if lo < version <= hi:
+            return ent["epoch"]
+    return None
+
+
+def _oracle(clips: pa.Table, upd: pa.Table, lineage):
+    """Pandas recomputation of the full replication semantics."""
+    cdf = clips.to_pandas()
+    cdf["ms"] = cdf["event_ts"].astype("int64")
+    step = N_CLIPS // VERSIONS
+    cdf["version"] = cdf.index // step + 1
+    cdf["epoch"] = cdf["version"].map(lambda v: _epoch_of(lineage, "clips", v))
+    wm_prev = {e["epoch"]: e["wm_prev"] for e in lineage}
+    wm_close = {e["epoch"]: e["wm_close"] for e in lineage}
+    cdf["late"] = cdf["ms"] < cdf["epoch"].map(wm_prev)
+
+    udf = upd.to_pandas()
+    udf["ms"] = udf["event_ts"].astype("int64")
+    ustep = -(-len(udf) // VERSIONS)
+    udf["version"] = udf.index // ustep + 1
+    udf["epoch"] = udf["version"].map(lambda v: _epoch_of(lineage, "updates", v))
+    udf["late"] = udf["ms"] < udf["epoch"].map(wm_prev)
+
+    epochs = sorted(wm_close.keys())
+
+    def emit_epoch(row):
+        for e in epochs:
+            if e >= row["epoch"] and wm_close[e] > row["ms"] + W:
+                return e
+        return epochs[-1]  # flush epoch
+
+    ok = cdf[~cdf["late"]].copy()
+    ok["emit_epoch"] = ok.apply(emit_epoch, axis=1)
+
+    live_upd = udf[~udf["late"]]
+    upd_by_key: dict = {}
+    for r in live_upd.itertuples():
+        upd_by_key.setdefault(r.clip_id, []).append((r.ms, r.revision, r.transcript, r.epoch))
+
+    final_txt, deleted = [], []
+    for r in ok.itertuples():
+        best = None
+        for u in upd_by_key.get(r.clip_id, ()):
+            if r.ms <= u[0] <= r.ms + W and u[3] <= r.emit_epoch:
+                if best is None or (u[0], u[1]) > (best[0], best[1]):
+                    best = u
+        if best is None:
+            final_txt.append(r.transcript)
+            deleted.append(False)
+        else:
+            final_txt.append(best[2] if isinstance(best[2], str) else None)
+            deleted.append(not isinstance(best[2], str))
+    ok["final_transcript"] = final_txt
+    ok["deleted"] = deleted
+    return cdf, udf, ok
+
+
+def test_counts_add_up(clean_run):
+    root, clips, upd, pipe, metrics = clean_run
+    repl = Table(f"{root}/out/replicated").to_arrow()
+    dlq = Table(f"{root}/out/dlq").to_arrow()
+    n_late_clips = metrics.get("clips_late", 0)
+    assert repl.num_rows + n_late_clips == N_CLIPS
+    dlq_df = dlq.to_pandas()
+    assert (dlq_df[dlq_df["source"] == "clips"]["reason"] == "late").sum() == n_late_clips
+    assert metrics.get("updates_late", 0) > 0  # engineered late updates exist
+    # replicated rows are unique by seq (each clip exactly once)
+    assert repl.column("seq").to_pandas().is_unique
+
+
+def test_join_oracle(clean_run):
+    root, clips, upd, pipe, metrics = clean_run
+    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    cdf, udf, ok = _oracle(clips, upd, lineage)
+
+    repl = (
+        Table(f"{root}/out/replicated")
+        .to_arrow()
+        .select(["seq", "transcript", "deleted", "epoch"])
+        .to_pandas()
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    ref = (
+        ok[["seq", "final_transcript", "deleted", "emit_epoch"]]
+        .sort_values("seq")
+        .reset_index(drop=True)
+    )
+    assert len(repl) == len(ref), (len(repl), len(ref))
+    assert repl["seq"].tolist() == ref["seq"].tolist()
+    mismatch = repl["transcript"].fillna("∅") != ref["final_transcript"].fillna("∅")
+    assert mismatch.sum() == 0, repl[mismatch].head().to_dict()
+    assert (repl["deleted"] == ref["deleted"]).all()
+    assert repl["epoch"].tolist() == ref["emit_epoch"].tolist()
+
+
+def test_window_oracle(clean_run):
+    root, clips, upd, pipe, metrics = clean_run
+    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    cdf, _, _ = _oracle(clips, upd, lineage)
+    ok = cdf[~cdf["late"]]
+    ref = (
+        ok.assign(window_start=(ok["ms"] // 10_000) * 10_000)
+        .groupby(["clip_id", "window_start"])
+        .agg(n_clips=("seq", "size"), sum_dur_ms=("dur_ms", "sum"))
+        .reset_index()
+    )
+    got = (
+        Table(f"{root}/out/windows")
+        .to_arrow()
+        .to_pandas()
+        .sort_values(["clip_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    ref = ref.sort_values(["clip_id", "window_start"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    pd.testing.assert_frame_equal(
+        got[["clip_id", "window_start", "n_clips", "sum_dur_ms"]],
+        ref.astype({"sum_dur_ms": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_session_oracle(clean_run):
+    root, clips, upd, pipe, metrics = clean_run
+    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    cdf, _, _ = _oracle(clips, upd, lineage)
+    ok = cdf[~cdf["late"]]
+    rows = []
+    for cid, g in ok.groupby("clip_id"):
+        ms = np.sort(g["ms"].to_numpy())
+        sid = sessionize_sorted(ms, 5_000)
+        g = g.sort_values("ms")
+        for s in np.unique(sid):
+            sel = g[sid == s]
+            rows.append(
+                (cid, int(sel["ms"].iloc[0]), int(sel["ms"].iloc[-1]), len(sel), int(sel["dur_ms"].sum()))
+            )
+    ref = pd.DataFrame(
+        rows, columns=["clip_id", "session_start", "session_end", "n_clips", "sum_dur_ms"]
+    ).sort_values(["clip_id", "session_start"]).reset_index(drop=True)
+    got = (
+        Table(f"{root}/out/sessions")
+        .to_arrow()
+        .to_pandas()
+        .sort_values(["clip_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    pd.testing.assert_frame_equal(got[ref.columns.tolist()], ref, check_dtype=False)
+
+
+def _content_signature(out_root):
+    repl = Table(f"{out_root}/replicated").to_arrow()
+    df = repl.select(["seq", "clip_id", "transcript", "deleted"]).to_pandas()
+    df = df.sort_values("seq").reset_index(drop=True)
+    win = Table(f"{out_root}/windows").to_arrow().to_pandas()
+    win = win.sort_values(["clip_id", "window_start"]).reset_index(drop=True)
+    return (
+        repl.num_rows,
+        pd.util.hash_pandas_object(df).sum(),
+        len(win),
+        pd.util.hash_pandas_object(win[["clip_id", "window_start", "n_clips"]]).sum(),
+    )
+
+
+@pytest.mark.parametrize("crash_point", ["after_prepare", "before_main_commit", "before_close"])
+def test_exactly_once_crash_resume(tmp_path, ray_session, clean_run, crash_point):
+    clean_root = clean_run[0]
+    clean_sig = _content_signature(f"{clean_root}/out")
+
+    root = str(tmp_path)
+    build_sources(root)
+    crash_cfg = cfg(crash_at=(2, crash_point))
+    pipe = ReplicatePipeline(f"{root}/clips", f"{root}/out", crash_cfg, f"{root}/updates")
+    with pytest.raises(CrashPoint):
+        pipe.run()
+    # resume with a fresh driver (no crash hook)
+    pipe2 = ReplicatePipeline(f"{root}/clips", f"{root}/out", cfg(), f"{root}/updates")
+    pipe2.run()
+    sig = _content_signature(f"{root}/out")
+    assert sig == clean_sig
+    # per-partition epoch lineage contiguous
+    frags = Table(f"{root}/out/replicated").fragments()
+    epochs = sorted({f.epoch for f in frags})
+    assert epochs == list(range(min(epochs), max(epochs) + 1))
