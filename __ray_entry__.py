@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the hydra_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship streaming replication pipeline on a small
+synthetic clip stream (BASELINE.json input_hint shape); ``queries()``
+exposes one named pipeline per operator family from SURVEY.md §2 (plus
+the training-data operator set); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query, with identical column names
+and matching rounding.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,173 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: streaming replication (decode → windows/join state actors
+    → exactly-once sink) on synthetic clips; returns the replicated rows."""
+    from hydra_ray.pipelines import batch_queries as q
+
+    return q.q_replicate_stream("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from hydra_ray.pipelines import batch_queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CEP / streaming operator family (SURVEY.md §2.10 + north star)
+        "tumbling_window": q.q_tumbling_window,
+        "sliding_window": q.q_sliding_window,
+        "session_window": q.q_session_window,
+        "interval_join": q.q_interval_join,
+        "latest_by_key": q.q_latest_by_key,
+        "consumer_lag": q.q_consumer_lag,
+        "topic_tail": q.q_topic_tail,
+        "replicate_stream": q.q_replicate_stream,
+        # record transform / scalar functions (§2.3, §2.9)
+        "json_key_extract": q.q_json_key_extract,
+        "events_per_day": q.q_events_per_day,
+        # aggregates / joins (§2.5, §2.6)
+        "pricing_summary": q.q_pricing_summary,
+        "broadcast_enrich": q.q_broadcast_enrich,
+        # dedup family
+        "exact_dedup": q.q_exact_dedup,
+        "minhash_neardup": q.q_minhash_neardup,
+        "simhash_neardup": q.q_simhash_neardup,
+        # text analysis
+        "token_stats": q.q_token_stats,
+        "quality_scores": q.q_quality_scores,
+        "langid": q.q_langid,
+        "fingerprint": q.q_fingerprint,
+        # similarity search
+        "ann_range": q.q_ann_range,
+        "ann_topk": q.q_ann_topk,
+        "ann_ivf": q.q_ann_ivf,
+        "vector_norms": q.q_vector_norms,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    HOUR = 3_600_000
+    DAY = 86_400_000
+    return {
+        "tumbling_window": f"""
+            SELECT user_id,
+                   (epoch_ms(ts) // {HOUR}) * {HOUR} AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": f"""
+            SELECT user_id,
+                   ((epoch_ms(ts) // {HOUR}) - j.j) * {HOUR} AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+            GROUP BY 1, 2
+        """,
+        "session_window": """
+            WITH d AS (
+                SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events
+            ), l AS (
+                SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+                FROM d
+            ), s AS (
+                SELECT *, sum(CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ms, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                FROM l
+            )
+            SELECT user_id,
+                   min(ms) AS session_start,
+                   max(ms) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "interval_join": """
+            SELECT a.user_id,
+                   a.event_id AS click_id,
+                   b.event_id AS purchase_id,
+                   epoch_ms(b.ts) - epoch_ms(a.ts) AS dt_ms
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+             AND epoch_ms(b.ts) < epoch_ms(a.ts) + 600000
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        "latest_by_key": """
+            SELECT user_id,
+                   event_id AS last_event_id,
+                   event_type AS last_type,
+                   round(value, 2) AS last_value,
+                   epoch_ms(ts) AS last_ms
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "consumer_lag": """
+            SELECT user_id,
+                   count(*) AS n_events,
+                   max(epoch_ms(ts)) AS user_max_ms,
+                   (SELECT max(epoch_ms(ts)) FROM events) - max(epoch_ms(ts)) AS lag_ms
+            FROM events GROUP BY 1
+        """,
+        "topic_tail": """
+            SELECT event_id, user_id, event_type,
+                   epoch_ms(ts) AS ms, round(value, 2) AS value
+            FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+        """,
+        "json_key_extract": """
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "events_per_day": f"""
+            SELECT (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "broadcast_enrich": """
+            SELECT c.c_nationkey AS c_nationkey,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS sum_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "token_stats": r"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
+                   sum(len(text)) AS n_chars_text
+            FROM documents GROUP BY 1
+        """,
+        "ann_range": """
+            SELECT q.vec_id AS query_id,
+                   e.vec_id AS vec_id,
+                   round(list_cosine_similarity(q.embedding, e.embedding), 2) AS cosine
+            FROM embeddings q, embeddings e
+            WHERE q.vec_id < 8
+              AND list_cosine_similarity(q.embedding, e.embedding) >= 0.2
+        """,
+        "vector_norms": """
+            SELECT label,
+                   count(*) AS n,
+                   round(sum(sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sum_l2
+            FROM embeddings GROUP BY 1
+        """,
+        # no oracle (not SQL-expressible): replicate_stream, minhash_neardup,
+        # simhash_neardup, quality_scores, langid, fingerprint, ann_topk, ann_ivf
+    }

@@ -1,0 +1,405 @@
+"""The query catalog: every operator family exposed as a named pipeline
+over the testdata tables, with a DuckDB oracle where SQL can express it
+(driver correctness gate — see ``__ray_entry__.py``).
+
+Conventions (the driver hash-compares values after sorting columns by
+name): every computed column is explicitly named identically here and in
+the SQL; float aggregates are rounded on BOTH sides; timestamps are
+exported as int64 epoch-milliseconds (matching DuckDB ``epoch_ms``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.dedup import exact_dedup, latest_by_key
+from ..stages.join import broadcast_join, interval_join
+from ..stages.keys import extract_json_key
+from ..stages.neardup import minhash_lsh_candidates, simhash_near_pairs
+from ..stages.similarity import (
+    cosine_range_search,
+    cosine_topk,
+    ivf_topk,
+    train_centroids,
+)
+from ..stages.text import Fingerprint, LangId, QualityScore, TokenStats
+from ..stages.windows import (
+    AggSpec,
+    grouped_aggregate,
+    session_window,
+    sliding_window,
+    tumbling_window,
+    ts_to_ms,
+)
+
+HOUR = 3_600_000
+DAY = 86_400_000
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def f(t: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=nd))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _ms_col(ds, src: str, out: str, drop=True):
+    def f(t: pa.Table) -> pa.Table:
+        t = t.append_column(out, pa.array(ts_to_ms(t[src]), pa.int64()))
+        return t.drop_columns([src]) if drop else t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ CEP / windows
+def q_tumbling_window(sf_dir):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = tumbling_window(
+        ds, ["user_id"], "ts", HOUR,
+        [
+            AggSpec("count", None, "n_events"),
+            AggSpec("sum", "value", "sum_value"),
+            AggSpec("max", "value", "max_value"),
+        ],
+    )
+    return _round_cols(out, {"sum_value": 2, "max_value": 2})
+
+
+def q_sliding_window(sf_dir):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = sliding_window(
+        ds, ["user_id"], "ts", 2 * HOUR, HOUR,
+        [AggSpec("count", None, "n_events"), AggSpec("sum", "value", "sum_value")],
+    )
+    return _round_cols(out, {"sum_value": 2})
+
+
+def q_session_window(sf_dir):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = session_window(
+        ds, ["user_id"], "ts", 30 * 60_000,
+        [AggSpec("count", None, "n_events"), AggSpec("sum", "value", "sum_value")],
+    )
+    return _round_cols(out, {"sum_value": 2})
+
+
+def q_interval_join(sf_dir):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    out = interval_join(
+        clicks, purchases, "user_id", "ts", "ts", 0, 600_000,
+        left_cols=["event_id"], right_cols=["event_id"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        lms = ts_to_ms(t["ts"])
+        rms = ts_to_ms(t["ts_r"])
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "click_id": t["event_id"],
+                "purchase_id": t["event_id_r"],
+                "dt_ms": pa.array(rms - lms, pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_latest_by_key(sf_dir):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    out = latest_by_key(ds, ["user_id"], ["ts", "event_id"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "last_event_id": t["event_id"],
+                "last_type": t["event_type"],
+                "last_value": pc.round(pc.cast(t["value"], pa.float64()), ndigits=2),
+                "last_ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_consumer_lag(sf_dir):
+    """Per-key frontier lag (reference A1 lag aggregate,
+    `ConsumerGroupsAlgebra.scala:155-184`)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ms = _ms_col(ds, "ts", "ms")
+    agg = grouped_aggregate(
+        ms, ["user_id"],
+        [AggSpec("count", None, "n_events"), AggSpec("max", "ms", "user_max_ms")],
+    )
+    pdf = agg.to_pandas()  # small: one row per key
+    global_max = int(pdf["user_max_ms"].max())
+    pdf["lag_ms"] = global_max - pdf["user_max_ms"]
+    return pdf
+
+
+def q_topic_tail(sf_dir):
+    """Bounded tail read (`TopicsEndpoint.scala:33-93` / ds.limit)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    tail = ds.sort(["ts", "event_id"], descending=[True, True]).limit(10)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
+                "value": pc.round(pc.cast(t["value"], pa.float64()), ndigits=2),
+            }
+        )
+
+    return tail.map_batches(project, batch_format="pyarrow")
+
+
+# ------------------------------------------------- record transform / scalar
+def q_json_key_extract(sf_dir):
+    """JsonPath-lite `{$.k}` key extraction (P5) + group count."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        t = extract_json_key(t, "props", "k", out_col="k_str")
+        k = pc.cast(t["k_str"], pa.int64())
+        return pa.table({"k": k})
+
+    keyed = ds.map_batches(extract, batch_format="pyarrow")
+    return grouped_aggregate(keyed, ["k"], [AggSpec("count", None, "n")])
+
+
+def q_events_per_day(sf_dir):
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def day(t: pa.Table) -> pa.Table:
+        ms = ts_to_ms(t["ts"])
+        return pa.table(
+            {"day_ms": pa.array((ms // DAY) * DAY, pa.int64()), "value": t["value"]}
+        )
+
+    byday = ds.map_batches(day, batch_format="pyarrow")
+    out = grouped_aggregate(
+        byday, ["day_ms"],
+        [AggSpec("count", None, "n_events"), AggSpec("sum", "value", "sum_value")],
+    )
+    return _round_cols(out, {"sum_value": 2})
+
+
+def q_pricing_summary(sf_dir):
+    """TPC-H Q1-shaped grouped aggregate (partial/combine at scale)."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "revenue": rev,
+            }
+        )
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+    out = grouped_aggregate(
+        base, ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec("count", None, "n_rows"),
+            AggSpec("sum", "l_quantity", "sum_qty"),
+            AggSpec("sum", "l_extendedprice", "sum_base_price"),
+            AggSpec("sum", "revenue", "sum_revenue"),
+        ],
+    )
+    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_revenue": 2})
+
+
+def q_broadcast_enrich(sf_dir):
+    """Broadcast lookup join (J1/J2): orders enriched with customer nation."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    out = grouped_aggregate(
+        joined, ["c_nationkey"],
+        [AggSpec("count", None, "n_orders"), AggSpec("sum", "o_totalprice", "sum_price")],
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
+# --------------------------------------------------------------- dedup / text
+def q_exact_dedup(sf_dir):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, ["text"], "doc_id")
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+def q_token_stats(sf_dir):
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    toks = ds.map_batches(TokenStats, batch_format="pandas", concurrency=2)
+    return grouped_aggregate(
+        toks, ["lang"],
+        [
+            AggSpec("count", None, "n_docs"),
+            AggSpec("sum", "n_tokens", "n_tokens"),
+            AggSpec("sum", "n_chars_text", "n_chars_text"),
+        ],
+    )
+
+
+def q_quality_scores(sf_dir):
+    """Quality heuristics (rows-only check: not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    scored = ds.map_batches(QualityScore, batch_format="pandas", concurrency=2)
+    out = grouped_aggregate(
+        scored, ["lang"],
+        [
+            AggSpec("count", None, "n_docs"),
+            AggSpec("mean", "quality_score", "avg_quality"),
+            AggSpec("mean", "stopword_ratio", "avg_stopword_ratio"),
+        ],
+    )
+    return _round_cols(out, {"avg_quality": 4, "avg_stopword_ratio": 4})
+
+
+def q_langid(sf_dir):
+    """n-gram language-ID heuristic vs labeled lang (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return grouped_aggregate(pred, ["lang", "lang_pred"], [AggSpec("count", None, "n")])
+
+
+def q_fingerprint(sf_dir):
+    """Document fingerprints: distinct count per source (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    fp = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=2)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        return t.select(["source", "fingerprint"]).group_by(
+            ["source", "fingerprint"]
+        ).aggregate([])
+
+    ded = fp.map_batches(distinct_partial, batch_format="pyarrow")
+    dd = ded.groupby(["source", "fingerprint"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return grouped_aggregate(dd, ["source"], [AggSpec("count", None, "n_distinct")])
+
+
+def q_minhash_neardup(sf_dir):
+    """MinHash+LSH near-dup candidate pairs (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_candidates(ds, n_perm=64, bands=16, k=5)
+
+
+def q_simhash_neardup(sf_dir):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming=3)
+
+
+# ----------------------------------------------------------------- similarity
+def _load_queries(sf_dir, n=8):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.filter(pc.less(t["vec_id"], pa.scalar(n)))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+    return ids, mat
+
+
+def q_ann_range(sf_dir):
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_range_search(ds, ids, mat, threshold=0.2)
+    return _round_cols(out, {"cosine": 2})
+
+
+def q_ann_topk(sf_dir):
+    """Brute-force cosine top-k (rows-only: rank ties not SQL-stable)."""
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_topk(ds, ids, mat, k=5)
+    return _round_cols(out, {"cosine": 2})
+
+
+def q_ann_ivf(sf_dir):
+    """IVF-bucketed approximate top-k (rows-only)."""
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = train_centroids(ds, n_centroids=16)
+    out = ivf_topk(ds, ids, mat, k=5, centroids=cents, nprobe=4)
+    return _round_cols(out, {"cosine": 2})
+
+
+def q_vector_norms(sf_dir):
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        arr = t["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(len(arr), -1)
+        return pa.table(
+            {"label": t["label"], "l2": pa.array(np.sqrt((m * m).sum(axis=1)))}
+        )
+
+    n = ds.map_batches(norms, batch_format="pyarrow")
+    out = grouped_aggregate(
+        n, ["label"], [AggSpec("count", None, "n"), AggSpec("sum", "l2", "sum_l2")]
+    )
+    return _round_cols(out, {"sum_l2": 4})
+
+
+# ----------------------------------------------------------- streaming (raw)
+def q_replicate_stream(sf_dir):
+    """Mini end-to-end streaming replication on synthetic clips (rows-only;
+    exercises decode → state actors → exactly-once sink)."""
+    import tempfile
+
+    from ..pipelines.replicate import ReplicateConfig, ReplicatePipeline
+    from ..synth import synth_clips_table, synth_updates_table
+    from ..table import Table
+
+    n = 600
+    root = tempfile.mkdtemp(prefix="hydra_repl_q_")
+    clips = synth_clips_table(n)
+    ct = Table.create(f"{root}/clips", schema=clips.schema)
+    for v in range(3):
+        ct.append(clips.slice(v * (n // 3), n // 3))
+    upd = synth_updates_table(n)
+    ut = Table.create(f"{root}/updates", schema=upd.schema)
+    step = -(-upd.num_rows // 3)
+    for v in range(3):
+        ut.append(upd.slice(v * step, min(step, upd.num_rows - v * step)))
+    cfg = ReplicateConfig(num_partitions=4, decode_concurrency=2, actor_num_cpus=0.25)
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", cfg, f"{root}/updates").run()
+    out = Table(f"{root}/out/replicated").to_arrow()
+    return out.select(["seq", "clip_id", "transcript", "deleted", "partition", "epoch"])

@@ -1,0 +1,94 @@
+"""Deduplication & compaction operators (exact family).
+
+The reference's set semantics come from compacted topics — keyed
+last-write-wins with null-value deletes
+(`.../programs/CreateTopicProgram.scala:164-172` sets
+``cleanup.policy=compact``; view facades `MetadataAlgebra.scala:145-158`).
+Batch forms here, all combiner-style (per-batch reduction before the
+keyed shuffle) so the wide exchange carries one row per key per block:
+
+- ``latest_by_key``  — keyed compaction: keep the max-(order_cols) row
+  per key, dropping tombstones optionally (the compacted-view operator).
+- ``exact_dedup``    — content dedup: hash the content column(s)
+  vectorized, keep the min-(tiebreak) row per content hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["latest_by_key", "exact_dedup", "add_content_hash"]
+
+
+def _keep_extreme(df: pd.DataFrame, key_cols, order_cols, keep_max: bool) -> pd.DataFrame:
+    df = df.sort_values(list(key_cols) + list(order_cols), kind="mergesort")
+    return df.drop_duplicates(subset=list(key_cols), keep="last" if keep_max else "first")
+
+
+def latest_by_key(ds, key_cols: list[str], order_cols: list[str], drop_nulls_in: str | None = None):
+    """Last-write-wins compaction by key (deterministic via order_cols).
+
+    Two-phase: per-batch reduction (vectorized sort+drop_duplicates) →
+    keyed shuffle of the per-batch winners → final reduction per group.
+    Optionally drops rows whose ``drop_nulls_in`` column is null AFTER
+    compaction (tombstone delete semantics).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _keep_extreme(df, key_cols, order_cols, keep_max=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = _keep_extreme(g, key_cols, order_cols, keep_max=True)
+        if drop_nulls_in is not None:
+            out = out[out[drop_nulls_in].notna()]
+        return out
+
+    reduced = ds.map_batches(partial, batch_format="pandas")
+    return reduced.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def add_content_hash(
+    batch: pa.Table, cols: list[str], out_col: str = "content_hash"
+) -> pa.Table:
+    """Vectorized 64-bit content hash column (stable across runs)."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in cols:
+        vals = batch[c].to_numpy(zero_copy_only=False)
+        h ^= pd.util.hash_array(np.asarray(vals, dtype=object), categorize=False)
+    return batch.append_column(out_col, pa.array(h.astype(np.int64)))
+
+
+def exact_dedup(ds, content_cols: list[str], tiebreak: str):
+    """Exact near-copy removal: one surviving row per distinct content.
+
+    Survivor = the min-``tiebreak`` row among rows with equal content
+    (matching SQL ``GROUP BY content → min(tiebreak)``).  Adds an
+    ``n_copies`` count.  Combiner-style like ``latest_by_key``.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), dtype=np.uint64)
+        for c in content_cols:
+            h ^= pd.util.hash_array(df[c].to_numpy(dtype=object), categorize=False)
+        df = df.assign(content_hash=h.astype(np.int64), __copies=1)
+        df = df.sort_values(["content_hash", tiebreak], kind="mergesort")
+        counts = df.groupby("content_hash", sort=False)["__copies"].sum()
+        first = df.drop_duplicates(subset=["content_hash"], keep="first").set_index(
+            "content_hash"
+        )
+        first["__copies"] = counts
+        return first.reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["content_hash", tiebreak], kind="mergesort")
+        total = g["__copies"].sum()
+        out = g.head(1).copy()
+        out["n_copies"] = int(total)
+        return out.drop(columns=["__copies", "content_hash"])
+
+    reduced = ds.map_batches(partial, batch_format="pandas")
+    return reduced.groupby("content_hash").map_groups(final, batch_format="pandas")

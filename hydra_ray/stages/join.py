@@ -1,0 +1,144 @@
+"""Join operators: broadcast lookup, keyed hash join, interval (stream) join.
+
+The reference's joins are all stream-enrichment lookups against a small
+side (SURVEY.md §2.5: `MetadataAlgebra.scala:54-68` schema lookups,
+`KafkaAdminAlgebra.scala:207-217` lag join, `ConsumerGroupsOffsetConsumer
+.scala:59-74` checkpoint seek-join).  Here:
+
+- ``broadcast_join`` — the small side is ``ray.put`` once and merged
+  inside every ``map_batches`` task (no shuffle); the Ray-native J1/J2.
+- ``keyed_join`` — both sides large: co-partition by key hash
+  (``groupby(key).map_groups`` = an explicit partitioned hash join).
+- ``interval_join`` — the batch form of the streaming symmetric-hash
+  join (`hydra_ray.state.store`): left row ℓ matches right row r when
+  keys are equal and ``r.ts ∈ [ℓ.ts + lo, ℓ.ts + hi)``.  Partitioning
+  assumption: all rows of one key fit one group (hot keys need the
+  salting path, `hydra_ray.stages.skew`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .windows import ts_to_ms
+
+__all__ = ["broadcast_join", "keyed_join", "interval_join"]
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str], how: str = "inner"):
+    """Merge a small pandas side into every batch (no shuffle).
+
+    The side table is shipped to the object store once; each task merges
+    its batch against the shared copy (zero re-serialization per batch).
+    """
+    import ray
+
+    ref = ray.put(small_df)
+
+    class Merge:
+        def __init__(self):
+            self.side = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.side, on=on, how=how)
+
+    return ds.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
+
+
+def keyed_join(
+    left,
+    right,
+    key: str,
+    how: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+):
+    """Partitioned hash join of two Datasets on ``key``.
+
+    Tags each side, unions, groups by key, merges per group.  One
+    all-to-all shuffle on the join key (same key a streaming deployment
+    would co-partition both topics by).
+    """
+
+    left = left.select_columns(left_cols) if left_cols else left
+    right = right.select_columns(right_cols) if right_cols else right
+
+    lt = left.map_batches(
+        lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        lambda t: t.append_column("__side", pa.array([1] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    both = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == 0].drop(columns="__side").dropna(axis=1, how="all")
+        gr = g[g["__side"] == 1].drop(columns="__side").dropna(axis=1, how="all")
+        if how == "inner" and (gl.empty or gr.empty):
+            return pd.DataFrame()
+        return gl.merge(gr, on=key, how=how, suffixes=("", suffix))
+
+    return both.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def interval_join(
+    left,
+    right,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lo_ms: int,
+    hi_ms: int,
+    left_cols: list[str],
+    right_cols: list[str],
+    suffix: str = "_r",
+):
+    """Batch interval join: keys equal and right.ts − left.ts ∈ [lo, hi).
+
+    Same match semantics as the streaming symmetric-hash join with
+    ``join_window = hi`` (there the left is the clip stream, the right the
+    update stream).  Implemented as a key-hash shuffle + per-key numpy
+    interval sweep.
+    """
+
+    lsel = left.select_columns(list(dict.fromkeys([key, left_ts] + left_cols)))
+    rsel = right.select_columns(list(dict.fromkeys([key, right_ts] + right_cols)))
+    lt = lsel.map_batches(
+        lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    rt = rsel.map_batches(
+        lambda t: t.append_column("__side", pa.array([1] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    both = lt.union(rt)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == 0]
+        gr = g[g["__side"] == 1]
+        if gl.empty or gr.empty:
+            return pd.DataFrame()
+        lms = ts_to_ms(pa.Array.from_pandas(gl[left_ts]))
+        rms = ts_to_ms(pa.Array.from_pandas(gr[right_ts]))
+        r_order = np.argsort(rms, kind="stable")
+        rms_sorted = rms[r_order]
+        starts = np.searchsorted(rms_sorted, lms + lo_ms, side="left")
+        ends = np.searchsorted(rms_sorted, lms + hi_ms, side="left")
+        counts = ends - starts
+        li = np.repeat(np.arange(len(gl)), counts)
+        ri = np.concatenate(
+            [r_order[s:e] for s, e in zip(starts, ends)]
+        ) if counts.sum() else np.empty(0, np.int64)
+        out_l = gl.iloc[li][[key, left_ts] + left_cols].reset_index(drop=True)
+        out_r = gr.iloc[ri][[right_ts] + right_cols].reset_index(drop=True)
+        out_r.columns = [
+            c + suffix if c in out_l.columns else c for c in out_r.columns
+        ]
+        return pd.concat([out_l, out_r], axis=1)
+
+    return both.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,192 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (per the MinHash/LSH literature — Broder '97; Leskovec et
+al., "Mining of Massive Datasets" ch.3):
+
+- shingle→minhash is a vectorized per-batch ``map_batches`` (numpy);
+- LSH banding explodes each doc into (band_id, band_hash) rows and the
+  ONLY wide step is a ``groupby`` over band buckets — candidate pairs
+  are generated inside each (small) bucket;
+- verification (exact n-gram Jaccard on candidate pairs) is a second
+  per-pair stage.
+
+Everything is seeded/deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = [
+    "MinHasher",
+    "minhash_lsh_candidates",
+    "ngram_jaccard",
+    "SimHasher",
+    "simhash_near_pairs",
+]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _char_shingles(text: str, k: int) -> np.ndarray:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        # NB: not Python hash() — that is per-process randomized
+        return pd.util.hash_array(np.array([t], dtype=object), categorize=False)
+    views = [t[i : i + k] for i in range(len(t) - k + 1)]
+    return np.unique(pd.util.hash_array(np.array(views, dtype=object), categorize=False))
+
+
+class MinHasher:
+    """Per-batch minhash signatures (n_perm universal-hash permutations)."""
+
+    def __init__(self, text_col="text", id_col="doc_id", n_perm=64, k=5, seed=42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _char_shingles(text, self.k).astype(np.uint64)
+        # (n_perm, n_shingles) universal hash, min over shingles
+        v = (np.outer(self.a, sh) + self.b[:, None]) % np.uint64(_MERSENNE)
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "signature": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_perm)),
+            }
+        )
+
+
+def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", n_perm=64, bands=16, k=5, seed=42):
+    """MinHash+LSH candidate pairs.
+
+    ds → map_batches(MinHasher) → explode to (band, band_hash, id) →
+    groupby band bucket → pairs.  Returns a Dataset of
+    (id_a, id_b) candidate rows (id_a < id_b, deduplicated).
+    """
+    rows_per_band = n_perm // bands
+
+    hashed = ds.map_batches(
+        MinHasher(text_col, id_col, n_perm, k, seed), batch_format="pyarrow"
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.stack(t["signature"].to_numpy(zero_copy_only=False))
+        n = len(ids)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        doc_rep = np.repeat(ids, bands)
+        bh = np.empty(n * bands, dtype=np.int64)
+        for b in range(bands):
+            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = acc * np.uint64(1_000_003) + seg[:, j]
+            bh[b::bands] = acc.astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(bh),
+                id_col: pa.array(doc_rep),
+            }
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # dedupe pairs found in multiple bands
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard similarity (verification kernel)."""
+    sa, sb = _char_shingles(text_a or "", k), _char_shingles(text_b or "", k)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return float(inter) / union if union else 1.0
+
+
+class SimHasher:
+    """64-bit SimHash over word features (near-dup by Hamming distance)."""
+
+    def __init__(self, text_col="text", id_col="doc_id", seed=42):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = np.array((t or "").lower().split(), dtype=object)
+            if len(words) == 0:
+                out[i] = 0
+                continue
+            h = pd.util.hash_array(words, categorize=False)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            v = np.where(bits.sum(axis=0) * 2 > len(words), 1, 0).astype(np.uint64)
+            out[i] = int((v << np.arange(64, dtype=np.uint64)).sum()) - (1 << 63)
+        return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(out)})
+
+
+def simhash_near_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, n_tables=4):
+    """SimHash near-dup candidates: band the 64-bit hash into n_tables
+    16-bit keys (pigeonhole: ≤3 differing bits ⇒ at least one identical
+    16-bit band), group by band key, verify Hamming ≤ max_hamming."""
+    hashed = ds.map_batches(SimHasher(text_col, id_col), batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        band = np.tile(np.arange(n_tables, dtype=np.int32), n)
+        keys = np.empty(n * n_tables, dtype=np.int64)
+        for b in range(n_tables):
+            keys[b::n_tables] = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(band),
+                "band_key": pa.array(keys),
+                id_col: pa.array(np.repeat(ids, n_tables)),
+                "simhash": pa.array(np.repeat(sh.astype(np.int64), n_tables)),
+            }
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(hs[x] ^ hs[y])).count("1") for x, y in zip(ia, ib)], dtype=np.int32
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]})
+
+    cand = exploded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -180,6 +180,16 @@ def _final_agg(ds, group_cols: list[str], aggs: list[AggSpec]):
 
 
 # ----------------------------------------------------------- batch operators
+def grouped_aggregate(ds, group_cols: list[str], aggs: list[AggSpec]):
+    """Plain grouped aggregate with the same partial/combine path as the
+    window operators (per-batch pyarrow pre-aggregation → tiny shuffle)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _partial_agg_batch(t, group_cols, aggs)
+
+    return _final_agg(ds.map_batches(partial, batch_format="pyarrow"), group_cols, aggs)
+
+
 def tumbling_window(
     ds,
     key_cols: list[str],
