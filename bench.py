@@ -1,0 +1,220 @@
+"""Benchmark harness: headline streaming replication + query catalog.
+
+Prints ONE JSON line:
+  {"metric": "replicate_clips_per_sec", "value": <headline seconds>,
+   "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+Headline: the flagship exactly-once replication pipeline (decode →
+state actors → 2PC sink) over a synthetic clip+update stream (seeded,
+cached under /tmp across runs so both scaling levels see identical
+bytes).  ``--scaling`` runs the headline at two parallelism levels in
+fresh processes and reports throughput + scaling efficiency
+(BASELINE.md protocol — the sandbox stand-in for N vs 4N nodes).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS
+(default 32), HYDRA_BENCH_CLIPS (default 12000), HYDRA_BENCH_EPOCHS (8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("HYDRA_BENCH_CLIPS", "12000"))
+N_EPOCHS = int(os.environ.get("HYDRA_BENCH_EPOCHS", "8"))
+SEED = 42
+
+QUERY_NAMES = [
+    "tumbling_window", "sliding_window", "session_window", "interval_join",
+    "latest_by_key", "consumer_lag", "topic_tail", "json_key_extract",
+    "events_per_day", "pricing_summary", "broadcast_enrich", "exact_dedup",
+    "minhash_neardup", "simhash_neardup", "token_stats", "quality_scores",
+    "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
+]
+
+
+def build_bench_input(root: str, n_clips: int, n_epochs: int):
+    """Synthesize the bench stream tables once (cached by param key)."""
+    import ray.data as rd
+
+    from hydra_ray.synth import (
+        CLIP_SCHEMA,
+        synth_clips_batch,
+        synth_updates_table,
+    )
+    from hydra_ray.table import Table
+
+    marker = os.path.join(root, "_DONE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    clips = Table.create(os.path.join(root, "clips"), schema=CLIP_SCHEMA)
+    per_epoch = n_clips // n_epochs
+
+    def synth(batch):
+        idx = batch["id"].to_numpy()
+        return synth_clips_batch(idx, n_clips, seed=SEED)
+
+    for e in range(n_epochs):
+        tmp = os.path.join(root, f"_tmp_v{e}")
+        (
+            rd.range(per_epoch)
+            .map_batches(lambda b: {"id": b["id"] + e * per_epoch}, batch_format="numpy")
+            .map_batches(synth, batch_format="pyarrow", batch_size=256)
+            .write_parquet(tmp)
+        )
+        clips.register_parquet_dir(tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    upd = synth_updates_table(n_clips, seed=SEED)
+    updates = Table.create(os.path.join(root, "updates"), schema=upd.schema)
+    step = -(-upd.num_rows // n_epochs)
+    for e in range(n_epochs):
+        lo = e * step
+        if lo < upd.num_rows:
+            updates.append(upd.slice(lo, min(step, upd.num_rows - lo)))
+    open(marker, "w").write("ok")
+
+
+def run_headline(num_cpus: int) -> dict:
+    from hydra_ray.pipelines.replicate import ReplicateConfig, ReplicatePipeline
+    from hydra_ray.table import Table
+
+    root = f"/tmp/hydra_bench/in_{N_CLIPS}_{N_EPOCHS}_{SEED}"
+    build_bench_input(root, N_CLIPS, N_EPOCHS)
+
+    cfg = ReplicateConfig(
+        num_partitions=max(4, num_cpus // 2),
+        decode_concurrency=max(2, num_cpus // 2),
+        actor_num_cpus=0.25,
+        batch_size=256,
+        window_size_ms=10_000,
+        session_gap_ms=5_000,
+    )
+    # untimed warmup: small run faults in worker heaps + page cache
+    warm_root = "/tmp/hydra_bench/warm_out"
+    shutil.rmtree(warm_root, ignore_errors=True)
+    warm_cfg = ReplicateConfig(
+        num_partitions=4, decode_concurrency=2, actor_num_cpus=0.25,
+        max_versions_per_epoch=N_EPOCHS,
+    )
+    ReplicatePipeline(
+        os.path.join(root, "clips"), warm_root, warm_cfg, os.path.join(root, "updates")
+    ).run(max_epochs=1)
+
+    out_root = "/tmp/hydra_bench/out"
+    shutil.rmtree(out_root, ignore_errors=True)
+    pipe = ReplicatePipeline(
+        os.path.join(root, "clips"), out_root, cfg, os.path.join(root, "updates")
+    )
+    t0 = time.perf_counter()
+    metrics = pipe.run()
+    dt = time.perf_counter() - t0
+    replicated = Table(os.path.join(out_root, "replicated")).count_rows()
+    return {
+        "sec": dt,
+        "clips": N_CLIPS,
+        "replicated": replicated,
+        "clips_per_sec": N_CLIPS / dt,
+        "windows_closed": metrics.get("windows_closed", 0),
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume lazily-built Datasets fully (count is a full pass)
+        try:
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+        except Exception:
+            pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        results = {}
+        for n in (lo, hi):
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                HYDRA_BENCH_HEADLINE_ONLY="1",
+                PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            results[n] = json.loads(out.strip().splitlines()[-1])
+        t_lo = results[lo]["headline"]["clips_per_sec"]
+        t_hi = results[hi]["headline"]["clips_per_sec"]
+        eff = (t_hi / t_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    f"clips_per_sec_{lo}cpu": round(t_lo, 1),
+                    f"clips_per_sec_{hi}cpu": round(t_hi, 1),
+                    f"sec_{lo}cpu": round(results[lo]["headline"]["sec"], 2),
+                    f"sec_{hi}cpu": round(results[hi]["headline"]["sec"], 2),
+                    "clips": N_CLIPS,
+                }
+            )
+        )
+        return
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    try:
+        headline = run_headline(NUM_CPUS)
+        queries = {} if os.environ.get("HYDRA_BENCH_HEADLINE_ONLY") else run_queries()
+        print(
+            json.dumps(
+                {
+                    "metric": "replicate_pipeline_sec",
+                    "value": round(headline["sec"], 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                    "headline": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in headline.items()},
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

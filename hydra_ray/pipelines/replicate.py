@@ -68,9 +68,16 @@ class ReplicateConfig:
     crash_at: tuple | None = None            # e.g. (1, "after_prepare")
 
 
-def _route_factory(handles, kind: str, wm: int, key_col: str, P: int):
-    """Build the map_batches routing fn: batch → per-partition slices →
-    owning actor (object-store transfer), return tiny ack rows.
+def _route_factory(handles, kind: str, wm: int, key_col: str, P: int, decoder=None):
+    """Build the map_batches ingest fn: (decode →) partition-sort →
+    per-partition slices → owning actor (object-store transfer), return
+    tiny ack rows.
+
+    Decode and routing are fused into ONE stateless task stage so the
+    heavy payload crosses the object store once (read block in, decoded
+    slices out to actors).  Stateless tasks (not an actor pool): workers
+    are reused across epochs with no per-epoch pool spin-up, and the
+    decoder has no per-task state to amortize.
 
     The ``ray.get`` on the acks is deliberate: it back-pressures the
     routing task until the actor has absorbed the slice — the bounded
@@ -83,6 +90,8 @@ def _route_factory(handles, kind: str, wm: int, key_col: str, P: int):
 
         if batch.num_rows == 0:
             return _empty_ack()
+        if decoder is not None:
+            batch = decoder(batch)
         parts = partition_for(batch[key_col], P)
         order = np.argsort(parts, kind="stable")
         sorted_batch = batch.take(pa.array(order))
@@ -98,6 +107,7 @@ def _route_factory(handles, kind: str, wm: int, key_col: str, P: int):
         acks = ray.get(refs)
         return pa.table(
             {
+                "source": pa.array([kind] * len(sent), pa.string()),
                 "partition": pa.array(sent, pa.int32()),
                 "n": pa.array([a["n"] for a in acks], pa.int64()),
                 "late": pa.array([a["late"] for a in acks], pa.int64()),
@@ -111,6 +121,7 @@ def _route_factory(handles, kind: str, wm: int, key_col: str, P: int):
 def _empty_ack() -> pa.Table:
     return pa.table(
         {
+            "source": pa.array([], pa.string()),
             "partition": pa.array([], pa.int32()),
             "n": pa.array([], pa.int64()),
             "late": pa.array([], pa.int64()),
@@ -224,7 +235,13 @@ class ReplicatePipeline:
         wm_prev: int,
         flush: bool = False,
     ) -> dict:
+        import time as _time
+
         import ray
+
+        _debug = os.environ.get("HYDRA_DEBUG_TIMING")
+        _t = _time.perf_counter
+        _marks = [("start", _t())]
 
         cfg = self.cfg
         max_ts = wm_prev + cfg.allowed_lateness_ms  # lower bound from prior wm
@@ -237,14 +254,10 @@ class ReplicatePipeline:
                     after_version=clips_from, version=clips_to
                 )
                 ds = ds.map_batches(
-                    AudioDecoder(record_size_limit=cfg.record_size_limit),
-                    batch_format="pyarrow",
-                    batch_size=cfg.batch_size,
-                    concurrency=cfg.decode_concurrency,
-                )
-                ds = ds.map_batches(
                     _route_factory(
-                        self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions
+                        self.actors, "clips", wm_prev, "clip_id",
+                        cfg.num_partitions,
+                        decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
                     ),
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,
@@ -264,14 +277,20 @@ class ReplicatePipeline:
                     max_retries=0,
                 )
                 ack_tables.append(ds)
-            per_source_max = []
-            for ds in ack_tables:
-                acks = ds.take_all()
-                if acks:
-                    per_source_max.append(max(a["max_ts"] for a in acks))
-            if per_source_max:
-                max_ts = max(max_ts, min(per_source_max))
+            if ack_tables:
+                # one execution for both sources (halves fixed per-epoch cost)
+                combined = ack_tables[0]
+                for other in ack_tables[1:]:
+                    combined = combined.union(other)
+                acks = combined.take_all()
+                per_source_max: dict[str, int] = {}
+                for a in acks:
+                    s = a["source"]
+                    per_source_max[s] = max(per_source_max.get(s, a["max_ts"]), a["max_ts"])
+                if per_source_max:
+                    max_ts = max(max_ts, min(per_source_max.values()))
 
+        _marks.append(("ingest", _t()))
         # -- 3. watermark ----------------------------------------------------
         wm = WATERMARK_MAX if flush else max(wm_prev, max_ts - cfg.allowed_lateness_ms)
 
@@ -280,6 +299,7 @@ class ReplicatePipeline:
 
         # -- 4. close → staged fragments ------------------------------------
         results = ray.get([a.close_epoch.remote(epoch, wm) for a in self.actors])
+        _marks.append(("close", _t()))
 
         if cfg.crash_at == (epoch, "after_prepare"):
             raise CrashPoint(f"injected crash after prepare of epoch {epoch}")
@@ -287,6 +307,7 @@ class ReplicatePipeline:
         # -- 5. checkpoint ---------------------------------------------------
         ray.get([a.checkpoint.remote(epoch) for a in self.actors])
         self._gc_checkpoints(epoch)
+        _marks.append(("checkpoint", _t()))
 
         # -- 6. commit (aux first, main last = source of truth) -------------
         staged: dict[str, list[FragmentMeta]] = {s: [] for s in self.SINKS}
@@ -332,6 +353,16 @@ class ReplicatePipeline:
                 "metrics": merged,
             },
         )
+        _marks.append(("commit", _t()))
+        if _debug:
+            import sys as _sys
+
+            spans = ", ".join(
+                f"{name}={_marks[i+1][1]-_marks[i][1]:.2f}s"
+                for i, (name, _) in enumerate(_marks[1:], 0)
+                for name in [_marks[i + 1][0]]
+            )
+            print(f"[epoch {epoch}] {spans}", file=_sys.stderr)
         merged["__watermark"] = wm if wm < WATERMARK_MAX else max_ts
         return merged
 
