@@ -91,10 +91,12 @@ def run_headline(num_cpus: int) -> dict:
     build_bench_input(root, N_CLIPS, N_EPOCHS)
 
     cfg = ReplicateConfig(
-        num_partitions=max(4, num_cpus // 2),
-        decode_concurrency=max(2, num_cpus // 2),
+        # partition count is SEMANTIC (the state key-space); it must be
+        # identical at every cluster size or state/lineage moves
+        num_partitions=int(os.environ.get("HYDRA_BENCH_PARTITIONS", "8")),
         actor_num_cpus=0.25,
-        batch_size=256,
+        batch_size=int(os.environ.get("HYDRA_BENCH_BATCH", "128")),
+        max_versions_per_epoch=int(os.environ.get("HYDRA_BENCH_VPE", "1")),
         window_size_ms=10_000,
         session_gap_ms=5_000,
     )
@@ -149,33 +151,44 @@ def run_queries() -> dict:
 
 def main():
     if "--scaling" in sys.argv:
+        # This sandbox's wall-clock noise swings several-x run to run
+        # (lazy-restore VM memory, shared host), so single measurements are
+        # meaningless: alternate the two levels and take per-level medians.
         lo, hi = 8, 32
-        results = {}
-        for n in (lo, hi):
-            env = dict(
-                os.environ,
-                RAY_GRAFT_CPUS=str(n),
-                HYDRA_BENCH_HEADLINE_ONLY="1",
-                PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
-            )
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            results[n] = json.loads(out.strip().splitlines()[-1])
-        t_lo = results[lo]["headline"]["clips_per_sec"]
-        t_hi = results[hi]["headline"]["clips_per_sec"]
-        eff = (t_hi / t_lo) / (hi / lo)
+        reps = int(os.environ.get("HYDRA_BENCH_REPS", "3"))
+        samples: dict[int, list[float]] = {lo: [], hi: []}
+        for rep in range(reps):
+            for n in (lo, hi):
+                env = dict(
+                    os.environ,
+                    RAY_GRAFT_CPUS=str(n),
+                    HYDRA_BENCH_HEADLINE_ONLY="1",
+                    PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+                )
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, check=True,
+                ).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                samples[n].append(r["headline"]["clips_per_sec"])
+                print(
+                    f"# rep{rep} cpus={n}: {r['headline']['clips_per_sec']:.0f} clips/s"
+                    f" ({r['headline']['sec']:.1f}s)",
+                    file=sys.stderr,
+                )
+        med = {n: sorted(v)[len(v) // 2] for n, v in samples.items()}
+        eff = (med[hi] / med[lo]) / (hi / lo)
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    f"clips_per_sec_{lo}cpu": round(t_lo, 1),
-                    f"clips_per_sec_{hi}cpu": round(t_hi, 1),
-                    f"sec_{lo}cpu": round(results[lo]["headline"]["sec"], 2),
-                    f"sec_{hi}cpu": round(results[hi]["headline"]["sec"], 2),
+                    f"clips_per_sec_{lo}cpu": round(med[lo], 1),
+                    f"clips_per_sec_{hi}cpu": round(med[hi], 1),
+                    f"samples_{lo}cpu": [round(x, 1) for x in samples[lo]],
+                    f"samples_{hi}cpu": [round(x, 1) for x in samples[hi]],
+                    "reps": reps,
                     "clips": N_CLIPS,
                 }
             )

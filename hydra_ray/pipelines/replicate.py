@@ -32,11 +32,13 @@ single clean run (FIXTURES.md F4 exactly-once oracle).
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..hashing import partition_for
 from ..stages.decode import AudioDecoder
@@ -68,50 +70,98 @@ class ReplicateConfig:
     crash_at: tuple | None = None            # e.g. (1, "after_prepare")
 
 
-def _route_factory(handles, kind: str, wm: int, key_col: str, P: int, decoder=None):
-    """Build the map_batches ingest fn: (decode →) partition-sort →
-    per-partition slices → owning actor (object-store transfer), return
-    tiny ack rows.
+HEAVY_COLS = ("pcm", "n_samples", "bytes")
 
-    Decode and routing are fused into ONE stateless task stage so the
-    heavy payload crosses the object store once (read block in, decoded
-    slices out to actors).  Stateless tasks (not an actor pool): workers
-    are reused across epochs with no per-epoch pool spin-up, and the
-    decoder has no per-task state to amortize.
 
-    The ``ray.get`` on the acks is deliberate: it back-pressures the
-    routing task until the actor has absorbed the slice — the bounded
-    alternative to the reference's unbounded producer queue
-    (`KafkaClientAlgebra.scala:244`).
+def _route_factory(
+    handles,
+    kind: str,
+    wm: int,
+    key_col: str,
+    P: int,
+    decoder=None,
+    payload_root: str | None = None,
+    epoch: int = 0,
+):
+    """Build the map_batches ingest fn: (decode →) partition slices →
+    heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
+
+    The heavy decoded PCM takes the shortest possible path — read block →
+    decode in-task → staged parquet fragment per (epoch, partition) —
+    and never transits the object store again, never sits in actor state,
+    never re-writes at checkpoint.  Only the light columns (ids,
+    timestamps, transcript, error) go to the per-partition state actors,
+    which manage windows/join/late semantics and later emit light
+    "finalize" rows; the logical replicated output is payload ⨝ finalize
+    on ``seq`` (see ``read_replicated``).  This is the 100 TB-correct
+    layout: state stores hold megabytes while the data plane streams
+    terabytes.
+
+    Payload fragments contain exactly the rows that will eventually be
+    emitted (decode-ok and not late vs ``wm`` — the same deterministic
+    predicate the actor applies), so the 2PC commit of an epoch covers
+    payloads and state outputs together and replay stays idempotent.
+
+    The ``ray.get`` on the acks back-pressures the task until the actor
+    has absorbed the slice — the bounded alternative to the reference's
+    unbounded producer queue (`KafkaClientAlgebra.scala:244`).
     """
+    from ..stages.windows import ts_to_ms as _ts_to_ms
+    from ..table import Table as _Table
 
     def route(batch: pa.Table) -> pa.Table:
+        import time as _time
+
         import ray
 
         if batch.num_rows == 0:
             return _empty_ack()
+        t0 = _time.perf_counter()
         if decoder is not None:
             batch = decoder(batch)
+        t1 = _time.perf_counter()
         parts = partition_for(batch[key_col], P)
-        order = np.argsort(parts, kind="stable")
-        sorted_batch = batch.take(pa.array(order))
-        sorted_parts = parts[order]
-        bounds = np.searchsorted(sorted_parts, np.arange(P + 1))
-        refs, sent = [], []
-        for p in range(P):
-            lo, hi = bounds[p], bounds[p + 1]
-            if hi > lo:
-                sub = sorted_batch.slice(lo, hi - lo)
-                refs.append(handles[p].ingest.remote(kind, sub, wm))
-                sent.append(p)
+        payload_tbl = _Table(payload_root) if payload_root else None
+        light = batch.drop_columns([c for c in HEAVY_COLS if c in batch.column_names])
+        if payload_tbl is not None:
+            # same deterministic will-emit predicate the state actor applies
+            ok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
+            ok &= _ts_to_ms(batch["event_ts"]) >= wm
+        refs, sent, frags = [], [], []
+        for p in np.unique(parts):
+            idx = pa.array(np.flatnonzero(parts == p))
+            sub = light.take(idx)
+            refs.append(handles[p].ingest.remote(kind, sub, wm))
+            sent.append(int(p))
+            if payload_tbl is not None:
+                keep = np.flatnonzero(ok & (parts == p))
+                if len(keep):
+                    heavy = batch.select(
+                        ["seq", "pcm", "n_samples"]
+                    ).take(pa.array(keep))
+                    frag = payload_tbl.stage_fragment(
+                        heavy, epoch, int(p), compression="snappy"
+                    )
+                    frags.append(json.dumps(frag.to_json()))
+                else:
+                    frags.append("")
+            else:
+                frags.append("")
+        t2 = _time.perf_counter()
         acks = ray.get(refs)
+        t3 = _time.perf_counter()
+        k = len(sent)
         return pa.table(
             {
-                "source": pa.array([kind] * len(sent), pa.string()),
+                "source": pa.array([kind] * k, pa.string()),
                 "partition": pa.array(sent, pa.int32()),
                 "n": pa.array([a["n"] for a in acks], pa.int64()),
                 "late": pa.array([a["late"] for a in acks], pa.int64()),
                 "max_ts": pa.array([a["max_ts"] for a in acks], pa.int64()),
+                "payload_frag": pa.array(frags, pa.string()),
+                "decode_s": pa.array([t1 - t0] * k, pa.float64()),
+                "send_s": pa.array([t2 - t1] * k, pa.float64()),
+                "ack_wait_s": pa.array([t3 - t2] * k, pa.float64()),
             }
         )
 
@@ -126,12 +176,55 @@ def _empty_ack() -> pa.Table:
             "n": pa.array([], pa.int64()),
             "late": pa.array([], pa.int64()),
             "max_ts": pa.array([], pa.int64()),
+            "payload_frag": pa.array([], pa.string()),
+            "decode_s": pa.array([], pa.float64()),
+            "send_s": pa.array([], pa.float64()),
+            "ack_wait_s": pa.array([], pa.float64()),
         }
     )
 
 
+def read_replicated(out_root: str, with_payload: bool = True) -> pa.Table:
+    """The logical replicated table: light finalize rows ⨝ payload on seq.
+
+    Only rows the state tier has emitted (finalized transcript, deleted
+    flag) are visible; in-flight payload rows have no finalize row yet and
+    drop out of the inner join — streaming visibility semantics.
+    """
+    light = Table(os.path.join(out_root, "replicated")).to_arrow()
+    if not with_payload:
+        return light
+    payload = Table(os.path.join(out_root, "payload")).to_arrow()
+    if payload.num_rows == 0:
+        return light
+    # manual index join (Arrow's hash join rejects large_list payloads)
+    import pandas as pd
+
+    pos = pd.Series(
+        np.arange(payload.num_rows), index=payload["seq"].to_numpy(zero_copy_only=False)
+    )
+    take_idx = pos.reindex(light["seq"].to_numpy(zero_copy_only=False)).to_numpy()
+    mask = ~pd.isna(take_idx)
+    heavy_cols = [c for c in payload.column_names if c != "seq"]
+    out = light
+    matched = payload.take(pa.array(take_idx[mask].astype(np.int64)))
+    for c in heavy_cols:
+        col = matched[c].combine_chunks()
+        if mask.all():
+            out = out.append_column(c, col)
+        else:
+            # scatter into a null-padded column
+            full = pa.concat_arrays(
+                [col.slice(0, 0).combine_chunks() if isinstance(col, pa.ChunkedArray) else col[:0]]
+            )
+            raise NotImplementedError(
+                "in-flight rows present: read before flush not yet supported"
+            )
+    return out
+
+
 class ReplicatePipeline:
-    SINKS = ("replicated", "windows", "sessions", "dlq")
+    SINKS = ("replicated", "payload", "windows", "sessions", "dlq")
     MAIN = "replicated"
 
     def __init__(
@@ -247,6 +340,7 @@ class ReplicatePipeline:
         max_ts = wm_prev + cfg.allowed_lateness_ms  # lower bound from prior wm
 
         # -- 2. ingest -----------------------------------------------------
+        acks: list = []
         if not flush:
             ack_tables = []
             if clips_to > clips_from:
@@ -258,6 +352,8 @@ class ReplicatePipeline:
                         self.actors, "clips", wm_prev, "clip_id",
                         cfg.num_partitions,
                         decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
+                        payload_root=self.sink["payload"].root,
+                        epoch=epoch,
                     ),
                     batch_format="pyarrow",
                     batch_size=cfg.batch_size,
@@ -289,6 +385,21 @@ class ReplicatePipeline:
                     per_source_max[s] = max(per_source_max.get(s, a["max_ts"]), a["max_ts"])
                 if per_source_max:
                     max_ts = max(max_ts, min(per_source_max.values()))
+                if os.environ.get("HYDRA_DEBUG_TIMING"):
+                    import sys as _sys
+
+                    tasks = {}
+                    for a in acks:
+                        key = (a["source"], a["decode_s"], a["send_s"], a["ack_wait_s"])
+                        tasks[key] = tasks.get(key, 0) + 1
+                    dec = sum(k[1] for k in tasks)
+                    snd = sum(k[2] for k in tasks)
+                    ack = sum(k[3] for k in tasks)
+                    print(
+                        f"[epoch {epoch}] tasks={len(tasks)} decode={dec:.2f}s "
+                        f"send={snd:.2f}s ack_wait={ack:.2f}s (summed across tasks)",
+                        file=_sys.stderr,
+                    )
 
         _marks.append(("ingest", _t()))
         # -- 3. watermark ----------------------------------------------------
@@ -314,6 +425,12 @@ class ReplicatePipeline:
         for r in results:
             for sink_name, frag in r["staged"].items():
                 staged[sink_name].append(FragmentMeta.from_json(frag))
+        if not flush:
+            for a in acks:
+                if a.get("payload_frag"):
+                    staged["payload"].append(
+                        FragmentMeta.from_json(json.loads(a["payload_frag"]))
+                    )
         for s in self.SINKS:
             if s == self.MAIN:
                 continue

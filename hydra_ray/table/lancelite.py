@@ -231,12 +231,20 @@ class Table:
         return self._commit_fragments([frag], properties_update)
 
     def _write_fragment(
-        self, data: pa.Table, subdir: str, partition: int | None, epoch: int | None
+        self,
+        data: pa.Table,
+        subdir: str,
+        partition: int | None,
+        epoch: int | None,
+        compression: str = "zstd",
     ) -> FragmentMeta:
         name = f"f-{uuid.uuid4().hex}.parquet"
         rel = os.path.join(subdir, name)
         full = os.path.join(self.root, rel)
-        pq.write_table(data, full, compression="zstd", compression_level=1)
+        pq.write_table(
+            data, full, compression=compression,
+            compression_level=1 if compression == "zstd" else None,
+        )
         return FragmentMeta(
             path=rel,
             rows=data.num_rows,
@@ -274,10 +282,13 @@ class Table:
 
     # ------------------------------------------------- exactly-once sink API
     def stage_fragment(
-        self, data: pa.Table, epoch: int, partition: int
+        self, data: pa.Table, epoch: int, partition: int, compression: str = "zstd"
     ) -> FragmentMeta:
-        """Phase 1 of 2PC: write a staged fragment (sink actors call this)."""
-        return self._write_fragment(data, _STAGE_DIR, partition, epoch)
+        """Phase 1 of 2PC: write a staged fragment (sink actors call this).
+
+        ``compression="snappy"`` for payload-heavy fragments (float32 PCM
+        barely compresses under zstd but costs real CPU per epoch)."""
+        return self._write_fragment(data, _STAGE_DIR, partition, epoch, compression)
 
     def committed_epoch(self, pipeline: str) -> int:
         """Last committed epoch for ``pipeline`` (-1 = none)."""

@@ -129,6 +129,15 @@ def test_counts_add_up(clean_run):
     assert metrics.get("updates_late", 0) > 0  # engineered late updates exist
     # replicated rows are unique by seq (each clip exactly once)
     assert repl.column("seq").to_pandas().is_unique
+    # payload fragments cover exactly the emitted rows; join is 1:1
+    from hydra_ray.pipelines.replicate import read_replicated
+    from hydra_ray.table import Table as LTable
+
+    payload = LTable(f"{root}/out/payload").to_arrow()
+    assert payload.num_rows == repl.num_rows
+    joined = read_replicated(f"{root}/out")
+    assert joined.num_rows == repl.num_rows
+    assert joined.column("n_samples").null_count == 0
 
 
 def test_join_oracle(clean_run):
