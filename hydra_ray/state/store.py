@@ -62,6 +62,8 @@ class PartitionState:
         self.cfg = cfg
         # tumbling window partials: (clip_id, window_start) -> [cnt, sum_dur_ms]
         self.win: dict[tuple[str, int], list] = {}
+        # sliding window partials (same layout; rows explode ×k at ingest)
+        self.swin: dict[tuple[str, int], list] = {}
         # open sessions: clip_id -> sorted list of [start, end, cnt, sum_dur]
         self.sessions: dict[str, list] = defaultdict(list)
         # join left side: pending decoded clip batches (arrow, includes pcm)
@@ -126,6 +128,19 @@ class PartitionState:
                 else:
                     acc[0] += 1
                     acc[1] += d
+        if getattr(cfg, "sliding_size_ms", 0):
+            from ..stages.windows import explode_sliding
+
+            rows, starts = explode_sliding(ts, cfg.sliding_size_ms, cfg.sliding_slide_ms)
+            swin = self.swin
+            for r, w in zip(rows.tolist(), starts.tolist()):
+                kk = (keys[r], w)
+                acc = swin.get(kk)
+                if acc is None:
+                    swin[kk] = [1, durs[r]]
+                else:
+                    acc[0] += 1
+                    acc[1] += durs[r]
         if cfg.session_gap_ms:
             gap = cfg.session_gap_ms
             for k, t, d in zip(keys, ts.tolist(), durs.tolist()):
@@ -195,8 +210,13 @@ class PartitionState:
         out = {}
         out["replicated"] = self._emit_replicated(epoch, wm)
         out["windows"] = self._close_windows(epoch, wm)
+        out["sliding"] = self._close_sliding(epoch, wm)
         out["sessions"] = self._close_sessions(epoch, wm)
         out["dlq"] = self._emit_dlq(epoch)
+        if wm >= WATERMARK_MAX and self.view:
+            # end of stream: materialize the compacted latest-value view
+            # (the reference's compacted-topic snapshot, T2 semantics)
+            out["views"] = _stamp(self.view_snapshot(), self.partition, epoch)
         # Evict join right-side state: a buffered (non-emitted) clip has
         # c.ts + W > wm, and any future non-late clip has c.ts ≥ wm, so no
         # update with u.ts ≤ wm − W can ever match again.
@@ -282,6 +302,28 @@ class PartitionState:
         self.metrics["windows_closed"] += tbl.num_rows
         return tbl
 
+    def _close_sliding(self, epoch: int, wm: int) -> pa.Table | None:
+        size = getattr(self.cfg, "sliding_size_ms", 0)
+        if not size or not self.swin:
+            return None
+        closed = [kw for kw in self.swin if kw[1] + size <= wm]
+        if not closed:
+            return None
+        closed.sort()
+        rows = [(k, w, *self.swin.pop((k, w))) for (k, w) in closed]
+        tbl = pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "window_start": pa.array([r[1] for r in rows], pa.int64()),
+                "window_end": pa.array([r[1] + size for r in rows], pa.int64()),
+                "n_clips": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        tbl = _stamp(tbl, self.partition, epoch)
+        self.metrics["sliding_closed"] += tbl.num_rows
+        return tbl
+
     def _close_sessions(self, epoch: int, wm: int) -> pa.Table | None:
         gap = self.cfg.session_gap_ms
         if not gap or not self.sessions:
@@ -357,6 +399,7 @@ class PartitionState:
         light = {
             "partition": self.partition,
             "win": self.win,
+            "swin": self.swin,
             "sessions": dict(self.sessions),
             "updates": dict(self.updates),
             "view": self.view,
@@ -378,6 +421,7 @@ class PartitionState:
         with open(os.path.join(directory, "state.pkl"), "rb") as f:
             light = pickle.load(f)
         self.win = light["win"]
+        self.swin = light.get("swin", {})
         self.sessions = defaultdict(list, light["sessions"])
         self.updates = defaultdict(list, light["updates"])
         self.view = light["view"]

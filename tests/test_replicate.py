@@ -42,6 +42,8 @@ def cfg(**kw):
         allowed_lateness_ms=LATENESS,
         window_size_ms=10_000,
         session_gap_ms=5_000,
+        sliding_size_ms=20_000,
+        sliding_slide_ms=10_000,
         decode_concurrency=2,
         actor_num_cpus=0.25,
         **kw,
@@ -193,6 +195,66 @@ def test_window_oracle(clean_run):
     )
 
 
+def test_sliding_oracle(clean_run):
+    root, clips, upd, pipe, metrics = clean_run
+    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    cdf, _, _ = _oracle(clips, upd, lineage)
+    ok = cdf[~cdf["late"]]
+    size, slide = 20_000, 10_000
+    parts = []
+    for j in range(size // slide):
+        p = ok.copy()
+        p["window_start"] = (p["ms"] // slide) * slide - j * slide
+        parts.append(p)
+    ref = (
+        pd.concat(parts)
+        .groupby(["clip_id", "window_start"])
+        .agg(n_clips=("seq", "size"), sum_dur_ms=("dur_ms", "sum"))
+        .reset_index()
+        .sort_values(["clip_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    got = (
+        Table(f"{root}/out/sliding")
+        .to_arrow()
+        .to_pandas()
+        .sort_values(["clip_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    pd.testing.assert_frame_equal(
+        got[["clip_id", "window_start", "n_clips", "sum_dur_ms"]],
+        ref.astype({"sum_dur_ms": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_compacted_view_oracle(clean_run):
+    """The materialized latest-transcript view (T2 compacted topic):
+    last-write-wins by (ts, revision), including tombstones as nulls."""
+    root, clips, upd, pipe, metrics = clean_run
+    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    _, udf, _ = _oracle(clips, upd, lineage)
+    live = udf[~udf["late"]].copy()
+    live = live.sort_values(["clip_id", "ms", "revision"], kind="mergesort")
+    ref = live.drop_duplicates(subset=["clip_id"], keep="last")
+    got = (
+        Table(f"{root}/out/views")
+        .to_arrow()
+        .to_pandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    ref = ref.sort_values("clip_id").reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert got["clip_id"].tolist() == ref["clip_id"].tolist()
+    assert (
+        got["transcript"].fillna("∅").tolist()
+        == ref["transcript"].fillna("∅").tolist()
+    )
+    assert got["revision"].tolist() == ref["revision"].tolist()
+
+
 def test_session_oracle(clean_run):
     root, clips, upd, pipe, metrics = clean_run
     lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
@@ -234,6 +296,19 @@ def _content_signature(out_root):
         len(win),
         pd.util.hash_pandas_object(win[["clip_id", "window_start", "n_clips"]]).sum(),
     )
+
+
+def test_ingest_modes_identical(tmp_path, ray_session, clean_run):
+    """Raw-task ingest (micro-batch fast path) and the ray.data Dataset
+    path must produce byte-identical committed output."""
+    clean_sig = _content_signature(f"{clean_run[0]}/out")
+    root = str(tmp_path)
+    build_sources(root)
+    pipe = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out", cfg(ingest_mode="dataset"), f"{root}/updates"
+    )
+    pipe.run()
+    assert _content_signature(f"{root}/out") == clean_sig
 
 
 @pytest.mark.parametrize("crash_point", ["after_prepare", "before_main_commit", "before_close"])
