@@ -104,7 +104,7 @@ def run_headline(num_cpus: int) -> dict:
     warm_root = "/tmp/hydra_bench/warm_out"
     shutil.rmtree(warm_root, ignore_errors=True)
     warm_cfg = ReplicateConfig(
-        num_partitions=4, decode_concurrency=2, actor_num_cpus=0.25,
+        num_partitions=4, actor_num_cpus=0.25,
         max_versions_per_epoch=N_EPOCHS,
     )
     ReplicatePipeline(

@@ -51,7 +51,16 @@ def _round_cols(ds, cols: dict[str, int]):
     def f(t: pa.Table) -> pa.Table:
         for c, nd in cols.items():
             i = t.schema.get_field_index(c)
-            t = t.set_column(i, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=nd))
+            # half_towards_infinity == DuckDB ROUND (half away from zero);
+            # pyarrow's default half_to_even would diverge on exact .xx5
+            t = t.set_column(
+                i, c,
+                pc.round(
+                    pc.cast(t[c], pa.float64()),
+                    ndigits=nd,
+                    round_mode="half_towards_infinity",
+                ),
+            )
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -131,7 +140,7 @@ def q_latest_by_key(sf_dir):
                 "user_id": t["user_id"],
                 "last_event_id": t["event_id"],
                 "last_type": t["event_type"],
-                "last_value": pc.round(pc.cast(t["value"], pa.float64()), ndigits=2),
+                "last_value": pc.round(pc.cast(t["value"], pa.float64()), ndigits=2, round_mode="half_towards_infinity"),
                 "last_ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
             }
         )
@@ -166,7 +175,7 @@ def q_topic_tail(sf_dir):
                 "user_id": t["user_id"],
                 "event_type": t["event_type"],
                 "ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
-                "value": pc.round(pc.cast(t["value"], pa.float64()), ndigits=2),
+                "value": pc.round(pc.cast(t["value"], pa.float64()), ndigits=2, round_mode="half_towards_infinity"),
             }
         )
 
@@ -399,7 +408,7 @@ def q_replicate_stream(sf_dir):
     step = -(-upd.num_rows // 3)
     for v in range(3):
         ut.append(upd.slice(v * step, min(step, upd.num_rows - v * step)))
-    cfg = ReplicateConfig(num_partitions=4, decode_concurrency=2, actor_num_cpus=0.25)
+    cfg = ReplicateConfig(num_partitions=4, actor_num_cpus=0.25)
     ReplicatePipeline(f"{root}/clips", f"{root}/out", cfg, f"{root}/updates").run()
     out = Table(f"{root}/out/replicated").to_arrow()
     return out.select(["seq", "clip_id", "transcript", "deleted", "partition", "epoch"])

@@ -64,7 +64,6 @@ class ReplicateConfig:
     sliding_slide_ms: int = 0
     max_versions_per_epoch: int = 1
     batch_size: int = 512
-    decode_concurrency: int | tuple = 4      # actor pool size for decode stage
     actor_num_cpus: float = 0.5
     keep_checkpoints: int = 2
     record_size_limit: int = 0

@@ -44,7 +44,6 @@ def cfg(**kw):
         session_gap_ms=5_000,
         sliding_size_ms=20_000,
         sliding_slide_ms=10_000,
-        decode_concurrency=2,
         actor_num_cpus=0.25,
         **kw,
     )
