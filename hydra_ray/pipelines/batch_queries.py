@@ -308,6 +308,8 @@ def q_langid(sf_dir):
 
 def q_fingerprint(sf_dir):
     """Document fingerprints: distinct count per source (rows-only)."""
+    from ray.data.aggregate import Count
+
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
     fp = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=2)
 
@@ -317,9 +319,8 @@ def q_fingerprint(sf_dir):
         ).aggregate([])
 
     ded = fp.map_batches(distinct_partial, batch_format="pyarrow")
-    dd = ded.groupby(["source", "fingerprint"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # one C-side shuffle collapses duplicates; count(rows) per source after
+    dd = ded.groupby(["source", "fingerprint"]).aggregate(Count(alias_name="__c"))
     return grouped_aggregate(dd, ["source"], [AggSpec("count", None, "n_distinct")])
 
 

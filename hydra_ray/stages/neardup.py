@@ -78,7 +78,9 @@ def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", n_perm=64, band
     rows_per_band = n_perm // bands
 
     hashed = ds.map_batches(
-        MinHasher(text_col, id_col, n_perm, k, seed), batch_format="pyarrow"
+        MinHasher(text_col, id_col, n_perm, k, seed),
+        batch_format="pyarrow",
+        batch_size=256,  # small batches → task parallelism for the signature loop
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -152,7 +154,9 @@ def simhash_near_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, n_ta
     """SimHash near-dup candidates: band the 64-bit hash into n_tables
     16-bit keys (pigeonhole: ≤3 differing bits ⇒ at least one identical
     16-bit band), group by band key, verify Hamming ≤ max_hamming."""
-    hashed = ds.map_batches(SimHasher(text_col, id_col), batch_format="pyarrow")
+    hashed = ds.map_batches(
+        SimHasher(text_col, id_col), batch_format="pyarrow", batch_size=512
+    )
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)

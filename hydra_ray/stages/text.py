@@ -54,20 +54,26 @@ class QualityScore:
         s = batch[self.text_col].fillna("")
         n = s.str.len().clip(lower=1)
         batch["punct_ratio"] = (s.str.count(r"[^\w\s]") / n).astype("float64")
-        words = s.str.findall(self.word_re)
-        n_words = words.map(len).clip(lower=1)
-        batch["mean_word_len"] = words.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        n_words = s.str.count(r"[a-zA-Z']+").clip(lower=1)
+        word_chars = s.str.count(r"[a-zA-Z']")
+        batch["mean_word_len"] = (word_chars / n_words).astype("float64")
         langs = (
             batch[self.lang_col]
             if self.lang_col and self.lang_col in batch
             else pd.Series(["en"] * len(batch), index=batch.index)
         )
-        stop_hits = [
-            sum(1 for w in ws if w.lower() in _STOPWORDS.get(lg, _STOPWORDS["en"]))
-            for ws, lg in zip(words, langs)
-        ]
-        batch["stopword_ratio"] = (np.array(stop_hits) / n_words.to_numpy()).astype("float64")
-        uniq = words.map(lambda ws: len(set(ws)) if ws else 0)
+        # one vectorized alternation count per language over its doc subset
+        lower = s.str.lower()
+        stop_hits = np.zeros(len(batch), dtype=np.int64)
+        lang_np = langs.fillna("en").to_numpy()
+        for lg in np.unique(lang_np):
+            words = _STOPWORDS.get(lg, _STOPWORDS["en"])
+            rx = r"\b(?:" + "|".join(sorted(words)) + r")\b"
+            m = lang_np == lg
+            stop_hits[m] = lower[m].str.count(rx).to_numpy()
+        batch["stopword_ratio"] = (stop_hits / n_words.to_numpy()).astype("float64")
+        # repetition needs per-doc unique words — the one non-C step
+        uniq = s.str.findall(self.word_re).map(lambda ws: len(set(ws)) if ws else 0)
         batch["repetition_ratio"] = (1.0 - uniq / n_words).astype("float64")
         batch["quality_score"] = (
             0.4 * (1.0 - batch["repetition_ratio"])
@@ -78,38 +84,35 @@ class QualityScore:
 
 
 class LangId:
-    """Character n-gram language heuristic over a tiny built-in profile.
+    """Stopword-profile language heuristic (vectorized).
 
-    A deterministic stand-in for fastText-style LID: scores each doc
-    against per-language trigram profiles built from the stopword tables
-    (the real model would load in ``__init__`` the same way — once per
-    actor)."""
+    A deterministic stand-in for fastText-style LID: per language, ONE
+    compiled alternation regex counts marker-word hits over the whole
+    column in C (`pandas.str.count`); argmax across languages.  The real
+    model would load in ``__init__`` the same way — once per actor.
+    """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.profiles = {
-            lang: {w: 1.0 for w in words} for lang, words in _STOPWORDS.items()
+        self.lang_res = {
+            lang: re.compile(r"\b(?:" + "|".join(sorted(words)) + r")\b")
+            for lang, words in _STOPWORDS.items()
         }
-        self.word_re = re.compile(r"[a-zA-Zäöüßéèàçñ']+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[self.text_col].fillna("")
-        langs, scores = [], []
-        for t in texts:
-            ws = [w.lower() for w in self.word_re.findall(t)]
-            if not ws:
-                langs.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for lang, prof in self.profiles.items():
-                hit = sum(1 for w in ws if w in prof) / len(ws)
-                if hit > best:
-                    best_lang, best = lang, hit
-            langs.append(best_lang if best > 0.0 else "und")
-            scores.append(float(best))
-        batch["lang_pred"] = langs
-        batch["lang_score"] = scores
+        texts = batch[self.text_col].fillna("").str.lower()
+        n_words = texts.str.count(r"[\w']+").clip(lower=1)
+        langs = list(self.lang_res)
+        hits = np.stack(
+            [texts.str.count(rx).to_numpy() for rx in self.lang_res.values()]
+        )  # (n_langs, n_rows)
+        scores = hits / n_words.to_numpy()
+        best = scores.argmax(axis=0)
+        best_score = scores[best, np.arange(scores.shape[1])]
+        batch["lang_pred"] = np.where(
+            best_score > 0.0, np.array(langs, dtype=object)[best], "und"
+        )
+        batch["lang_score"] = best_score.astype("float64")
         return batch
 
 
