@@ -43,10 +43,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_day": q.q_events_per_day,
         # aggregates / joins (§2.5, §2.6)
         "pricing_summary": q.q_pricing_summary,
+        "salted_agg": q.q_salted_agg,
         "broadcast_enrich": q.q_broadcast_enrich,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_neardup": q.q_minhash_neardup,
+        "neardup_clusters": q.q_neardup_clusters,
         "simhash_neardup": q.q_simhash_neardup,
         # text analysis
         "token_stats": q.q_token_stats,
@@ -140,6 +142,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms,
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "salted_agg": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1
         """,
         "pricing_summary": """

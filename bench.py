@@ -33,8 +33,8 @@ SEED = 42
 QUERY_NAMES = [
     "tumbling_window", "sliding_window", "session_window", "interval_join",
     "latest_by_key", "consumer_lag", "topic_tail", "json_key_extract",
-    "events_per_day", "pricing_summary", "broadcast_enrich", "exact_dedup",
-    "minhash_neardup", "simhash_neardup", "token_stats", "quality_scores",
+    "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich", "exact_dedup",
+    "minhash_neardup", "neardup_clusters", "simhash_neardup", "token_stats", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
 ]
 

@@ -413,3 +413,54 @@ def q_replicate_stream(sf_dir):
     ReplicatePipeline(f"{root}/clips", f"{root}/out", cfg, f"{root}/updates").run()
     out = Table(f"{root}/out/replicated").to_arrow()
     return out.select(["seq", "clip_id", "transcript", "deleted", "partition", "epoch"])
+
+
+def q_neardup_clusters(sf_dir):
+    """MinHash-LSH → Jaccard verify → connected components (rows-only)."""
+    from ..stages.neardup import neardup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = neardup_clusters(ds, threshold=0.6)
+    if len(out) == 0:
+        # deterministic empty frame with stable schema
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return out
+
+
+def q_salted_agg(sf_dir):
+    """Skew-safe two-stage aggregate: every key is hot (event_type has 5
+    values over the whole table), so rows salt into (key, salt) partials
+    first — the wide shuffle spreads uniformly — and a second tiny
+    groupby merges the partials per key (stages/skew.py contract)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def salt(t: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.bit_wise_and(t["event_id"], pa.scalar(15, pa.int64())), pa.int32()
+        )
+        return t.append_column("salt", s)
+
+    salted = ds.map_batches(salt, batch_format="pyarrow")
+    stage1 = grouped_aggregate(
+        salted, ["event_type", "salt"],
+        [AggSpec("count", None, "n"), AggSpec("sum", "value", "sum_value")],
+    )
+    stage2 = grouped_aggregate(
+        stage1, ["event_type"],
+        [AggSpec("sum", "n", "n"), AggSpec("sum", "sum_value", "sum_value")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "sum_value": pc.round(
+                    pc.cast(t["sum_value"], pa.float64()), ndigits=2,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return stage2.map_batches(finalize, batch_format="pyarrow")

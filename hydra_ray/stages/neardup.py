@@ -58,8 +58,21 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Whole-batch vectorized path: all docs' shingles concatenate into
+        one array; per-permutation minima come from ``minimum.reduceat``
+        over doc boundaries (no per-doc numpy re-dispatch)."""
         texts = batch[self.text_col].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        shingle_sets = [_char_shingles(t or "", self.k).astype(np.uint64) for t in texts]
+        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        flat = (
+            np.concatenate(shingle_sets) if shingle_sets else np.empty(0, np.uint64)
+        )
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sigs = np.empty((len(texts), self.n_perm), dtype=np.uint64)
+        for j in range(self.n_perm):
+            hj = (self.a[j] * flat + self.b[j]) % np.uint64(_MERSENNE)
+            sigs[:, j] = np.minimum.reduceat(hj, starts)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -126,6 +139,67 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return float(inter) / union if union else 1.0
+
+
+def neardup_clusters(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+):
+    """Full MinHash-LSH near-dup pipeline: candidates → exact n-gram
+    Jaccard verification → connected components → (id, cluster_id).
+
+    Verification broadcasts the id→text map (fine while the *candidate*
+    id set is small relative to the corpus — LSH guarantees that at a
+    sane band setting; at larger scale swap the broadcast for a keyed
+    join on id).  Components run driver-side union-find over verified
+    pairs only — the candidate set is provably small, the standard
+    hybrid (Leskovec et al., MMDS ch.3).
+    """
+    import ray
+
+    cands = minhash_lsh_candidates(ds, text_col, id_col, n_perm, bands, k, seed)
+    texts_df = ds.select_columns([id_col, text_col]).to_pandas()
+    text_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(text_ref)
+
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            if g.empty:
+                return g.assign(jaccard=[])
+            jac = [
+                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
+                for a, b in zip(g["id_a"], g["id_b"])
+            ]
+            g = g.assign(jaccard=jac)
+            return g[g["jaccard"] >= threshold]
+
+    verified = cands.map_batches(Verify, batch_format="pandas", concurrency=2)
+    pairs = verified.to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted({x for p in zip(pairs["id_a"], pairs["id_b"]) for x in p})
+    return pd.DataFrame(
+        {"doc_id": members, "cluster_id": [find(m) for m in members]}
+    )
 
 
 class SimHasher:

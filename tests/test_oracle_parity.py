@@ -70,6 +70,7 @@ def test_query_matches_oracle(name, con, ray_session):
 
 NO_ORACLE = [
     "minhash_neardup",
+    "neardup_clusters",
     "simhash_neardup",
     "quality_scores",
     "langid",
