@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q.q_ann_topk,
         "ann_ivf": q.q_ann_ivf,
         "vector_norms": q.q_vector_norms,
+        # distinct / sketches
+        "distinct_users": q.q_distinct_users,
+        "approx_distinct": q.q_approx_distinct,
+        # audio analysis
+        "audio_features": q.q_audio_features,
     }
 
 
@@ -164,6 +169,10 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), 2) AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+            FROM events GROUP BY 1
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

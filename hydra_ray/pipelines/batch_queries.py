@@ -464,3 +464,56 @@ def q_salted_agg(sf_dir):
         )
 
     return stage2.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_distinct_users(sf_dir):
+    """Exact distinct counting at scale: per-batch distinct partials →
+    C-side groupby collapse → count per group (the `unique` operator)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    ded = ds.map_batches(partial, batch_format="pyarrow")
+    dd = ded.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="__c"))
+    return grouped_aggregate(
+        dd, ["event_type"], [AggSpec("count", None, "n_distinct_users")]
+    )
+
+
+def q_approx_distinct(sf_dir):
+    """HyperLogLog distinct user estimate per event_type (mergeable
+    sketches; rows-only check — approximate by design)."""
+    from ..stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ds, "user_id", group_col="event_type", p=12)
+
+
+def q_audio_features(sf_dir):
+    """Decode → vectorized per-clip audio features (RMS, peak, ZCR,
+    clipping, dominant frequency) on the synthetic clip stream
+    (rows-only; no SQL audio codec)."""
+    import ray.data as rd
+
+    from ..stages.audio_features import AudioFeatures
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..synth import synth_clips_table
+
+    n = 600
+    t = synth_clips_table(n, hot_fraction=0.0)
+    ds = rd.from_arrow(t).map_batches(
+        AudioDecoder(), batch_format="pyarrow", batch_size=128
+    )
+    main, _ = split_dlq(ds)
+    feats = main.map_batches(AudioFeatures(), batch_format="pyarrow", batch_size=128)
+
+    def project(t2: pa.Table) -> pa.Table:
+        return t2.select(
+            ["seq", "clip_id", "sr_hz", "dur_ms", "rms", "peak",
+             "zero_cross_rate", "clip_ratio", "dom_freq_hz"]
+        )
+
+    return feats.map_batches(project, batch_format="pyarrow")

@@ -1,0 +1,103 @@
+"""Mergeable sketches: HyperLogLog distinct counting (vectorized numpy).
+
+Standard HLL (Flajolet et al. 2007, with the small-range linear-counting
+correction): per batch, hash the keys, split into (register index, rank of
+leading zeros), take per-register max — ONE serialized sketch row per
+batch leaves the task, and sketches merge by elementwise max in a tiny
+final stage.  This is the scale shape for distinct counts at 10^12 rows:
+the shuffle carries `2^p` bytes per block instead of the keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["hll_add_batch", "hll_merge", "hll_estimate", "approx_distinct"]
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_add_batch(keys, p: int = 12) -> np.ndarray:
+    """Batch → HLL register array (uint8[2^p])."""
+    m = 1 << p
+    arr = np.asarray(
+        keys.to_numpy(zero_copy_only=False)
+        if isinstance(keys, (pa.Array, pa.ChunkedArray))
+        else keys,
+        dtype=object,
+    )
+    h = pd.util.hash_array(arr, categorize=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+    # rank = leading zeros of `rest` + 1, capped at 64-p+1
+    lz = np.zeros(len(h), dtype=np.uint8)
+    val = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = val < (np.uint64(1) << np.uint64(64 - shift))
+        lz[mask] += shift
+        val[mask] = val[mask] << np.uint64(shift)
+    rank = lz.astype(np.uint8) + 1
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(sketches: list[np.ndarray]) -> np.ndarray:
+    out = sketches[0].copy()
+    for s in sketches[1:]:
+        np.maximum(out, s, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for small cardinalities
+    return float(est)
+
+
+def approx_distinct(ds, key_col: str, group_col: str | None = None, p: int = 12):
+    """Approximate distinct count (optionally per group) via HLL.
+
+    Per-batch: one sketch (or one per group value) serialized as a binary
+    row.  Final: merge per group on the driver (sketch rows are tiny).
+    Returns a pandas DataFrame [group?, approx_distinct].
+    """
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        if group_col is None:
+            regs = hll_add_batch(t[key_col], p)
+            return pa.table(
+                {"g": pa.array(["__all__"]), "sketch": pa.array([regs.tobytes()], pa.large_binary())}
+            )
+        groups, sketches = [], []
+        gvals = np.asarray(t[group_col].to_numpy(zero_copy_only=False), dtype=object)
+        keys = np.asarray(t[key_col].to_numpy(zero_copy_only=False), dtype=object)
+        for g in pd.unique(gvals):
+            groups.append(str(g))
+            sketches.append(hll_add_batch(keys[gvals == g], p).tobytes())
+        return pa.table(
+            {"g": pa.array(groups), "sketch": pa.array(sketches, pa.large_binary())}
+        )
+
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow").to_pandas()
+    out = []
+    for g, grp in rows.groupby("g"):
+        merged = hll_merge([np.frombuffer(b, dtype=np.uint8) for b in grp["sketch"]])
+        out.append({"g": g, "approx_distinct": int(round(hll_estimate(merged)))})
+    df = pd.DataFrame(out)
+    if group_col is None:
+        return df.drop(columns=["g"])
+    return df.rename(columns={"g": group_col})

@@ -77,7 +77,35 @@ NO_ORACLE = [
     "fingerprint",
     "ann_topk",
     "ann_ivf",
+    "approx_distinct",
+    "audio_features",
 ]
+
+
+def test_hll_accuracy(ray_session):
+    """HLL estimate within 5% of the exact distinct count at sf0.001."""
+    import __ray_entry__ as entrymod
+
+    approx = _to_pandas(entrymod.queries()["approx_distinct"](SF_DIR))
+    exact = _to_pandas(entrymod.queries()["distinct_users"](SF_DIR))
+    m = approx.merge(exact, on="event_type")
+    rel = (m["approx_distinct"] - m["n_distinct_users"]).abs() / m["n_distinct_users"]
+    assert (rel < 0.05).all(), m
+
+
+def test_audio_features_sane(ray_session):
+    import numpy as np
+
+    import __ray_entry__ as entrymod
+
+    f = _to_pandas(entrymod.queries()["audio_features"](SF_DIR))
+    assert len(f) == 600
+    # synthesized tones: rms ≈ 0.8/1.1 * sqrt(1/2 + 0.01/2) ≈ 0.516, no clipping
+    assert np.allclose(f["rms"], 0.516, atol=0.03)
+    assert (f["clip_ratio"] == 0).all()
+    # dominant frequency ≈ fundamental f = 220 + (seq % 64)*7
+    expect = 220 + (f["seq"] % 64) * 7
+    assert (np.abs(f["dom_freq_hz"] - expect) / expect < 0.25).mean() > 0.9
 
 
 @pytest.mark.parametrize("name", NO_ORACLE)
