@@ -73,6 +73,8 @@ class ReplicateConfig:
     # backpressure — right for large bulk epochs).  Same route kernel
     # either way; outputs are identical.
     ingest_mode: str = "tasks"
+    # overlap epoch e+1's ingest tasks with epoch e's close/commit
+    pipeline_epochs: bool = True
     # test hooks: raise CrashPoint at a given (epoch, point)
     crash_at: tuple | None = None            # e.g. (1, "after_prepare")
 
@@ -138,7 +140,10 @@ def _route_factory(
         for p in np.unique(parts):
             idx = pa.array(np.flatnonzero(parts == p))
             sub = light.take(idx)
-            refs.append(handles[p].ingest.remote(kind, sub, wm))
+            # epoch tag is REQUIRED: actors stash and apply at close(epoch),
+            # so pipelined e+1 ingests can never leak into close(e) state
+            # or its checkpoint (which would double-ingest after a crash)
+            refs.append(handles[p].ingest.remote(kind, sub, wm, epoch))
             sent.append(int(p))
             if payload_tbl is not None:
                 keep = np.flatnonzero(ok & (parts == p))
@@ -281,6 +286,7 @@ class ReplicatePipeline:
         self.sink = {s: Table.create(os.path.join(out_root, s)) for s in self.SINKS}
         self.ckpt_root = os.path.join(out_root, "_checkpoints")
         self.actors = []
+        self.frontiers: dict[str, int] = {}
 
     # ----------------------------------------------------------- lifecycle
     def _spawn_actors(self):
@@ -304,9 +310,23 @@ class ReplicatePipeline:
         self.actors = []
 
     # ---------------------------------------------------------------- run
+    def _next_slice(self, clips_v: int, updates_v: int):
+        clips_latest = self.clips.latest_version() or 0
+        updates_latest = self.updates.latest_version() or 0 if self.updates else 0
+        cv = min(clips_v + self.cfg.max_versions_per_epoch, clips_latest)
+        uv = min(updates_v + self.cfg.max_versions_per_epoch, updates_latest)
+        return cv, uv, (cv > clips_v or uv > updates_v)
+
     def run(self, max_epochs: int | None = None) -> dict:
         """Process all available source data (resuming if needed), then
-        flush.  Returns the final merged metrics."""
+        flush.  Returns the final merged metrics.
+
+        In ``ingest_mode="tasks"`` consecutive epochs PIPELINE: epoch
+        e+1's decode/transfer/payload-staging tasks launch as soon as
+        epoch e's watermark is known and overlap e's close/checkpoint/
+        commit.  Actors stash e+1 rows and apply them at close(e+1), so
+        state transitions stay epoch-atomic and replay-deterministic.
+        """
         import ray
 
         state = self.sink[self.MAIN].pipeline_state(self.name)
@@ -321,30 +341,48 @@ class ReplicatePipeline:
             clips_v = int(state.get("clips_version", 0))
             updates_v = int(state.get("updates_version", 0))
             wm = int(state.get("watermark", -(1 << 62)))
+            self.frontiers = {
+                k: int(v) for k, v in state.get("frontiers", {}).items()
+            }
             flushed = bool(state.get("flushed", False))
             metrics: dict = {}
             n_epochs = 0
+            pre: tuple | None = None  # (epoch, refs, cv, uv)
             while True:
                 if max_epochs is not None and n_epochs >= max_epochs:
                     break
-                clips_latest = self.clips.latest_version() or 0
-                updates_latest = (
-                    self.updates.latest_version() or 0 if self.updates else 0
-                )
-                cv = min(clips_v + self.cfg.max_versions_per_epoch, clips_latest)
-                uv = min(updates_v + self.cfg.max_versions_per_epoch, updates_latest)
-                has_data = cv > clips_v or uv > updates_v
+                cv, uv, has_data = self._next_slice(clips_v, updates_v)
                 if not has_data:
                     if flushed:
                         break
-                    metrics = self._run_epoch(
-                        epoch, clips_v, clips_v, updates_v, updates_v, wm, flush=True
+                    metrics = self._finish_epoch(
+                        epoch, [], clips_v, clips_v, updates_v, updates_v,
+                        wm, WATERMARK_MAX, flush=True,
                     )
                     flushed = True
                     epoch += 1
                     n_epochs += 1
                     break
-                metrics = self._run_epoch(epoch, clips_v, cv, updates_v, uv, wm)
+                if pre is not None and pre[0] == epoch and pre[2:] == (cv, uv):
+                    refs = pre[1]
+                else:
+                    refs = self._launch_ingest(epoch, clips_v, cv, updates_v, uv, wm)
+                pre = None
+                acks = self._collect_acks(refs, epoch)
+                wm_new = self._advance_watermark(wm, acks)
+                # pipeline: overlap the NEXT epoch's ingest with this close
+                if self.cfg.pipeline_epochs and self.cfg.ingest_mode == "tasks":
+                    ncv, nuv, nhas = self._next_slice(cv, uv)
+                    if nhas:
+                        pre = (
+                            epoch + 1,
+                            self._launch_ingest(epoch + 1, cv, ncv, uv, nuv, wm_new),
+                            ncv,
+                            nuv,
+                        )
+                metrics = self._finish_epoch(
+                    epoch, acks, clips_v, cv, updates_v, uv, wm, wm_new
+                )
                 wm = metrics["__watermark"]
                 clips_v, updates_v = cv, uv
                 flushed = False
@@ -356,7 +394,18 @@ class ReplicatePipeline:
         finally:
             self._shutdown_actors()
 
-    def _run_epoch(
+    def _advance_watermark(self, wm_prev: int, acks: list) -> int:
+        """Monotone per-source frontiers → wm = min(frontiers) − lateness."""
+        for a in acks:
+            s = a["source"]
+            self.frontiers[s] = max(self.frontiers.get(s, a["max_ts"]), a["max_ts"])
+        if not self.frontiers:
+            return wm_prev
+        return max(
+            wm_prev, min(self.frontiers.values()) - self.cfg.allowed_lateness_ms
+        )
+
+    def _launch_ingest(
         self,
         epoch: int,
         clips_from: int,
@@ -364,6 +413,102 @@ class ReplicatePipeline:
         updates_from: int,
         updates_to: int,
         wm_prev: int,
+    ):
+        """Fire the epoch's ingest (non-blocking in tasks mode)."""
+        cfg = self.cfg
+        clips_route = _route_factory(
+            self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions,
+            decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
+            payload_root=self.sink["payload"].root,
+            epoch=epoch,
+        )
+        updates_route = _route_factory(
+            self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions,
+            epoch=epoch,
+        )
+        if cfg.ingest_mode == "tasks":
+            task = _ingest_task_fn()
+            refs = []
+            if clips_to > clips_from:
+                for f in self.clips.read_fragments(clips_from, clips_to):
+                    refs.append(
+                        task.remote(
+                            self.clips.fragment_paths([f]), clips_route,
+                            cfg.batch_size, None,
+                        )
+                    )
+            if self.updates and updates_to > updates_from:
+                for f in self.updates.read_fragments(updates_from, updates_to):
+                    refs.append(
+                        task.remote(
+                            self.updates.fragment_paths([f]), updates_route,
+                            cfg.batch_size * 8, None,
+                        )
+                    )
+            return ("refs", refs)
+        ack_tables = []
+        if clips_to > clips_from:
+            ds = self.clips.to_dataset(after_version=clips_from, version=clips_to)
+            ds = ds.map_batches(
+                clips_route,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size,
+                max_retries=0,  # epoch-level retry owns failure handling
+            )
+            ack_tables.append(ds)
+        if self.updates and updates_to > updates_from:
+            ds = self.updates.to_dataset(
+                after_version=updates_from, version=updates_to
+            )
+            ds = ds.map_batches(
+                updates_route,
+                batch_format="pyarrow",
+                batch_size=cfg.batch_size * 8,
+                max_retries=0,
+            )
+            ack_tables.append(ds)
+        return ("datasets", ack_tables)
+
+    def _collect_acks(self, launched, epoch: int) -> list:
+        import ray
+
+        kind, payload = launched
+        acks: list = []
+        if kind == "refs":
+            for chunk in ray.get(payload):
+                acks.extend(chunk)
+        elif payload:
+            combined = payload[0]
+            for other in payload[1:]:
+                combined = combined.union(other)
+            acks = combined.take_all()
+        if acks and os.environ.get("HYDRA_DEBUG_TIMING"):
+            import sys as _sys
+
+            tasks = {}
+            for a in acks:
+                key = (a["source"], a["decode_s"], a["send_s"], a["ack_wait_s"])
+                tasks[key] = tasks.get(key, 0) + 1
+            dec = sum(k[1] for k in tasks)
+            snd = sum(k[2] for k in tasks)
+            ackw = sum(k[3] for k in tasks)
+            print(
+                f"[epoch {epoch}] tasks={len(tasks)} decode={dec:.2f}s "
+                f"send={snd:.2f}s ack_wait={ackw:.2f}s (summed across tasks)",
+                file=_sys.stderr,
+            )
+        return acks
+
+    def _finish_epoch(
+        self,
+        epoch: int,
+        acks: list,
+        clips_from: int,
+        clips_to: int,
+        updates_from: int,
+        updates_to: int,
+        wm_prev: int,
+        wm: int,
         flush: bool = False,
     ) -> dict:
         import time as _time
@@ -373,105 +518,10 @@ class ReplicatePipeline:
         _debug = os.environ.get("HYDRA_DEBUG_TIMING")
         _t = _time.perf_counter
         _marks = [("start", _t())]
-
         cfg = self.cfg
-        max_ts = wm_prev + cfg.allowed_lateness_ms  # lower bound from prior wm
-
-        # -- 2. ingest -----------------------------------------------------
-        acks: list = []
-        clips_route = _route_factory(
-            self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions,
-            decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
-            payload_root=self.sink["payload"].root,
-            epoch=epoch,
+        max_ts = max(
+            self.frontiers.values(), default=wm_prev + cfg.allowed_lateness_ms
         )
-        updates_route = _route_factory(
-            self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions
-        )
-        if not flush and cfg.ingest_mode == "tasks":
-            task = _ingest_task_fn()
-            refs = []
-            if clips_to > clips_from:
-                frags = self.clips.read_fragments(clips_from, clips_to)
-                for f in frags:
-                    refs.append(
-                        task.remote(
-                            self.clips.fragment_paths([f]), clips_route,
-                            cfg.batch_size, None,
-                        )
-                    )
-            if self.updates and updates_to > updates_from:
-                frags = self.updates.read_fragments(updates_from, updates_to)
-                for f in frags:
-                    refs.append(
-                        task.remote(
-                            self.updates.fragment_paths([f]), updates_route,
-                            cfg.batch_size * 8, None,
-                        )
-                    )
-            for chunk in ray.get(refs):
-                acks.extend(chunk)
-            per_source_max: dict[str, int] = {}
-            for a in acks:
-                s = a["source"]
-                per_source_max[s] = max(per_source_max.get(s, a["max_ts"]), a["max_ts"])
-            if per_source_max:
-                max_ts = max(max_ts, min(per_source_max.values()))
-        elif not flush:
-            ack_tables = []
-            if clips_to > clips_from:
-                ds = self.clips.to_dataset(
-                    after_version=clips_from, version=clips_to
-                )
-                ds = ds.map_batches(
-                    clips_route,
-                    batch_format="pyarrow",
-                    batch_size=cfg.batch_size,
-                    max_retries=0,  # epoch-level retry owns failure handling
-                )
-                ack_tables.append(ds)
-            if self.updates and updates_to > updates_from:
-                ds = self.updates.to_dataset(
-                    after_version=updates_from, version=updates_to
-                )
-                ds = ds.map_batches(
-                    updates_route,
-                    batch_format="pyarrow",
-                    batch_size=cfg.batch_size * 8,
-                    max_retries=0,
-                )
-                ack_tables.append(ds)
-            if ack_tables:
-                # one execution for both sources (halves fixed per-epoch cost)
-                combined = ack_tables[0]
-                for other in ack_tables[1:]:
-                    combined = combined.union(other)
-                acks = combined.take_all()
-                per_source_max: dict[str, int] = {}
-                for a in acks:
-                    s = a["source"]
-                    per_source_max[s] = max(per_source_max.get(s, a["max_ts"]), a["max_ts"])
-                if per_source_max:
-                    max_ts = max(max_ts, min(per_source_max.values()))
-                if os.environ.get("HYDRA_DEBUG_TIMING"):
-                    import sys as _sys
-
-                    tasks = {}
-                    for a in acks:
-                        key = (a["source"], a["decode_s"], a["send_s"], a["ack_wait_s"])
-                        tasks[key] = tasks.get(key, 0) + 1
-                    dec = sum(k[1] for k in tasks)
-                    snd = sum(k[2] for k in tasks)
-                    ack = sum(k[3] for k in tasks)
-                    print(
-                        f"[epoch {epoch}] tasks={len(tasks)} decode={dec:.2f}s "
-                        f"send={snd:.2f}s ack_wait={ack:.2f}s (summed across tasks)",
-                        file=_sys.stderr,
-                    )
-
-        _marks.append(("ingest", _t()))
-        # -- 3. watermark ----------------------------------------------------
-        wm = WATERMARK_MAX if flush else max(wm_prev, max_ts - cfg.allowed_lateness_ms)
 
         if cfg.crash_at == (epoch, "before_close"):
             raise CrashPoint(f"injected crash before close of epoch {epoch}")
@@ -531,6 +581,7 @@ class ReplicatePipeline:
                 "clips_version": clips_to,
                 "updates_version": updates_to,
                 "watermark": wm if wm < WATERMARK_MAX else max_ts,
+                "frontiers": self.frontiers,
                 "flushed": flush,
                 # per-epoch lineage history (at very long horizons this
                 # would be truncated to a side log; kept inline here)

@@ -447,6 +447,22 @@ def _drop_heavy(t: pa.Table) -> pa.Table:
     return t.drop_columns(heavy) if heavy else t
 
 
+def _classify(kind: str, table: pa.Table, wm: int) -> dict:
+    """Ack stats for a stashed ingest (no state mutation): row count,
+    late count and the batch's max event time (the driver folds these
+    into per-source watermark frontiers)."""
+    n = table.num_rows
+    if n == 0:
+        return {"n": 0, "late": 0, "max_ts": -(1 << 62)}
+    ts = ts_to_ms(table["event_ts"])
+    if kind == "clips" and table.schema.get_field_index("decode_error") >= 0:
+        bad = pc.is_valid(table["decode_error"]).to_numpy(zero_copy_only=False)
+    else:
+        bad = np.zeros(n, dtype=bool)
+    late = int(((ts < wm) & ~bad).sum())
+    return {"n": n, "late": late, "max_ts": int(ts.max())}
+
+
 # --------------------------------------------------------------------- actor
 def _make_actor_cls():
     import ray
@@ -468,13 +484,24 @@ def _make_actor_cls():
             self.partition = partition
             self.sinks = {name: Table(root) for name, root in sink_roots.items()}
             self.ckpt_root = ckpt_root
+            # epoch-tagged stash: ingests are APPLIED at close time, so the
+            # driver may overlap epoch e+1's decode/transfer with epoch e's
+            # close/checkpoint/commit without interleaving state mutations.
+            # Application order within an epoch is irrelevant: every state
+            # op is order-independent (sums, buffer appends, max-by-(ts,rev)).
+            self.pending: dict[int, list] = {}
 
-        def ingest(self, kind: str, table: pa.Table, wm: int) -> dict:
-            if kind == "clips":
-                return self.state.ingest_clips(table, wm)
-            return self.state.ingest_updates(table, wm)
+        def ingest(self, kind: str, table: pa.Table, wm: int, epoch: int = 0) -> dict:
+            self.pending.setdefault(epoch, []).append((kind, table, wm))
+            return _classify(kind, table, wm)
 
         def close_epoch(self, epoch: int, wm: int) -> dict:
+            for e in sorted(k for k in self.pending if k <= epoch):
+                for kind, table, wm_i in self.pending.pop(e):
+                    if kind == "clips":
+                        self.state.ingest_clips(table, wm_i)
+                    else:
+                        self.state.ingest_updates(table, wm_i)
             outputs = self.state.close_epoch(epoch, wm)
             staged = {}
             for name, tbl in outputs.items():
@@ -494,6 +521,7 @@ def _make_actor_cls():
 
         def restore(self, epoch: int) -> bool:
             d = os.path.join(self.ckpt_root, f"p{self.partition:04d}", f"e{epoch:06d}")
+            self.pending.clear()  # un-closed stashed ingests replay from source
             if not os.path.exists(os.path.join(d, "state.pkl")):
                 return False
             self.state.restore(d)

@@ -297,6 +297,35 @@ def _content_signature(out_root):
     )
 
 
+def test_epoch_stash_isolation(tmp_path, ray_session):
+    """Pipelined ingests for epoch e+1 must NOT enter close(e) state or
+    its checkpoint (they replay from source after a crash)."""
+    import ray
+
+    from hydra_ray.pipelines.replicate import _StateCfg
+    from hydra_ray.state.store import PartitionStateActor
+
+    sinks = {}
+    for s in ("replicated", "windows", "sliding", "sessions", "dlq", "views"):
+        sinks[s] = Table.create(str(tmp_path / s)).root
+    actor = PartitionStateActor().options(num_cpus=0).remote(
+        0, _StateCfg(cfg()), sinks, str(tmp_path / "ck")
+    )
+    light = synth_clips_table(6, hot_fraction=0.0).drop_columns(["bytes"])
+    wm = -(1 << 62)
+    ray.get(actor.ingest.remote("clips", light.slice(0, 3), wm, 1))
+    ray.get(actor.ingest.remote("clips", light.slice(3, 3), wm, 2))  # pipelined
+    r1 = ray.get(actor.close_epoch.remote(1, wm))
+    assert r1["metrics"]["clips_in"] == 3  # epoch-2 stash untouched
+    ray.get(actor.checkpoint.remote(1))
+    # crash: restore drops the stash; replayed ingest must not double-count
+    ray.get(actor.restore.remote(1))
+    ray.get(actor.ingest.remote("clips", light.slice(3, 3), wm, 2))
+    r2 = ray.get(actor.close_epoch.remote(2, wm))
+    assert r2["metrics"]["clips_in"] == 6
+    ray.kill(actor)
+
+
 def test_ingest_modes_identical(tmp_path, ray_session, clean_run):
     """Raw-task ingest (micro-batch fast path) and the ray.data Dataset
     path must produce byte-identical committed output."""
