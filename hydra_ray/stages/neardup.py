@@ -30,13 +30,26 @@ __all__ = [
 _MERSENNE = (1 << 61) - 1
 
 
+_SHINGLE_BASE = np.uint64(1_099_511_628_211)  # FNV prime
+
+
 def _char_shingles(text: str, k: int) -> np.ndarray:
+    """Unique 64-bit k-gram hashes, fully vectorized: polynomial hash over
+    a sliding byte-window view (no Python substring materialization).
+    Deterministic across processes (not Python ``hash()``)."""
     t = " ".join(text.lower().split())
-    if len(t) < k:
-        # NB: not Python hash() — that is per-process randomized
+    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
         return pd.util.hash_array(np.array([t], dtype=object), categorize=False)
-    views = [t[i : i + k] for i in range(len(t) - k + 1)]
-    return np.unique(pd.util.hash_array(np.array(views, dtype=object), categorize=False))
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    h = np.zeros(len(win), dtype=np.uint64)
+    for j in range(k):
+        h = h * _SHINGLE_BASE + win[:, j]
+    # finalize (xorshift-multiply) to spread the low-entropy poly hash
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return np.unique(h)
 
 
 class MinHasher:
@@ -96,6 +109,8 @@ def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", n_perm=64, band
         batch_size=256,  # small batches → task parallelism for the signature loop
     )
 
+    N_BUCKETS = 32  # coarse hash partitions; pairing is vectorized per partition
+
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         sigs = np.stack(t["signature"].to_numpy(zero_copy_only=False))
@@ -111,6 +126,7 @@ def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", n_perm=64, band
             bh[b::bands] = acc.astype(np.int64)
         return pa.table(
             {
+                "bucket": pa.array((bh % N_BUCKETS).astype(np.int32)),
                 "band": pa.array(band_ids),
                 "band_hash": pa.array(bh),
                 id_col: pa.array(doc_rep),
@@ -119,18 +135,47 @@ def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", n_perm=64, band
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All same-(band, band_hash) pairs within one coarse partition —
+        a vectorized self-merge; buckets of >20 members (near-identical
+        cliques) emit star pairs (min ↔ rest) to avoid O(k²) blowup while
+        keeping connected components intact."""
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+        )
+        if len(g) < 2:
+            return empty
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        out = []
+        small = g[(sizes > 1) & (sizes <= 20)]
+        if len(small):
+            m = small.merge(small, on=["band", "band_hash"], suffixes=("_a", "_b"))
+            m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+            out.append(
+                m[[f"{id_col}_a", f"{id_col}_b"]].rename(
+                    columns={f"{id_col}_a": "id_a", f"{id_col}_b": "id_b"}
+                )
+            )
+        big = g[sizes > 20]
+        if len(big):
+            bmin = big.groupby(["band", "band_hash"])[id_col].transform("min")
+            star = big[big[id_col] != bmin]
+            out.append(
+                pd.DataFrame(
+                    {"id_a": bmin[big[id_col] != bmin].to_numpy(),
+                     "id_b": star[id_col].to_numpy()}
+                )
+            )
+        if not out:
+            return empty
+        return pd.concat(out).drop_duplicates()
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # dedupe pairs found in multiple bands
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    cand = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # dedupe pairs found in multiple bands (C-side aggregate, not map_groups)
+    from ray.data.aggregate import Count
+
+    dd = cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n"))
+    return dd.select_columns(["id_a", "id_b"])
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -265,6 +310,6 @@ def simhash_near_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, n_ta
         return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]})
 
     cand = exploded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from ray.data.aggregate import Min
+
+    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
