@@ -65,6 +65,8 @@ def keyed_join(
 
     left = left.select_columns(left_cols) if left_cols else left
     right = right.select_columns(right_cols) if right_cols else right
+    lnames = left.schema().names
+    rnames = right.schema().names
 
     lt = left.map_batches(
         lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
@@ -77,8 +79,9 @@ def keyed_join(
     both = lt.union(rt)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        gl = g[g["__side"] == 0].drop(columns="__side").dropna(axis=1, how="all")
-        gr = g[g["__side"] == 1].drop(columns="__side").dropna(axis=1, how="all")
+        # column ownership is explicit (an empty side still has its schema)
+        gl = g[g["__side"] == 0][[c for c in lnames if c in g.columns]]
+        gr = g[g["__side"] == 1][[c for c in rnames if c in g.columns]]
         if how == "inner" and (gl.empty or gr.empty):
             return pd.DataFrame()
         return gl.merge(gr, on=key, how=how, suffixes=("", suffix))

@@ -1,0 +1,90 @@
+"""Direct unit tests for batch join/dedup operators (edges not covered by
+the oracle-parity harness)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hydra_ray.stages.dedup import exact_dedup, latest_by_key
+from hydra_ray.stages.join import broadcast_join, interval_join, keyed_join
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def test_keyed_join_inner(rd):
+    left = rd.from_items([{"k": 1, "a": "x"}, {"k": 2, "a": "y"}, {"k": 3, "a": "z"}])
+    right = rd.from_items([{"k": 2, "b": 20.0}, {"k": 3, "b": 30.0}, {"k": 4, "b": 40.0}])
+    out = keyed_join(left, right, "k").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [2, 3]
+    assert out["b"].tolist() == [20.0, 30.0]
+
+
+def test_keyed_join_left_outer(rd):
+    left = rd.from_items([{"k": 1, "a": "x"}, {"k": 2, "a": "y"}])
+    right = rd.from_items([{"k": 2, "b": 20.0}])
+    out = keyed_join(left, right, "k", how="left").to_pandas().sort_values("k")
+    assert len(out) == 2
+    assert pd.isna(out[out["k"] == 1]["b"]).all()
+
+
+def test_broadcast_join_types(rd):
+    ds = rd.from_items([{"k": i % 3, "v": i} for i in range(30)])
+    side = pd.DataFrame({"k": [0, 1], "name": ["zero", "one"]})
+    out = broadcast_join(ds, side, on="k").to_pandas()
+    assert len(out) == 20  # k==2 rows dropped (inner)
+    assert set(out["name"]) == {"zero", "one"}
+
+
+def test_interval_join_bounds(rd):
+    import numpy as np
+
+    left = rd.from_items([{"k": "a", "ts": 1000, "lid": 1}])
+    right = rd.from_items(
+        [
+            {"k": "a", "ts": 999, "rid": 1},   # before: excluded (lo=0)
+            {"k": "a", "ts": 1000, "rid": 2},  # inclusive lower bound
+            {"k": "a", "ts": 1999, "rid": 3},  # inside
+            {"k": "a", "ts": 2000, "rid": 4},  # exclusive upper bound
+            {"k": "b", "ts": 1500, "rid": 5},  # wrong key
+        ]
+    )
+    out = interval_join(
+        left, right, "k", "ts", "ts", 0, 1000, ["lid"], ["rid"]
+    ).to_pandas()
+    assert sorted(out["rid"].tolist()) == [2, 3]
+
+
+def test_latest_by_key_tombstone_drop(rd):
+    ds = rd.from_items(
+        [
+            {"k": "a", "ts": 1, "v": "v1"},
+            {"k": "a", "ts": 2, "v": None},   # tombstone wins, then dropped
+            {"k": "b", "ts": 1, "v": "w1"},
+            {"k": "b", "ts": 3, "v": "w3"},
+        ]
+    )
+    out = latest_by_key(ds, ["k"], ["ts"], drop_nulls_in="v").to_pandas()
+    assert out["k"].tolist() == ["b"]
+    assert out["v"].tolist() == ["w3"]
+
+
+def test_exact_dedup_all_unique(rd):
+    ds = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(10)])
+    out = exact_dedup(ds, ["text"], "doc_id").to_pandas()
+    assert len(out) == 10
+    assert (out["n_copies"] == 1).all()
+
+
+def test_exact_dedup_survivor_is_min(rd):
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "same" if i % 2 else f"u{i}"} for i in range(10)]
+    )
+    out = exact_dedup(ds, ["text"], "doc_id").to_pandas()
+    dupe = out[out["n_copies"] > 1]
+    assert dupe["doc_id"].tolist() == [1]  # min doc_id among 1,3,5,7,9
+    assert dupe["n_copies"].tolist() == [5]
