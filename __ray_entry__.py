@@ -181,8 +181,10 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": r"""
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
-                   sum(len(text)) AS n_chars_text
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                            END) AS BIGINT) AS n_tokens,
+                   CAST(sum(len(text)) AS BIGINT) AS n_chars_text
             FROM documents GROUP BY 1
         """,
         "ann_range": """

@@ -150,36 +150,65 @@ def q_latest_by_key(sf_dir):
 
 def q_consumer_lag(sf_dir):
     """Per-key frontier lag (reference A1 lag aggregate,
-    `ConsumerGroupsAlgebra.scala:155-184`)."""
+    `ConsumerGroupsAlgebra.scala:155-184`).
+
+    The distributed aggregate produces one row per key; only that tiny
+    result is materialized to compute the global frontier, and the lag
+    column is appended with a second (distributed) map over it.
+    """
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     ms = _ms_col(ds, "ts", "ms")
     agg = grouped_aggregate(
         ms, ["user_id"],
         [AggSpec("count", None, "n_events"), AggSpec("max", "ms", "user_max_ms")],
-    )
-    pdf = agg.to_pandas()  # small: one row per key
-    global_max = int(pdf["user_max_ms"].max())
-    pdf["lag_ms"] = global_max - pdf["user_max_ms"]
-    return pdf
+    ).materialize()  # small: one row per key
+    global_max = agg.max("user_max_ms")
+
+    def add_lag(t: pa.Table) -> pa.Table:
+        lag = pc.subtract(pa.scalar(int(global_max), pa.int64()),
+                          pc.cast(t["user_max_ms"], pa.int64()))
+        return t.append_column("lag_ms", lag)
+
+    return agg.map_batches(add_lag, batch_format="pyarrow")
 
 
-def q_topic_tail(sf_dir):
-    """Bounded tail read (`TopicsEndpoint.scala:33-93` / ds.limit)."""
+def q_topic_tail(sf_dir, n: int = 10):
+    """Bounded tail read (`TopicsEndpoint.scala:33-93`).
+
+    NOT a global sort: each block contributes its local top-``n`` by
+    (ts, event_id) — a vectorized per-batch partial — and the driver
+    merges the tiny partials (≤ n rows per block).  Mirrors the
+    reference's offset-bounded tail scan rather than an all-to-all sort.
+    """
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
-    tail = ds.sort(["ts", "event_id"], descending=[True, True]).limit(10)
 
-    def project(t: pa.Table) -> pa.Table:
+    def partial_top(t: pa.Table) -> pa.Table:
+        ms = ts_to_ms(t["ts"])
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ms))[-n:]  # ascending; keep the largest n
+        top = t.take(pa.array(order))
         return pa.table(
             {
-                "event_id": t["event_id"],
-                "user_id": t["user_id"],
-                "event_type": t["event_type"],
-                "ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
-                "value": pc.round(pc.cast(t["value"], pa.float64()), ndigits=2, round_mode="half_towards_infinity"),
+                "event_id": top["event_id"],
+                "user_id": top["user_id"],
+                "event_type": top["event_type"],
+                "ms": pa.array(ts_to_ms(top["ts"]), pa.int64()),
+                "value": pc.round(pc.cast(top["value"], pa.float64()), ndigits=2,
+                                  round_mode="half_towards_infinity"),
             }
         )
 
-    return tail.map_batches(project, batch_format="pyarrow")
+    import ray
+
+    parts = ds.map_batches(partial_top, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    ev = merged["event_id"].to_numpy(zero_copy_only=False)
+    ms = merged["ms"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ev, ms))[::-1][:n]
+    return merged.take(pa.array(order))
 
 
 # ------------------------------------------------- record transform / scalar
@@ -272,8 +301,10 @@ def q_exact_dedup(sf_dir):
 
 
 def q_token_stats(sf_dir):
+    # instance → task-pool map (elastic parallelism; the compiled-regex
+    # state is trivial to ship, so an actor-pool cap would only starve CPUs)
     ds = _read(sf_dir, "documents", ["lang", "text"])
-    toks = ds.map_batches(TokenStats, batch_format="pandas", concurrency=2)
+    toks = ds.map_batches(TokenStats(), batch_format="pandas")
     return grouped_aggregate(
         toks, ["lang"],
         [
@@ -287,7 +318,7 @@ def q_token_stats(sf_dir):
 def q_quality_scores(sf_dir):
     """Quality heuristics (rows-only check: not SQL-expressible)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-    scored = ds.map_batches(QualityScore, batch_format="pandas", concurrency=2)
+    scored = ds.map_batches(QualityScore(), batch_format="pandas")
     out = grouped_aggregate(
         scored, ["lang"],
         [
@@ -302,25 +333,17 @@ def q_quality_scores(sf_dir):
 def q_langid(sf_dir):
     """n-gram language-ID heuristic vs labeled lang (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    pred = ds.map_batches(LangId(), batch_format="pandas")
     return grouped_aggregate(pred, ["lang", "lang_pred"], [AggSpec("count", None, "n")])
 
 
 def q_fingerprint(sf_dir):
     """Document fingerprints: distinct count per source (rows-only)."""
-    from ray.data.aggregate import Count
+    from ..stages.dedup import bucketed_distinct
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    fp = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=2)
-
-    def distinct_partial(t: pa.Table) -> pa.Table:
-        return t.select(["source", "fingerprint"]).group_by(
-            ["source", "fingerprint"]
-        ).aggregate([])
-
-    ded = fp.map_batches(distinct_partial, batch_format="pyarrow")
-    # one C-side shuffle collapses duplicates; count(rows) per source after
-    dd = ded.groupby(["source", "fingerprint"]).aggregate(Count(alias_name="__c"))
+    fp = ds.map_batches(Fingerprint(), batch_format="pyarrow")
+    dd = bucketed_distinct(fp, ["source", "fingerprint"])
     return grouped_aggregate(dd, ["source"], [AggSpec("count", None, "n_distinct")])
 
 
@@ -468,16 +491,11 @@ def q_salted_agg(sf_dir):
 
 def q_distinct_users(sf_dir):
     """Exact distinct counting at scale: per-batch distinct partials →
-    C-side groupby collapse → count per group (the `unique` operator)."""
-    from ray.data.aggregate import Count
+    bucketed vectorized dedup → count per group (the `unique` operator)."""
+    from ..stages.dedup import bucketed_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        return t.group_by(["event_type", "user_id"]).aggregate([])
-
-    ded = ds.map_batches(partial, batch_format="pyarrow")
-    dd = ded.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="__c"))
+    dd = bucketed_distinct(ds, ["event_type", "user_id"])
     return grouped_aggregate(
         dd, ["event_type"], [AggSpec("count", None, "n_distinct_users")]
     )

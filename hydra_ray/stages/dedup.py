@@ -19,7 +19,30 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["latest_by_key", "exact_dedup", "add_content_hash"]
+__all__ = ["latest_by_key", "exact_dedup", "add_content_hash", "bucketed_distinct"]
+
+
+def bucketed_distinct(ds, cols: list[str], num_buckets: int = 64):
+    """Global exact DISTINCT over ``cols`` at any key cardinality.
+
+    Per-batch local dedup (C-side ``drop_duplicates``) → key-hash bucket
+    column → ``groupby(bucket).map_groups`` dedup per bucket.  The wide
+    step shuffles one row per distinct value per block, grouped into
+    ``num_buckets`` partitions, and every reduce is vectorized.  This
+    deliberately avoids ``ray.data`` ``groupby().aggregate``, whose
+    sort-based reduce iterates groups in Python — O(distinct values)
+    driver-speed work (measured 70 s for 72 k int-pair groups at sf0.1).
+    """
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[cols].drop_duplicates()
+        h = pd.util.hash_pandas_object(out[cols], index=False).to_numpy()
+        return out.assign(__bucket=(h % num_buckets).astype("int64"))
+
+    dd = ds.map_batches(local, batch_format="pandas")
+    return dd.groupby("__bucket").map_groups(
+        lambda g: g[cols].drop_duplicates(), batch_format="pandas"
+    )
 
 
 def _keep_extreme(df: pd.DataFrame, key_cols, order_cols, keep_max: bool) -> pd.DataFrame:

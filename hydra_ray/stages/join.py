@@ -24,7 +24,88 @@ import pyarrow as pa
 
 from .windows import ts_to_ms
 
-__all__ = ["broadcast_join", "keyed_join", "interval_join"]
+__all__ = ["broadcast_join", "keyed_join", "bucketed_join", "interval_join"]
+
+
+def _arrow_schema_of(ds) -> pa.Schema:
+    """Dataset schema as pyarrow, tolerating pandas-block datasets (their
+    object dtype is assumed to be string — the engine's convention)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, dt in zip(base.names, base.types):
+        if getattr(dt, "kind", None) == "O" or dt == object:
+            fields.append(pa.field(name, pa.string()))
+        else:
+            fields.append(pa.field(name, pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)
+
+
+def bucketed_join(
+    left,
+    right,
+    key: str,
+    how: str = "inner",
+    num_buckets: int = 32,
+    suffix: str = "_r",
+):
+    """Partitioned hash join with BUCKETED reduce granularity.
+
+    Like ``keyed_join`` but the wide step groups by ``hash(key) %
+    num_buckets`` instead of by key, so each reduce is ONE vectorized
+    pandas merge over a bucket (C-side) rather than a Python dispatch per
+    key — the right shape when the key cardinality is large relative to
+    the cluster.  Same single all-to-all as any hash join; ``num_buckets``
+    only sets reduce parallelism, never results.
+    """
+    from ..hashing import hash64
+
+    lschema = _arrow_schema_of(left)
+    rschema = _arrow_schema_of(right)
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    shared = set(lnames) & set(rnames) - {key}
+    if shared:
+        raise ValueError(
+            f"bucketed_join: non-key columns shared by both sides: {shared}"
+        )
+    all_fields = [lschema.field(n) for n in lnames] + [
+        rschema.field(n) for n in rnames if n != key
+    ]
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            # pad to the union schema so every block is type-identical —
+            # heterogeneous blocks break the sort-based groupby
+            for fld in all_fields:
+                if fld.name not in t.column_names:
+                    t = t.append_column(fld.name, pa.nulls(t.num_rows, fld.type))
+            t = t.select([fld.name for fld in all_fields])
+            b = (hash64(t[key]) % np.uint64(num_buckets)).astype(np.int32)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array([side] * t.num_rows, pa.int8()))
+
+        return f
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    # the null padding of the other side's columns makes pandas upcast
+    # ints to float64 in the grouped block; cast each side's own columns
+    # back (its own rows are null-free) or downstream key hashing breaks
+    ldtypes = {f.name: f.type.to_pandas_dtype() for f in lschema}
+    rdtypes = {f.name: f.type.to_pandas_dtype() for f in rschema}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == 0][lnames].astype(ldtypes)
+        gr = g[g["__side"] == 1][rnames].astype(rdtypes)
+        # run the merge even on empty sides: it preserves column dtypes,
+        # keeping every output block schema-identical
+        return gl.merge(gr, on=key, how=how, suffixes=("", suffix))
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str], how: str = "inner"):

@@ -33,23 +33,90 @@ _MERSENNE = (1 << 61) - 1
 _SHINGLE_BASE = np.uint64(1_099_511_628_211)  # FNV prime
 
 
+def _window_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """64-bit polynomial hash of every k-byte window of ``data`` (k passes
+    over the buffer, no Python substring materialization), finalized with
+    an xorshift-multiply to spread the low-entropy poly hash.
+
+    Allocation-lean on purpose: every extra full-width temporary costs
+    real page-fault time on lazy-memory hosts (CLAUDE.md kernel rule), so
+    the loop runs in place with buffered uint8→uint64 casts.
+    """
+    m = len(data) - k + 1
+    h = data[:m].astype(np.uint64)
+    for j in range(1, k):
+        np.multiply(h, _SHINGLE_BASE, out=h)
+        np.add(h, data[j : j + m], out=h, casting="unsafe")
+    t = h >> np.uint64(33)
+    h ^= t
+    np.multiply(h, np.uint64(0xFF51AFD7ED558CCD), out=h)
+    np.right_shift(h, np.uint64(33), out=t)
+    h ^= t
+    return h
+
+
 def _char_shingles(text: str, k: int) -> np.ndarray:
-    """Unique 64-bit k-gram hashes, fully vectorized: polynomial hash over
-    a sliding byte-window view (no Python substring materialization).
-    Deterministic across processes (not Python ``hash()``)."""
+    """Unique 64-bit k-gram hashes of ONE document (reference/verify
+    kernel; the batch signature path uses ``_batch_shingles``)."""
     t = " ".join(text.lower().split())
     data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
     if len(data) < k:
         return pd.util.hash_array(np.array([t], dtype=object), categorize=False)
-    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    h = np.zeros(len(win), dtype=np.uint64)
-    for j in range(k):
-        h = h * _SHINGLE_BASE + win[:, j]
-    # finalize (xorshift-multiply) to spread the low-entropy poly hash
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    return np.unique(h)
+    return np.unique(_window_hashes(data, k))
+
+
+def _batch_shingles(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for a WHOLE batch in one vectorized pass.
+
+    All documents' normalized utf-8 bytes live contiguously in the Arrow
+    string buffer already; the k-gram rolling hash runs ONCE over that
+    buffer (k vectorized passes), windows that cross a document boundary
+    are dropped by offset arithmetic, and short docs (< k bytes) fall
+    back to a whole-string hash — identical semantics to mapping
+    ``_char_shingles`` per doc, minus per-doc uniqueness (irrelevant for
+    min-over-shingles signatures).  This removes round-1's per-doc Python
+    loop (~220 docs/s → memory-bandwidth-bound).
+
+    Returns ``(flat, starts)``: concatenated per-doc hash runs in doc
+    order plus each doc's start offset (for ``minimum.reduceat``).
+    """
+    norm = pd.Series(texts, dtype=object).fillna("").str.lower().str.split().str.join(" ")
+    arr = pa.array(norm.to_numpy(dtype=object), pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: offsets[-1]]
+    lengths = np.diff(offsets)
+    long = lengths >= k
+    counts = np.where(long, lengths - k + 1, 1)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    total = int(counts.sum())
+    short = ~long
+    if not long.any():
+        flat = pd.util.hash_array(norm.to_numpy(dtype=object), categorize=False)
+        return flat, starts
+    h = _window_hashes(data, k)
+    # windows crossing an interior doc boundary are invalid: for boundary
+    # b, starts b-1 … b-k+1 span it.  (k-1) tiny scatters beat the gather
+    # of per-doc position ranges (allocation-lean, see _window_hashes).
+    valid = np.ones(len(h), dtype=bool)
+    bnd = offsets[1:-1]
+    for j in range(1, k):
+        idx = bnd - j
+        valid[idx[idx >= 0]] = False
+    flat_long = h[valid]
+    if not short.any():
+        return flat_long, starts
+    flat = np.empty(total, dtype=np.uint64)
+    sel = np.ones(total, dtype=bool)
+    sel[starts[short]] = False
+    flat[sel] = flat_long
+    flat[starts[short]] = pd.util.hash_array(
+        norm.to_numpy(dtype=object)[short], categorize=False
+    )
+    return flat, starts
 
 
 class MinHasher:
@@ -71,50 +138,53 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Whole-batch vectorized path: all docs' shingles concatenate into
-        one array; per-permutation minima come from ``minimum.reduceat``
-        over doc boundaries (no per-doc numpy re-dispatch)."""
+        """Whole-batch vectorized path: ONE rolling-hash pass over all
+        docs' bytes (``_batch_shingles``); per-permutation minima come
+        from ``minimum.reduceat`` over doc boundaries (no per-doc Python
+        or numpy re-dispatch anywhere)."""
         texts = batch[self.text_col].to_pylist()
-        shingle_sets = [_char_shingles(t or "", self.k).astype(np.uint64) for t in texts]
-        counts = np.array([len(s) for s in shingle_sets], dtype=np.int64)
-        flat = (
-            np.concatenate(shingle_sets) if shingle_sets else np.empty(0, np.uint64)
-        )
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
+        flat, starts = _batch_shingles(texts, self.k)
         sigs = np.empty((len(texts), self.n_perm), dtype=np.uint64)
         for j in range(self.n_perm):
             hj = (self.a[j] * flat + self.b[j]) % np.uint64(_MERSENNE)
-            sigs[:, j] = np.minimum.reduceat(hj, starts)
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                "signature": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_perm)),
-            }
+            sigs[:, j] = np.minimum.reduceat(hj, starts) if len(flat) else 0
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), pa.uint64()), self.n_perm
         )
+        return pa.table({self.id_col: batch[self.id_col], "signature": sig_col})
 
 
-def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", n_perm=64, bands=16, k=5, seed=42):
+def minhash_lsh_candidates(
+    ds, text_col="text", id_col="doc_id", n_perm=64, bands=16, k=5, seed=42,
+    num_buckets=256,
+):
     """MinHash+LSH candidate pairs.
 
     ds → map_batches(MinHasher) → explode to (band, band_hash, id) →
-    groupby band bucket → pairs.  Returns a Dataset of
-    (id_a, id_b) candidate rows (id_a < id_b, deduplicated).
+    groupby hash bucket → vectorized same-(band, band_hash) pairing.
+    Returns a Dataset of (id_a, id_b) candidate rows (id_a < id_b,
+    deduplicated).
+
+    ``num_buckets`` controls the wide step's parallelism: buckets are a
+    well-mixed hash of (band, band_hash), so expected bucket size is
+    O(n·bands / num_buckets) and the per-bucket pairing merge stays
+    C-side.  Scale num_buckets with the corpus (the default 256 keeps
+    every CPU of a 32-node pool busy); pairing correctness never depends
+    on it because pairs form on the full (band, band_hash) key.
     """
     rows_per_band = n_perm // bands
 
     hashed = ds.map_batches(
         MinHasher(text_col, id_col, n_perm, k, seed),
         batch_format="pyarrow",
-        batch_size=256,  # small batches → task parallelism for the signature loop
+        batch_size=1024,
     )
-
-    N_BUCKETS = 32  # coarse hash partitions; pairing is vectorized per partition
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        sigs = np.stack(t["signature"].to_numpy(zero_copy_only=False))
+        sig = t["signature"].combine_chunks()
         n = len(ids)
+        sigs = sig.flatten().to_numpy(zero_copy_only=False).reshape(n, n_perm)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         doc_rep = np.repeat(ids, bands)
         bh = np.empty(n * bands, dtype=np.int64)
@@ -124,9 +194,16 @@ def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", n_perm=64, band
             for j in range(rows_per_band):
                 acc = acc * np.uint64(1_000_003) + seg[:, j]
             bh[b::bands] = acc.astype(np.int64)
+        # mix (band, band_hash) into the bucket id so buckets spread evenly
+        mix = bh.astype(np.uint64) ^ (
+            (band_ids.astype(np.uint64) + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        mix ^= mix >> np.uint64(29)
+        mix *= np.uint64(0xBF58476D1CE4E5B9)
+        mix ^= mix >> np.uint64(32)
         return pa.table(
             {
-                "bucket": pa.array((bh % N_BUCKETS).astype(np.int32)),
+                "bucket": pa.array((mix % np.uint64(num_buckets)).astype(np.int32)),
                 "band": pa.array(band_ids),
                 "band_hash": pa.array(bh),
                 id_col: pa.array(doc_rep),
@@ -171,19 +248,60 @@ def minhash_lsh_candidates(ds, text_col="text", id_col="doc_id", n_perm=64, band
         return pd.concat(out).drop_duplicates()
 
     cand = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    # dedupe pairs found in multiple bands (C-side aggregate, not map_groups)
-    from ray.data.aggregate import Count
+    # dedupe pairs found in multiple bands — vectorized bucketed distinct
+    # (ray.data's sort-aggregate reduces per group in Python: 70 s for
+    # 72 k pair-groups at sf0.1, vs ~1 s for this shape)
+    from .dedup import bucketed_distinct
 
-    dd = cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__n"))
-    return dd.select_columns(["id_a", "id_b"])
+    return bucketed_distinct(cand, ["id_a", "id_b"], num_buckets=16)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
-    """Exact character-k-gram Jaccard similarity (verification kernel)."""
+    """Exact character-k-gram Jaccard similarity (per-pair reference
+    kernel; batches use ``ngram_jaccard_batch``)."""
     sa, sb = _char_shingles(text_a or "", k), _char_shingles(text_b or "", k)
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return float(inter) / union if union else 1.0
+
+
+def _unique_per_doc(flat: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(hash, doc) pairs deduplicated within each doc, sorted by (doc, hash)."""
+    n = len(starts)
+    counts = np.diff(np.append(starts, len(flat)))
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((flat, doc))
+    d, h = doc[order], flat[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    return h[keep], d[keep]
+
+
+def ngram_jaccard_batch(texts_a, texts_b, k: int = 5) -> np.ndarray:
+    """Exact k-gram Jaccard for N pairs, fully vectorized.
+
+    Shingle both columns in one rolling-hash pass each, dedupe within
+    each doc by (doc, hash) sort, then count cross-side hash collisions
+    per pair with one merged lexsort — no per-pair Python.  Semantics
+    identical to mapping ``ngram_jaccard`` over the pairs.
+    """
+    n = len(texts_a)
+    if n == 0:
+        return np.empty(0, np.float64)
+    fa, sa = _batch_shingles(list(texts_a), k)
+    fb, sb = _batch_shingles(list(texts_b), k)
+    ha, da = _unique_per_doc(fa, sa)
+    hb, db = _unique_per_doc(fb, sb)
+    na = np.bincount(da, minlength=n)
+    nb = np.bincount(db, minlength=n)
+    d = np.concatenate([da, db])
+    h = np.concatenate([ha, hb])
+    order = np.lexsort((h, d))
+    ds_, hs_ = d[order], h[order]
+    dup = (ds_[1:] == ds_[:-1]) & (hs_[1:] == hs_[:-1])
+    inter = np.bincount(ds_[1:][dup], minlength=n)
+    union = na + nb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
 
 
 def neardup_clusters(
@@ -199,34 +317,43 @@ def neardup_clusters(
     """Full MinHash-LSH near-dup pipeline: candidates → exact n-gram
     Jaccard verification → connected components → (id, cluster_id).
 
-    Verification broadcasts the id→text map (fine while the *candidate*
-    id set is small relative to the corpus — LSH guarantees that at a
-    sane band setting; at larger scale swap the broadcast for a keyed
-    join on id).  Components run driver-side union-find over verified
-    pairs only — the candidate set is provably small, the standard
-    hybrid (Leskovec et al., MMDS ch.3).
+    Texts reach the verification stage by HASH JOIN of the candidate
+    pairs against the documents table (one key-hash shuffle per side per
+    id column, ``stages.join.bucketed_join``) — never by materializing
+    the corpus on the driver, so the path holds at any corpus size.
+    Components run driver-side union-find over VERIFIED pairs only — that
+    set is provably small at a sane band setting, the standard hybrid
+    (Leskovec et al., MMDS ch.3).
     """
-    import ray
+    from .join import bucketed_join
 
     cands = minhash_lsh_candidates(ds, text_col, id_col, n_perm, bands, k, seed)
-    texts_df = ds.select_columns([id_col, text_col]).to_pandas()
-    text_ref = ray.put(dict(zip(texts_df[id_col], texts_df[text_col])))
+    docs = ds.select_columns([id_col, text_col])
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(text_ref)
+    docs_a = docs.map_batches(
+        lambda t: t.rename_columns(["id_a", "text_a"]), batch_format="pyarrow"
+    )
+    docs_b = docs.map_batches(
+        lambda t: t.rename_columns(["id_b", "text_b"]), batch_format="pyarrow"
+    )
+    with_a = bucketed_join(cands, docs_a, key="id_a")
+    with_b = bucketed_join(with_a, docs_b, key="id_b")
 
-        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-            if g.empty:
-                return g.assign(jaccard=[])
-            jac = [
-                ngram_jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
-                for a, b in zip(g["id_a"], g["id_b"])
-            ]
-            g = g.assign(jaccard=jac)
-            return g[g["jaccard"] >= threshold]
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        jac = ngram_jaccard_batch(g["text_a"].tolist(), g["text_b"].tolist(), k)
+        g = g.assign(jaccard=jac)
+        return g.loc[g["jaccard"] >= threshold, ["id_a", "id_b", "jaccard"]]
 
-    verified = cands.map_batches(Verify, batch_format="pandas", concurrency=2)
+    # moderate batch_size: the jaccard kernel's scratch buffers then stay
+    # small enough for workers to reuse warm pages across calls (large
+    # one-shot batches pay lazy-restore first-touch faults per call)
+    verified = with_b.map_batches(verify, batch_format="pandas", batch_size=2048)
     pairs = verified.to_pandas()
 
     parent: dict = {}
@@ -248,33 +375,49 @@ def neardup_clusters(
 
 
 class SimHasher:
-    """64-bit SimHash over word features (near-dup by Hamming distance)."""
+    """64-bit SimHash over word features (near-dup by Hamming distance).
+
+    Whole-batch vectorized: all docs' words explode into one flat array,
+    hash once, per-bit majority votes come from ``add.reduceat`` over doc
+    boundaries — no per-doc Python loop."""
 
     def __init__(self, text_col="text", id_col="doc_id", seed=42):
         self.text_col = text_col
         self.id_col = id_col
+        self._shifts = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            words = np.array((t or "").lower().split(), dtype=object)
-            if len(words) == 0:
-                out[i] = 0
-                continue
-            h = pd.util.hash_array(words, categorize=False)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            v = np.where(bits.sum(axis=0) * 2 > len(words), 1, 0).astype(np.uint64)
-            out[i] = int((v << np.arange(64, dtype=np.uint64)).sum()) - (1 << 63)
+        n = len(texts)
+        words = pd.Series(texts, dtype=object).fillna("").str.lower().str.split()
+        counts = words.str.len().to_numpy(dtype=np.int64)
+        flat = words.explode().dropna()
+        out = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            h = pd.util.hash_array(flat.to_numpy(dtype=object), categorize=False)
+            bits = ((h[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            nz = counts > 0
+            starts = np.cumsum(counts) - counts
+            sums = np.add.reduceat(bits, starts[nz], axis=0)
+            v = (sums * 2 > counts[nz, None]).astype(np.uint64)
+            vals = (v << self._shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            # shift uint64 → int64 range via wraparound (two's complement)
+            out[nz] = (vals - np.uint64(1 << 63)).view(np.int64)
         return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(out)})
 
 
-def simhash_near_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, n_tables=4):
+def simhash_near_pairs(
+    ds, text_col="text", id_col="doc_id", max_hamming=3, n_tables=4, num_buckets=64
+):
     """SimHash near-dup candidates: band the 64-bit hash into n_tables
     16-bit keys (pigeonhole: ≤3 differing bits ⇒ at least one identical
-    16-bit band), group by band key, verify Hamming ≤ max_hamming."""
+    16-bit band), bucket-group by a hash of (band, band_key), pair within
+    each (band, band_key) via a vectorized self-merge, verify Hamming ≤
+    max_hamming with a table-lookup popcount.  Same bucketed wide-step
+    shape as ``minhash_lsh_candidates`` (parallelism = num_buckets, no
+    per-group Python dispatch)."""
     hashed = ds.map_batches(
-        SimHasher(text_col, id_col), batch_format="pyarrow", batch_size=512
+        SimHasher(text_col, id_col), batch_format="pyarrow", batch_size=1024
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -285,8 +428,15 @@ def simhash_near_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, n_ta
         keys = np.empty(n * n_tables, dtype=np.int64)
         for b in range(n_tables):
             keys[b::n_tables] = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        mix = keys.astype(np.uint64) ^ (
+            (band.astype(np.uint64) + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        mix ^= mix >> np.uint64(29)
+        mix *= np.uint64(0xBF58476D1CE4E5B9)
+        mix ^= mix >> np.uint64(32)
         return pa.table(
             {
+                "bucket": pa.array((mix % np.uint64(num_buckets)).astype(np.int32)),
                 "band": pa.array(band),
                 "band_key": pa.array(keys),
                 id_col: pa.array(np.repeat(ids, n_tables)),
@@ -296,20 +446,43 @@ def simhash_near_pairs(ds, text_col="text", id_col="doc_id", max_hamming=3, n_ta
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        ham = np.array(
-            [bin(int(hs[x] ^ hs[y])).count("1") for x, y in zip(ia, ib)], dtype=np.int32
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int32")}
         )
+        if len(g) < 2:
+            return empty
+        m = g.merge(g, on=["band", "band_key"], suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if m.empty:
+            return empty
+        x = (
+            m["simhash_a"].to_numpy().astype(np.uint64)
+            ^ m["simhash_b"].to_numpy().astype(np.uint64)
+        ).view(np.uint8).reshape(-1, 8)
+        ham = pop8[x].sum(axis=1).astype(np.int32)
         keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep], "hamming": ham[keep]})
+        return pd.DataFrame(
+            {"id_a": m[f"{id_col}_a"].to_numpy()[keep],
+             "id_b": m[f"{id_col}_b"].to_numpy()[keep],
+             "hamming": ham[keep]}
+        )
 
-    cand = exploded.groupby(["band", "band_key"]).map_groups(pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
+    cand = exploded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    # dedupe pairs found under multiple bands (keep min hamming) — C-side
+    # bucketed reduce, same rationale as minhash_lsh_candidates
+    def local_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+        h = pd.util.hash_pandas_object(out[["id_a", "id_b"]], index=False).to_numpy()
+        return out.assign(__bucket=(h % 16).astype("int64"))
+
+    dd = cand.map_batches(local_min, batch_format="pandas")
+    return dd.groupby("__bucket").map_groups(
+        lambda g: g.groupby(["id_a", "id_b"], as_index=False)["hamming"].min(),
+        batch_format="pandas",
+    )

@@ -72,8 +72,11 @@ def approx_distinct(ds, key_col: str, group_col: str | None = None, p: int = 12)
     """Approximate distinct count (optionally per group) via HLL.
 
     Per-batch: one sketch (or one per group value) serialized as a binary
-    row.  Final: merge per group on the driver (sketch rows are tiny).
-    Returns a pandas DataFrame [group?, approx_distinct].
+    row.  Final: a distributed ``groupby(g).map_groups`` merges each
+    group's sketches (elementwise max) and emits one row per group — the
+    shuffle carries 2^p bytes per (batch, group), never the keys, and the
+    merge parallelizes across groups at any key cardinality.
+    Returns a Dataset [group?, approx_distinct].
     """
 
     def sketch_batch(t: pa.Table) -> pa.Table:
@@ -92,12 +95,13 @@ def approx_distinct(ds, key_col: str, group_col: str | None = None, p: int = 12)
             {"g": pa.array(groups), "sketch": pa.array(sketches, pa.large_binary())}
         )
 
-    rows = ds.map_batches(sketch_batch, batch_format="pyarrow").to_pandas()
-    out = []
-    for g, grp in rows.groupby("g"):
+    rows = ds.map_batches(sketch_batch, batch_format="pyarrow")
+
+    def merge_group(grp: pd.DataFrame) -> pd.DataFrame:
         merged = hll_merge([np.frombuffer(b, dtype=np.uint8) for b in grp["sketch"]])
-        out.append({"g": g, "approx_distinct": int(round(hll_estimate(merged)))})
-    df = pd.DataFrame(out)
-    if group_col is None:
-        return df.drop(columns=["g"])
-    return df.rename(columns={"g": group_col})
+        out = {"approx_distinct": [int(round(hll_estimate(merged)))]}
+        if group_col is None:
+            return pd.DataFrame(out)
+        return pd.DataFrame({group_col: [grp["g"].iloc[0]], **out})
+
+    return rows.groupby("g").map_groups(merge_group, batch_format="pandas")

@@ -34,7 +34,12 @@ class TokenStats:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
-        batch["n_tokens"] = (s.str.count(r"\s+") + (s.str.len() > 0).astype(int)).astype("int64")
+        # trim before counting so leading/trailing whitespace doesn't add
+        # tokens — matches DuckDB string_split_regex(trim(text), '\s+')
+        stripped = s.str.strip()
+        batch["n_tokens"] = (
+            stripped.str.count(r"\s+") + (stripped.str.len() > 0).astype(int)
+        ).astype("int64")
         batch["n_words"] = s.str.count(r"[\w']+").astype("int64")
         batch["n_chars_text"] = s.str.len().astype("int64")
         return batch

@@ -143,7 +143,14 @@ def _partial_agg_batch(
         names.append(pname)
     gb = batch.group_by(group_cols, use_threads=False).aggregate(plan)
     # output layout: key columns first, then aggregates in plan order
-    # (duplicate agg names possible) — rename positionally
+    # (duplicate agg names possible) — rename positionally.  The key-first
+    # layout has differed across pyarrow versions, so verify it before
+    # renaming rather than silently scrambling aggregates into key names.
+    if gb.column_names[: len(group_cols)] != group_cols:
+        raise RuntimeError(
+            "pyarrow group_by column order changed: expected keys first, got "
+            f"{gb.column_names!r} for keys {group_cols!r}"
+        )
     new_names = list(gb.column_names[: len(group_cols)]) + names
     return gb.rename_columns(new_names)
 

@@ -1,0 +1,121 @@
+"""Near-dup kernels: vectorized batch paths vs per-doc reference kernels,
+LSH candidate invariance to bucketing, and planted-cluster recovery."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hydra_ray.stages.neardup import (
+    MinHasher,
+    SimHasher,
+    _batch_shingles,
+    _char_shingles,
+    minhash_lsh_candidates,
+    neardup_clusters,
+    ngram_jaccard,
+)
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumped over the lazy dog",   # near-dup of 0
+    "completely different content about streaming engines",
+    "completely different content about streaming engines",  # exact dup of 2
+    "tiny",                                           # shorter than k
+    "",                                               # empty
+    "  the   quick  brown fox jumps over the lazy dog  ",  # whitespace-normalized dup of 0
+    "another unrelated document with many unique words here",
+]
+
+
+def test_batch_shingles_match_per_doc():
+    flat, starts = _batch_shingles(DOCS, k=5)
+    ends = np.append(starts[1:], len(flat))
+    for i, doc in enumerate(DOCS):
+        got = np.unique(flat[starts[i] : ends[i]])
+        ref = np.sort(_char_shingles(doc, 5))
+        assert np.array_equal(got, ref), f"doc {i}"
+
+
+def test_minhash_signature_batch_matches_per_doc():
+    mh = MinHasher(n_perm=32, k=5)
+    batch = pa.table({"doc_id": pa.array(range(len(DOCS))), "text": pa.array(DOCS)})
+    out = mh(batch)
+    sigs = out["signature"].combine_chunks().flatten().to_numpy().reshape(len(DOCS), 32)
+    for i, doc in enumerate(DOCS):
+        assert np.array_equal(sigs[i], mh.signature(doc)), f"doc {i}"
+
+
+def _naive_simhash(text: str) -> int:
+    words = np.array((text or "").lower().split(), dtype=object)
+    if len(words) == 0:
+        return 0
+    h = pd.util.hash_array(words, categorize=False)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+    v = np.where(bits.sum(axis=0) * 2 > len(words), 1, 0).astype(np.uint64)
+    return int((v << np.arange(64, dtype=np.uint64)).sum()) - (1 << 63)
+
+
+def test_simhash_batch_matches_per_doc():
+    sh = SimHasher()
+    batch = pa.table({"doc_id": pa.array(range(len(DOCS))), "text": pa.array(DOCS)})
+    got = sh(batch)["simhash"].to_pylist()
+    assert got == [_naive_simhash(d) for d in DOCS]
+
+
+@pytest.fixture()
+def corpus_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(120):
+        base = " ".join(rng.choice(vocab, size=30))
+        texts.append(base)
+        ids.append(3 * i)
+        # planted near-dup: one word changed
+        words = base.split()
+        words[5] = "CHANGED"
+        texts.append(" ".join(words))
+        ids.append(3 * i + 1)
+        # exact dup
+        texts.append(base)
+        ids.append(3 * i + 2)
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)}))
+
+
+def test_lsh_candidates_invariant_to_buckets(corpus_ds):
+    a = minhash_lsh_candidates(corpus_ds, num_buckets=7).to_pandas()
+    b = minhash_lsh_candidates(corpus_ds, num_buckets=256).to_pandas()
+    ka = sorted(map(tuple, a[["id_a", "id_b"]].to_numpy()))
+    kb = sorted(map(tuple, b[["id_a", "id_b"]].to_numpy()))
+    assert ka == kb and len(ka) > 0
+
+
+def test_neardup_clusters_recovers_planted(corpus_ds):
+    out = neardup_clusters(corpus_ds, threshold=0.6)
+    # every planted triple (3i, 3i+1, 3i+2) should land in one cluster
+    clusters = out.set_index("doc_id")["cluster_id"]
+    hits = 0
+    for i in range(120):
+        trio = [3 * i, 3 * i + 1, 3 * i + 2]
+        if all(t in clusters.index for t in trio):
+            if len({clusters[t] for t in trio}) == 1:
+                hits += 1
+    assert hits >= 110  # LSH at default bands recovers nearly all triples
+
+
+def test_ngram_jaccard_identity_and_disjoint():
+    assert ngram_jaccard("hello world", "hello world") == 1.0
+    assert ngram_jaccard("aaaaaaa", "bbbbbbb") == 0.0
+
+
+def test_ngram_jaccard_batch_matches_per_pair():
+    from hydra_ray.stages.neardup import ngram_jaccard_batch
+
+    pairs_a = [DOCS[i] for i in (0, 0, 2, 4, 5, 6)]
+    pairs_b = [DOCS[j] for j in (1, 6, 3, 5, 5, 7)]
+    got = ngram_jaccard_batch(pairs_a, pairs_b, 5)
+    ref = [ngram_jaccard(a, b, 5) for a, b in zip(pairs_a, pairs_b)]
+    assert np.allclose(got, ref), (got, ref)
