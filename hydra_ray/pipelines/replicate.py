@@ -91,6 +91,7 @@ def _route_factory(
     decoder=None,
     payload_root: str | None = None,
     epoch: int = 0,
+    nonce: int = 0,
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
     heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
@@ -142,8 +143,9 @@ def _route_factory(
             sub = light.take(idx)
             # epoch tag is REQUIRED: actors stash and apply at close(epoch),
             # so pipelined e+1 ingests can never leak into close(e) state
-            # or its checkpoint (which would double-ingest after a crash)
-            refs.append(handles[p].ingest.remote(kind, sub, wm, epoch))
+            # or its checkpoint (which would double-ingest after a crash);
+            # the nonce lets close drop stashes from discarded pre-launches
+            refs.append(handles[p].ingest.remote(kind, sub, wm, epoch, nonce))
             sent.append(int(p))
             if payload_tbl is not None:
                 keep = np.flatnonzero(ok & (parts == p))
@@ -231,8 +233,11 @@ def read_replicated(out_root: str, with_payload: bool = True) -> pa.Table:
     """The logical replicated table: light finalize rows ⨝ payload on seq.
 
     Only rows the state tier has emitted (finalized transcript, deleted
-    flag) are visible; in-flight payload rows have no finalize row yet and
-    drop out of the inner join — streaming visibility semantics.
+    flag) are visible; a payload row without a finalize row is in-flight
+    and not visible.  Conversely a finalize row whose payload fragment is
+    not yet committed (reading an output mid-run, between an epoch's
+    close and its payload flush) surfaces with NULL heavy columns —
+    streaming visibility semantics, never an error.
     """
     light = Table(os.path.join(out_root, "replicated")).to_arrow()
     if not with_payload:
@@ -240,7 +245,8 @@ def read_replicated(out_root: str, with_payload: bool = True) -> pa.Table:
     payload = Table(os.path.join(out_root, "payload")).to_arrow()
     if payload.num_rows == 0:
         return light
-    # manual index join (Arrow's hash join rejects large_list payloads)
+    # manual index join (Arrow's hash join rejects large_list payloads);
+    # null indices in `take` produce null rows, giving the null padding
     import pandas as pd
 
     pos = pd.Series(
@@ -248,21 +254,15 @@ def read_replicated(out_root: str, with_payload: bool = True) -> pa.Table:
     )
     take_idx = pos.reindex(light["seq"].to_numpy(zero_copy_only=False)).to_numpy()
     mask = ~pd.isna(take_idx)
-    heavy_cols = [c for c in payload.column_names if c != "seq"]
+    idx = pa.array(
+        np.where(mask, take_idx, 0).astype(np.int64), mask=~mask
+    )
+    matched = payload.take(idx)
     out = light
-    matched = payload.take(pa.array(take_idx[mask].astype(np.int64)))
-    for c in heavy_cols:
-        col = matched[c].combine_chunks()
-        if mask.all():
-            out = out.append_column(c, col)
-        else:
-            # scatter into a null-padded column
-            full = pa.concat_arrays(
-                [col.slice(0, 0).combine_chunks() if isinstance(col, pa.ChunkedArray) else col[:0]]
-            )
-            raise NotImplementedError(
-                "in-flight rows present: read before flush not yet supported"
-            )
+    for c in payload.column_names:
+        if c == "seq":
+            continue
+        out = out.append_column(c, matched[c].combine_chunks())
     return out
 
 
@@ -287,6 +287,8 @@ class ReplicatePipeline:
         self.ckpt_root = os.path.join(out_root, "_checkpoints")
         self.actors = []
         self.frontiers: dict[str, int] = {}
+        self._nonce_counter = 0
+        self._nonces: dict[int, int] = {}
 
     # ----------------------------------------------------------- lifecycle
     def _spawn_actors(self):
@@ -366,6 +368,12 @@ class ReplicatePipeline:
                 if pre is not None and pre[0] == epoch and pre[2:] == (cv, uv):
                     refs = pre[1]
                 else:
+                    if pre is not None and pre[1][0] == "refs":
+                        # discarded pre-launch: cancel what hasn't run; any
+                        # stash it already made carries a dead nonce and is
+                        # dropped at close (never double-applied)
+                        for r in pre[1][1]:
+                            ray.cancel(r, force=False, recursive=False)
                     refs = self._launch_ingest(epoch, clips_v, cv, updates_v, uv, wm)
                 pre = None
                 acks = self._collect_acks(refs, epoch)
@@ -414,17 +422,28 @@ class ReplicatePipeline:
         updates_to: int,
         wm_prev: int,
     ):
-        """Fire the epoch's ingest (non-blocking in tasks mode)."""
+        """Fire the epoch's ingest (non-blocking in tasks mode).
+
+        Each launch gets a fresh nonce, recorded as the authoritative one
+        for its epoch; if a pre-launched slice is discarded (source grew
+        between pre-launch and the real slice computation), its stale
+        stashes carry a dead nonce and close_epoch ignores them.
+        """
         cfg = self.cfg
+        self._nonce_counter += 1
+        nonce = self._nonce_counter
+        self._nonces[epoch] = nonce
         clips_route = _route_factory(
             self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions,
             decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
             payload_root=self.sink["payload"].root,
             epoch=epoch,
+            nonce=nonce,
         )
         updates_route = _route_factory(
             self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions,
             epoch=epoch,
+            nonce=nonce,
         )
         if cfg.ingest_mode == "tasks":
             task = _ingest_task_fn()
@@ -527,7 +546,10 @@ class ReplicatePipeline:
             raise CrashPoint(f"injected crash before close of epoch {epoch}")
 
         # -- 4. close → staged fragments ------------------------------------
-        results = ray.get([a.close_epoch.remote(epoch, wm) for a in self.actors])
+        results = ray.get(
+            [a.close_epoch.remote(epoch, wm, self._nonces) for a in self.actors]
+        )
+        self._nonces = {e: x for e, x in self._nonces.items() if e > epoch}
         _marks.append(("close", _t()))
 
         if cfg.crash_at == (epoch, "after_prepare"):

@@ -44,6 +44,7 @@ import pickle
 from collections import defaultdict
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -66,10 +67,11 @@ class PartitionState:
         self.swin: dict[tuple[str, int], list] = {}
         # open sessions: clip_id -> sorted list of [start, end, cnt, sum_dur]
         self.sessions: dict[str, list] = defaultdict(list)
-        # join left side: pending decoded clip batches (arrow, includes pcm)
+        # join left side: pending decoded clip batches (arrow, light columns)
         self.clip_buf: list[pa.Table] = []
-        # join right side: clip_id -> list[(ts_ms, revision, transcript|None)]
-        self.updates: dict[str, list] = defaultdict(list)
+        # join right side: columnar update chunks (keys, ts, rev, transcript)
+        # — consolidated/sorted at close, evicted below the join horizon
+        self.upd_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         # compacted latest-transcript view (last-write-wins by (ts, rev))
         self.view: dict[str, tuple] = {}
         # DLQ rows accumulated this epoch: list[(source, reason, table)]
@@ -114,54 +116,93 @@ class PartitionState:
             self.metrics["clips_in"] += sub.num_rows
         return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
 
+    @staticmethod
+    def _merge_window_partials(
+        target: dict, keys_np: np.ndarray, starts: np.ndarray, durs: np.ndarray
+    ):
+        """Fold per-batch (key, window) partials into the state dict.
+
+        One C-side ``pa.Table.group_by`` collapses the batch first, so the
+        Python merge loop runs once per DISTINCT (key, window) of the
+        batch — O(keys·windows), not O(rows); hot keys collapse hardest.
+        """
+        t = pa.table(
+            {
+                "k": pa.array(keys_np, pa.string()),
+                "w": pa.array(starts, pa.int64()),
+                "d": pa.array(durs, pa.int64()),
+            }
+        )
+        gb = t.group_by(["k", "w"], use_threads=False).aggregate(
+            [("d", "sum"), ("d", "count")]
+        )
+        for k, w, d, c in zip(
+            gb["k"].to_pylist(), gb["w"].to_pylist(),
+            gb["d_sum"].to_pylist(), gb["d_count"].to_pylist(),
+        ):
+            acc = target.get((k, w))
+            if acc is None:
+                target[(k, w)] = [c, d]
+            else:
+                acc[0] += c
+                acc[1] += d
+
     def _accumulate_windows(self, sub: pa.Table, ts: np.ndarray):
         cfg = self.cfg
-        keys = sub["clip_id"].to_pylist()
-        durs = sub["dur_ms"].to_numpy(zero_copy_only=False)
+        keys_np = np.asarray(
+            sub["clip_id"].to_numpy(zero_copy_only=False), dtype=object
+        )
+        durs = sub["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
         if cfg.window_size_ms:
             starts = assign_tumbling(ts, cfg.window_size_ms)
-            win = self.win
-            for k, w, d in zip(keys, starts.tolist(), durs.tolist()):
-                acc = win.get((k, w))
-                if acc is None:
-                    win[(k, w)] = [1, d]
-                else:
-                    acc[0] += 1
-                    acc[1] += d
+            self._merge_window_partials(self.win, keys_np, starts, durs)
         if getattr(cfg, "sliding_size_ms", 0):
             from ..stages.windows import explode_sliding
 
             rows, starts = explode_sliding(ts, cfg.sliding_size_ms, cfg.sliding_slide_ms)
-            swin = self.swin
-            for r, w in zip(rows.tolist(), starts.tolist()):
-                kk = (keys[r], w)
-                acc = swin.get(kk)
-                if acc is None:
-                    swin[kk] = [1, durs[r]]
-                else:
-                    acc[0] += 1
-                    acc[1] += durs[r]
+            self._merge_window_partials(
+                self.swin, keys_np[rows], starts, durs[rows]
+            )
         if cfg.session_gap_ms:
             gap = cfg.session_gap_ms
-            for k, t, d in zip(keys, ts.tolist(), durs.tolist()):
-                self._merge_session(k, t, d, gap)
+            # batch-local sessionization (vectorized): sort by (key, ts),
+            # break on key change or gap, reduce each run — then merge the
+            # few resulting intervals into the open-session state.  The
+            # gap-closure partition is order-insensitive, so pre-merging
+            # within the batch is exact.
+            order = np.lexsort((ts, keys_np))
+            ks, ts_s, ds_s = keys_np[order], ts[order], durs[order]
+            brk = np.ones(len(ks), dtype=bool)
+            brk[1:] = (ks[1:] != ks[:-1]) | ((ts_s[1:] - ts_s[:-1]) > gap)
+            si = np.flatnonzero(brk)
+            ei = np.append(si[1:], len(ks))
+            cnt = ei - si
+            sumd = np.add.reduceat(ds_s, si)
+            for j in range(len(si)):
+                self._merge_session_range(
+                    ks[si[j]], int(ts_s[si[j]]), int(ts_s[ei[j] - 1]),
+                    int(cnt[j]), int(sumd[j]), gap,
+                )
 
-    def _merge_session(self, key: str, t: int, dur: int, gap: int):
-        """Insert an event into the per-key open-session list (kept sorted,
-        non-overlapping under the gap relation)."""
+    def _merge_session_range(
+        self, key: str, t0: int, t1: int, cnt: int, dur: int, gap: int
+    ):
+        """Insert a session interval [t0, t1] (cnt events, dur sum) into the
+        per-key open-session list (kept sorted, non-overlapping under the
+        gap relation)."""
         lst = self.sessions[key]
         lo = None
         for s in lst:
-            if s[0] - gap <= t <= s[1] + gap:
+            if t0 <= s[1] + gap and t1 >= s[0] - gap:
                 lo = s
                 break
         if lo is None:
-            lst.append([t, t, 1, dur])
+            lst.append([t0, t1, cnt, dur])
             lst.sort(key=lambda s: s[0])
             return
-        lo[0] = min(lo[0], t)
-        lo[1] = max(lo[1], t)
-        lo[2] += 1
+        lo[0] = min(lo[0], t0)
+        lo[1] = max(lo[1], t1)
+        lo[2] += cnt
         lo[3] += dur
         # merging may bridge two sessions
         lst.sort(key=lambda s: s[0])
@@ -191,15 +232,27 @@ class PartitionState:
             self.metrics["updates_late"] += int(late.sum())
         ok = ~late
         if ok.any():
-            keys = table["clip_id"].to_pylist()
-            texts = table["transcript"].to_pylist()
-            revs = table["revision"].to_pylist()
-            for i in np.flatnonzero(ok).tolist():
-                rec = (int(ts[i]), int(revs[i]), texts[i])
-                self.updates[keys[i]].append(rec)
-                cur = self.view.get(keys[i])
+            sel = np.flatnonzero(ok)
+            keys = np.asarray(
+                table["clip_id"].to_numpy(zero_copy_only=False), dtype=object
+            )[sel]
+            texts = np.asarray(
+                table["transcript"].to_numpy(zero_copy_only=False), dtype=object
+            )[sel]
+            revs = table["revision"].to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+            tss = ts[sel]
+            self.upd_chunks.append((keys, tss, revs, texts))
+            # compacted view: batch last-write-wins by (ts, rev) — one sort,
+            # then a Python merge per DISTINCT key of the batch
+            order = np.lexsort((revs, tss, keys))
+            ks, t_s, r_s, x_s = keys[order], tss[order], revs[order], texts[order]
+            last = np.ones(len(ks), dtype=bool)
+            last[:-1] = ks[1:] != ks[:-1]
+            for i in np.flatnonzero(last):
+                rec = (int(t_s[i]), int(r_s[i]), x_s[i])
+                cur = self.view.get(ks[i])
                 if cur is None or (rec[0], rec[1]) >= (cur[0], cur[1]):
-                    self.view[keys[i]] = rec
+                    self.view[ks[i]] = rec
             self.metrics["updates_in"] += int(ok.sum())
         return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
 
@@ -218,29 +271,55 @@ class PartitionState:
             # (the reference's compacted-topic snapshot, T2 semantics)
             out["views"] = _stamp(self.view_snapshot(), self.partition, epoch)
         # Evict join right-side state: a buffered (non-emitted) clip has
-        # c.ts + W > wm, and any future non-late clip has c.ts ≥ wm, so no
-        # update with u.ts ≤ wm − W can ever match again.
-        # A buffered clip (c.ts + W ≥ wm) can still match u.ts ≥ c.ts ≥ wm − W.
+        # c.ts + W ≥ wm, and any future non-late clip has c.ts ≥ wm, so no
+        # update with u.ts < wm − W can ever match again (matching needs
+        # u.ts ≥ c.ts ≥ wm − W).
         horizon = wm - self.cfg.join_window_ms if wm < WATERMARK_MAX else wm
-        evicted = 0
-        for k in list(self.updates.keys()):
-            kept = [u for u in self.updates[k] if u[0] >= horizon]
-            evicted += len(self.updates[k]) - len(kept)
-            if kept:
-                self.updates[k] = kept
-            else:
-                del self.updates[k]
+        keys, tss, revs, texts = self._consolidated_updates()
+        keep = tss >= horizon
+        evicted = int(len(tss) - keep.sum())
+        if evicted:
+            self.upd_chunks = (
+                [(keys[keep], tss[keep], revs[keep], texts[keep])]
+                if keep.any()
+                else []
+            )
         self.metrics["updates_evicted"] += evicted
         self.metrics["epochs_closed"] += 1
         return out
 
+    def _consolidated_updates(self):
+        """Update buffer as (key, ts, rev)-sorted columnar arrays; the
+        chunk list is replaced by the consolidated form (amortized)."""
+        if not self.upd_chunks:
+            z = np.empty(0, dtype=object)
+            return z, np.empty(0, np.int64), np.empty(0, np.int64), z.copy()
+        keys = np.concatenate([c[0] for c in self.upd_chunks])
+        tss = np.concatenate([c[1] for c in self.upd_chunks])
+        revs = np.concatenate([c[2] for c in self.upd_chunks])
+        texts = np.concatenate([c[3] for c in self.upd_chunks])
+        order = np.lexsort((revs, tss, keys))
+        keys, tss, revs, texts = keys[order], tss[order], revs[order], texts[order]
+        self.upd_chunks = [(keys, tss, revs, texts)]
+        return keys, tss, revs, texts
+
     def _emit_replicated(self, epoch: int, wm: int) -> pa.Table | None:
+        """Emit clips whose join horizon passed, enriched with the latest
+        matching transcript revision.
+
+        Match bound is HALF-OPEN: update u joins clip c iff
+        ``c.ts ≤ u.ts < c.ts + W`` — the watermark-friendly convention,
+        identical to the batch ``interval_join`` kernel.  Fully
+        vectorized: one (key, ts, rev) sort of the update buffer, then
+        two ``searchsorted`` probes per emitted-clip batch; the last
+        element of each probe range IS the max-(ts, rev) revision.
+        """
         W = self.cfg.join_window_ms
         emitted, kept = [], []
         for t in self.clip_buf:
             ts = ts_to_ms(t["event_ts"])
             # strict: an update with u.ts == wm (not yet late) could still
-            # match a clip with c.ts + W == wm, so only emit below it
+            # match a clip with c.ts ≤ wm < c.ts + W, so only emit below it
             m = ts + W < wm if wm < WATERMARK_MAX else np.ones(len(ts), bool)
             if m.any():
                 emitted.append((t.filter(pa.array(m)), ts[m]))
@@ -249,25 +328,38 @@ class PartitionState:
         self.clip_buf = kept
         if not emitted:
             return None
+        ukeys, uts, urev, utext = self._consolidated_updates()
         parts = []
         for t, ts in emitted:
-            keys = t["clip_id"].to_pylist()
-            orig = t["transcript"].to_pylist()
-            final_txt, deleted = [], []
-            has_upd = self.updates
-            for i, k in enumerate(keys):
-                best = None
-                if k in has_upd:
-                    lo, hi = int(ts[i]), int(ts[i]) + W
-                    for u in has_upd[k]:
-                        if lo <= u[0] <= hi and (best is None or (u[0], u[1]) > (best[0], best[1])):
-                            best = u
-                if best is None:
-                    final_txt.append(orig[i])
-                    deleted.append(False)
-                else:
-                    final_txt.append(best[2])
-                    deleted.append(best[2] is None)
+            ckeys = np.asarray(
+                t["clip_id"].to_numpy(zero_copy_only=False), dtype=object
+            )
+            orig = np.asarray(
+                t["transcript"].to_numpy(zero_copy_only=False), dtype=object
+            )
+            if len(uts):
+                # composite (key-code, ts) probe key: factorize both key
+                # sets together, offset ts into a non-negative span
+                codes, _ = pd.factorize(np.concatenate([ukeys, ckeys]))
+                ucodes = codes[: len(ukeys)].astype(np.int64)
+                ccodes = codes[len(ukeys):].astype(np.int64)
+                tmin = int(min(uts.min(), ts.min()))
+                span = int(max(uts.max(), ts.max() + W)) - tmin + 2
+                ucomb = ucodes * span + (uts - tmin)
+                # updates are (key, ts, rev)-sorted ⇒ ucomb ascending per key
+                order = np.argsort(ucomb, kind="stable")
+                ucomb_s = ucomb[order]
+                lo = np.searchsorted(ucomb_s, ccodes * span + (ts - tmin), "left")
+                hi = np.searchsorted(ucomb_s, ccodes * span + (ts + W - tmin), "left")
+                match = hi > lo
+                best = order[np.maximum(hi - 1, 0)]
+                final_txt = orig.copy()
+                final_txt[match] = utext[best[match]]
+                deleted = np.zeros(len(ckeys), dtype=bool)
+                deleted[match] = pd.isna(utext[best[match]])
+            else:
+                final_txt = orig
+                deleted = np.zeros(len(ckeys), dtype=bool)
             t = t.set_column(
                 t.schema.get_field_index("transcript"),
                 "transcript",
@@ -401,7 +493,7 @@ class PartitionState:
             "win": self.win,
             "swin": self.swin,
             "sessions": dict(self.sessions),
-            "updates": dict(self.updates),
+            "upd_chunks": self.upd_chunks,
             "view": self.view,
             "max_ts": self.max_ts,
             "metrics": dict(self.metrics),
@@ -423,7 +515,7 @@ class PartitionState:
         self.win = light["win"]
         self.swin = light.get("swin", {})
         self.sessions = defaultdict(list, light["sessions"])
-        self.updates = defaultdict(list, light["updates"])
+        self.upd_chunks = light["upd_chunks"]
         self.view = light["view"]
         self.max_ts = light["max_ts"]
         self.metrics = defaultdict(int, light["metrics"])
@@ -491,13 +583,21 @@ def _make_actor_cls():
             # op is order-independent (sums, buffer appends, max-by-(ts,rev)).
             self.pending: dict[int, list] = {}
 
-        def ingest(self, kind: str, table: pa.Table, wm: int, epoch: int = 0) -> dict:
-            self.pending.setdefault(epoch, []).append((kind, table, wm))
+        def ingest(
+            self, kind: str, table: pa.Table, wm: int, epoch: int = 0, nonce: int = 0
+        ) -> dict:
+            self.pending.setdefault(epoch, []).append((nonce, kind, table, wm))
             return _classify(kind, table, wm)
 
-        def close_epoch(self, epoch: int, wm: int) -> dict:
+        def close_epoch(self, epoch: int, wm: int, nonces: dict | None = None) -> dict:
+            # ``nonces`` maps epoch → the launch nonce whose ingests are
+            # authoritative; stale stashes (a pre-launched slice the driver
+            # discarded and re-launched after the source grew) are dropped,
+            # never double-applied.
             for e in sorted(k for k in self.pending if k <= epoch):
-                for kind, table, wm_i in self.pending.pop(e):
+                for nonce, kind, table, wm_i in self.pending.pop(e):
+                    if nonces is not None and nonces.get(e, nonce) != nonce:
+                        continue
                     if kind == "clips":
                         self.state.ingest_clips(table, wm_i)
                     else:

@@ -105,7 +105,9 @@ def _oracle(clips: pa.Table, upd: pa.Table, lineage):
     for r in ok.itertuples():
         best = None
         for u in upd_by_key.get(r.clip_id, ()):
-            if r.ms <= u[0] <= r.ms + W and u[3] <= r.emit_epoch:
+            # half-open join bound [c.ts, c.ts + W) — matches the batch
+            # interval_join convention
+            if r.ms <= u[0] < r.ms + W and u[3] <= r.emit_epoch:
                 if best is None or (u[0], u[1]) > (best[0], best[1]):
                     best = u
         if best is None:
@@ -324,6 +326,57 @@ def test_epoch_stash_isolation(tmp_path, ray_session):
     r2 = ray.get(actor.close_epoch.remote(2, wm))
     assert r2["metrics"]["clips_in"] == 6
     ray.kill(actor)
+
+
+def test_stale_prelaunch_nonce_dropped(tmp_path, ray_session):
+    """A discarded pre-launched ingest (driver re-launched the epoch with a
+    wider slice) must NOT double-apply: close only applies the stash whose
+    nonce the driver recorded as authoritative."""
+    import ray
+
+    from hydra_ray.pipelines.replicate import _StateCfg
+    from hydra_ray.state.store import PartitionStateActor
+
+    sinks = {}
+    for s in ("replicated", "windows", "sliding", "sessions", "dlq", "views"):
+        sinks[s] = Table.create(str(tmp_path / s)).root
+    actor = PartitionStateActor().options(num_cpus=0).remote(
+        0, _StateCfg(cfg()), sinks, str(tmp_path / "ck")
+    )
+    light = synth_clips_table(6, hot_fraction=0.0).drop_columns(["bytes"])
+    wm = -(1 << 62)
+    # stale pre-launch stashed rows 0-2 under nonce 1, then the driver
+    # re-launched the same epoch (wider slice: rows 0-5) under nonce 2
+    ray.get(actor.ingest.remote("clips", light.slice(0, 3), wm, 1, 1))
+    ray.get(actor.ingest.remote("clips", light.slice(0, 6), wm, 1, 2))
+    r = ray.get(actor.close_epoch.remote(1, wm, {1: 2}))
+    assert r["metrics"]["clips_in"] == 6  # not 9
+    ray.kill(actor)
+
+
+def test_read_replicated_inflight(tmp_path, ray_session):
+    """Reading the output mid-run (finalize rows without their payload
+    flush) yields null-padded heavy columns, not an error."""
+    from hydra_ray.pipelines.replicate import read_replicated
+
+    root = str(tmp_path)
+    build_sources(root)
+    # short horizon so rows emit before the flush epoch
+    c = ReplicateConfig(
+        num_partitions=4, join_window_ms=5_000, allowed_lateness_ms=2_000,
+        window_size_ms=10_000, actor_num_cpus=0.25,
+    )
+    pipe = ReplicatePipeline(f"{root}/clips", f"{root}/out", c, f"{root}/updates")
+    pipe.run(max_epochs=3)  # mid-run: some epochs closed, no final flush
+    repl = Table(f"{root}/out/replicated").to_arrow()
+    assert repl.num_rows > 0
+    joined = read_replicated(f"{root}/out")
+    assert joined.num_rows == repl.num_rows
+    # finish the run: every visible row now has its payload
+    pipe2 = ReplicatePipeline(f"{root}/clips", f"{root}/out", c, f"{root}/updates")
+    pipe2.run()
+    joined2 = read_replicated(f"{root}/out")
+    assert joined2.column("n_samples").null_count == 0
 
 
 def test_ingest_modes_identical(tmp_path, ray_session, clean_run):
