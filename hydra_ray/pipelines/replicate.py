@@ -40,8 +40,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..hashing import partition_for
+from ..hashing import hash64, partition_for
 from ..stages.decode import AudioDecoder
+from ..stages.skew import salted_partition_for
 from ..state.store import WATERMARK_MAX, PartitionStateActor
 from ..table import Table
 from ..table.lancelite import FragmentMeta
@@ -67,6 +68,13 @@ class ReplicateConfig:
     actor_num_cpus: float = 0.5
     keep_checkpoints: int = 2
     record_size_limit: int = 0
+    # hot-key salting (north-rule skew handling): keys whose cumulative
+    # share of clip rows reaches the threshold are STICKY-hot — their
+    # clips spread over n_salts salted partitions, their updates fan out
+    # to the salt set, and window/session state merges at close
+    # (stages/skew.py strategy, wired end to end).  0 disables.
+    hot_key_threshold: float = 0.01
+    n_salts: int = 4
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -92,6 +100,8 @@ def _route_factory(
     payload_root: str | None = None,
     epoch: int = 0,
     nonce: int = 0,
+    hot_keys: frozenset = frozenset(),
+    n_salts: int = 4,
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
     heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
@@ -130,7 +140,40 @@ def _route_factory(
         if decoder is not None:
             batch = decoder(batch)
         t1 = _time.perf_counter()
-        parts = partition_for(batch[key_col], P)
+        keys = batch[key_col]
+        if kind == "clips" and hot_keys:
+            # hot clips spread over n_salts salted partitions (salt from
+            # the deterministic per-row seq, so replay routes identically)
+            parts = salted_partition_for(
+                keys, hot_keys, P, n_salts,
+                batch["seq"].to_numpy(zero_copy_only=False),
+            )
+        else:
+            parts = partition_for(keys, P)
+        replica_rows: dict = {}  # partition -> replica row indices
+        if kind == "updates" and hot_keys:
+            # fan hot-key updates out to every salt partition of the key
+            # (the home copy stays primary; replicas feed join/view state
+            # but are excluded from DLQ/metrics accounting)
+            keys_np = np.asarray(keys.to_numpy(zero_copy_only=False), dtype=object)
+            import pandas as _pd
+
+            hm = _pd.Series(keys_np).isin(hot_keys).to_numpy()
+            if hm.any():
+                hrows = np.flatnonzero(hm)
+                hkeys = keys_np[hrows].astype(str)
+                rep_rows, rep_parts = [], []
+                for s in range(n_salts):
+                    salted = np.char.add(hkeys, f"#{s}").astype(object)
+                    ps = (hash64(salted) % np.uint64(P)).astype(np.int64)
+                    rep_rows.append(hrows)
+                    rep_parts.append(ps)
+                rr = np.concatenate(rep_rows)
+                rp = np.concatenate(rep_parts)
+                keep = rp != parts[rr]         # home copy is the primary
+                combo = np.unique(rr[keep].astype(np.int64) * P + rp[keep])
+                rr, rp = combo // P, combo % P
+                replica_rows = {int(p): rr[rp == p] for p in np.unique(rp)}
         payload_tbl = _Table(payload_root) if payload_root else None
         light = batch.drop_columns([c for c in HEAVY_COLS if c in batch.column_names])
         if payload_tbl is not None:
@@ -138,9 +181,19 @@ def _route_factory(
             ok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
             ok &= _ts_to_ms(batch["event_ts"]) >= wm
         refs, sent, frags = [], [], []
-        for p in np.unique(parts):
-            idx = pa.array(np.flatnonzero(parts == p))
-            sub = light.take(idx)
+        all_parts = np.union1d(
+            np.unique(parts), np.array(sorted(replica_rows), dtype=parts.dtype)
+        )
+        for p in all_parts:
+            prim = np.flatnonzero(parts == p)
+            reps = replica_rows.get(int(p))
+            if reps is not None and len(reps):
+                sub = light.take(pa.array(np.concatenate([prim, reps])))
+                flags = np.zeros(len(prim) + len(reps), dtype=bool)
+                flags[len(prim):] = True
+                sub = sub.append_column("__replica", pa.array(flags))
+            else:
+                sub = light.take(pa.array(prim))
             # epoch tag is REQUIRED: actors stash and apply at close(epoch),
             # so pipelined e+1 ingests can never leak into close(e) state
             # or its checkpoint (which would double-ingest after a crash);
@@ -289,6 +342,12 @@ class ReplicatePipeline:
         self.frontiers: dict[str, int] = {}
         self._nonce_counter = 0
         self._nonces: dict[int, int] = {}
+        # sticky hot-key state (persisted in the main sink's commit)
+        self._hot: set[str] = set()
+        self._hot_copied: dict[str, int] = {}
+        self._key_counts: dict[str, int] = {}
+        self._total_clips = 0
+        self._hot_metrics: dict[str, int] = {}
 
     # ----------------------------------------------------------- lifecycle
     def _spawn_actors(self):
@@ -345,6 +404,13 @@ class ReplicatePipeline:
             wm = int(state.get("watermark", -(1 << 62)))
             self.frontiers = {
                 k: int(v) for k, v in state.get("frontiers", {}).items()
+            }
+            self._hot = set(state.get("hot_keys", []))
+            self._hot_copied = {}  # resume re-copies hot buffers (idempotent)
+            self._key_counts = {k: int(c) for k, c in state.get("hot_key_counts", [])}
+            self._total_clips = int(state.get("total_clips", 0))
+            self._hot_metrics = {
+                k: int(v) for k, v in state.get("hot_metrics", {}).items()
             }
             flushed = bool(state.get("flushed", False))
             metrics: dict = {}
@@ -433,17 +499,34 @@ class ReplicatePipeline:
         self._nonce_counter += 1
         nonce = self._nonce_counter
         self._nonces[epoch] = nonce
+        hot = frozenset(self._hot) if cfg.hot_key_threshold else frozenset()
+        if hot:
+            # ship already-buffered updates of newly-hot keys to their salt
+            # partitions (stashed under this launch's nonce; idempotent —
+            # duplicate copies collapse in the max-(ts, rev) join/view)
+            newly = sorted(
+                k for k in hot
+                if self._hot_copied.get(k, epoch) == epoch
+            )
+            if newly:
+                self._copy_hot_buffers(newly, epoch, nonce)
+                for k in newly:
+                    self._hot_copied[k] = epoch
         clips_route = _route_factory(
             self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions,
             decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
             payload_root=self.sink["payload"].root,
             epoch=epoch,
             nonce=nonce,
+            hot_keys=hot,
+            n_salts=cfg.n_salts,
         )
         updates_route = _route_factory(
             self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions,
             epoch=epoch,
             nonce=nonce,
+            hot_keys=hot,
+            n_salts=cfg.n_salts,
         )
         if cfg.ingest_mode == "tasks":
             task = _ingest_task_fn()
@@ -487,6 +570,53 @@ class ReplicatePipeline:
             )
             ack_tables.append(ds)
         return ("datasets", ack_tables)
+
+    def _copy_hot_buffers(self, keys: list[str], epoch: int, nonce: int):
+        """Fan a newly-hot key's buffered update revisions from its home
+        partition to its salt partitions, as replica ingests stashed for
+        ``epoch`` under this launch's nonce."""
+        import ray
+
+        P = self.cfg.num_partitions
+        keys_np = np.asarray(keys, dtype=object)
+        homes = partition_for(keys_np, P)
+        by_home: dict[int, list[str]] = {}
+        for k, h in zip(keys, homes):
+            by_home.setdefault(int(h), []).append(k)
+        fetched = ray.get(
+            [self.actors[h].buffered_updates_for.remote(ks) for h, ks in by_home.items()]
+        )
+        refs = []
+        for (h, _ks), res in zip(by_home.items(), fetched):
+            if res is None:
+                continue
+            ukeys, uts, urev, utext = res
+            targets: dict[int, set] = {}
+            hk = ukeys.astype(str)
+            for s in range(self.cfg.n_salts):
+                salted = np.char.add(hk, f"#{s}").astype(object)
+                ps = (hash64(salted) % np.uint64(P)).astype(np.int64)
+                for i, p in enumerate(ps):
+                    if int(p) != h:
+                        targets.setdefault(int(p), set()).add(i)
+            for p, idx in targets.items():
+                sel = np.array(sorted(idx), dtype=np.int64)
+                tbl = pa.table(
+                    {
+                        "clip_id": pa.array(ukeys[sel], pa.string()),
+                        "transcript": pa.array(utext[sel], pa.string()),
+                        "revision": pa.array(urev[sel].astype(np.int32), pa.int32()),
+                        "event_ts": pa.array(uts[sel], pa.timestamp("ms")),
+                        "__replica": pa.array(np.ones(len(sel), dtype=bool)),
+                    }
+                )
+                refs.append(
+                    self.actors[p].ingest.remote(
+                        "updates", tbl, -(1 << 62), epoch, nonce
+                    )
+                )
+        if refs:
+            ray.get(refs)
 
     def _collect_acks(self, launched, epoch: int) -> list:
         import ray
@@ -546,10 +676,19 @@ class ReplicatePipeline:
             raise CrashPoint(f"injected crash before close of epoch {epoch}")
 
         # -- 4. close → staged fragments ------------------------------------
+        hot_list = sorted(self._hot) if cfg.hot_key_threshold else None
         results = ray.get(
-            [a.close_epoch.remote(epoch, wm, self._nonces) for a in self.actors]
+            [
+                a.close_epoch.remote(epoch, wm, self._nonces, hot_list)
+                for a in self.actors
+            ]
         )
         self._nonces = {e: x for e, x in self._nonces.items() if e > epoch}
+        # merge hot-key partials across salt partitions (driver-side: the
+        # row count is bounded by hot keys × windows closed this epoch),
+        # stage the merged fragments, and hand still-open merged sessions
+        # back to each key's home partition BEFORE the checkpoint
+        hot_staged = self._process_hot(results, epoch, wm)
         _marks.append(("close", _t()))
 
         if cfg.crash_at == (epoch, "after_prepare"):
@@ -565,6 +704,8 @@ class ReplicatePipeline:
         for r in results:
             for sink_name, frag in r["staged"].items():
                 staged[sink_name].append(FragmentMeta.from_json(frag))
+        for sink_name, frag in hot_staged:
+            staged[sink_name].append(frag)
         if not flush:
             for a in acks:
                 if a.get("payload_frag"):
@@ -583,6 +724,9 @@ class ReplicatePipeline:
         for r in results:
             for k, v in r["metrics"].items():
                 merged[k] = merged.get(k, 0) + v
+        for k, v in self._hot_metrics.items():
+            merged[k] = merged.get(k, 0) + v
+        self._update_hot_detection(results, acks)
         lineage = list(
             self.sink[self.MAIN].pipeline_state(self.name).get("lineage", [])
         )
@@ -609,6 +753,14 @@ class ReplicatePipeline:
                 # would be truncated to a side log; kept inline here)
                 "lineage": lineage,
                 "metrics": merged,
+                # sticky hot-key state: the set committed here routes the
+                # NEXT epoch (and any replay of it)
+                "hot_keys": sorted(self._hot),
+                "hot_key_counts": sorted(
+                    self._key_counts.items(), key=lambda kv: -kv[1]
+                )[:1024],
+                "total_clips": self._total_clips,
+                "hot_metrics": dict(self._hot_metrics),
             },
         )
         _marks.append(("commit", _t()))
@@ -623,6 +775,117 @@ class ReplicatePipeline:
             print(f"[epoch {epoch}] {spans}", file=_sys.stderr)
         merged["__watermark"] = wm if wm < WATERMARK_MAX else max_ts
         return merged
+
+    def _process_hot(self, results: list, epoch: int, wm: int) -> list:
+        """Merge hot-key close partials across salt partitions.
+
+        - tumbling/sliding window partials: group-sum → one merged
+          fragment per sink, stamped partition=-1;
+        - sessions: gap-merge every extracted interval per key, stage the
+          merged-closed ones, and ADOPT the still-open remainder into the
+          key's home partition (must precede the epoch checkpoint).
+        Returns [(sink_name, FragmentMeta)] to include in the commit.
+        """
+        import ray
+
+        from ..state.store import _stamp
+
+        cfg = self.cfg
+        staged: list = []
+        for name, sink_key in (("hot_windows", "windows"), ("hot_sliding", "sliding")):
+            tbls = [r["hot"][name] for r in results if name in r.get("hot", {})]
+            if not tbls:
+                continue
+            cat = pa.concat_tables(tbls, promote_options="default")
+            gb = cat.group_by(["clip_id", "window_start"], use_threads=False).aggregate(
+                [("window_end", "max"), ("n_clips", "sum"), ("sum_dur_ms", "sum")]
+            )
+            merged = pa.table(
+                {
+                    "clip_id": gb["clip_id"],
+                    "window_start": gb["window_start"],
+                    "window_end": gb["window_end_max"],
+                    "n_clips": gb["n_clips_sum"],
+                    "sum_dur_ms": gb["sum_dur_ms_sum"],
+                }
+            )
+            merged = _stamp(merged, -1, epoch)
+            frag = self.sink[sink_key].stage_fragment(merged, epoch, -1)
+            staged.append((sink_key, frag))
+            m = "windows_closed" if sink_key == "windows" else "sliding_closed"
+            self._hot_metrics[m] = self._hot_metrics.get(m, 0) + merged.num_rows
+        # sessions: gap-merge all extracted intervals per key
+        intervals: list = []
+        for r in results:
+            intervals.extend(r.get("hot", {}).get("hot_sessions") or [])
+        if intervals:
+            gap = cfg.session_gap_ms
+            per_key: dict[str, list] = {}
+            for k, s0, s1, cnt, dur in intervals:
+                per_key.setdefault(k, []).append([s0, s1, cnt, dur])
+            closed_rows, open_by_home = [], {}
+            keys_np = np.asarray(sorted(per_key), dtype=object)
+            homes = partition_for(keys_np, cfg.num_partitions)
+            for k, home in zip(keys_np, homes):
+                ivs = sorted(per_key[k])
+                merged_ivs = [ivs[0]]
+                for s in ivs[1:]:
+                    prev = merged_ivs[-1]
+                    if s[0] <= prev[1] + gap:
+                        prev[1] = max(prev[1], s[1])
+                        prev[2] += s[2]
+                        prev[3] += s[3]
+                    else:
+                        merged_ivs.append(s)
+                for s in merged_ivs:
+                    if s[1] + gap < wm:
+                        closed_rows.append((k, *s))
+                    else:
+                        open_by_home.setdefault(int(home), {}).setdefault(
+                            k, []
+                        ).append(s)
+            if closed_rows:
+                tbl = pa.table(
+                    {
+                        "clip_id": pa.array([r[0] for r in closed_rows], pa.string()),
+                        "session_start": pa.array([r[1] for r in closed_rows], pa.int64()),
+                        "session_end": pa.array([r[2] for r in closed_rows], pa.int64()),
+                        "n_clips": pa.array([r[3] for r in closed_rows], pa.int64()),
+                        "sum_dur_ms": pa.array([r[4] for r in closed_rows], pa.int64()),
+                    }
+                )
+                tbl = _stamp(tbl, -1, epoch)
+                frag = self.sink["sessions"].stage_fragment(tbl, epoch, -1)
+                staged.append(("sessions", frag))
+                self._hot_metrics["sessions_closed"] = (
+                    self._hot_metrics.get("sessions_closed", 0) + len(closed_rows)
+                )
+            if open_by_home:
+                ray.get(
+                    [
+                        self.actors[h].adopt_sessions.remote(sess)
+                        for h, sess in open_by_home.items()
+                    ]
+                )
+        return staged
+
+    def _update_hot_detection(self, results: list, acks: list):
+        """Fold per-epoch key counts into the sticky hot set."""
+        cfg = self.cfg
+        if not cfg.hot_key_threshold:
+            return
+        self._total_clips += sum(a["n"] for a in acks if a["source"] == "clips")
+        for r in results:
+            for k, c in r.get("key_counts", []):
+                self._key_counts[k] = self._key_counts.get(k, 0) + int(c)
+        if len(self._key_counts) > 4096:
+            top = sorted(self._key_counts.items(), key=lambda kv: -kv[1])[:2048]
+            self._key_counts = dict(top)
+        if self._total_clips:
+            floor = cfg.hot_key_threshold * self._total_clips
+            for k, c in self._key_counts.items():
+                if c >= floor:
+                    self._hot.add(k)
 
     def _gc_checkpoints(self, epoch: int):
         keep = self.cfg.keep_checkpoints
@@ -647,6 +910,7 @@ class _StateCfg:
     session_gap_ms: int = 0
     sliding_size_ms: int = 0
     sliding_slide_ms: int = 0
+    num_partitions: int = 0
 
     def __init__(self, cfg: ReplicateConfig):
         self.join_window_ms = cfg.join_window_ms
@@ -655,3 +919,4 @@ class _StateCfg:
         self.session_gap_ms = cfg.session_gap_ms
         self.sliding_size_ms = cfg.sliding_size_ms
         self.sliding_slide_ms = cfg.sliding_slide_ms
+        self.num_partitions = cfg.num_partitions

@@ -76,6 +76,9 @@ class PartitionState:
         self.view: dict[str, tuple] = {}
         # DLQ rows accumulated this epoch: list[(source, reason, table)]
         self.dlq_buf: list[tuple[str, str, pa.Table]] = []
+        # per-epoch clip-key counts (reset each close) — feeds the driver's
+        # sticky hot-key detection; bounded by the report cap, not by rows
+        self.key_counts: dict[str, int] = {}
         self.max_ts = -(1 << 62)
         self.metrics = defaultdict(int)
 
@@ -113,6 +116,16 @@ class PartitionState:
             self.clip_buf.append(sub)
             sub_ts = ts[ok]
             self._accumulate_windows(sub, sub_ts)
+            vc = sub.group_by(["clip_id"], use_threads=False).aggregate(
+                [("clip_id", "count")]
+            )
+            cnts = vc["clip_id_count"].to_numpy(zero_copy_only=False)
+            heavy = cnts >= 2  # a hot key recurs within a batch; cold keys don't
+            for k, c in zip(
+                np.asarray(vc["clip_id"].to_numpy(zero_copy_only=False), object)[heavy],
+                cnts[heavy],
+            ):
+                self.key_counts[k] = self.key_counts.get(k, 0) + int(c)
             self.metrics["clips_in"] += sub.num_rows
         return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
 
@@ -222,14 +235,22 @@ class PartitionState:
         n = table.num_rows
         if n == 0:
             return {"n": 0, "late": 0, "max_ts": self.max_ts}
+        # hot-key fan-out replicas feed join/view state everywhere, but DLQ
+        # rows and metrics are accounted ONCE, on the primary (home) copy
+        if "__replica" in table.column_names:
+            replica = table["__replica"].to_numpy(zero_copy_only=False).astype(bool)
+            table = table.drop_columns(["__replica"])
+        else:
+            replica = np.zeros(n, dtype=bool)
         ts = ts_to_ms(table["event_ts"])
         self.max_ts = max(self.max_ts, int(ts.max()))
         late = ts < wm
-        if late.any():
+        late_primary = late & ~replica
+        if late_primary.any():
             self.dlq_buf.append(
-                ("updates", "late", table.filter(pa.array(late)))
+                ("updates", "late", table.filter(pa.array(late_primary)))
             )
-            self.metrics["updates_late"] += int(late.sum())
+            self.metrics["updates_late"] += int(late_primary.sum())
         ok = ~late
         if ok.any():
             sel = np.flatnonzero(ok)
@@ -253,22 +274,29 @@ class PartitionState:
                 cur = self.view.get(ks[i])
                 if cur is None or (rec[0], rec[1]) >= (cur[0], cur[1]):
                     self.view[ks[i]] = rec
-            self.metrics["updates_in"] += int(ok.sum())
+            self.metrics["updates_in"] += int((ok & ~replica).sum())
         return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
 
     # -------------------------------------------------------------- close
-    def close_epoch(self, epoch: int, wm: int) -> dict:
+    def close_epoch(self, epoch: int, wm: int, hot_keys: frozenset = frozenset()) -> dict:
         """Advance to watermark ``wm``: emit, close, evict.  Returns arrow
-        outputs {replicated, windows, sessions, dlq} (possibly empty)."""
+        outputs {replicated, windows, sessions, dlq} (possibly empty) plus
+        hot-key partials (``hot_windows``/``hot_sliding`` tables and the
+        ``hot_sessions`` interval list) that the DRIVER merges across salt
+        partitions before staging — a salted key's state lives on several
+        partitions, so per-partition close emits only its partial.
+        """
         out = {}
         out["replicated"] = self._emit_replicated(epoch, wm)
-        out["windows"] = self._close_windows(epoch, wm)
-        out["sliding"] = self._close_sliding(epoch, wm)
-        out["sessions"] = self._close_sessions(epoch, wm)
+        out["windows"], out["hot_windows"] = self._close_windows(epoch, wm, hot_keys)
+        out["sliding"], out["hot_sliding"] = self._close_sliding(epoch, wm, hot_keys)
+        out["sessions"], out["hot_sessions"] = self._close_sessions(epoch, wm, hot_keys)
         out["dlq"] = self._emit_dlq(epoch)
         if wm >= WATERMARK_MAX and self.view:
             # end of stream: materialize the compacted latest-value view
-            # (the reference's compacted-topic snapshot, T2 semantics)
+            # (the reference's compacted-topic snapshot, T2 semantics).
+            # Fan-out replicas give every salt partition a copy of a hot
+            # key's view entry; only the HOME partition emits it.
             out["views"] = _stamp(self.view_snapshot(), self.partition, epoch)
         # Evict join right-side state: a buffered (non-emitted) clip has
         # c.ts + W ≥ wm, and any future non-late clip has c.ts ≥ wm, so no
@@ -372,57 +400,72 @@ class PartitionState:
         self.metrics["replicated_out"] += tbl.num_rows
         return tbl
 
-    def _close_windows(self, epoch: int, wm: int) -> pa.Table | None:
+    @staticmethod
+    def _window_rows_table(rows: list, size: int) -> pa.Table:
+        return pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "window_start": pa.array([r[1] for r in rows], pa.int64()),
+                "window_end": pa.array([r[1] + size for r in rows], pa.int64()),
+                "n_clips": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    def _close_window_dict(
+        self, target: dict, size: int, epoch: int, wm: int, hot_keys: frozenset,
+        metric: str,
+    ) -> tuple[pa.Table | None, pa.Table | None]:
+        """Shared tumbling/sliding close: cold rows become this partition's
+        staged output; hot rows are PARTIALS returned for driver merge."""
+        closed_keys = [kw for kw in target if kw[1] + size <= wm]
+        if not closed_keys:
+            return None, None
+        closed_keys.sort()
+        cold, hot = [], []
+        for k, w in closed_keys:
+            row = (k, w, *target.pop((k, w)))
+            (hot if k in hot_keys else cold).append(row)
+        tbl = None
+        if cold:
+            tbl = _stamp(self._window_rows_table(cold, size), self.partition, epoch)
+            self.metrics[metric] += tbl.num_rows
+        hot_tbl = self._window_rows_table(hot, size) if hot else None
+        return tbl, hot_tbl
+
+    def _close_windows(self, epoch: int, wm: int, hot_keys: frozenset = frozenset()):
         size = self.cfg.window_size_ms
         if not size or not self.win:
-            return None
-        closed_keys = [kw for kw in self.win if kw[1] + size <= wm]
-        if not closed_keys:
-            return None
-        closed_keys.sort()
-        rows = [(k, w, *self.win.pop((k, w))) for (k, w) in closed_keys]
-        tbl = pa.table(
-            {
-                "clip_id": pa.array([r[0] for r in rows], pa.string()),
-                "window_start": pa.array([r[1] for r in rows], pa.int64()),
-                "window_end": pa.array([r[1] + size for r in rows], pa.int64()),
-                "n_clips": pa.array([r[2] for r in rows], pa.int64()),
-                "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
-            }
+            return None, None
+        return self._close_window_dict(
+            self.win, size, epoch, wm, hot_keys, "windows_closed"
         )
-        tbl = _stamp(tbl, self.partition, epoch)
-        self.metrics["windows_closed"] += tbl.num_rows
-        return tbl
 
-    def _close_sliding(self, epoch: int, wm: int) -> pa.Table | None:
+    def _close_sliding(self, epoch: int, wm: int, hot_keys: frozenset = frozenset()):
         size = getattr(self.cfg, "sliding_size_ms", 0)
         if not size or not self.swin:
-            return None
-        closed = [kw for kw in self.swin if kw[1] + size <= wm]
-        if not closed:
-            return None
-        closed.sort()
-        rows = [(k, w, *self.swin.pop((k, w))) for (k, w) in closed]
-        tbl = pa.table(
-            {
-                "clip_id": pa.array([r[0] for r in rows], pa.string()),
-                "window_start": pa.array([r[1] for r in rows], pa.int64()),
-                "window_end": pa.array([r[1] + size for r in rows], pa.int64()),
-                "n_clips": pa.array([r[2] for r in rows], pa.int64()),
-                "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
-            }
+            return None, None
+        return self._close_window_dict(
+            self.swin, size, epoch, wm, hot_keys, "sliding_closed"
         )
-        tbl = _stamp(tbl, self.partition, epoch)
-        self.metrics["sliding_closed"] += tbl.num_rows
-        return tbl
 
-    def _close_sessions(self, epoch: int, wm: int) -> pa.Table | None:
+    def _close_sessions(self, epoch: int, wm: int, hot_keys: frozenset = frozenset()):
+        """Close cold sessions below the watermark; EXTRACT every hot-key
+        session (open or closed — a salted key's intervals on different
+        partitions may bridge, so closure is decided only after the driver
+        merges them and the still-open remainder is adopted by the home
+        partition)."""
         gap = self.cfg.session_gap_ms
         if not gap or not self.sessions:
-            return None
+            return None, None
         rows = []
+        hot_rows: list[tuple] = []
         for k in sorted(self.sessions.keys()):
             lst = self.sessions[k]
+            if k in hot_keys:
+                hot_rows.extend((k, *s) for s in lst)
+                del self.sessions[k]
+                continue
             still_open = []
             for s in lst:
                 # strict: a future row with ts == wm joins a session whose
@@ -435,20 +478,39 @@ class PartitionState:
                 self.sessions[k] = still_open
             else:
                 del self.sessions[k]
-        if not rows:
+        tbl = None
+        if rows:
+            tbl = pa.table(
+                {
+                    "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                    "session_start": pa.array([r[1] for r in rows], pa.int64()),
+                    "session_end": pa.array([r[2] for r in rows], pa.int64()),
+                    "n_clips": pa.array([r[3] for r in rows], pa.int64()),
+                    "sum_dur_ms": pa.array([r[4] for r in rows], pa.int64()),
+                }
+            )
+            tbl = _stamp(tbl, self.partition, epoch)
+            self.metrics["sessions_closed"] += tbl.num_rows
+        return tbl, hot_rows or None
+
+    def adopt_sessions(self, merged: dict):
+        """Home-partition adoption of driver-merged still-open hot sessions."""
+        gap = self.cfg.session_gap_ms
+        for k, intervals in merged.items():
+            for s in intervals:
+                self._merge_session_range(k, s[0], s[1], s[2], s[3], gap)
+
+    def buffered_updates_for(self, keys: frozenset) -> tuple:
+        """Buffered (non-evicted) update records for ``keys`` — shipped to
+        salt partitions when a key turns hot so already-buffered revisions
+        can still join clips that will now be salted elsewhere."""
+        ukeys, uts, urev, utext = self._consolidated_updates()
+        if not len(ukeys):
             return None
-        tbl = pa.table(
-            {
-                "clip_id": pa.array([r[0] for r in rows], pa.string()),
-                "session_start": pa.array([r[1] for r in rows], pa.int64()),
-                "session_end": pa.array([r[2] for r in rows], pa.int64()),
-                "n_clips": pa.array([r[3] for r in rows], pa.int64()),
-                "sum_dur_ms": pa.array([r[4] for r in rows], pa.int64()),
-            }
-        )
-        tbl = _stamp(tbl, self.partition, epoch)
-        self.metrics["sessions_closed"] += tbl.num_rows
-        return tbl
+        m = pd.Series(ukeys).isin(keys).to_numpy()
+        if not m.any():
+            return None
+        return (ukeys[m], uts[m], urev[m], utext[m])
 
     def _emit_dlq(self, epoch: int) -> pa.Table | None:
         if not self.dlq_buf:
@@ -475,7 +537,13 @@ class PartitionState:
 
     # --------------------------------------------------------- view query
     def view_snapshot(self) -> pa.Table:
+        from ..hashing import partition_for
+
         keys = sorted(self.view.keys())
+        P = getattr(self.cfg, "num_partitions", 0)
+        if keys and P:
+            homes = partition_for(np.asarray(keys, dtype=object), P)
+            keys = [k for k, h in zip(keys, homes) if h == self.partition]
         return pa.table(
             {
                 "clip_id": pa.array(keys, pa.string()),
@@ -589,7 +657,13 @@ def _make_actor_cls():
             self.pending.setdefault(epoch, []).append((nonce, kind, table, wm))
             return _classify(kind, table, wm)
 
-        def close_epoch(self, epoch: int, wm: int, nonces: dict | None = None) -> dict:
+        def close_epoch(
+            self,
+            epoch: int,
+            wm: int,
+            nonces: dict | None = None,
+            hot_keys: list | None = None,
+        ) -> dict:
             # ``nonces`` maps epoch → the launch nonce whose ingests are
             # authoritative; stale stashes (a pre-launched slice the driver
             # discarded and re-launched after the source grew) are dropped,
@@ -602,17 +676,38 @@ def _make_actor_cls():
                         self.state.ingest_clips(table, wm_i)
                     else:
                         self.state.ingest_updates(table, wm_i)
-            outputs = self.state.close_epoch(epoch, wm)
+            hot = frozenset(hot_keys) if hot_keys else frozenset()
+            outputs = self.state.close_epoch(epoch, wm, hot)
             staged = {}
+            hot_out = {}
             for name, tbl in outputs.items():
+                if name.startswith("hot_"):
+                    if tbl is not None:
+                        hot_out[name] = tbl
+                    continue
                 if tbl is not None and name in self.sinks and tbl.num_rows:
                     frag = self.sinks[name].stage_fragment(tbl, epoch, self.partition)
                     staged[name] = frag.to_json()
+            # per-epoch heavy-key counts (top few, floor-filtered) feed the
+            # driver's sticky hot-set detection; reset for the next epoch
+            kc = sorted(
+                self.state.key_counts.items(), key=lambda kv: -kv[1]
+            )[:128]
+            self.state.key_counts = {}
             return {
                 "staged": staged,
+                "hot": hot_out,
+                "key_counts": kc,
                 "metrics": dict(self.state.metrics),
                 "max_ts": self.state.max_ts,
             }
+
+        def adopt_sessions(self, merged: dict) -> bool:
+            self.state.adopt_sessions(merged)
+            return True
+
+        def buffered_updates_for(self, keys: list):
+            return self.state.buffered_updates_for(frozenset(keys))
 
         def checkpoint(self, epoch: int) -> str:
             d = os.path.join(self.ckpt_root, f"p{self.partition:04d}", f"e{epoch:06d}")
