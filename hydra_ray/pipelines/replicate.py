@@ -75,6 +75,9 @@ class ReplicateConfig:
     # (stages/skew.py strategy, wired end to end).  0 disables.
     hot_key_threshold: float = 0.01
     n_salts: int = 4
+    # full state snapshot every K epochs; the epochs between checkpoint
+    # O(delta) only (restore = full + delta chain, store.py)
+    full_checkpoint_every: int = 4
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -317,6 +320,29 @@ def read_replicated(out_root: str, with_payload: bool = True) -> pa.Table:
             continue
         out = out.append_column(c, matched[c].combine_chunks())
     return out
+
+
+def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
+    """Committed per-epoch lineage from the side log: one entry per epoch
+    ≤ the main sink's committed epoch, duplicate epoch lines (replays)
+    deduped last-wins, malformed tails (crash mid-append) skipped."""
+    t = Table(os.path.join(out_root, "replicated"))
+    committed = t.committed_epoch(name)
+    path = os.path.join(out_root, "_lineage", f"{name}.jsonl")
+    ents: dict[int, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    e = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if e.get("epoch") is not None and e["epoch"] <= committed:
+                    ents[e["epoch"]] = e
+    return [ents[e] for e in sorted(ents)]
 
 
 class ReplicatePipeline:
@@ -694,8 +720,11 @@ class ReplicatePipeline:
         if cfg.crash_at == (epoch, "after_prepare"):
             raise CrashPoint(f"injected crash after prepare of epoch {epoch}")
 
-        # -- 5. checkpoint ---------------------------------------------------
-        ray.get([a.checkpoint.remote(epoch) for a in self.actors])
+        # -- 5. checkpoint (full every K epochs, deltas between) ------------
+        full = (epoch % max(cfg.full_checkpoint_every, 1)) == 0
+        ray.get(
+            [a.checkpoint.remote(epoch, wm, full) for a in self.actors]
+        )
         self._gc_checkpoints(epoch)
         _marks.append(("checkpoint", _t()))
 
@@ -727,10 +756,11 @@ class ReplicatePipeline:
         for k, v in self._hot_metrics.items():
             merged[k] = merged.get(k, 0) + v
         self._update_hot_detection(results, acks)
-        lineage = list(
-            self.sink[self.MAIN].pipeline_state(self.name).get("lineage", [])
-        )
-        lineage.append(
+        # per-epoch lineage goes to an append-only SIDE LOG (bounded
+        # manifests at any horizon); the line is written before the commit
+        # so a committed epoch always has its entry, and replays write
+        # duplicate epoch lines that the reader dedupes (last wins)
+        self._append_lineage(
             {
                 "epoch": epoch,
                 "clips": [clips_from, clips_to],
@@ -749,9 +779,7 @@ class ReplicatePipeline:
                 "watermark": wm if wm < WATERMARK_MAX else max_ts,
                 "frontiers": self.frontiers,
                 "flushed": flush,
-                # per-epoch lineage history (at very long horizons this
-                # would be truncated to a side log; kept inline here)
-                "lineage": lineage,
+                "lineage_log": os.path.join("_lineage", f"{self.name}.jsonl"),
                 "metrics": merged,
                 # sticky hot-key state: the set committed here routes the
                 # NEXT epoch (and any replay of it)
@@ -775,6 +803,14 @@ class ReplicatePipeline:
             print(f"[epoch {epoch}] {spans}", file=_sys.stderr)
         merged["__watermark"] = wm if wm < WATERMARK_MAX else max_ts
         return merged
+
+    def _append_lineage(self, entry: dict):
+        d = os.path.join(self.out_root, "_lineage")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{self.name}.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def _process_hot(self, results: list, epoch: int, wm: int) -> list:
         """Merge hot-key close partials across salt partitions.
@@ -888,16 +924,30 @@ class ReplicatePipeline:
                     self._hot.add(k)
 
     def _gc_checkpoints(self, epoch: int):
+        """Delete checkpoint dirs no restore can need: everything before
+        the newest FULL snapshot at or below the retention horizon (a
+        delta is only restorable with its full base + contiguous chain)."""
+        import shutil
+
         keep = self.cfg.keep_checkpoints
+        min_needed = epoch - keep + 1
         for p in range(self.cfg.num_partitions):
             d = os.path.join(self.ckpt_root, f"p{p:04d}")
             if not os.path.isdir(d):
                 continue
-            all_e = sorted(int(n[1:]) for n in os.listdir(d) if n.startswith("e"))
-            for e in all_e[:-keep]:
-                import shutil
-
-                shutil.rmtree(os.path.join(d, f"e{e:06d}"), ignore_errors=True)
+            fulls = [
+                int(n[1:])
+                for n in os.listdir(d)
+                if n.startswith("e")
+                and os.path.exists(os.path.join(d, n, "state.pkl"))
+            ]
+            base_candidates = [e for e in fulls if e <= min_needed]
+            if not base_candidates:
+                continue
+            base = max(base_candidates)
+            for n in os.listdir(d):
+                if n.startswith("e") and int(n[1:]) < base:
+                    shutil.rmtree(os.path.join(d, n), ignore_errors=True)
 
 
 @dataclass

@@ -81,6 +81,18 @@ class PartitionState:
         self.key_counts: dict[str, int] = {}
         self.max_ts = -(1 << 62)
         self.metrics = defaultdict(int)
+        # deltas since the last checkpoint (incremental-checkpoint support:
+        # full snapshot every K epochs, O(delta) in between — restore
+        # merges full + deltas then prunes by the final watermark, which
+        # is exact because every removal predicate is wm-monotone)
+        self._reset_deltas()
+
+    def _reset_deltas(self):
+        self._delta_win: dict[tuple[str, int], list] = {}
+        self._delta_swin: dict[tuple[str, int], list] = {}
+        self._delta_upd: list[tuple] = []
+        self._delta_view: dict[str, tuple] = {}
+        self._delta_clips: list[pa.Table] = []
 
     # ------------------------------------------------------------- ingest
     def ingest_clips(self, table: pa.Table, wm: int) -> dict:
@@ -114,6 +126,7 @@ class PartitionState:
             if err_idx >= 0:
                 sub = sub.drop_columns(["decode_error"])
             self.clip_buf.append(sub)
+            self._delta_clips.append(sub)
             sub_ts = ts[ok]
             self._accumulate_windows(sub, sub_ts)
             vc = sub.group_by(["clip_id"], use_threads=False).aggregate(
@@ -131,9 +144,10 @@ class PartitionState:
 
     @staticmethod
     def _merge_window_partials(
-        target: dict, keys_np: np.ndarray, starts: np.ndarray, durs: np.ndarray
+        targets: list[dict], keys_np: np.ndarray, starts: np.ndarray, durs: np.ndarray
     ):
-        """Fold per-batch (key, window) partials into the state dict.
+        """Fold per-batch (key, window) partials into the given state dicts
+        (live dict + checkpoint-delta dict).
 
         One C-side ``pa.Table.group_by`` collapses the batch first, so the
         Python merge loop runs once per DISTINCT (key, window) of the
@@ -153,12 +167,13 @@ class PartitionState:
             gb["k"].to_pylist(), gb["w"].to_pylist(),
             gb["d_sum"].to_pylist(), gb["d_count"].to_pylist(),
         ):
-            acc = target.get((k, w))
-            if acc is None:
-                target[(k, w)] = [c, d]
-            else:
-                acc[0] += c
-                acc[1] += d
+            for target in targets:
+                acc = target.get((k, w))
+                if acc is None:
+                    target[(k, w)] = [c, d]
+                else:
+                    acc[0] += c
+                    acc[1] += d
 
     def _accumulate_windows(self, sub: pa.Table, ts: np.ndarray):
         cfg = self.cfg
@@ -168,13 +183,15 @@ class PartitionState:
         durs = sub["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
         if cfg.window_size_ms:
             starts = assign_tumbling(ts, cfg.window_size_ms)
-            self._merge_window_partials(self.win, keys_np, starts, durs)
+            self._merge_window_partials(
+                [self.win, self._delta_win], keys_np, starts, durs
+            )
         if getattr(cfg, "sliding_size_ms", 0):
             from ..stages.windows import explode_sliding
 
             rows, starts = explode_sliding(ts, cfg.sliding_size_ms, cfg.sliding_slide_ms)
             self._merge_window_partials(
-                self.swin, keys_np[rows], starts, durs[rows]
+                [self.swin, self._delta_swin], keys_np[rows], starts, durs[rows]
             )
         if cfg.session_gap_ms:
             gap = cfg.session_gap_ms
@@ -263,6 +280,7 @@ class PartitionState:
             revs = table["revision"].to_numpy(zero_copy_only=False).astype(np.int64)[sel]
             tss = ts[sel]
             self.upd_chunks.append((keys, tss, revs, texts))
+            self._delta_upd.append((keys, tss, revs, texts))
             # compacted view: batch last-write-wins by (ts, rev) — one sort,
             # then a Python merge per DISTINCT key of the batch
             order = np.lexsort((revs, tss, keys))
@@ -274,6 +292,7 @@ class PartitionState:
                 cur = self.view.get(ks[i])
                 if cur is None or (rec[0], rec[1]) >= (cur[0], cur[1]):
                     self.view[ks[i]] = rec
+                    self._delta_view[ks[i]] = rec
             self.metrics["updates_in"] += int((ok & ~replica).sum())
         return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
 
@@ -554,30 +573,62 @@ class PartitionState:
         )
 
     # --------------------------------------------------------- checkpoint
-    def save(self, directory: str):
-        os.makedirs(directory, exist_ok=True)
-        light = {
-            "partition": self.partition,
-            "win": self.win,
-            "swin": self.swin,
-            "sessions": dict(self.sessions),
-            "upd_chunks": self.upd_chunks,
-            "view": self.view,
-            "max_ts": self.max_ts,
-            "metrics": dict(self.metrics),
-        }
-        with open(os.path.join(directory, "state.pkl"), "wb") as f:
-            pickle.dump(light, f, protocol=pickle.HIGHEST_PROTOCOL)
+    def save(self, directory: str, wm: int | None = None, full: bool = True):
+        """Checkpoint: FULL snapshot, or an O(changes-since-last-save)
+        DELTA (RocksDB-style; SURVEY §7.1).  Deltas record this epoch's
+        raw additions plus the full (small) session/metric state and the
+        close watermark; ``restore_chain`` replays full + deltas and
+        prunes with the final watermark — exact, because every live-state
+        removal (window close, clip emit, update evict) is a monotone
+        predicate of the watermark."""
         import pyarrow.parquet as pq
 
-        if self.clip_buf:
-            buf = pa.concat_tables(self.clip_buf, promote_options="default")
-            pq.write_table(
-                buf, os.path.join(directory, "clip_buf.parquet"),
-                compression="zstd", compression_level=1,
-            )
+        os.makedirs(directory, exist_ok=True)
+        if full:
+            light = {
+                "partition": self.partition,
+                "win": self.win,
+                "swin": self.swin,
+                "sessions": dict(self.sessions),
+                "upd_chunks": self.upd_chunks,
+                "view": self.view,
+                "max_ts": self.max_ts,
+                "metrics": dict(self.metrics),
+                "wm": wm,
+            }
+            with open(os.path.join(directory, "state.pkl"), "wb") as f:
+                pickle.dump(light, f, protocol=pickle.HIGHEST_PROTOCOL)
+            if self.clip_buf:
+                buf = pa.concat_tables(self.clip_buf, promote_options="default")
+                pq.write_table(
+                    buf, os.path.join(directory, "clip_buf.parquet"),
+                    compression="zstd", compression_level=1,
+                )
+        else:
+            delta = {
+                "partition": self.partition,
+                "win_delta": self._delta_win,
+                "swin_delta": self._delta_swin,
+                "upd_delta": self._delta_upd,
+                "view_delta": self._delta_view,
+                "sessions": dict(self.sessions),   # small: open sessions only
+                "max_ts": self.max_ts,
+                "metrics": dict(self.metrics),
+                "wm": wm,
+            }
+            with open(os.path.join(directory, "delta.pkl"), "wb") as f:
+                pickle.dump(delta, f, protocol=pickle.HIGHEST_PROTOCOL)
+            if self._delta_clips:
+                buf = pa.concat_tables(self._delta_clips, promote_options="default")
+                pq.write_table(
+                    buf, os.path.join(directory, "clip_delta.parquet"),
+                    compression="zstd", compression_level=1,
+                )
+        self._reset_deltas()
 
-    def restore(self, directory: str):
+    def _load_full(self, directory: str):
+        import pyarrow.parquet as pq
+
         with open(os.path.join(directory, "state.pkl"), "rb") as f:
             light = pickle.load(f)
         self.win = light["win"]
@@ -590,10 +641,67 @@ class PartitionState:
         buf_path = os.path.join(directory, "clip_buf.parquet")
         self.clip_buf = []
         if os.path.exists(buf_path):
-            import pyarrow.parquet as pq
-
             self.clip_buf = [pq.read_table(buf_path)]
         self.dlq_buf = []
+        return light.get("wm")
+
+    def _apply_delta(self, directory: str):
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(directory, "delta.pkl"), "rb") as f:
+            d = pickle.load(f)
+        for target, delta in ((self.win, d["win_delta"]), (self.swin, d["swin_delta"])):
+            for kw, acc in delta.items():
+                cur = target.get(kw)
+                if cur is None:
+                    target[kw] = list(acc)
+                else:
+                    cur[0] += acc[0]
+                    cur[1] += acc[1]
+        self.upd_chunks.extend(d["upd_delta"])
+        self.view.update(d["view_delta"])
+        self.sessions = defaultdict(list, d["sessions"])
+        self.max_ts = d["max_ts"]
+        self.metrics = defaultdict(int, d["metrics"])
+        clip_path = os.path.join(directory, "clip_delta.parquet")
+        if os.path.exists(clip_path):
+            self.clip_buf.append(pq.read_table(clip_path))
+        return d.get("wm")
+
+    def restore_chain(self, full_dir: str, delta_dirs: list[str]):
+        """Restore = full snapshot + deltas, then prune by the final
+        watermark (drops everything interim closes emitted/evicted)."""
+        wm = self._load_full(full_dir)
+        for d in delta_dirs:
+            wm = self._apply_delta(d)
+        if wm is not None and delta_dirs:
+            self._prune_to_watermark(int(wm))
+        self._reset_deltas()
+
+    def _prune_to_watermark(self, wm: int):
+        cfg = self.cfg
+        if cfg.window_size_ms:
+            size = cfg.window_size_ms
+            self.win = {kw: v for kw, v in self.win.items() if kw[1] + size > wm}
+        if getattr(cfg, "sliding_size_ms", 0):
+            size = cfg.sliding_size_ms
+            self.swin = {kw: v for kw, v in self.swin.items() if kw[1] + size > wm}
+        W = cfg.join_window_ms
+        kept = []
+        for t in self.clip_buf:
+            ts = ts_to_ms(t["event_ts"])
+            m = ts + W >= wm if wm < WATERMARK_MAX else np.zeros(len(ts), bool)
+            if m.any():
+                kept.append(t.filter(pa.array(m)))
+        self.clip_buf = kept
+        horizon = wm - W if wm < WATERMARK_MAX else wm
+        keys, tss, revs, texts = self._consolidated_updates()
+        keep = tss >= horizon
+        self.upd_chunks = (
+            [(keys[keep], tss[keep], revs[keep], texts[keep])] if keep.any() else []
+        )
+        # sessions are exact (full copy in every delta): closed hot/cold
+        # sessions were already removed at their close
 
 
 def _stamp(tbl: pa.Table, partition: int, epoch: int) -> pa.Table:
@@ -709,17 +817,40 @@ def _make_actor_cls():
         def buffered_updates_for(self, keys: list):
             return self.state.buffered_updates_for(frozenset(keys))
 
-        def checkpoint(self, epoch: int) -> str:
+        def checkpoint(self, epoch: int, wm: int | None = None, full: bool = True) -> str:
             d = os.path.join(self.ckpt_root, f"p{self.partition:04d}", f"e{epoch:06d}")
-            self.state.save(d)
+            self.state.save(d, wm=wm, full=full)
             return d
 
         def restore(self, epoch: int) -> bool:
-            d = os.path.join(self.ckpt_root, f"p{self.partition:04d}", f"e{epoch:06d}")
+            """Restore epoch ``epoch``: the newest full snapshot ≤ epoch
+            plus every delta after it up to epoch (incremental chain)."""
+            base = os.path.join(self.ckpt_root, f"p{self.partition:04d}")
             self.pending.clear()  # un-closed stashed ingests replay from source
-            if not os.path.exists(os.path.join(d, "state.pkl")):
+            if not os.path.isdir(base):
                 return False
-            self.state.restore(d)
+            fulls, deltas = [], {}
+            for name in os.listdir(base):
+                if not name.startswith("e"):
+                    continue
+                e = int(name[1:])
+                d = os.path.join(base, name)
+                if os.path.exists(os.path.join(d, "state.pkl")):
+                    fulls.append(e)
+                elif os.path.exists(os.path.join(d, "delta.pkl")):
+                    deltas[e] = d
+            fulls = [e for e in fulls if e <= epoch]
+            if not fulls:
+                return False
+            f = max(fulls)
+            chain = []
+            for e in range(f + 1, epoch + 1):
+                if e not in deltas:
+                    return False  # broken chain
+                chain.append(deltas[e])
+            self.state.restore_chain(
+                os.path.join(base, f"e{f:06d}"), chain
+            )
             return True
 
         def view_snapshot(self) -> pa.Table:

@@ -105,21 +105,51 @@ class Table:
 
     # ------------------------------------------------------------------ DDL
     @classmethod
-    def create(cls, root: str, schema: pa.Schema | None = None) -> "Table":
+    def create(
+        cls,
+        root: str,
+        schema: pa.Schema | None = None,
+        key: list[str] | None = None,
+    ) -> "Table":
+        """Create (or open) a table.
+
+        ``key`` declares primary-key columns — the analogue of the
+        reference's in-schema ``hydra.key`` property
+        (`avro/src/main/scala/hydra/avro/util/SchemaWrapper.scala:22-91`):
+        key fields must exist and be non-nullable, and later schema
+        evolution may never change or drop them
+        (`avro/.../registry/SchemaRegistry.scala:118-129`).
+        """
         t = cls(root)
         os.makedirs(os.path.join(t.root, _MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.root, _STAGE_DIR), exist_ok=True)
         os.makedirs(os.path.join(t.root, _DATA_DIR), exist_ok=True)
+        if key:
+            if schema is None:
+                raise ValueError("a key declaration requires a schema")
+            for k in key:
+                idx = schema.get_field_index(k)
+                if idx < 0:
+                    raise ValueError(f"key column {k!r} not in schema")
+                if schema.field(idx).nullable:
+                    raise ValueError(
+                        f"key column {k!r} must be non-nullable "
+                        "(reference rejects nullable hydra.key fields)"
+                    )
         if t.latest_version() is None:
             m = _Manifest(
                 version=0,
                 fragments=[],
+                properties={"key": list(key)} if key else {},
                 schema_json=schema.serialize().to_pybytes().hex()
                 if schema is not None
                 else None,
             )
             t._write_manifest(m)
         return t
+
+    def key_columns(self) -> list[str]:
+        return list(self.properties().get("key", []))
 
     @classmethod
     def exists(cls, root: str) -> bool:
@@ -218,6 +248,53 @@ class Table:
     def count_rows(self, version: int | None = None) -> int:
         return sum(f.rows for f in self.fragments(version))
 
+    # ----------------------------------------------------- schema evolution
+    def check_schema(self, new: pa.Schema) -> pa.Schema | None:
+        """Enforce the reference's compatibility rules against the stored
+        schema (`avro/.../registry/SchemaRegistry.scala:118-157, 237-274`):
+
+        - type changes on existing columns are rejected (this covers
+          logical-type changes — Arrow logical types are part of the type);
+        - key columns may never be dropped or retyped;
+        - dropping a non-nullable column is rejected; nullable columns may
+          be absent from a fragment (read-side concat null-fills them);
+        - ADDING a column is allowed only if nullable → returns the
+          evolved schema to store; otherwise returns None (no change).
+
+        Tables created without a schema are unchecked (sink tables whose
+        shape is owned by the pipeline).
+        """
+        stored = self.schema()
+        if stored is None:
+            return None
+        keys = set(self.key_columns())
+        for f in stored:
+            i = new.get_field_index(f.name)
+            if i < 0:
+                if f.name in keys:
+                    raise ValueError(f"key column {f.name!r} missing from write")
+                if not f.nullable:
+                    raise ValueError(
+                        f"non-nullable column {f.name!r} missing from write"
+                    )
+                continue
+            nf = new.field(i)
+            if nf.type != f.type:
+                raise ValueError(
+                    f"incompatible evolution: column {f.name!r} type "
+                    f"{f.type} → {nf.type}"
+                )
+        added = [f for f in new if stored.get_field_index(f.name) < 0]
+        for f in added:
+            if not f.nullable:
+                raise ValueError(
+                    f"incompatible evolution: new column {f.name!r} must be "
+                    "nullable"
+                )
+        if added:
+            return pa.schema(list(stored) + added)
+        return None
+
     # --------------------------------------------------------------- writes
     def append(
         self,
@@ -227,8 +304,11 @@ class Table:
         properties_update: dict[str, Any] | None = None,
     ) -> int:
         """Driver-side small append: write one fragment + new manifest."""
+        evolved = self.check_schema(data.schema)
         frag = self._write_fragment(data, _DATA_DIR, partition, epoch)
-        return self._commit_fragments([frag], properties_update)
+        return self._commit_fragments(
+            [frag], properties_update, new_schema=evolved
+        )
 
     def _write_fragment(
         self,
@@ -258,8 +338,11 @@ class Table:
         new_frags: list[FragmentMeta],
         properties_update: dict[str, Any] | None = None,
         max_retries: int = 20,
+        new_schema: pa.Schema | None = None,
+        replace: bool = False,
     ) -> int:
-        """Append fragments in a new manifest version (optimistic retry)."""
+        """Append (or with ``replace`` substitute) fragments in a new
+        manifest version (optimistic retry)."""
         for _ in range(max_retries):
             base = self._manifest(self.latest_version())
             v = base.version + 1
@@ -270,15 +353,103 @@ class Table:
                 props.update(properties_update)
             m = _Manifest(
                 version=v,
-                fragments=base.fragments + new_frags,
+                fragments=new_frags if replace else base.fragments + new_frags,
                 properties=props,
-                schema_json=base.schema_json,
+                schema_json=new_schema.serialize().to_pybytes().hex()
+                if new_schema is not None
+                else base.schema_json,
             )
             try:
                 return self._write_manifest(m)
             except FileExistsError:
                 continue  # another writer took v; re-read and retry
         raise RuntimeError(f"could not commit to {self.root}: too much contention")
+
+    # ----------------------------------------- SaveMode / RecordWriter SPI
+    def write(self, data: pa.Table, mode: str = "append") -> int:
+        """Batch-writer entry with SaveMode semantics (reference sink SPI,
+        `avro/src/main/scala/hydra/avro/io/SaveMode.scala:12-45`):
+
+        - ``append``          add rows;
+        - ``overwrite``       replace all live fragments with this data;
+        - ``error_if_exists`` raise if the table already holds rows;
+        - ``ignore``          no-op if the table already holds rows.
+        """
+        mode = mode.lower()
+        if mode == "append":
+            return self.append(data)
+        if mode == "overwrite":
+            evolved = self.check_schema(data.schema)
+            frag = self._write_fragment(data, _DATA_DIR, None, None)
+            return self._commit_fragments([frag], new_schema=evolved, replace=True)
+        if mode in ("error_if_exists", "errorifexists", "error"):
+            if self.count_rows() > 0:
+                raise FileExistsError(f"table {self.root} already has rows")
+            return self.append(data)
+        if mode == "ignore":
+            if self.count_rows() > 0:
+                return self.latest_version()
+            return self.append(data)
+        raise ValueError(f"unknown SaveMode {mode!r}")
+
+    def upsert(self, data: pa.Table) -> int:
+        """Keyed upsert (reference ``Operation.Upsert``,
+        `avro/src/main/scala/hydra/avro/io/RecordWriter.scala:12-57`):
+        rows append with merge-on-read last-write-wins per key — the
+        manifest version is the MVCC order.  Requires a declared key."""
+        if not self.key_columns():
+            raise ValueError("upsert requires a table created with key=[...]")
+        self.check_schema(data.schema)
+        data = data.append_column(
+            "__tombstone", pa.array([False] * data.num_rows, pa.bool_())
+        )
+        frag = self._write_fragment(data, _DATA_DIR, None, None)
+        return self._commit_fragments([frag])
+
+    def delete_by_key(self, keys: pa.Table) -> int:
+        """Keyed delete (reference ``Operation.DeleteByKey``): appends
+        tombstone markers; compaction drops the key."""
+        kc = self.key_columns()
+        if not kc:
+            raise ValueError("delete_by_key requires a table created with key=[...]")
+        keys = keys.select(kc).append_column(
+            "__tombstone", pa.array([True] * keys.num_rows, pa.bool_())
+        )
+        frag = self._write_fragment(keys, _DATA_DIR, None, None)
+        return self._commit_fragments([frag])
+
+    def read_compacted(self, version: int | None = None) -> pa.Table:
+        """Merge-on-read compaction: latest row per key by (manifest
+        version, in-fragment position), tombstones dropped — the
+        compacted-topic read (`MetadataAlgebra.scala:145-158` semantics)."""
+        import numpy as np
+        import pandas as pd
+
+        kc = self.key_columns()
+        if not kc:
+            raise ValueError("read_compacted requires a declared key")
+        frags = self.fragments(version)
+        if not frags:
+            s = self.schema()
+            return s.empty_table() if s is not None else pa.table({})
+        tables = []
+        for f in frags:
+            t = pq.read_table(os.path.join(self.root, f.path))
+            if "__tombstone" not in t.column_names:
+                t = t.append_column(
+                    "__tombstone", pa.array([False] * t.num_rows, pa.bool_())
+                )
+            t = t.append_column(
+                "__mvcc", pa.array([f.added_version] * t.num_rows, pa.int64())
+            )
+            tables.append(t)
+        cat = pa.concat_tables(tables, promote_options="default")
+        df = cat.to_pandas()
+        df["__pos"] = np.arange(len(df))
+        df = df.sort_values(kc + ["__mvcc", "__pos"], kind="mergesort")
+        df = df.drop_duplicates(subset=kc, keep="last")
+        df = df[~df["__tombstone"]].drop(columns=["__tombstone", "__mvcc", "__pos"])
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
 
     # ------------------------------------------------- exactly-once sink API
     def stage_fragment(
@@ -287,7 +458,10 @@ class Table:
         """Phase 1 of 2PC: write a staged fragment (sink actors call this).
 
         ``compression="snappy"`` for payload-heavy fragments (float32 PCM
-        barely compresses under zstd but costs real CPU per epoch)."""
+        barely compresses under zstd but costs real CPU per epoch).
+        Writes against a schema-declared table enforce the same evolution
+        rules as ``append`` (evolution itself happens via ``append``)."""
+        self.check_schema(data.schema)
         return self._write_fragment(data, _STAGE_DIR, partition, epoch, compression)
 
     def committed_epoch(self, pipeline: str) -> int:

@@ -103,3 +103,98 @@ def test_epoch_lineage_properties(tmp_path):
     st = t.pipeline_state("pipe")
     assert st["last_epoch"] == 0
     assert st["lineage"] == {"clips": [0, 17]}
+
+
+# ---------------------------------------------- schema evolution (K6 rules)
+def _schema(**fields):
+    return pa.schema([pa.field(n, t, nullable=n not in ("k",)) for n, t in fields.items()])
+
+
+def test_evolution_add_nullable_ok(tmp_path):
+    s = _schema(k=pa.int64(), v=pa.string())
+    t = Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+    t.append(pa.table({"k": pa.array([1]), "v": pa.array(["a"])}, schema=s))
+    s2 = pa.schema(list(s) + [pa.field("extra", pa.float64())])
+    t.append(
+        pa.table(
+            {"k": pa.array([2]), "v": pa.array(["b"]), "extra": pa.array([1.5])},
+            schema=s2,
+        )
+    )
+    assert t.schema().get_field_index("extra") >= 0  # schema evolved
+    assert t.to_arrow().num_rows == 2
+
+
+def test_evolution_type_change_rejected(tmp_path):
+    s = _schema(k=pa.int64(), v=pa.string())
+    t = Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+    bad = pa.table({"k": pa.array([1]), "v": pa.array([2.0])})
+    with pytest.raises(ValueError, match="incompatible evolution"):
+        t.append(bad)
+
+
+def test_evolution_key_change_rejected(tmp_path):
+    s = _schema(k=pa.int64(), v=pa.string())
+    t = Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+    with pytest.raises(ValueError, match="key column"):
+        t.append(pa.table({"v": pa.array(["a"])}))
+    with pytest.raises(ValueError, match="incompatible evolution"):
+        t.append(pa.table({"k": pa.array(["s"]), "v": pa.array(["a"])}))
+
+
+def test_evolution_non_nullable_add_rejected(tmp_path):
+    s = _schema(k=pa.int64(), v=pa.string())
+    t = Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+    s2 = pa.schema(list(s) + [pa.field("req", pa.int64(), nullable=False)])
+    with pytest.raises(ValueError, match="must be nullable"):
+        t.append(pa.table(
+            {"k": pa.array([1]), "v": pa.array(["a"]), "req": pa.array([1])},
+            schema=s2,
+        ))
+
+
+def test_nullable_key_rejected_at_create(tmp_path):
+    s = pa.schema([pa.field("k", pa.int64()), pa.field("v", pa.string())])
+    with pytest.raises(ValueError, match="non-nullable"):
+        Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+
+
+# ------------------------------------------------- SaveMode / upsert / delete
+def test_savemode_semantics(tmp_path):
+    s = _schema(k=pa.int64(), v=pa.string())
+    t = Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+    d1 = pa.table({"k": pa.array([1]), "v": pa.array(["a"])}, schema=s)
+    d2 = pa.table({"k": pa.array([2]), "v": pa.array(["b"])}, schema=s)
+    t.write(d1, mode="append")
+    with pytest.raises(FileExistsError):
+        t.write(d2, mode="error_if_exists")
+    t.write(d2, mode="ignore")          # no-op
+    assert t.count_rows() == 1
+    t.write(d2, mode="overwrite")       # replaces all live fragments
+    assert t.to_arrow()["k"].to_pylist() == [2]
+    t.write(d1, mode="append")
+    assert t.count_rows() == 2
+
+
+def test_upsert_and_delete_by_key(tmp_path):
+    s = _schema(k=pa.int64(), v=pa.string())
+    t = Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+    t.upsert(pa.table({"k": pa.array([1, 2]), "v": pa.array(["a", "b"])}, schema=s))
+    t.upsert(pa.table({"k": pa.array([2, 3]), "v": pa.array(["B", "c"])}, schema=s))
+    got = t.read_compacted().to_pandas().sort_values("k")
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["v"].tolist() == ["a", "B", "c"]  # last write wins per key
+    t.delete_by_key(pa.table({"k": pa.array([1])}))
+    got = t.read_compacted().to_pandas().sort_values("k")
+    assert got["k"].tolist() == [2, 3]
+    # re-upsert after delete resurrects the key
+    t.upsert(pa.table({"k": pa.array([1]), "v": pa.array(["z"])}, schema=s))
+    got = t.read_compacted().to_pandas().sort_values("k")
+    assert got["v"].tolist() == ["z", "B", "c"]
+
+
+def test_upsert_requires_key(tmp_path):
+    s = _schema(k=pa.int64(), v=pa.string())
+    t = Table.create(str(tmp_path / "t"), schema=s)
+    with pytest.raises(ValueError, match="key"):
+        t.upsert(pa.table({"k": pa.array([1]), "v": pa.array(["a"])}, schema=s))

@@ -10,7 +10,12 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from hydra_ray.pipelines.replicate import CrashPoint, ReplicateConfig, ReplicatePipeline
+from hydra_ray.pipelines.replicate import (
+    CrashPoint,
+    ReplicateConfig,
+    ReplicatePipeline,
+    read_lineage,
+)
 from hydra_ray.stages.windows import sessionize_sorted
 from hydra_ray.synth import synth_clips_table, synth_updates_table
 from hydra_ray.table import Table
@@ -145,7 +150,7 @@ def test_counts_add_up(clean_run):
 
 def test_join_oracle(clean_run):
     root, clips, upd, pipe, metrics = clean_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     cdf, udf, ok = _oracle(clips, upd, lineage)
 
     repl = (
@@ -171,7 +176,7 @@ def test_join_oracle(clean_run):
 
 def test_window_oracle(clean_run):
     root, clips, upd, pipe, metrics = clean_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     cdf, _, _ = _oracle(clips, upd, lineage)
     ok = cdf[~cdf["late"]]
     ref = (
@@ -198,7 +203,7 @@ def test_window_oracle(clean_run):
 
 def test_sliding_oracle(clean_run):
     root, clips, upd, pipe, metrics = clean_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     cdf, _, _ = _oracle(clips, upd, lineage)
     ok = cdf[~cdf["late"]]
     size, slide = 20_000, 10_000
@@ -234,7 +239,7 @@ def test_compacted_view_oracle(clean_run):
     """The materialized latest-transcript view (T2 compacted topic):
     last-write-wins by (ts, revision), including tombstones as nulls."""
     root, clips, upd, pipe, metrics = clean_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     _, udf, _ = _oracle(clips, upd, lineage)
     live = udf[~udf["late"]].copy()
     live = live.sort_values(["clip_id", "ms", "revision"], kind="mergesort")
@@ -258,7 +263,7 @@ def test_compacted_view_oracle(clean_run):
 
 def test_session_oracle(clean_run):
     root, clips, upd, pipe, metrics = clean_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     cdf, _, _ = _oracle(clips, upd, lineage)
     ok = cdf[~cdf["late"]]
     rows = []
@@ -412,3 +417,71 @@ def test_exactly_once_crash_resume(tmp_path, ray_session, clean_run, crash_point
     frags = Table(f"{root}/out/replicated").fragments()
     epochs = sorted({f.epoch for f in frags})
     assert epochs == list(range(min(epochs), max(epochs) + 1))
+
+
+def test_long_run_bounded_manifest_and_delta_resume(tmp_path, ray_session):
+    """Many-epoch run: per-epoch lineage lives in the side log (manifest
+    properties stay O(1)), checkpoints between full snapshots are deltas,
+    GC keeps only the restorable chain, and a crash on a DELTA epoch
+    resumes through full+delta restore to the clean run's output."""
+    import json as _json
+    import os as _os
+
+    n, versions = 240, 30
+    clips = synth_clips_table(n)
+    upd = synth_updates_table(n)
+
+    def build(root):
+        ct = Table.create(f"{root}/clips", schema=clips.schema)
+        step = n // versions
+        for v in range(versions):
+            ct.append(clips.slice(v * step, step))
+        ut = Table.create(f"{root}/updates", schema=upd.schema)
+        ustep = -(-upd.num_rows // versions)
+        for v in range(versions):
+            lo = v * ustep
+            if lo < upd.num_rows:
+                ut.append(upd.slice(lo, min(ustep, upd.num_rows - lo)))
+
+    c = ReplicateConfig(
+        num_partitions=2, join_window_ms=5_000, allowed_lateness_ms=2_000,
+        window_size_ms=10_000, actor_num_cpus=0.25, full_checkpoint_every=5,
+        keep_checkpoints=3,
+    )
+    root = str(tmp_path / "clean")
+    _os.makedirs(root)
+    build(root)
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", c, f"{root}/updates").run()
+
+    lineage = read_lineage(f"{root}/out")
+    assert len(lineage) == versions + 1  # one per epoch + flush
+    assert [e["epoch"] for e in lineage] == list(range(versions + 1))
+    # manifest properties stay small at any horizon
+    props = Table(f"{root}/out/replicated").properties()
+    assert len(_json.dumps(props)) < 16_000
+    # delta checkpoints were written and GC kept a restorable chain
+    pdir = _os.path.join(f"{root}/out", "_checkpoints", "p0000")
+    entries = sorted(_os.listdir(pdir))
+    kinds = {
+        e: ("full" if _os.path.exists(_os.path.join(pdir, e, "state.pkl")) else "delta")
+        for e in entries
+    }
+    assert "delta" in kinds.values() and "full" in kinds.values()
+    oldest = min(int(e[1:]) for e in entries)
+    assert kinds[f"e{oldest:06d}"] == "full"  # chain starts at a full snapshot
+
+    sig_clean = _content_signature(f"{root}/out")
+
+    # crash on an epoch whose checkpoint is a DELTA (17 % 5 != 0)
+    root2 = str(tmp_path / "crash")
+    _os.makedirs(root2)
+    build(root2)
+    c_crash = ReplicateConfig(
+        num_partitions=2, join_window_ms=5_000, allowed_lateness_ms=2_000,
+        window_size_ms=10_000, actor_num_cpus=0.25, full_checkpoint_every=5,
+        keep_checkpoints=3, crash_at=(18, "before_close"),
+    )
+    with pytest.raises(CrashPoint):
+        ReplicatePipeline(f"{root2}/clips", f"{root2}/out", c_crash, f"{root2}/updates").run()
+    ReplicatePipeline(f"{root2}/clips", f"{root2}/out", c, f"{root2}/updates").run()
+    assert _content_signature(f"{root2}/out") == sig_clean

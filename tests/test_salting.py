@@ -10,7 +10,12 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from hydra_ray.pipelines.replicate import CrashPoint, ReplicateConfig, ReplicatePipeline
+from hydra_ray.pipelines.replicate import (
+    CrashPoint,
+    ReplicateConfig,
+    ReplicatePipeline,
+    read_lineage,
+)
 from hydra_ray.synth import synth_clips_table, synth_updates_table
 from hydra_ray.table import Table
 
@@ -88,7 +93,7 @@ def test_join_oracle_salted(hot_run):
     from tests.test_replicate import _oracle
 
     root, clips, upd, pipe, metrics = hot_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     import tests.test_replicate as tr
 
     saved = tr.N_CLIPS
@@ -122,7 +127,7 @@ def test_window_oracle_salted(hot_run):
     from tests.test_replicate import _oracle
 
     root, clips, upd, pipe, metrics = hot_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     import tests.test_replicate as tr
 
     saved = tr.N_CLIPS
@@ -160,7 +165,7 @@ def test_session_oracle_salted(hot_run):
     from tests.test_replicate import _oracle
 
     root, clips, upd, pipe, metrics = hot_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     import tests.test_replicate as tr
 
     saved = tr.N_CLIPS
@@ -200,7 +205,7 @@ def test_view_oracle_salted(hot_run):
     from tests.test_replicate import _oracle
 
     root, clips, upd, pipe, metrics = hot_run
-    lineage = Table(f"{root}/out/replicated").pipeline_state("replicate")["lineage"]
+    lineage = read_lineage(f"{root}/out")
     import tests.test_replicate as tr
 
     saved = tr.N_CLIPS
