@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q.q_pricing_summary,
         "salted_agg": q.q_salted_agg,
         "broadcast_enrich": q.q_broadcast_enrich,
+        "hash_join": q.q_hash_join,
+        "upsert_compaction": q.q_upsert_compaction,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
         "minhash_neardup": q.q_minhash_neardup,
@@ -65,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q.q_approx_distinct,
         # audio analysis
         "audio_features": q.q_audio_features,
+        # image / video (real ppm/pgm/bmp + rawv kernels; PIL/ffmpeg
+        # formats are DLQ-routed stubs)
+        "image_features": q.q_image_features,
+        "video_frames": q.q_video_frames,
     }
 
 
@@ -170,6 +176,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
+        "hash_join": """
+            SELECT c.c_nationkey AS c_nationkey,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS sum_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
             FROM events GROUP BY 1
@@ -177,6 +190,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "upsert_compaction": """
+            SELECT user_id,
+                   event_type AS last_type,
+                   epoch_ms(ts) AS last_ms
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
         "token_stats": r"""
             SELECT lang,

@@ -33,10 +33,12 @@ SEED = 42
 QUERY_NAMES = [
     "tumbling_window", "sliding_window", "session_window", "interval_join",
     "latest_by_key", "consumer_lag", "topic_tail", "json_key_extract",
-    "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich", "exact_dedup",
+    "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
+    "hash_join", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "token_stats", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "audio_features",
+    "image_features", "video_frames",
 ]
 
 
@@ -88,7 +90,8 @@ def run_headline(num_cpus: int) -> dict:
     from hydra_ray.pipelines.replicate import ReplicateConfig, ReplicatePipeline
     from hydra_ray.table import Table
 
-    root = f"/tmp/hydra_bench/in_{N_CLIPS}_{N_EPOCHS}_{SEED}"
+    # v2: fixture codec set grew (mulaw/alaw/pcm8/f32) — new cache key
+    root = f"/tmp/hydra_bench/in_v2_{N_CLIPS}_{N_EPOCHS}_{SEED}"
     build_bench_input(root, N_CLIPS, N_EPOCHS)
 
     cfg = ReplicateConfig(

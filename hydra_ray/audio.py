@@ -13,6 +13,11 @@ batches:
 - ``wav``: RIFF/WAVE container (PCM16 payload).  Headers are parsed
   per-row (a few bytes each); payloads are decoded with zero-copy
   ``frombuffer`` views.
+- ``mulaw`` / ``alaw``: G.711 companded telephony audio, decoded with a
+  256-entry float32 lookup table (one gather per row) — real codecs,
+  round-trip SNR ≈ 37–38 dB.
+- ``pcm8``: unsigned 8-bit linear PCM (WAV convention), LUT decode.
+- ``f32``: raw little-endian float32 samples (lossless).
 - ``flac``: NOT implemented — the sandbox has no FLAC codec library.  A
   clearly-marked stub raises ``UnsupportedCodecError`` so rows are routed
   to the DLQ (mirroring the reference's unsupported-type rejection,
@@ -37,12 +42,16 @@ __all__ = [
     "synth_wave",
     "encode_pcm16",
     "encode_wav",
+    "encode_mulaw",
+    "encode_alaw",
+    "encode_pcm8",
+    "encode_f32",
     "encode",
     "decode_batch",
     "snr_db",
 ]
 
-_SUPPORTED_CODECS = ("pcm16", "wav")
+_SUPPORTED_CODECS = ("pcm16", "wav", "mulaw", "alaw", "pcm8", "f32")
 
 
 class DecodeError(ValueError):
@@ -93,11 +102,127 @@ def encode_wav(wave: np.ndarray, sr_hz: int) -> bytes:
     return hdr + data
 
 
+_MULAW_ENC_LUT = None
+
+
+def _mulaw_enc_lut() -> np.ndarray:
+    """int16 sample (+32768 offset) → µ-law byte, 64 Ki LUT (built once —
+    the per-sample log2 of the direct formula dominates synthesis cost)."""
+    global _MULAW_ENC_LUT
+    if _MULAW_ENC_LUT is None:
+        x = np.arange(-32768, 32768, dtype=np.int32)
+        sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+        m = np.minimum(np.abs(x), 32635) + 0x84
+        exponent = np.clip(np.floor(np.log2(m)).astype(np.int32) - 7, 0, 7)
+        mantissa = (m >> (exponent + 3)) & 0x0F
+        _MULAW_ENC_LUT = (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(np.uint8)
+    return _MULAW_ENC_LUT
+
+
+def encode_mulaw(wave: np.ndarray) -> bytes:
+    """G.711 µ-law companding: 1 byte per sample, ~38 dB SNR at nominal
+    level.  One clip/scale pass + one LUT gather."""
+    x = (np.clip(wave, -1.0, 1.0) * 32767.0).astype(np.int32)
+    return _mulaw_enc_lut()[x + 32768].tobytes()
+
+
+_MULAW_LUT = None
+
+
+def _mulaw_lut() -> np.ndarray:
+    global _MULAW_LUT
+    if _MULAW_LUT is None:
+        y = np.arange(256, dtype=np.int32) ^ 0xFF
+        sign = y & 0x80
+        exponent = (y >> 4) & 0x07
+        mantissa = y & 0x0F
+        sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        sample = np.where(sign != 0, -sample, sample)
+        _MULAW_LUT = (sample / 32768.0).astype(np.float32)
+    return _MULAW_LUT
+
+
+_ALAW_ENC_LUT = None
+
+
+def _alaw_enc_lut() -> np.ndarray:
+    global _ALAW_ENC_LUT
+    if _ALAW_ENC_LUT is None:
+        x = np.arange(-32768, 32768, dtype=np.int32)
+        sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+        a = np.minimum(np.abs(x) >> 4, 0xFFF)
+        position = np.maximum(
+            np.floor(np.log2(np.maximum(a, 1))).astype(np.int32), 4
+        )
+        lsb = np.where(position == 4, (a >> 1) & 0x0F, (a >> (position - 4)) & 0x0F)
+        _ALAW_ENC_LUT = (((sign | ((position - 4) << 4) | lsb) ^ 0x55) & 0xFF).astype(
+            np.uint8
+        )
+    return _ALAW_ENC_LUT
+
+
+def encode_alaw(wave: np.ndarray) -> bytes:
+    """G.711 A-law companding (12-bit magnitude form), LUT-gather encode."""
+    x = (np.clip(wave, -1.0, 1.0) * 32767.0).astype(np.int32)
+    return _alaw_enc_lut()[x + 32768].tobytes()
+
+
+_ALAW_LUT = None
+
+
+def _alaw_lut() -> np.ndarray:
+    global _ALAW_LUT
+    if _ALAW_LUT is None:
+        y = np.arange(256, dtype=np.int32) ^ 0x55
+        sign = y & 0x80
+        pos = ((y >> 4) & 0x07) + 4
+        lsb = y & 0x0F
+        mag = np.where(
+            pos != 4,
+            (1 << pos) | (lsb << (pos - 4)) | (1 << (pos - 5)),
+            (lsb << 1) | 1,
+        )
+        sample = np.where(sign != 0, -mag, mag)
+        _ALAW_LUT = (sample * 16 / 32768.0).astype(np.float32)
+    return _ALAW_LUT
+
+
+def encode_pcm8(wave: np.ndarray) -> bytes:
+    """Unsigned 8-bit linear PCM (offset-binary, WAV convention)."""
+    x = np.clip(wave, -1.0, 1.0)
+    return (np.round(x * 127.0) + 128).astype(np.uint8).tobytes()
+
+
+_PCM8_LUT = None
+
+
+def _pcm8_lut() -> np.ndarray:
+    global _PCM8_LUT
+    if _PCM8_LUT is None:
+        _PCM8_LUT = ((np.arange(256, dtype=np.float32) - 128.0) / 127.0).astype(
+            np.float32
+        )
+    return _PCM8_LUT
+
+
+def encode_f32(wave: np.ndarray) -> bytes:
+    """Raw little-endian float32 samples (lossless)."""
+    return np.asarray(wave, dtype="<f4").tobytes()
+
+
 def encode(wave: np.ndarray, codec: str, sr_hz: int) -> bytes:
     if codec == "pcm16":
         return encode_pcm16(wave)
     if codec == "wav":
         return encode_wav(wave, sr_hz)
+    if codec == "mulaw":
+        return encode_mulaw(wave)
+    if codec == "alaw":
+        return encode_alaw(wave)
+    if codec == "pcm8":
+        return encode_pcm8(wave)
+    if codec == "f32":
+        return encode_f32(wave)
     raise UnsupportedCodecError(f"no encoder for codec {codec!r}")
 
 
@@ -188,10 +313,12 @@ def decode_batch(
 
     lengths = offsets[1:] - offsets[:-1]
     errors: list[str | None] = [None] * n
-    # span of int16 payload inside `data` for each row (start, count)
+    # span of encoded payload inside `data` for each row (start, n_samples)
     span_start = np.zeros(n, dtype=np.int64)
     span_count = np.zeros(n, dtype=np.int64)
     ok = np.zeros(n, dtype=bool)
+    # decode family per row: 0=int16 span, 1=mulaw, 2=alaw, 3=pcm8, 4=f32
+    fam = np.full(n, -1, dtype=np.int8)
 
     is_pcm = codec_np == "pcm16"
     is_wav = codec_np == "wav"
@@ -201,6 +328,7 @@ def decode_batch(
     good_pcm = is_pcm & ~odd
     span_start[good_pcm] = offsets[:-1][good_pcm]
     span_count[good_pcm] = lengths[good_pcm] // 2
+    fam[good_pcm] = 0
     ok |= good_pcm
     for i in np.flatnonzero(odd):
         errors[i] = "pcm16 payload has odd byte length"
@@ -218,12 +346,33 @@ def decode_batch(
                 )
             span_start[i] = offsets[i] + d_off
             span_count[i] = d_len // 2
+            fam[i] = 0
             ok[i] = True
         except DecodeError as e:
             errors[i] = str(e)
 
+    # --- byte-per-sample codecs (G.711 µ-law / A-law, linear pcm8) --------
+    for code, codec_name in ((1, "mulaw"), (2, "alaw"), (3, "pcm8")):
+        m = codec_np == codec_name
+        span_start[m] = offsets[:-1][m]
+        span_count[m] = lengths[m]
+        fam[m] = code
+        ok |= m
+
+    # --- raw float32 ------------------------------------------------------
+    is_f32 = codec_np == "f32"
+    bad_f32 = is_f32 & (lengths % 4 != 0)
+    good_f32 = is_f32 & ~bad_f32
+    span_start[good_f32] = offsets[:-1][good_f32]
+    span_count[good_f32] = lengths[good_f32] // 4
+    fam[good_f32] = 4
+    ok |= good_f32
+    for i in np.flatnonzero(bad_f32):
+        errors[i] = "f32 payload length not a multiple of 4"
+
     # --- unknown / unsupported codecs -------------------------------------
-    for i in np.flatnonzero(~(is_pcm | is_wav)):
+    known = is_pcm | is_wav | (fam > 0) | is_f32
+    for i in np.flatnonzero(~known):
         c = codec_np[i]
         if c == "flac":
             # STUB: no FLAC library in this environment; see module docstring.
@@ -231,20 +380,32 @@ def decode_batch(
         else:
             errors[i] = f"unknown codec {c!r}"
 
-    # --- assemble one flat float32 buffer + list offsets (vectorized) -----
+    # --- assemble one flat float32 buffer + list offsets ------------------
     out_counts = np.where(ok, span_count, 0)
     out_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(out_counts, out=out_offsets[1:])
     flat = np.empty(out_offsets[-1], dtype=np.float32)
     i16 = data.view(np.int16) if data.size % 2 == 0 else data[: data.size - (data.size % 2)].view(np.int16)
+    luts = {1: _mulaw_lut(), 2: _alaw_lut(), 3: _pcm8_lut()}
+    inv = np.float32(1.0 / 32767.0)
     for i in np.flatnonzero(ok):
         s, c = span_start[i], span_count[i]
-        if s % 2 == 0:
-            seg = i16[s // 2 : s // 2 + c]
-        else:  # unaligned start (possible for wav payload after odd header) — copy path
-            seg = np.frombuffer(bytes(mv[s : s + 2 * c]), dtype="<i2")
-        flat[out_offsets[i] : out_offsets[i + 1]] = seg
-    flat /= 32767.0
+        o0, o1 = out_offsets[i], out_offsets[i + 1]
+        f = fam[i]
+        if f == 0:
+            if s % 2 == 0:
+                seg = i16[s // 2 : s // 2 + c]
+            else:  # unaligned start (wav payload after odd header) — copy path
+                seg = np.frombuffer(bytes(mv[s : s + 2 * c]), dtype="<i2")
+            flat[o0:o1] = seg
+            flat[o0:o1] *= inv
+        elif f == 4:
+            if s % 4 == 0:
+                flat[o0:o1] = data[s : s + 4 * c].view(np.float32)
+            else:
+                flat[o0:o1] = np.frombuffer(bytes(mv[s : s + 4 * c]), dtype="<f4")
+        else:
+            flat[o0:o1] = luts[int(f)][data[s : s + c]]
 
     validity = pa.array(ok)
     pcm = pa.LargeListArray.from_arrays(

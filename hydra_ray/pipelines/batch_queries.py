@@ -276,6 +276,25 @@ def q_pricing_summary(sf_dir):
     return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_revenue": 2})
 
 
+def q_hash_join(sf_dir):
+    """Large-large partitioned hash join (bucketed_join): orders ⋈ customer
+    with neither side broadcast — the non-broadcast sibling of
+    q_broadcast_enrich, same result shape."""
+    from ..stages.join import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = bucketed_join(orders, cust, key="o_custkey")
+    out = grouped_aggregate(
+        joined, ["c_nationkey"],
+        [AggSpec("count", None, "n_orders"), AggSpec("sum", "o_totalprice", "sum_price")],
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
 def q_broadcast_enrich(sf_dir):
     """Broadcast lookup join (J1/J2): orders enriched with customer nation."""
     import pyarrow.parquet as pq
@@ -411,6 +430,50 @@ def q_vector_norms(sf_dir):
     return _round_cols(out, {"sum_l2": 4})
 
 
+def q_upsert_compaction(sf_dir):
+    """Keyed upsert + merge-on-read compaction (lancelite RecordWriter
+    SPI): events upserted in arrival order, latest row per user wins —
+    the K6 Upsert/SaveMode surface under an SQL oracle."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "event_type", "ts"],
+    )
+    ms = ts_to_ms(t["ts"])
+    ev = t["event_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ev, ms))
+    t = t.take(pa.array(order))
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64(), nullable=False),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("ts", t.schema.field("ts").type),
+        ]
+    )
+    t = t.cast(schema)
+    from ..table import Table as LTable
+
+    root = tempfile.mkdtemp(prefix="hydra_upsert_q_")
+    tbl = LTable.create(f"{root}/t", schema=schema, key=["user_id"])
+    step = -(-t.num_rows // 4)
+    for i in range(4):
+        lo = i * step
+        if lo < t.num_rows:
+            tbl.upsert(t.slice(lo, min(step, t.num_rows - lo)))
+    out = tbl.read_compacted()
+    return pa.table(
+        {
+            "user_id": out["user_id"],
+            "last_type": out["event_type"],
+            "last_ms": pa.array(ts_to_ms(out["ts"]), pa.int64()),
+        }
+    )
+
+
 # ----------------------------------------------------------- streaming (raw)
 def q_replicate_stream(sf_dir):
     """Mini end-to-end streaming replication on synthetic clips (rows-only;
@@ -508,6 +571,90 @@ def q_approx_distinct(sf_dir):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct(ds, "user_id", group_col="event_type", p=12)
+
+
+def _synth_image(i: int, h: int = 48, w: int = 64) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (y * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((x * y + i * 37) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def q_image_features(sf_dir):
+    """Real image decode (ppm/pgm/bmp, pure numpy) → brightness/contrast/
+    edge-energy/thumbnail/dHash features via an actor-shaped map_batches
+    (rows-only; no SQL image codec)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        ImageDecoder,
+        encode_bmp,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    n = 400
+    ids, payloads, fmts = [], [], []
+    for i in range(n):
+        fmt = ("ppm", "bmp", "pgm")[i % 3]
+        rgb = _synth_image(i)
+        if fmt == "ppm":
+            payloads.append(encode_ppm(rgb))
+        elif fmt == "bmp":
+            payloads.append(encode_bmp(rgb))
+        else:
+            payloads.append(encode_pgm(rgb[:, :, 0]))
+        ids.append(f"img-{i:06d}")
+        fmts.append(fmt)
+    tbl = pa.table(
+        {
+            "image_id": pa.array(ids),
+            "bytes": pa.array(payloads, pa.large_binary()),
+            "format": pa.array(fmts),
+        }
+    )
+    ds = rd.from_arrow(tbl).map_batches(
+        ImageDecoder(), batch_format="pyarrow", batch_size=64
+    )
+    return ds.select_columns(
+        ["image_id", "width", "height", "brightness", "contrast",
+         "edge_energy", "dhash"]
+    )
+
+
+def q_video_frames(sf_dir):
+    """Raw-video frame sampling (flat_map-shaped: one row per sampled
+    frame, brightness + motion energy; rows-only)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import FrameSampler, encode_rawv
+
+    n = 60
+    ids, payloads, fmts = [], [], []
+    for i in range(n):
+        nf, h, w, fps = 24 + (i % 5) * 12, 24, 32, 12
+        y, x = np.mgrid[0:h, 0:w]
+        base = ((x + y + i) % 256).astype(np.uint8)
+        frames = np.stack(
+            [np.roll(base, f * 2, axis=1) for f in range(nf)]
+        )
+        ids.append(f"vid-{i:04d}")
+        payloads.append(encode_rawv(frames, fps))
+        fmts.append("rawv")
+    tbl = pa.table(
+        {
+            "video_id": pa.array(ids),
+            "bytes": pa.array(payloads, pa.large_binary()),
+            "format": pa.array(fmts),
+        }
+    )
+    ds = rd.from_arrow(tbl).map_batches(
+        FrameSampler(stride_ms=500), batch_format="pyarrow", batch_size=16
+    )
+    return ds.select_columns(
+        ["video_id", "frame_idx", "frame_ts_ms", "brightness", "motion"]
+    )
 
 
 def q_audio_features(sf_dir):

@@ -1,94 +1,346 @@
 """Multimodal column operators: image / video / generic binary payloads.
 
-Audio is fully implemented (`hydra_ray.audio`).  Image/video codecs are
-NOT available in this environment (no PIL/ffmpeg), so the decode kernels
-here are explicit STUBS — the Ray-side plumbing (schemas, batch sizing,
-actor-pool signatures, output layout, DLQ routing) is real and tested;
-swapping in a real decoder is a one-function change in the operator's
-``__init__``.
+Audio is fully implemented (`hydra_ray.audio`).  For images and video
+this build implements REAL pure-numpy codecs for the uncompressed
+container formats — PPM (P6) / PGM (P5), 24-bit uncompressed BMP, and a
+raw grayscale video container — plus real feature kernels (brightness /
+contrast / edge energy, 8×8 block-average thumbnails, dHash perceptual
+hashing, frame sampling with motion energy).  Compressed codecs that
+need PIL/ffmpeg (png/jpeg/mp4/…) are explicit STUBS routed to the error
+column — the dispatch, schema, batch-sizing and DLQ plumbing treat them
+exactly like the real formats, so swapping in a library decoder is a
+one-function change.
 
 Design rules for opaque binary columns at scale (same as audio):
 - batch size capped by BYTES not rows (a 4K frame ≈ 24 MB raw); callers
   pass ``batch_size`` small and keep ``target_max_block_size`` generous;
-- decode runs once per actor-pool worker with the codec handle loaded in
-  ``__init__``;
+- decode state loads once per actor-pool worker in ``__init__``;
 - per-row failures go to an error column (DLQ), never exceptions.
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["IMAGE_SCHEMA", "ImageDecodeStub", "FrameSampleStub", "binary_stats"]
+__all__ = [
+    "IMAGE_SCHEMA",
+    "ImageDecodeError",
+    "encode_ppm",
+    "encode_pgm",
+    "encode_bmp",
+    "decode_image",
+    "block_thumbnail",
+    "dhash64",
+    "ImageDecoder",
+    "encode_rawv",
+    "FrameSampler",
+    "binary_stats",
+]
 
 IMAGE_SCHEMA = pa.schema(
     [
         ("image_id", pa.string()),
         ("bytes", pa.large_binary()),
-        ("format", pa.string()),      # "png" | "jpeg" | ...
-        ("width", pa.int32()),
-        ("height", pa.int32()),
+        ("format", pa.string()),      # "ppm" | "pgm" | "bmp" | "png" | ...
     ]
 )
 
 
-class ImageDecodeStub:
-    """Actor-pool image decode stage (STUB decode, real plumbing).
+class ImageDecodeError(ValueError):
+    """Malformed payload for the declared image format."""
 
-    Real deployment: ``self._decode = PIL.Image.open`` loaded here, once
-    per actor.  In this sandbox the decode is a deterministic fake that
-    emits a feature vector from the payload hash, and unknown formats are
-    routed to the error column exactly as the real decoder would.
+
+# --------------------------------------------------------------- image codecs
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, np.uint8).tobytes()
+
+
+def encode_pgm(arr: np.ndarray) -> bytes:
+    """(h, w) uint8 → binary PGM (P5)."""
+    h, w = arr.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, np.uint8).tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (bottom-up rows,
+    4-byte row padding, BGR byte order — the classic Windows layout)."""
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    data = bytearray()
+    bgr = arr[:, :, ::-1]
+    for y in range(h - 1, -1, -1):
+        data += bgr[y].tobytes() + b"\x00" * pad
+    img_size = len(data)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(data)
+
+
+def _decode_pnm(raw: bytes, magic: bytes) -> np.ndarray:
+    if not raw.startswith(magic):
+        raise ImageDecodeError(f"not a {magic.decode()} payload")
+    # header: magic, whitespace-separated w h maxval, single ws, raster
+    fields, pos, tok = [], 2, b""
+    while len(fields) < 3:
+        if pos >= len(raw):
+            raise ImageDecodeError("truncated PNM header")
+        c = raw[pos : pos + 1]
+        pos += 1
+        if c == b"#":  # comment to end of line
+            while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        if c.isspace():
+            if tok:
+                fields.append(int(tok))
+                tok = b""
+            continue
+        tok += c
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ImageDecodeError(f"unsupported PNM maxval {maxval}")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    body = raw[pos : pos + need]
+    if len(body) < need:
+        raise ImageDecodeError("PNM raster truncated")
+    a = np.frombuffer(body, np.uint8)
+    return a.reshape(h, w, 3) if ch == 3 else a.reshape(h, w)
+
+
+def _decode_bmp(raw: bytes) -> np.ndarray:
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ImageDecodeError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", raw, 10)
+    hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", raw, 14)
+    if bpp != 24 or comp != 0:
+        raise ImageDecodeError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    need = data_off + stride * h
+    if len(raw) < need:
+        raise ImageDecodeError("BMP raster truncated")
+    a = np.frombuffer(raw, np.uint8, count=stride * h, offset=data_off)
+    a = a.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if flip:
+        a = a[::-1]
+    return a[:, :, ::-1]  # BGR → RGB
+
+
+_STUB_IMAGE_FORMATS = ("png", "jpeg", "jpg", "webp")
+
+
+def decode_image(raw: bytes, fmt: str) -> np.ndarray:
+    """Decode one image payload → uint8 array ((h,w,3) RGB or (h,w) gray)."""
+    if fmt == "ppm":
+        return _decode_pnm(raw, b"P6")
+    if fmt == "pgm":
+        return _decode_pnm(raw, b"P5")
+    if fmt == "bmp":
+        return _decode_bmp(raw)
+    if fmt in _STUB_IMAGE_FORMATS:
+        # STUB: compressed codecs need PIL, not present in this build
+        raise ImageDecodeError(
+            f"UnsupportedImageFormat: {fmt!r} decode requires PIL (stub)"
+        )
+    raise ImageDecodeError(f"unknown image format {fmt!r}")
+
+
+# ------------------------------------------------------------ image features
+def _luma(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 2:
+        return arr.astype(np.float32)
+    a = arr.astype(np.float32)
+    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+
+def block_thumbnail(luma: np.ndarray, th: int = 8, tw: int = 9) -> np.ndarray:
+    """Block-average resize of a luma plane to (th, tw) — the classic
+    pre-hash downsample, pure numpy (edge blocks absorb the remainder)."""
+    h, w = luma.shape
+    ys = (np.arange(th + 1) * h) // th
+    xs = (np.arange(tw + 1) * w) // tw
+    # integral image → block sums in O(1) per block
+    ii = np.zeros((h + 1, w + 1), np.float64)
+    np.cumsum(np.cumsum(luma, axis=0), axis=1, out=ii[1:, 1:])
+    out = np.empty((th, tw), np.float32)
+    for i in range(th):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        s = ii[y1, xs[1:]] - ii[y0, xs[1:]] - ii[y1, xs[:-1]] + ii[y0, xs[:-1]]
+        area = (y1 - y0) * np.maximum(np.diff(xs), 1)
+        out[i] = (s / area).astype(np.float32)
+    return out
+
+
+def dhash64(luma: np.ndarray) -> int:
+    """64-bit difference hash: 8×9 thumbnail, bit = left<right per row —
+    the standard perceptual near-dup hash (robust to resize/brightness)."""
+    t = block_thumbnail(luma, 8, 9)
+    bits = (t[:, :-1] < t[:, 1:]).reshape(-1)
+    v = int(np.packbits(bits).view(">u8")[0])
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement int64
+
+
+class ImageDecoder:
+    """Actor-pool image decode + feature stage (REAL for ppm/pgm/bmp).
+
+    Emits per image: dimensions, brightness/contrast, edge energy
+    (mean gradient magnitude), an 8×8 block-average thumbnail (the
+    standard embedding-ish small feature) and a 64-bit dHash for
+    perceptual near-dup.  Stub formats (png/jpeg/…) and malformed
+    payloads land in ``decode_error`` — DLQ semantics, never raises.
     """
 
-    SUPPORTED = ("png", "jpeg")
-
-    def __init__(self, feature_dim: int = 16):
-        self.feature_dim = feature_dim
-        # STUB: real codec handle would be constructed here.
+    def __init__(self, thumb: int = 8):
+        self.thumb = thumb
+        # real codec state (LUTs etc.) would initialize here, once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fmts = np.asarray(batch["format"].to_pylist(), dtype=object)
-        errs = [
-            None if f in self.SUPPORTED else f"UnsupportedImageFormat: {f!r}"
-            for f in fmts
-        ]
+        n = batch.num_rows
+        fmts = batch["format"].to_pylist()
         payloads = batch["bytes"]
-        feats = np.zeros((batch.num_rows, self.feature_dim), dtype=np.float32)
-        lengths = pa.compute.binary_length(payloads).to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(lengths.astype(np.uint64))
-        for j in range(self.feature_dim):
-            feats[:, j] = ((h >> np.uint64(j * 4)) & np.uint64(0xF)).astype(np.float32) / 15.0
-        ok = np.array([e is None for e in errs])
-        feats[~ok] = 0.0
+        widths = np.zeros(n, np.int32)
+        heights = np.zeros(n, np.int32)
+        bright = np.zeros(n, np.float32)
+        contrast = np.zeros(n, np.float32)
+        edges = np.zeros(n, np.float32)
+        thumbs = np.zeros((n, self.thumb * self.thumb), np.float32)
+        hashes = np.zeros(n, np.int64)
+        errors: list[str | None] = [None] * n
+        for i in range(n):
+            try:
+                arr = decode_image(payloads[i].as_py(), fmts[i])
+                lum = _luma(arr)
+                heights[i], widths[i] = lum.shape
+                bright[i] = lum.mean()
+                contrast[i] = lum.std()
+                gy, gx = np.gradient(lum)
+                edges[i] = float(np.hypot(gx, gy).mean())
+                thumbs[i] = block_thumbnail(lum, self.thumb, self.thumb).reshape(-1)
+                hashes[i] = dhash64(lum)
+            except ImageDecodeError as e:
+                errors[i] = str(e)
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "features": pa.FixedSizeListArray.from_arrays(
-                    pa.array(feats.reshape(-1), pa.float32()), self.feature_dim
+                "width": pa.array(widths),
+                "height": pa.array(heights),
+                "brightness": pa.array(bright),
+                "contrast": pa.array(contrast),
+                "edge_energy": pa.array(edges),
+                "thumbnail": pa.FixedSizeListArray.from_arrays(
+                    pa.array(thumbs.reshape(-1), pa.float32()),
+                    self.thumb * self.thumb,
                 ),
-                "decode_error": pa.array(errs, pa.string()),
+                "dhash": pa.array(hashes),
+                "decode_error": pa.array(errors, pa.string()),
             }
         )
 
 
-class FrameSampleStub:
-    """Video frame-sampling stage signature (STUB).
+# -------------------------------------------------------------------- video
+_RAWV_MAGIC = b"RAWV"
 
-    Real deployment: ffmpeg handle in ``__init__``; per batch, sample
-    every ``stride_ms`` frame into rows (one row per sampled frame) —
-    a flat_map-shaped batch op.  Raises to make the stub status explicit.
+
+def encode_rawv(frames: np.ndarray, fps: int) -> bytes:
+    """(n, h, w) uint8 grayscale frames → raw video container:
+    magic, uint16 w/h/fps, uint32 n_frames, then the frame planes."""
+    n, h, w = frames.shape
+    hdr = _RAWV_MAGIC + struct.pack("<HHHI", w, h, fps, n)
+    return hdr + np.ascontiguousarray(frames, np.uint8).tobytes()
+
+
+_STUB_VIDEO_FORMATS = ("mp4", "webm", "mkv")
+
+
+class FrameSampler:
+    """Video frame-sampling stage (REAL for the rawv container).
+
+    flat_map-shaped: one output row per sampled frame (every
+    ``stride_ms``), with frame brightness and motion energy (mean abs
+    diff vs the previous sampled frame).  Container formats that need
+    ffmpeg (mp4/webm/…) go to the error side output — same DLQ contract
+    as audio/image decode.
     """
 
     def __init__(self, stride_ms: int = 1000):
         self.stride_ms = stride_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg, not present in this build"
+        vids, fidx, ts_ms, bright, motion = [], [], [], [], []
+        err_ids, errs = [], []
+        for i in range(batch.num_rows):
+            vid = batch["video_id"][i].as_py()
+            fmt = batch["format"][i].as_py()
+            raw = batch["bytes"][i].as_py()
+            if fmt != "rawv":
+                err_ids.append(vid)
+                errs.append(
+                    f"UnsupportedVideoFormat: {fmt!r} requires ffmpeg (stub)"
+                    if fmt in _STUB_VIDEO_FORMATS
+                    else f"unknown video format {fmt!r}"
+                )
+                continue
+            if len(raw) < 14 or raw[:4] != _RAWV_MAGIC:
+                err_ids.append(vid)
+                errs.append("malformed rawv payload")
+                continue
+            w, h, fps, nf = struct.unpack_from("<HHHI", raw, 4)
+            need = 14 + w * h * nf
+            if len(raw) < need:
+                err_ids.append(vid)
+                errs.append("rawv raster truncated")
+                continue
+            frames = np.frombuffer(raw, np.uint8, count=w * h * nf, offset=14).reshape(
+                nf, h, w
+            )
+            stride = max(1, int(round(self.stride_ms * fps / 1000.0)))
+            prev = None
+            for f in range(0, nf, stride):
+                plane = frames[f].astype(np.float32)
+                vids.append(vid)
+                fidx.append(f)
+                ts_ms.append(int(f * 1000 / fps))
+                bright.append(float(plane.mean()))
+                motion.append(
+                    float(np.abs(plane - prev).mean()) if prev is not None else 0.0
+                )
+                prev = plane
+        main = pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame_ts_ms": pa.array(ts_ms, pa.int64()),
+                "brightness": pa.array(bright, pa.float32()),
+                "motion": pa.array(motion, pa.float32()),
+                "decode_error": pa.array([None] * len(vids), pa.string()),
+            }
         )
+        if errs:
+            err_tbl = pa.table(
+                {
+                    "video_id": pa.array(err_ids, pa.string()),
+                    "frame_idx": pa.array([-1] * len(errs), pa.int32()),
+                    "frame_ts_ms": pa.array([-1] * len(errs), pa.int64()),
+                    "brightness": pa.array([0.0] * len(errs), pa.float32()),
+                    "motion": pa.array([0.0] * len(errs), pa.float32()),
+                    "decode_error": pa.array(errs, pa.string()),
+                }
+            )
+            main = pa.concat_tables([main, err_tbl])
+        return main
 
 
 def binary_stats(batch: pa.Table, col: str = "bytes") -> pa.Table:

@@ -278,30 +278,53 @@ def _unique_per_doc(flat: np.ndarray, starts: np.ndarray) -> tuple[np.ndarray, n
 
 
 def ngram_jaccard_batch(texts_a, texts_b, k: int = 5) -> np.ndarray:
-    """Exact k-gram Jaccard for N pairs, fully vectorized.
+    """Exact k-gram Jaccard for N pairs, fully vectorized AND text-deduped.
 
-    Shingle both columns in one rolling-hash pass each, dedupe within
-    each doc by (doc, hash) sort, then count cross-side hash collisions
-    per pair with one merged lexsort — no per-pair Python.  Semantics
-    identical to mapping ``ngram_jaccard`` over the pairs.
+    Candidate batches repeat hot documents heavily, so the expensive work
+    (normalize + rolling-hash + per-doc unique) runs once per DISTINCT
+    text; per-pair intersection counts come from one gather + lexsort
+    over the distinct-pair shingle runs.  Semantics identical to mapping
+    ``ngram_jaccard`` over the pairs.
     """
     n = len(texts_a)
     if n == 0:
         return np.empty(0, np.float64)
-    fa, sa = _batch_shingles(list(texts_a), k)
-    fb, sb = _batch_shingles(list(texts_b), k)
-    ha, da = _unique_per_doc(fa, sa)
-    hb, db = _unique_per_doc(fb, sb)
-    na = np.bincount(da, minlength=n)
-    nb = np.bincount(db, minlength=n)
-    d = np.concatenate([da, db])
-    h = np.concatenate([ha, hb])
-    order = np.lexsort((h, d))
-    ds_, hs_ = d[order], h[order]
+    all_texts = np.asarray(list(texts_a) + list(texts_b), dtype=object)
+    codes, uniques = pd.factorize(all_texts)
+    ca, cb = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
+    U = len(uniques)
+    # distinct (code_a, code_b) pairs — duplicate pairs share one result
+    pk = ca * U + cb
+    upk, inv = np.unique(pk, return_inverse=True)
+    uca, ucb = upk // U, upk % U
+    flat, starts = _batch_shingles(list(uniques), k)
+    h, d = _unique_per_doc(flat, starts)
+    counts = np.bincount(d, minlength=U)
+    doc_starts = np.cumsum(counts) - counts
+
+    def gather(doc_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        c = counts[doc_codes]
+        run_starts = np.cumsum(c) - c
+        pos = (
+            np.arange(int(c.sum()), dtype=np.int64)
+            - np.repeat(run_starts, c)
+            + np.repeat(doc_starts[doc_codes], c)
+        )
+        pair_idx = np.repeat(np.arange(len(doc_codes), dtype=np.int64), c)
+        return h[pos], pair_idx
+
+    ga, pa_idx = gather(uca)
+    gb, pb_idx = gather(ucb)
+    dd = np.concatenate([pa_idx, pb_idx])
+    hh = np.concatenate([ga, gb])
+    order = np.lexsort((hh, dd))
+    ds_, hs_ = dd[order], hh[order]
     dup = (ds_[1:] == ds_[:-1]) & (hs_[1:] == hs_[:-1])
-    inter = np.bincount(ds_[1:][dup], minlength=n)
-    union = na + nb - inter
-    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    m = len(upk)
+    inter = np.bincount(ds_[1:][dup], minlength=m)
+    union = counts[uca] + counts[ucb] - inter
+    jac_u = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    return jac_u[inv]
 
 
 def neardup_clusters(
@@ -327,7 +350,11 @@ def neardup_clusters(
     """
     from .join import bucketed_join
 
-    cands = minhash_lsh_candidates(ds, text_col, id_col, n_perm, bands, k, seed)
+    # materialize the (small) candidate set and join output: chaining three
+    # sort-based wide ops in one lazy graph measurably de-pipelines on ray
+    # 2.49 (stage sums ~24 s vs ~45-65 s fused, sf0.1); the intermediates
+    # are O(candidate pairs) and object-store-resident
+    cands = minhash_lsh_candidates(ds, text_col, id_col, n_perm, bands, k, seed).materialize()
     docs = ds.select_columns([id_col, text_col])
 
     docs_a = docs.map_batches(
@@ -336,7 +363,7 @@ def neardup_clusters(
     docs_b = docs.map_batches(
         lambda t: t.rename_columns(["id_b", "text_b"]), batch_format="pyarrow"
     )
-    with_a = bucketed_join(cands, docs_a, key="id_a")
+    with_a = bucketed_join(cands, docs_a, key="id_a").materialize()
     with_b = bucketed_join(with_a, docs_b, key="id_b")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:

@@ -41,7 +41,7 @@ VOCAB = (
 
 BASE_TS_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
 CLIP_INTERVAL_MS = 100
-_CODECS = ("pcm16", "wav")
+_CODECS = ("pcm16", "wav", "mulaw", "alaw", "pcm8", "f32")
 _SRS = (8000, 16000, 22050, 44100)
 
 CLIP_SCHEMA = pa.schema(
@@ -122,7 +122,7 @@ def synth_clips_batch(
     for i in idx.tolist():
         sr = _SRS[i % 4]
         dur = 250 + (i % 16) * 250
-        codec = _CODECS[i % 2]
+        codec = _CODECS[i % len(_CODECS)]
         payloads.append(encode(synth_wave(i, sr, dur), codec, sr))
         srs.append(sr)
         durs.append(dur)

@@ -122,3 +122,29 @@ def test_size_limit_filter():
     out = dec(t)
     errs = [e for e in out["decode_error"].to_pylist() if e]
     assert any("RecordTooLarge" in e for e in errs)
+
+
+def test_g711_and_pcm8_f32_roundtrip():
+    """New real codecs: µ-law/A-law ≈ 37–38 dB SNR, pcm8 ≈ 8-bit linear,
+    f32 lossless — all through the batched decode path."""
+    from hydra_ray.audio import decode_batch, encode, synth_wave
+
+    wave = synth_wave(7, 16000, 500)
+    codecs = ["mulaw", "alaw", "pcm8", "f32"]
+    payloads = pa.array([encode(wave, c, 16000) for c in codecs], pa.large_binary())
+    pcm, err = decode_batch(payloads, pa.array(codecs), pa.array([16000] * 4))
+    assert err.null_count == 4, err.to_pylist()
+    floors = {"mulaw": 30.0, "alaw": 30.0, "pcm8": 40.0, "f32": 120.0}
+    for i, c in enumerate(codecs):
+        got = np.asarray(pcm[i].as_py(), dtype=np.float32)
+        s = snr_db(wave, got)
+        assert s >= floors[c], (c, s)
+
+
+def test_f32_bad_length_routed():
+    from hydra_ray.audio import decode_batch
+
+    pcm, err = decode_batch(
+        pa.array([b"\x00\x00\x00"], pa.large_binary()), pa.array(["f32"]), None
+    )
+    assert err[0].as_py() is not None

@@ -79,6 +79,8 @@ NO_ORACLE = [
     "ann_ivf",
     "approx_distinct",
     "audio_features",
+    "image_features",
+    "video_frames",
 ]
 
 

@@ -11,7 +11,7 @@ from hydra_ray.stages.keys import (
     correlation_ids,
     parse_iso_ts,
 )
-from hydra_ray.stages.multimodal import ImageDecodeStub, binary_stats
+from hydra_ray.stages.multimodal import ImageDecoder, binary_stats
 from hydra_ray.stages.skew import SaltedRouter, salted_partition_for
 from hydra_ray.stages.validate import (
     RecordValidator,
@@ -110,21 +110,22 @@ def test_salted_router_batch():
     assert len(set(out["partition"].to_pylist()[:10])) > 1
 
 
-def test_image_stub_plumbing():
+def test_image_stub_routing():
+    """PIL-dependent formats are honest stubs routed to the error column;
+    malformed payloads of real formats error the same way (DLQ contract).
+    Real-format decode is covered in tests/test_multimodal.py."""
     batch = pa.table(
         {
             "image_id": ["a", "b", "c"],
             "bytes": pa.array([b"\x89PNG1234", b"\xff\xd89", b"??"], pa.large_binary()),
             "format": ["png", "jpeg", "bmp"],
-            "width": pa.array([2, 2, 2], pa.int32()),
-            "height": pa.array([2, 2, 2], pa.int32()),
         }
     )
-    out = ImageDecodeStub()(batch)
+    out = ImageDecoder()(batch)
     errs = out["decode_error"].to_pylist()
-    assert errs[0] is None and errs[1] is None
-    assert "UnsupportedImageFormat" in errs[2]
-    assert len(out["features"][0].as_py()) == 16
+    assert "requires PIL" in errs[0] and "requires PIL" in errs[1]
+    assert errs[2] is not None  # malformed bmp
+    assert len(out["thumbnail"][0].as_py()) == 64
 
 
 def test_binary_stats():
