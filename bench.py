@@ -38,7 +38,7 @@ QUERY_NAMES = [
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "token_stats", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "audio_features",
-    "image_features", "video_frames",
+    "image_features", "image_neardup", "video_frames",
 ]
 
 

@@ -623,6 +623,49 @@ def q_image_features(sf_dir):
     )
 
 
+def q_image_neardup(sf_dir):
+    """Image near-dup by perceptual dHash + banded Hamming pairing (the
+    generic hamming_near_pairs machinery; rows-only).  Every third image
+    is a brightness-shifted copy of its predecessor — a planted near-dup
+    the hash must catch."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ImageDecoder, encode_ppm
+    from ..stages.neardup import hamming_near_pairs
+
+    def diverse(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+        # per-seed oriented patterns so unrelated images get distant
+        # dHashes (a shared global gradient would alias every hash)
+        y, x = np.mgrid[0:h, 0:w]
+        a, b, c = 3 + (seed * 7) % 13, 1 + (seed * 11) % 17, (seed * 29) % 251
+        plane = ((x * a + y * b + (x // 4) * (y // 4) * (seed % 5) + c) % 256)
+        return np.stack([plane, (plane * 2) % 256, (plane * 3) % 256], -1).astype(
+            np.uint8
+        )
+
+    n = 300
+    ids, payloads, fmts = [], [], []
+    for i in range(n):
+        if i % 3 == 1:
+            rgb = np.clip(diverse(i - 1).astype(np.int16) + 8, 0, 255).astype(np.uint8)
+        else:
+            rgb = diverse(i)
+        ids.append(f"img-{i:06d}")
+        payloads.append(encode_ppm(rgb))
+        fmts.append("ppm")
+    tbl = pa.table(
+        {
+            "image_id": pa.array(ids),
+            "bytes": pa.array(payloads, pa.large_binary()),
+            "format": pa.array(fmts),
+        }
+    )
+    hashed = rd.from_arrow(tbl).map_batches(
+        ImageDecoder(), batch_format="pyarrow", batch_size=64
+    ).select_columns(["image_id", "dhash"])
+    return hamming_near_pairs(hashed, "dhash", "image_id", max_hamming=3)
+
+
 def q_video_frames(sf_dir):
     """Raw-video frame sampling (flat_map-shaped: one row per sampled
     frame, brightness + motion energy; rows-only)."""

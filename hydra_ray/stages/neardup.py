@@ -25,6 +25,7 @@ __all__ = [
     "ngram_jaccard",
     "SimHasher",
     "simhash_near_pairs",
+    "hamming_near_pairs",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -436,20 +437,31 @@ class SimHasher:
 def simhash_near_pairs(
     ds, text_col="text", id_col="doc_id", max_hamming=3, n_tables=4, num_buckets=64
 ):
-    """SimHash near-dup candidates: band the 64-bit hash into n_tables
-    16-bit keys (pigeonhole: ≤3 differing bits ⇒ at least one identical
-    16-bit band), bucket-group by a hash of (band, band_key), pair within
-    each (band, band_key) via a vectorized self-merge, verify Hamming ≤
-    max_hamming with a table-lookup popcount.  Same bucketed wide-step
-    shape as ``minhash_lsh_candidates`` (parallelism = num_buckets, no
-    per-group Python dispatch)."""
+    """SimHash near-dup candidates: hash per doc, then the generic
+    banded-Hamming pairing (``hamming_near_pairs``)."""
     hashed = ds.map_batches(
         SimHasher(text_col, id_col), batch_format="pyarrow", batch_size=1024
     )
+    return hamming_near_pairs(
+        hashed, "simhash", id_col, max_hamming, n_tables, num_buckets
+    )
+
+
+def hamming_near_pairs(
+    ds, hash_col: str, id_col: str, max_hamming=3, n_tables=4, num_buckets=64
+):
+    """Near-dup pairs by Hamming distance over ANY 64-bit hash column
+    (SimHash text, dHash images, …): band the hash into n_tables 16-bit
+    keys (pigeonhole: ≤3 differing bits ⇒ at least one identical 16-bit
+    band), bucket-group by a hash of (band, band_key), pair within each
+    (band, band_key) via a vectorized self-merge, verify Hamming ≤
+    max_hamming with a table-lookup popcount.  Same bucketed wide-step
+    shape as ``minhash_lsh_candidates`` (parallelism = num_buckets, no
+    per-group Python dispatch)."""
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sh = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         n = len(ids)
         band = np.tile(np.arange(n_tables, dtype=np.int32), n)
         keys = np.empty(n * n_tables, dtype=np.int64)
@@ -467,18 +479,17 @@ def simhash_near_pairs(
                 "band": pa.array(band),
                 "band_key": pa.array(keys),
                 id_col: pa.array(np.repeat(ids, n_tables)),
-                "simhash": pa.array(np.repeat(sh.astype(np.int64), n_tables)),
+                "__h": pa.array(np.repeat(sh.astype(np.int64), n_tables)),
             }
         )
 
-    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
 
     pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"id_a": pd.Series([], dtype="int64"),
-             "id_b": pd.Series([], dtype="int64"),
+            {"id_a": g[id_col][:0], "id_b": g[id_col][:0],
              "hamming": pd.Series([], dtype="int32")}
         )
         if len(g) < 2:
@@ -488,8 +499,8 @@ def simhash_near_pairs(
         if m.empty:
             return empty
         x = (
-            m["simhash_a"].to_numpy().astype(np.uint64)
-            ^ m["simhash_b"].to_numpy().astype(np.uint64)
+            m["__h_a"].to_numpy().astype(np.uint64)
+            ^ m["__h_b"].to_numpy().astype(np.uint64)
         ).view(np.uint8).reshape(-1, 8)
         ham = pop8[x].sum(axis=1).astype(np.int32)
         keep = ham <= max_hamming

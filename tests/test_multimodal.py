@@ -143,3 +143,20 @@ def test_image_pipeline_on_dataset(ray_session):
     assert ok.num_rows == 30 and bad.num_rows == 10
     th = ok["thumbnail"].combine_chunks()
     assert th.flatten().to_numpy(zero_copy_only=False).shape[0] == 30 * 64
+
+
+def test_image_neardup_query_finds_planted(ray_session):
+    """q_image_neardup: brightness-shifted copies pair with their source
+    at small Hamming distance; unrelated images don't flood the result."""
+    from hydra_ray.pipelines.batch_queries import q_image_neardup
+
+    out = q_image_neardup("/root/testdata/sf0.001").to_pandas()
+    # planted pairs are (img-(3k), img-(3k+1)); 100 planted in 300 images
+    planted = 0
+    for _, r in out.iterrows():
+        a, b = sorted([r["id_a"], r["id_b"]])
+        ia, ib = int(a.split("-")[1]), int(b.split("-")[1])
+        if ib == ia + 1 and ib % 3 == 1:
+            planted += 1
+    assert planted >= 90, (planted, len(out))
+    assert len(out) <= 3 * planted  # not flooded by false positives

@@ -80,6 +80,7 @@ NO_ORACLE = [
     "approx_distinct",
     "audio_features",
     "image_features",
+    "image_neardup",
     "video_frames",
 ]
 
