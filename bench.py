@@ -160,12 +160,17 @@ def main():
         # meaningless: alternate the two levels and take per-level medians.
         lo, hi = 8, 32
         reps = int(os.environ.get("HYDRA_BENCH_REPS", "3"))
+        # scaling needs the compute-bound regime: at 12k clips both levels
+        # are bounded by per-epoch latency (~equal throughput); 60k is
+        # where decode/ingest compute dominates (BASELINE.md §C)
+        scaling_clips = os.environ.get("HYDRA_BENCH_CLIPS", "60000")
         samples: dict[int, list[float]] = {lo: [], hi: []}
         for rep in range(reps):
             for n in (lo, hi):
                 env = dict(
                     os.environ,
                     RAY_GRAFT_CPUS=str(n),
+                    HYDRA_BENCH_CLIPS=scaling_clips,
                     HYDRA_BENCH_HEADLINE_ONLY="1",
                     PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
                 )
@@ -193,7 +198,7 @@ def main():
                     f"samples_{lo}cpu": [round(x, 1) for x in samples[lo]],
                     f"samples_{hi}cpu": [round(x, 1) for x in samples[hi]],
                     "reps": reps,
-                    "clips": N_CLIPS,
+                    "clips": int(scaling_clips),
                 }
             )
         )
