@@ -105,6 +105,7 @@ def _route_factory(
     nonce: int = 0,
     hot_keys: frozenset = frozenset(),
     n_salts: int = 4,
+    flush_bytes: int = 64 << 20,
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
     heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
@@ -128,14 +129,78 @@ def _route_factory(
     The ``ray.get`` on the acks back-pressures the task until the actor
     has absorbed the slice — the bounded alternative to the reference's
     unbounded producer queue (`KafkaClientAlgebra.scala:244`).
-    """
-    from ..stages.windows import ts_to_ms as _ts_to_ms
-    from ..table import Table as _Table
 
-    def route(batch: pa.Table) -> pa.Table:
+    Payload staging is BYTE-BOUNDED, not per-batch: the returned router
+    accumulates each partition's heavy slices and flushes a fragment when
+    ``flush_bytes`` accumulate (or at task end via ``flush()``) — small
+    batches then produce few well-sized files instead of a tiny parquet
+    file per (batch, partition), which matters both here (writer setup
+    per file) and on object storage at scale (small-file explosion).
+    """
+    return _Router(
+        handles, kind, wm, key_col, P, decoder, payload_root, epoch, nonce,
+        hot_keys, n_salts, flush_bytes,
+    )
+
+
+class _Router:
+    def __init__(
+        self, handles, kind, wm, key_col, P, decoder, payload_root,
+        epoch, nonce, hot_keys, n_salts, flush_bytes,
+    ):
+        self.handles = handles
+        self.kind = kind
+        self.wm = wm
+        self.key_col = key_col
+        self.P = P
+        self.decoder = decoder
+        self.payload_root = payload_root
+        self.epoch = epoch
+        self.nonce = nonce
+        self.hot_keys = hot_keys
+        self.n_salts = n_salts
+        self.flush_bytes = flush_bytes
+        self._pending: dict[int, list[pa.Table]] = {}
+        self._pbytes = 0
+        # frag json strings from mid-stream byte-threshold flushes; the
+        # owner (ingest task / dataset wrapper) drains these at the end
+        self.frag_jsons: list[str] = []
+
+    def flush(self) -> dict[int, str]:
+        """Stage all accumulated payload slices → {partition: frag json}."""
+        if not self._pending:
+            return {}
+        from ..table import Table as _Table
+
+        payload_tbl = _Table(self.payload_root)
+        frags = {}
+        for p in sorted(self._pending):
+            tables = self._pending[p]
+            heavy = (
+                tables[0]
+                if len(tables) == 1
+                else pa.concat_tables(tables, promote_options="default")
+            )
+            frag = payload_tbl.stage_fragment(
+                heavy, self.epoch, p, compression="snappy"
+            )
+            frags[p] = json.dumps(frag.to_json())
+        self._pending = {}
+        self._pbytes = 0
+        return frags
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time
 
         import ray
+
+        handles, kind, wm, key_col, P = (
+            self.handles, self.kind, self.wm, self.key_col, self.P,
+        )
+        decoder, payload_root = self.decoder, self.payload_root
+        epoch, nonce = self.epoch, self.nonce
+        hot_keys, n_salts = self.hot_keys, self.n_salts
+        from ..stages.windows import ts_to_ms as _ts_to_ms
 
         if batch.num_rows == 0:
             return _empty_ack()
@@ -177,13 +242,12 @@ def _route_factory(
                 combo = np.unique(rr[keep].astype(np.int64) * P + rp[keep])
                 rr, rp = combo // P, combo % P
                 replica_rows = {int(p): rr[rp == p] for p in np.unique(rp)}
-        payload_tbl = _Table(payload_root) if payload_root else None
         light = batch.drop_columns([c for c in HEAVY_COLS if c in batch.column_names])
-        if payload_tbl is not None:
+        if payload_root is not None:
             # same deterministic will-emit predicate the state actor applies
             ok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
             ok &= _ts_to_ms(batch["event_ts"]) >= wm
-        refs, sent, frags = [], [], []
+        refs, sent = [], []
         all_parts = np.union1d(
             np.unique(parts), np.array(sorted(replica_rows), dtype=parts.dtype)
         )
@@ -203,20 +267,16 @@ def _route_factory(
             # the nonce lets close drop stashes from discarded pre-launches
             refs.append(handles[p].ingest.remote(kind, sub, wm, epoch, nonce))
             sent.append(int(p))
-            if payload_tbl is not None:
+            if payload_root is not None:
                 keep = np.flatnonzero(ok & (parts == p))
                 if len(keep):
                     heavy = batch.select(
                         ["seq", "pcm", "n_samples"]
                     ).take(pa.array(keep))
-                    frag = payload_tbl.stage_fragment(
-                        heavy, epoch, int(p), compression="snappy"
-                    )
-                    frags.append(json.dumps(frag.to_json()))
-                else:
-                    frags.append("")
-            else:
-                frags.append("")
+                    self._pending.setdefault(int(p), []).append(heavy)
+                    self._pbytes += heavy.nbytes
+        if self._pbytes >= self.flush_bytes:
+            self.frag_jsons.extend(self.flush().values())
         t2 = _time.perf_counter()
         acks = ray.get(refs)
         t3 = _time.perf_counter()
@@ -228,14 +288,12 @@ def _route_factory(
                 "n": pa.array([a["n"] for a in acks], pa.int64()),
                 "late": pa.array([a["late"] for a in acks], pa.int64()),
                 "max_ts": pa.array([a["max_ts"] for a in acks], pa.int64()),
-                "payload_frag": pa.array(frags, pa.string()),
+                "payload_frag": pa.array([""] * k, pa.string()),
                 "decode_s": pa.array([t1 - t0] * k, pa.float64()),
                 "send_s": pa.array([t2 - t1] * k, pa.float64()),
                 "ack_wait_s": pa.array([t3 - t2] * k, pa.float64()),
             }
         )
-
-    return route
 
 
 _INGEST_TASK = None
@@ -263,10 +321,38 @@ def _ingest_task_fn():
                 for lo in range(0, t.num_rows, batch_size):
                     ack = route(t.slice(lo, min(batch_size, t.num_rows - lo)))
                     out.extend(ack.to_pylist())
-            return out
+            # final payload flush: one fragment per partition per TASK
+            # (plus any byte-threshold mid-flushes), not per batch
+            frags = list(route.frag_jsons) + list(route.flush().values())
+            return {"acks": out, "frags": frags}
 
         _INGEST_TASK = ingest_fragment
     return _INGEST_TASK
+
+
+def _per_batch_route(router: "_Router"):
+    """Dataset-mode wrapper: a fresh accumulator per batch (map_batches
+    functions run stateless per batch), flushed immediately; the frag
+    strings ride in the ack table's payload_frag column (record-separator
+    joined — partition identity lives inside each frag json)."""
+    import copy
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = copy.copy(router)
+        r._pending = {}
+        r._pbytes = 0
+        r.frag_jsons = []
+        ack = r(batch)
+        frags = r.frag_jsons + list(r.flush().values())
+        if frags:
+            k = ack.num_rows
+            col = pa.array(["\x1e".join(frags)] + [""] * (k - 1), pa.string())
+            ack = ack.set_column(
+                ack.schema.get_field_index("payload_frag"), "payload_frag", col
+            )
+        return ack
+
+    return fn
 
 
 def _empty_ack() -> pa.Table:
@@ -450,7 +536,7 @@ class ReplicatePipeline:
                     if flushed:
                         break
                     metrics = self._finish_epoch(
-                        epoch, [], clips_v, clips_v, updates_v, updates_v,
+                        epoch, [], [], clips_v, clips_v, updates_v, updates_v,
                         wm, WATERMARK_MAX, flush=True,
                     )
                     flushed = True
@@ -468,7 +554,7 @@ class ReplicatePipeline:
                             ray.cancel(r, force=False, recursive=False)
                     refs = self._launch_ingest(epoch, clips_v, cv, updates_v, uv, wm)
                 pre = None
-                acks = self._collect_acks(refs, epoch)
+                acks, pay_frags = self._collect_acks(refs, epoch)
                 wm_new = self._advance_watermark(wm, acks)
                 # pipeline: overlap the NEXT epoch's ingest with this close
                 if self.cfg.pipeline_epochs and self.cfg.ingest_mode == "tasks":
@@ -481,7 +567,7 @@ class ReplicatePipeline:
                             nuv,
                         )
                 metrics = self._finish_epoch(
-                    epoch, acks, clips_v, cv, updates_v, uv, wm, wm_new
+                    epoch, acks, pay_frags, clips_v, cv, updates_v, uv, wm, wm_new
                 )
                 wm = metrics["__watermark"]
                 clips_v, updates_v = cv, uv
@@ -578,7 +664,7 @@ class ReplicatePipeline:
         if clips_to > clips_from:
             ds = self.clips.to_dataset(after_version=clips_from, version=clips_to)
             ds = ds.map_batches(
-                clips_route,
+                _per_batch_route(clips_route),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size,
                 max_retries=0,  # epoch-level retry owns failure handling
@@ -589,7 +675,7 @@ class ReplicatePipeline:
                 after_version=updates_from, version=updates_to
             )
             ds = ds.map_batches(
-                updates_route,
+                _per_batch_route(updates_route),
                 batch_format="pyarrow",
                 batch_size=cfg.batch_size * 8,
                 max_retries=0,
@@ -644,19 +730,25 @@ class ReplicatePipeline:
         if refs:
             ray.get(refs)
 
-    def _collect_acks(self, launched, epoch: int) -> list:
+    def _collect_acks(self, launched, epoch: int) -> tuple[list, list]:
+        """→ (ack dicts, payload fragment json strings)."""
         import ray
 
         kind, payload = launched
         acks: list = []
+        frags: list = []
         if kind == "refs":
             for chunk in ray.get(payload):
-                acks.extend(chunk)
+                acks.extend(chunk["acks"])
+                frags.extend(chunk["frags"])
         elif payload:
             combined = payload[0]
             for other in payload[1:]:
                 combined = combined.union(other)
             acks = combined.take_all()
+            for a in acks:
+                if a.get("payload_frag"):
+                    frags.extend(a["payload_frag"].split("\x1e"))
         if acks and os.environ.get("HYDRA_DEBUG_TIMING"):
             import sys as _sys
 
@@ -672,12 +764,13 @@ class ReplicatePipeline:
                 f"send={snd:.2f}s ack_wait={ackw:.2f}s (summed across tasks)",
                 file=_sys.stderr,
             )
-        return acks
+        return acks, frags
 
     def _finish_epoch(
         self,
         epoch: int,
         acks: list,
+        pay_frags: list,
         clips_from: int,
         clips_to: int,
         updates_from: int,
@@ -736,11 +829,8 @@ class ReplicatePipeline:
         for sink_name, frag in hot_staged:
             staged[sink_name].append(frag)
         if not flush:
-            for a in acks:
-                if a.get("payload_frag"):
-                    staged["payload"].append(
-                        FragmentMeta.from_json(json.loads(a["payload_frag"]))
-                    )
+            for fj in pay_frags:
+                staged["payload"].append(FragmentMeta.from_json(json.loads(fj)))
         for s in self.SINKS:
             if s == self.MAIN:
                 continue
