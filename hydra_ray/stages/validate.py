@@ -37,7 +37,13 @@ import pyarrow.compute as pc
 
 from .keys import validate_ts_millis, validate_uuid
 
-__all__ = ["ValidationStrategy", "RecordValidator", "ConversionStats", "make_tombstones"]
+__all__ = [
+    "ValidationStrategy",
+    "RecordValidator",
+    "ConversionStats",
+    "make_tombstones",
+    "fill_defaults",
+]
 
 
 class ValidationStrategy:
@@ -196,3 +202,41 @@ def make_tombstones(keys: pa.Table, value_schema: pa.Schema) -> pa.Table:
         if f.name not in keys.column_names:
             out = out.append_column(f.name, pa.nulls(n, f.type))
     return out
+
+
+def fill_defaults(
+    batch: pa.Table, schema: pa.Schema, defaults: dict | None = None
+) -> pa.Table:
+    """Simple-format normalization: project a loose batch onto ``schema``,
+    adding missing columns and replacing nulls with declared defaults —
+    the columnar analogue of the reference's simple-JSON default filling
+    (`avro/.../convert/SimpleStringToGenericRecord.scala:23-119`,
+    `JsonConverter.java:138-231`).
+
+    Defaults come from ``defaults[name]`` or field metadata ``default``
+    (utf-8, cast to the field type).  A missing column with no default
+    stays null if nullable, else raises (required-missing is an error,
+    matching the converter).  Extra columns are projected away (Relaxed
+    semantics; pair with RecordValidator(STRICT) to reject them instead).
+    """
+    defaults = defaults or {}
+    n = batch.num_rows
+    cols = []
+    for f in schema:
+        dv = defaults.get(f.name)
+        if dv is None and f.metadata and b"default" in f.metadata:
+            dv = pa.scalar(f.metadata[b"default"].decode(), pa.string()).cast(f.type).as_py()
+        if f.name in batch.column_names:
+            col = pc.cast(batch[f.name], f.type)
+            if dv is not None:
+                col = pc.fill_null(col, pa.scalar(dv, f.type))
+        elif dv is not None:
+            col = pa.array([dv] * n, f.type)
+        elif f.nullable:
+            col = pa.nulls(n, f.type)
+        else:
+            raise ValueError(
+                f"required column {f.name!r} missing and has no default"
+            )
+        cols.append(col)
+    return pa.table(dict(zip(schema.names, cols)))

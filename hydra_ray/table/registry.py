@@ -1,0 +1,145 @@
+"""Schema registry client: TTL-cached lookups behind a circuit breaker.
+
+Reference parity (T6, `core/.../akka/SchemaRegistryActor.scala:32-190`;
+retry/compat semantics `avro/.../registry/SchemaRegistry.scala:118-157,
+211-213, 253-274`; TTL memo-cache `services/IngestionFlowV2.scala:46-51`):
+
+- subjects are ``{topic}-key`` / ``{topic}-value``; registration enforces
+  the same compatibility rules as ``lancelite.Table.check_schema`` (type
+  changes and non-nullable adds rejected, nullable adds evolve), plus the
+  key-subject rule: key schemas may NEVER evolve
+  (`SchemaRegistry.scala:118-129`);
+- ``get`` memoizes with a TTL (default 180 s, the v2 flow's cache);
+- the backing store is pluggable (a callable for fetch, a dict-backed
+  default) and every fetch goes through a CIRCUIT BREAKER: after
+  ``failure_threshold`` consecutive errors the breaker opens for
+  ``reset_timeout_s`` (calls fail fast with ``CircuitOpenError``), then a
+  half-open probe decides close vs re-open — the Akka breaker semantics.
+
+In the engine, an instance lives in an actor's ``__init__`` (one per
+worker, like the reference's per-JVM cache) — see ``stages/decode.py``
+for the actor-state pattern.  Time is injected for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import pyarrow as pa
+
+__all__ = ["CircuitOpenError", "SchemaRegistry", "check_compatible"]
+
+
+class CircuitOpenError(RuntimeError):
+    """Fetch rejected fast: the breaker is open after repeated failures."""
+
+
+def check_compatible(
+    stored: pa.Schema, new: pa.Schema, allow_evolution: bool = True
+) -> pa.Schema | None:
+    """Shared compatibility kernel (same rules as lancelite commits,
+    `SchemaRegistry.scala:134-157, 237-274` semantics): returns the
+    evolved schema when nullable columns were added, None when unchanged,
+    raises on incompatibility."""
+    for f in stored:
+        i = new.get_field_index(f.name)
+        if i < 0:
+            if not f.nullable:
+                raise ValueError(f"non-nullable column {f.name!r} removed")
+            continue
+        nf = new.field(i)
+        if nf.type != f.type:
+            raise ValueError(
+                f"incompatible evolution: column {f.name!r} type "
+                f"{f.type} → {nf.type}"
+            )
+    added = [f for f in new if stored.get_field_index(f.name) < 0]
+    if added and not allow_evolution:
+        raise ValueError(
+            f"schema may not evolve: new columns {[f.name for f in added]}"
+        )
+    for f in added:
+        if not f.nullable:
+            raise ValueError(
+                f"incompatible evolution: new column {f.name!r} must be nullable"
+            )
+    return pa.schema(list(stored) + added) if added else None
+
+
+class SchemaRegistry:
+    def __init__(
+        self,
+        fetch: Callable[[str], pa.Schema] | None = None,
+        ttl_s: float = 180.0,
+        failure_threshold: int = 3,
+        reset_timeout_s: float = 30.0,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        self._store: dict[str, pa.Schema] = {}
+        self._fetch = fetch if fetch is not None else self._store.__getitem__
+        self._ttl = ttl_s
+        self._cache: dict[str, tuple[float, pa.Schema]] = {}
+        self._clock = clock
+        # breaker state
+        self._failures = 0
+        self._threshold = failure_threshold
+        self._reset_s = reset_timeout_s
+        self._opened_at: float | None = None
+
+    # ------------------------------------------------------------- register
+    def register(self, subject: str, schema: pa.Schema) -> pa.Schema:
+        """Register/evolve a subject.  Key subjects (``*-key``) may never
+        change; value subjects follow the compatibility rules."""
+        cur = self._store.get(subject)
+        if cur is not None:
+            if subject.endswith("-key"):
+                if not cur.equals(schema):
+                    raise ValueError(
+                        f"key schema for {subject!r} may not evolve"
+                    )
+            else:
+                evolved = check_compatible(cur, schema)
+                schema = evolved if evolved is not None else cur
+        self._store[subject] = schema
+        self._cache.pop(subject, None)
+        return schema
+
+    # ----------------------------------------------------------------- get
+    def get(self, subject: str) -> pa.Schema:
+        now = self._clock()
+        hit = self._cache.get(subject)
+        if hit is not None and now - hit[0] < self._ttl:
+            return hit[1]
+        schema = self._guarded_fetch(subject)
+        self._cache[subject] = (now, schema)
+        return schema
+
+    def _guarded_fetch(self, subject: str) -> pa.Schema:
+        now = self._clock()
+        if self._opened_at is not None:
+            if now - self._opened_at < self._reset_s:
+                raise CircuitOpenError(
+                    f"registry breaker open ({self._failures} consecutive failures)"
+                )
+            # half-open: allow exactly this probe through
+        try:
+            schema = self._fetch(subject)
+        except CircuitOpenError:
+            raise
+        except Exception:
+            self._failures += 1
+            if self._failures >= self._threshold:
+                self._opened_at = now
+            raise
+        self._failures = 0
+        self._opened_at = None
+        return schema
+
+    # -------------------------------------------------------------- breaker
+    @property
+    def breaker_open(self) -> bool:
+        return (
+            self._opened_at is not None
+            and self._clock() - self._opened_at < self._reset_s
+        )

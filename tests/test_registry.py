@@ -1,0 +1,90 @@
+"""Schema registry client: TTL cache, compat rules, circuit breaker (T6)."""
+
+import pyarrow as pa
+import pytest
+
+from hydra_ray.stages.validate import fill_defaults
+from hydra_ray.table.registry import CircuitOpenError, SchemaRegistry
+
+
+def _s(**fields):
+    return pa.schema([pa.field(n, t) for n, t in fields.items()])
+
+
+def test_register_and_evolve_value_subject():
+    r = SchemaRegistry()
+    s1 = _s(a=pa.int64())
+    r.register("t-value", s1)
+    s2 = pa.schema(list(s1) + [pa.field("b", pa.string())])
+    r.register("t-value", s2)
+    assert r.get("t-value").names == ["a", "b"]
+    with pytest.raises(ValueError, match="incompatible"):
+        r.register("t-value", _s(a=pa.string()))
+
+
+def test_key_subject_never_evolves():
+    r = SchemaRegistry()
+    r.register("t-key", _s(k=pa.int64()))
+    with pytest.raises(ValueError, match="may not evolve"):
+        r.register("t-key", _s(k=pa.int64(), extra=pa.string()))
+
+
+def test_ttl_cache_and_breaker():
+    clock = [0.0]
+    calls = []
+
+    def fetch(subject):
+        calls.append(subject)
+        if subject == "bad-value" and calls.count("bad-value") <= 4:
+            raise ConnectionError("registry down")
+        return _s(a=pa.int64())
+
+    r = SchemaRegistry(fetch=fetch, ttl_s=10, failure_threshold=3,
+                       reset_timeout_s=30, clock=lambda: clock[0])
+    # TTL: second get within ttl doesn't re-fetch
+    r.get("ok-value")
+    r.get("ok-value")
+    assert calls.count("ok-value") == 1
+    clock[0] += 11
+    r.get("ok-value")
+    assert calls.count("ok-value") == 2
+    # breaker: 3 consecutive failures open it; then calls fail FAST
+    for _ in range(3):
+        with pytest.raises(ConnectionError):
+            r.get("bad-value")
+    assert r.breaker_open
+    with pytest.raises(CircuitOpenError):
+        r.get("bad-value")
+    n_calls = len(calls)
+    with pytest.raises(CircuitOpenError):
+        r.get("bad-value")
+    assert len(calls) == n_calls  # no fetch while open
+    # half-open probe after the reset timeout; failure re-opens
+    clock[0] += 31
+    with pytest.raises(ConnectionError):
+        r.get("bad-value")
+    assert r.breaker_open
+    # next probe succeeds (fetch recovers) and closes the breaker
+    clock[0] += 31
+    assert r.get("bad-value").names == ["a"]
+    assert not r.breaker_open
+
+
+def test_fill_defaults_normalizer():
+    schema = pa.schema(
+        [
+            pa.field("a", pa.int64()),
+            pa.field("b", pa.string(), metadata={b"default": b"unknown"}),
+            pa.field("c", pa.float64()),
+        ]
+    )
+    batch = pa.table({"a": pa.array([1, None]), "extra": pa.array(["x", "y"])})
+    out = fill_defaults(batch, schema, defaults={"a": 0})
+    assert out.column_names == ["a", "b", "c"]            # extra projected away
+    assert out["a"].to_pylist() == [1, 0]                  # explicit default fills nulls
+    assert out["b"].to_pylist() == ["unknown", "unknown"]  # metadata default
+    assert out["c"].null_count == 2                        # nullable, no default
+
+    req = pa.schema([pa.field("r", pa.int64(), nullable=False)])
+    with pytest.raises(ValueError, match="required column"):
+        fill_defaults(pa.table({"a": pa.array([1])}), req)
