@@ -106,7 +106,9 @@ def _batch_shingles(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     bnd = offsets[1:-1]
     for j in range(1, k):
         idx = bnd - j
-        valid[idx[idx >= 0]] = False
+        # clamp: boundaries near the buffer end index past the last window
+        # (trailing short/empty docs), and near the start below zero
+        valid[idx[(idx >= 0) & (idx < len(valid))]] = False
     flat_long = h[valid]
     if not short.any():
         return flat_long, starts
