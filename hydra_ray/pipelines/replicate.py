@@ -554,7 +554,17 @@ class ReplicatePipeline:
                             ray.cancel(r, force=False, recursive=False)
                     refs = self._launch_ingest(epoch, clips_v, cv, updates_v, uv, wm)
                 pre = None
+                import time as _time
+
+                _t0 = _time.perf_counter()
                 acks, pay_frags = self._collect_acks(refs, epoch)
+                if os.environ.get("HYDRA_DEBUG_TIMING"):
+                    import sys as _sys
+
+                    print(
+                        f"[epoch {epoch}] ingest_wall={_time.perf_counter() - _t0:.2f}s",
+                        file=_sys.stderr,
+                    )
                 wm_new = self._advance_watermark(wm, acks)
                 # pipeline: overlap the NEXT epoch's ingest with this close
                 if self.cfg.pipeline_epochs and self.cfg.ingest_mode == "tasks":
