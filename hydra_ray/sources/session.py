@@ -67,7 +67,6 @@ class IngestSession:
     def __init__(self, handler: Callable[[dict], Any] | None = None):
         self.metadata: dict[str, str] = {}
         self.handler = handler or (lambda req: None)
-        self._counter = 0
 
     # ------------------------------------------------------------ commands
     def process(self, line: str) -> tuple[int, str]:
@@ -100,7 +99,6 @@ class IngestSession:
         return self._ingest(cid, payload)
 
     def _ingest(self, correlation_id: str | None, payload: str) -> tuple[int, str]:
-        self._counter += 1
         req = {
             "correlation_id": correlation_id or "0",
             "payload": payload,

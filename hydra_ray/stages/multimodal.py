@@ -230,7 +230,10 @@ class ImageDecoder:
                 edges[i] = float(np.hypot(gx, gy).mean())
                 thumbs[i] = block_thumbnail(lum, self.thumb, self.thumb).reshape(-1)
                 hashes[i] = dhash64(lum)
-            except ImageDecodeError as e:
+            except (ImageDecodeError, ValueError, struct.error) as e:
+                # malformed headers surface as plain ValueError/struct.error
+                # from the parsers — every per-row failure is DLQ, not a
+                # stage crash
                 errors[i] = str(e)
         return pa.table(
             {
@@ -298,6 +301,10 @@ class FrameSampler:
                 errs.append("malformed rawv payload")
                 continue
             w, h, fps, nf = struct.unpack_from("<HHHI", raw, 4)
+            if fps <= 0 or w <= 0 or h <= 0:
+                err_ids.append(vid)
+                errs.append(f"malformed rawv header (w={w}, h={h}, fps={fps})")
+                continue
             need = 14 + w * h * nf
             if len(raw) < need:
                 err_ids.append(vid)

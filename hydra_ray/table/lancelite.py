@@ -100,8 +100,15 @@ class _Manifest:
 class Table:
     """A lancelite table rooted at ``root`` (a local dir in this sandbox)."""
 
+    _SCHEMA_UNSET = object()
+
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
+        # per-instance memo for the stage-time schema check (hot path):
+        # sink tables are schema-less, so this avoids a manifest parse per
+        # staged fragment; mid-run evolution only ADDS nullable columns,
+        # which the check accepts against a stale schema anyway
+        self._stage_schema: Any = Table._SCHEMA_UNSET
 
     # ------------------------------------------------------------------ DDL
     @classmethod
@@ -146,6 +153,16 @@ class Table:
                 else None,
             )
             t._write_manifest(m)
+        elif key:
+            # create-or-open with a key declaration: adopt it on a key-less
+            # table, verify it on a keyed one (never silently ignore)
+            stored = t.key_columns()
+            if not stored:
+                t._commit_fragments([], {"key": list(key)})
+            elif stored != list(key):
+                raise ValueError(
+                    f"table {t.root} already keyed by {stored}, not {list(key)}"
+                )
         return t
 
     def key_columns(self) -> list[str]:
@@ -262,38 +279,26 @@ class Table:
           evolved schema to store; otherwise returns None (no change).
 
         Tables created without a schema are unchecked (sink tables whose
-        shape is owned by the pipeline).
+        shape is owned by the pipeline).  The base compatibility kernel is
+        shared with the registry (``table.registry.check_compatible``);
+        this adds the key-column rules on top.
         """
+        from .registry import check_compatible
+
         stored = self.schema()
         if stored is None:
             return None
-        keys = set(self.key_columns())
-        for f in stored:
-            i = new.get_field_index(f.name)
+        for k in self.key_columns():
+            i = new.get_field_index(k)
             if i < 0:
-                if f.name in keys:
-                    raise ValueError(f"key column {f.name!r} missing from write")
-                if not f.nullable:
-                    raise ValueError(
-                        f"non-nullable column {f.name!r} missing from write"
-                    )
-                continue
-            nf = new.field(i)
-            if nf.type != f.type:
+                raise ValueError(f"key column {k!r} missing from write")
+            si = stored.get_field_index(k)
+            if si >= 0 and new.field(i).type != stored.field(si).type:
                 raise ValueError(
-                    f"incompatible evolution: column {f.name!r} type "
-                    f"{f.type} → {nf.type}"
+                    f"incompatible evolution: column {k!r} type "
+                    f"{stored.field(si).type} → {new.field(i).type}"
                 )
-        added = [f for f in new if stored.get_field_index(f.name) < 0]
-        for f in added:
-            if not f.nullable:
-                raise ValueError(
-                    f"incompatible evolution: new column {f.name!r} must be "
-                    "nullable"
-                )
-        if added:
-            return pa.schema(list(stored) + added)
-        return None
+        return check_compatible(stored, new)
 
     # --------------------------------------------------------------- writes
     def append(
@@ -399,12 +404,12 @@ class Table:
         manifest version is the MVCC order.  Requires a declared key."""
         if not self.key_columns():
             raise ValueError("upsert requires a table created with key=[...]")
-        self.check_schema(data.schema)
+        evolved = self.check_schema(data.schema)
         data = data.append_column(
             "__tombstone", pa.array([False] * data.num_rows, pa.bool_())
         )
         frag = self._write_fragment(data, _DATA_DIR, None, None)
-        return self._commit_fragments([frag])
+        return self._commit_fragments([frag], new_schema=evolved)
 
     def delete_by_key(self, keys: pa.Table) -> int:
         """Keyed delete (reference ``Operation.DeleteByKey``): appends
@@ -461,7 +466,10 @@ class Table:
         barely compresses under zstd but costs real CPU per epoch).
         Writes against a schema-declared table enforce the same evolution
         rules as ``append`` (evolution itself happens via ``append``)."""
-        self.check_schema(data.schema)
+        if self._stage_schema is Table._SCHEMA_UNSET:
+            self._stage_schema = self.schema()
+        if self._stage_schema is not None:
+            self.check_schema(data.schema)
         return self._write_fragment(data, _STAGE_DIR, partition, epoch, compression)
 
     def committed_epoch(self, pipeline: str) -> int:

@@ -198,3 +198,32 @@ def test_upsert_requires_key(tmp_path):
     t = Table.create(str(tmp_path / "t"), schema=s)
     with pytest.raises(ValueError, match="key"):
         t.upsert(pa.table({"k": pa.array([1]), "v": pa.array(["a"])}, schema=s))
+
+
+def test_create_or_open_key_adoption_and_mismatch(tmp_path):
+    """Re-opening with a key adopts it on a key-less table and verifies it
+    on a keyed one (code-review regression: it was silently ignored)."""
+    s = _schema(k=pa.int64(), v=pa.string())
+    Table.create(str(tmp_path / "t"), schema=s)
+    t = Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+    assert t.key_columns() == ["k"]
+    t.upsert(pa.table({"k": pa.array([1]), "v": pa.array(["a"])}, schema=s))
+    s_nn = pa.schema(
+        [pa.field("k", pa.int64(), nullable=False),
+         pa.field("v", pa.string(), nullable=False)]
+    )
+    with pytest.raises(ValueError, match="already keyed"):
+        Table.create(str(tmp_path / "t"), schema=s_nn, key=["v"])
+
+
+def test_upsert_evolves_schema_like_append(tmp_path):
+    s = _schema(k=pa.int64(), v=pa.string())
+    t = Table.create(str(tmp_path / "t"), schema=s, key=["k"])
+    s2 = pa.schema(list(s) + [pa.field("extra", pa.float64())])
+    t.upsert(pa.table(
+        {"k": pa.array([1]), "v": pa.array(["a"]), "extra": pa.array([2.5])},
+        schema=s2,
+    ))
+    assert t.schema().get_field_index("extra") >= 0
+    got = t.read_compacted()
+    assert got["extra"].to_pylist() == [2.5]

@@ -160,3 +160,40 @@ def test_image_neardup_query_finds_planted(ray_session):
             planted += 1
     assert planted >= 90, (planted, len(out))
     assert len(out) <= 3 * planted  # not flooded by false positives
+
+
+def test_malformed_headers_route_to_dlq_not_crash():
+    """Corrupt-but-plausible headers must land in decode_error, never
+    abort the stage (code-review regression)."""
+    imgs = [
+        ("bad-pnm", b"P6\nx y\n255\n" + b"\x00" * 32, "ppm"),
+        ("bad-bmp-neg", b"BM" + b"\x00" * 8 + b"\x36\x00\x00\x00"
+         + b"\x28\x00\x00\x00" + (-5).to_bytes(4, "little", signed=True)
+         + (4).to_bytes(4, "little") + b"\x01\x00\x18\x00" + b"\x00" * 24, "bmp"),
+        ("ok", encode_ppm(_synth_rgb(0)), "ppm"),
+    ]
+    batch = pa.table(
+        {
+            "image_id": pa.array([i[0] for i in imgs]),
+            "bytes": pa.array([i[1] for i in imgs], pa.large_binary()),
+            "format": pa.array([i[2] for i in imgs]),
+        }
+    )
+    out = ImageDecoder()(batch)
+    errs = out["decode_error"].to_pylist()
+    assert errs[0] is not None and errs[1] is not None and errs[2] is None
+
+
+def test_rawv_zero_fps_routed():
+    import struct as _struct
+
+    bad = b"RAWV" + _struct.pack("<HHHI", 2, 2, 0, 1) + b"\x00" * 4
+    batch = pa.table(
+        {
+            "video_id": pa.array(["v"]),
+            "bytes": pa.array([bad], pa.large_binary()),
+            "format": pa.array(["rawv"]),
+        }
+    )
+    out = FrameSampler()(batch).to_pandas()
+    assert "malformed rawv header" in out["decode_error"].iloc[0]
