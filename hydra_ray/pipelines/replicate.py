@@ -651,21 +651,27 @@ class ReplicatePipeline:
             n_salts=cfg.n_salts,
         )
         if cfg.ingest_mode == "tasks":
+            import ray
+
             task = _ingest_task_fn()
             refs = []
             if clips_to > clips_from:
+                # ship the router once per epoch (object store), not
+                # re-pickled into every task submission
+                route_ref = ray.put(clips_route)
                 for f in self.clips.read_fragments(clips_from, clips_to):
                     refs.append(
                         task.remote(
-                            self.clips.fragment_paths([f]), clips_route,
+                            self.clips.fragment_paths([f]), route_ref,
                             cfg.batch_size, None,
                         )
                     )
             if self.updates and updates_to > updates_from:
+                route_ref = ray.put(updates_route)
                 for f in self.updates.read_fragments(updates_from, updates_to):
                     refs.append(
                         task.remote(
-                            self.updates.fragment_paths([f]), updates_route,
+                            self.updates.fragment_paths([f]), route_ref,
                             cfg.batch_size * 8, None,
                         )
                     )
