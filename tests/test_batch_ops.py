@@ -88,3 +88,28 @@ def test_exact_dedup_survivor_is_min(rd):
     dupe = out[out["n_copies"] > 1]
     assert dupe["doc_id"].tolist() == [1]  # min doc_id among 1,3,5,7,9
     assert dupe["n_copies"].tolist() == [5]
+
+
+def test_bucketed_join_inner_and_left(rd):
+    from hydra_ray.stages.join import bucketed_join
+
+    left = rd.from_items([{"k": i, "a": f"x{i}"} for i in range(50)])
+    right = rd.from_items([{"k": i * 2, "b": float(i)} for i in range(50)])
+    out = bucketed_join(left, right, "k", num_buckets=7).to_pandas()
+    # inner: even keys 0..48 present exactly once
+    assert sorted(out["k"].tolist()) == list(range(0, 50, 2))
+    assert out["a"].notna().all() and out["b"].notna().all()
+    lo = bucketed_join(left, right, "k", how="left", num_buckets=7).to_pandas()
+    assert len(lo) == 50
+    assert lo["b"].isna().sum() == 25  # odd keys unmatched
+
+
+def test_bucketed_join_rejects_shared_columns(rd):
+    from hydra_ray.stages.join import bucketed_join
+
+    left = rd.from_items([{"k": 1, "x": 1}])
+    right = rd.from_items([{"k": 1, "x": 2}])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shared"):
+        bucketed_join(left, right, "k")
