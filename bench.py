@@ -133,6 +133,41 @@ def run_headline(num_cpus: int) -> dict:
     }
 
 
+def run_decode_only(num_cpus: int) -> dict:
+    """Pure wide-path scaling probe: decode + audio features over the same
+    input, no state actors / 2PC — isolates the engine's embarrassingly
+    parallel stages from the per-epoch fixed costs and the host's memory
+    ceiling debate (BASELINE.md §C)."""
+    from hydra_ray.stages.audio_features import AudioFeatures
+    from hydra_ray.stages.decode import AudioDecoder, split_dlq
+    from hydra_ray.table import Table
+
+    root = f"/tmp/hydra_bench/in_v2_{N_CLIPS}_{N_EPOCHS}_{SEED}"
+    build_bench_input(root, N_CLIPS, N_EPOCHS)
+    clips = Table(os.path.join(root, "clips"))
+
+    def one_pass():
+        ds = clips.to_dataset().map_batches(
+            AudioDecoder(), batch_format="pyarrow", batch_size=128
+        )
+        main, _ = split_dlq(ds)
+        return main.map_batches(
+            AudioFeatures(), batch_format="pyarrow", batch_size=128
+        ).count()
+
+    one_pass()  # untimed warmup (page faults, worker spin-up)
+    t0 = time.perf_counter()
+    n = one_pass()
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "clips": N_CLIPS,
+        "replicated": n,
+        "clips_per_sec": N_CLIPS / dt,
+        "windows_closed": 0,
+    }
+
+
 def run_queries() -> dict:
     import __ray_entry__ as entrymod
 
@@ -219,7 +254,10 @@ def main():
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
     try:
-        headline = run_headline(NUM_CPUS)
+        if os.environ.get("HYDRA_BENCH_MODE") == "decode":
+            headline = run_decode_only(NUM_CPUS)
+        else:
+            headline = run_headline(NUM_CPUS)
         queries = {} if os.environ.get("HYDRA_BENCH_HEADLINE_ONLY") else run_queries()
         print(
             json.dumps(
