@@ -292,8 +292,13 @@ def ngram_jaccard_batch(texts_a, texts_b, k: int = 5) -> np.ndarray:
     n = len(texts_a)
     if n == 0:
         return np.empty(0, np.float64)
-    all_texts = np.asarray(list(texts_a) + list(texts_b), dtype=object)
-    codes, uniques = pd.factorize(all_texts)
+    all_texts = np.asarray(
+        ["" if t is None else t for t in list(texts_a) + list(texts_b)], dtype=object
+    )
+    # np.unique, NOT pd.factorize: pandas' object hashtable compares
+    # C-string-style, so '' and '\x00' (any NUL-containing text) collapse
+    # into one code and distinct docs share shingle sets.
+    uniques, codes = np.unique(all_texts, return_inverse=True)
     ca, cb = codes[:n].astype(np.int64), codes[n:].astype(np.int64)
     U = len(uniques)
     # distinct (code_a, code_b) pairs — duplicate pairs share one result

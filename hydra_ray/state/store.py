@@ -385,9 +385,11 @@ class PartitionState:
                 t["transcript"].to_numpy(zero_copy_only=False), dtype=object
             )
             if len(uts):
-                # composite (key-code, ts) probe key: factorize both key
-                # sets together, offset ts into a non-negative span
-                codes, _ = pd.factorize(np.concatenate([ukeys, ckeys]))
+                # composite (key-code, ts) probe key: code both key sets
+                # together (np.unique, not pd.factorize — pandas' object
+                # hashtable compares C-string-style so NUL-containing keys
+                # would collide), offset ts into a non-negative span
+                _, codes = np.unique(np.concatenate([ukeys, ckeys]), return_inverse=True)
                 ucodes = codes[: len(ukeys)].astype(np.int64)
                 ccodes = codes[len(ukeys):].astype(np.int64)
                 tmin = int(min(uts.min(), ts.min()))
