@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_clusters": q.q_neardup_clusters,
         "simhash_neardup": q.q_simhash_neardup,
+        "embedding_neardup": q.q_embedding_neardup,
         # text analysis
         "token_stats": q.q_token_stats,
         "quality_scores": q.q_quality_scores,
@@ -224,6 +225,93 @@ def oracle_sql() -> dict[str, str]:
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS sum_l2
             FROM embeddings GROUP BY 1
         """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a,
+                   b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 2) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+        """,
+        "ann_topk": """
+            WITH s AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS cos
+                FROM embeddings q, embeddings e
+                WHERE q.vec_id < 8
+            ), r AS (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+                FROM s
+            )
+            SELECT query_id, vec_id, round(cos, 2) AS cosine, rnk AS "rank"
+            FROM r WHERE rnk <= 5
+        """,
+        "fingerprint": r"""
+            SELECT source,
+                   count(DISTINCT regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       AS n_distinct
+            FROM documents GROUP BY 1
+        """,
+        "langid": r"""
+            WITH m AS (
+                SELECT lang,
+                       lower(coalesce(text, '')) AS t
+                FROM documents
+            ), h AS (
+                SELECT lang,
+                       len(regexp_extract_all(t, '\b(?:a|and|for|in|is|it|of|that|the|to)\b')) AS h_en,
+                       len(regexp_extract_all(t, '\b(?:das|den|der|die|ein|ist|mit|und|von|zu)\b')) AS h_de,
+                       len(regexp_extract_all(t, '\b(?:de|el|en|es|la|no|que|se|un|y)\b')) AS h_es,
+                       len(regexp_extract_all(t, '\b(?:de|du|en|est|et|la|le|que|un|une)\b')) AS h_fr
+                FROM m
+            ), p AS (
+                SELECT lang,
+                       CASE
+                           WHEN h_en = 0 AND h_de = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+                           WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                           WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                           WHEN h_es >= h_fr THEN 'es'
+                           ELSE 'fr'
+                       END AS lang_pred
+                FROM h
+            )
+            SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2
+        """,
+        "quality_scores": r"""
+            WITH m AS (
+                SELECT lang, coalesce(text, '') AS t FROM documents
+            ), f AS (
+                SELECT lang,
+                       greatest(length(t), 1) AS n_chars,
+                       len(regexp_extract_all(t, '[^\w\s]')) AS n_punct,
+                       greatest(len(regexp_extract_all(t, '[a-zA-Z'']+')), 1) AS n_words,
+                       len(list_distinct(regexp_extract_all(t, '[a-zA-Z'']+'))) AS n_uniq,
+                       len(regexp_extract_all(lower(t), CASE lang
+                           WHEN 'de' THEN '\b(?:das|den|der|die|ein|ist|mit|und|von|zu)\b'
+                           WHEN 'es' THEN '\b(?:de|el|en|es|la|no|que|se|un|y)\b'
+                           WHEN 'fr' THEN '\b(?:de|du|en|est|et|la|le|que|un|une)\b'
+                           ELSE '\b(?:a|and|for|in|is|it|of|that|the|to)\b'
+                       END)) AS n_stop
+                FROM m
+            ), r AS (
+                SELECT lang,
+                       CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+                       1.0 - CAST(n_uniq AS DOUBLE) / n_words AS rep,
+                       CAST(n_punct AS DOUBLE) / n_chars AS punct
+                FROM f
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(avg(0.4 * (1.0 - rep)
+                         + 0.3 * (1.0 - least(greatest(punct, 0.0), 1.0))
+                         + 0.3 * least(greatest(stopword_ratio, 0.0), 0.6) / 0.6), 4)
+                       AS avg_quality,
+                   round(avg(stopword_ratio), 4) AS avg_stopword_ratio
+            FROM r GROUP BY 1
+        """,
         # no oracle (not SQL-expressible): replicate_stream, minhash_neardup,
-        # simhash_neardup, quality_scores, langid, fingerprint, ann_topk, ann_ivf
+        # simhash_neardup, ann_ivf (approximate), approx_distinct (sketch),
+        # audio/image/video feature extraction
     }

@@ -24,6 +24,7 @@ from ..stages.neardup import minhash_lsh_candidates, simhash_near_pairs
 from ..stages.similarity import (
     cosine_range_search,
     cosine_topk,
+    embedding_neardup_pairs,
     ivf_topk,
     train_centroids,
 )
@@ -409,6 +410,20 @@ def q_ann_ivf(sf_dir):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     cents = train_centroids(ds, n_centroids=16)
     out = ivf_topk(ds, ids, mat, k=5, centroids=cents, nprobe=4)
+    return _round_cols(out, {"cosine": 2})
+
+
+def q_embedding_neardup(sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact form, SQL oracle).
+
+    Threshold 0.42 sits in a wide gap of the synthetic corpus's pairwise
+    cosine distribution (≥1e-3 from the nearest pair at sf≤0.01), so the
+    float32 DuckDB kernel vs float64 numpy divergence (~2e-7 measured)
+    cannot flip membership.  The high-threshold scale path is
+    ``embedding_neardup_lsh`` (unit-tested against this exact kernel).
+    """
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, threshold=0.42)
     return _round_cols(out, {"cosine": 2})
 
 

@@ -8,6 +8,9 @@
   on a sample, broadcast), batches route vectors to their nearest
   centroid bucket; queries probe ``nprobe`` buckets so only a fraction of
   the corpus is scored (IVF-Flat à la FAISS, public literature).
+- ``embedding_neardup_pairs`` — exact all-pairs cosine near-dup over the
+  corpus itself (dedup family); ``embedding_neardup_lsh`` — the
+  high-threshold scale path via sign-random-projection signatures.
 """
 
 from __future__ import annotations
@@ -16,7 +19,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["cosine_range_search", "cosine_topk", "train_centroids", "ivf_topk"]
+__all__ = [
+    "cosine_range_search",
+    "cosine_topk",
+    "train_centroids",
+    "ivf_topk",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+]
 
 
 def _stack(col) -> np.ndarray:
@@ -105,7 +115,7 @@ def cosine_topk(ds, queries_ids, queries_mat, k, id_col="vec_id", vec_col="embed
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
         out = g.head(k).copy()
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
@@ -188,7 +198,136 @@ def ivf_topk(ds, queries_ids, queries_mat, k, centroids, nprobe=4, id_col="vec_i
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
         out = g.head(k).copy()
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
         return out
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def embedding_neardup_pairs(ds, threshold, id_col="vec_id", vec_col="embedding"):
+    """Exact embedding-cosine near-duplicate pairs (dedup family).
+
+    Gathers the (id, vector) corpus once as Arrow blocks, broadcasts the
+    normalized matrix via ``ray.put``, and has every batch do ONE numpy
+    matmul against it — each unordered pair (a < b) is emitted exactly
+    once, by the batch that contains the smaller id.  Exact (recall 1),
+    so it is the DuckDB-oracle-checkable form; compute is O(N²/P) and the
+    broadcast is O(N·d), which holds while the id+vector corpus fits in
+    the object store (tens of millions of rows at d≤1024).  Beyond that,
+    use ``embedding_neardup_lsh``.
+
+    Reference analogue: dedup is an engine requirement, not a reference
+    operator; semantics follow the exact-cosine definition.
+    """
+    import ray
+
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in refs])
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    mat = _normalize(_stack(tbl[vec_col]))
+    ref = ray.put({"ids": ids, "mat": mat})
+
+    class Pairs:
+        def __init__(self):
+            d = ray.get(ref)
+            self.ids, self.mat = d["ids"], d["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = batch[id_col].to_numpy(zero_copy_only=False)
+            m = _normalize(_stack(batch[vec_col]))
+            s = m @ self.mat.T
+            ri, ci = np.nonzero(s >= threshold)
+            keep = bids[ri] < self.ids[ci]
+            ri, ci = ri[keep], ci[keep]
+            return pa.table(
+                {
+                    "id_a": pa.array(bids[ri]),
+                    "id_b": pa.array(self.ids[ci]),
+                    "cosine": pa.array(s[ri, ci], pa.float64()),
+                }
+            )
+
+    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def embedding_neardup_lsh(
+    ds,
+    threshold,
+    id_col="vec_id",
+    vec_col="embedding",
+    n_bits=64,
+    max_hamming=6,
+    n_tables=4,
+    num_buckets=64,
+    seed=42,
+):
+    """Approximate embedding near-dup for HIGH thresholds (≳0.9) at scale.
+
+    Sign-random-projection (Charikar SimHash for vectors): project each
+    vector onto ``n_bits`` fixed random hyperplanes, pack the sign bits
+    into a uint64 signature, find signature pairs within ``max_hamming``
+    via the generic banded pigeonhole pairing (``hamming_near_pairs``),
+    then verify each candidate with the exact cosine.  P[bit differs] =
+    angle/pi, so cosine 0.95 → expected hamming ≈ 6.5/64: near-dups
+    collide in some 16-bit band with high probability while random pairs
+    do not.  No all-pairs matmul and no corpus broadcast — the wide step
+    is the same bucketed shuffle as the text near-dup family.
+    """
+    from .neardup import hamming_near_pairs
+
+    class Sign:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_stack(batch[vec_col]))
+            if self.planes is None:
+                r = np.random.default_rng(seed)
+                self.planes = r.standard_normal((n_bits, m.shape[1]))
+            bits = (m @ self.planes.T) > 0  # (n, n_bits)
+            sig = np.zeros(len(m), dtype=np.uint64)
+            for b in range(n_bits):
+                sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+            return pa.table(
+                {id_col: batch[id_col], "sig": pa.array(sig.astype(np.int64)),
+                 vec_col: batch[vec_col]}
+            )
+
+    signed = ds.map_batches(Sign, batch_format="pyarrow", batch_size=2048)
+    cand = hamming_near_pairs(
+        signed.select_columns([id_col, "sig"]), "sig", id_col,
+        max_hamming=max_hamming, n_tables=n_tables, num_buckets=num_buckets,
+    )
+
+    # exact-cosine verify: join candidate ids back to vectors (both sides)
+    from .join import bucketed_join
+
+    vecs = signed.select_columns([id_col, vec_col])
+    a = bucketed_join(
+        cand, vecs.map_batches(
+            lambda t: t.rename_columns(["id_a", "vec_a"]), batch_format="pyarrow"),
+        key="id_a", num_buckets=min(num_buckets, 32),
+    )
+    ab = bucketed_join(
+        a, vecs.map_batches(
+            lambda t: t.rename_columns(["id_b", "vec_b"]), batch_format="pyarrow"),
+        key="id_b", num_buckets=min(num_buckets, 32),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"id_a": t["id_a"], "id_b": t["id_b"],
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ma = _normalize(_stack(t["vec_a"]))
+        mb = _normalize(_stack(t["vec_b"]))
+        cos = (ma * mb).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {"id_a": t["id_a"].filter(pa.array(keep)),
+             "id_b": t["id_b"].filter(pa.array(keep)),
+             "cosine": pa.array(cos[keep], pa.float64())}
+        )
+
+    return ab.map_batches(verify, batch_format="pyarrow")

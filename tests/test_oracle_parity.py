@@ -72,10 +72,6 @@ NO_ORACLE = [
     "minhash_neardup",
     "neardup_clusters",
     "simhash_neardup",
-    "quality_scores",
-    "langid",
-    "fingerprint",
-    "ann_topk",
     "ann_ivf",
     "approx_distinct",
     "audio_features",
