@@ -98,12 +98,21 @@ def bucketed_join(
     ldtypes = {f.name: f.type.to_pandas_dtype() for f in lschema}
     rdtypes = {f.name: f.type.to_pandas_dtype() for f in rschema}
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    # declared output schema: empty buckets otherwise re-infer object
+    # columns (bytes, lists) as string/null and break the NEXT exchange
+    # when this join's output feeds another sort/groupby
+    out_schema = pa.schema(
+        [lschema.field(n) for n in lnames]
+        + [rschema.field(n) for n in rnames if n != key]
+    )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
         gl = g[g["__side"] == 0][lnames].astype(ldtypes)
         gr = g[g["__side"] == 1][rnames].astype(rdtypes)
-        # run the merge even on empty sides: it preserves column dtypes,
-        # keeping every output block schema-identical
-        return gl.merge(gr, on=key, how=how, suffixes=("", suffix))
+        out = gl.merge(gr, on=key, how=how, suffixes=("", suffix))
+        # from_pandas semantics: NaN padding from outer joins → nulls,
+        # ints stay ints; every block leaves with the identical schema
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 

@@ -288,12 +288,22 @@ def embedding_neardup_lsh(
             sig = np.zeros(len(m), dtype=np.uint64)
             for b in range(n_bits):
                 sig |= bits[:, b].astype(np.uint64) << np.uint64(b)
+            # normalized vector as fixed-size binary: survives the pandas
+            # merge inside bucketed_join (list/tensor columns don't — empty
+            # groups re-infer object→string and poison later exchanges)
+            m32 = np.ascontiguousarray(m, dtype=np.float32)
+            vb = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(m32.shape[1] * 4), len(m32),
+                [None, pa.py_buffer(m32.tobytes())],
+            )
             return pa.table(
                 {id_col: batch[id_col], "sig": pa.array(sig.astype(np.int64)),
-                 vec_col: batch[vec_col]}
+                 "__vb": vb}
             )
 
-    signed = ds.map_batches(Sign, batch_format="pyarrow", batch_size=2048)
+    signed = ds.map_batches(
+        Sign, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8)
+    )
     cand = hamming_near_pairs(
         signed.select_columns([id_col, "sig"]), "sig", id_col,
         max_hamming=max_hamming, n_tables=n_tables, num_buckets=num_buckets,
@@ -302,7 +312,7 @@ def embedding_neardup_lsh(
     # exact-cosine verify: join candidate ids back to vectors (both sides)
     from .join import bucketed_join
 
-    vecs = signed.select_columns([id_col, vec_col])
+    vecs = signed.select_columns([id_col, "__vb"])
     a = bucketed_join(
         cand, vecs.map_batches(
             lambda t: t.rename_columns(["id_a", "vec_a"]), batch_format="pyarrow"),
@@ -314,14 +324,20 @@ def embedding_neardup_lsh(
         key="id_b", num_buckets=min(num_buckets, 32),
     )
 
+    def _unpack(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        buf = b"".join(arr.to_pylist())
+        m = np.frombuffer(buf, dtype=np.float32).astype(np.float64)
+        return m.reshape(len(arr), -1)
+
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
                 {"id_a": t["id_a"], "id_b": t["id_b"],
                  "cosine": pa.array([], pa.float64())}
             )
-        ma = _normalize(_stack(t["vec_a"]))
-        mb = _normalize(_stack(t["vec_b"]))
+        ma = _unpack(t["vec_a"])
+        mb = _unpack(t["vec_b"])
         cos = (ma * mb).sum(axis=1)
         keep = cos >= threshold
         return pa.table(

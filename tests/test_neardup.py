@@ -119,3 +119,38 @@ def test_ngram_jaccard_batch_matches_per_pair():
     got = ngram_jaccard_batch(pairs_a, pairs_b, 5)
     ref = [ngram_jaccard(a, b, 5) for a, b in zip(pairs_a, pairs_b)]
     assert np.allclose(got, ref), (got, ref)
+
+
+def test_embedding_neardup_lsh_matches_exact(ray_session):
+    """Sign-projection LSH finds the planted high-cosine pairs the exact
+    broadcast kernel finds (deterministic under the fixed seed)."""
+    import ray.data as rd
+
+    from hydra_ray.stages.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32))
+    # plant 6 near-dup pairs: tiny perturbations of the first 6 vectors
+    near = base[:6] + 0.02 * rng.standard_normal((6, 32))
+    mat = np.vstack([base, near])
+    ids = np.arange(len(mat))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": ids, "embedding": list(mat.astype(np.float32))})
+    )
+    exact = (
+        embedding_neardup_pairs(ds, threshold=0.95)
+        .to_pandas()[["id_a", "id_b"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) == 6
+    lsh = (
+        embedding_neardup_lsh(ds, threshold=0.95, max_hamming=8)
+        .to_pandas()[["id_a", "id_b"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(lsh, exact, check_dtype=False)
