@@ -35,7 +35,8 @@ QUERY_NAMES = [
     "latest_by_key", "consumer_lag", "topic_tail", "json_key_extract",
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
     "hash_join", "upsert_compaction", "exact_dedup",
-    "minhash_neardup", "neardup_clusters", "simhash_neardup", "token_stats", "quality_scores",
+    "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
+    "token_stats", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "audio_features",
     "image_features", "image_neardup", "video_frames",
