@@ -344,51 +344,175 @@ def neardup_clusters(
     bands: int = 16,
     k: int = 5,
     seed: int = 42,
+    num_buckets: int = 64,
 ):
-    """Full MinHash-LSH near-dup pipeline: candidates → exact n-gram
-    Jaccard verification → connected components → (id, cluster_id).
+    """Full MinHash-LSH near-dup pipeline: candidates → signature-estimate
+    prefilter → exact n-gram Jaccard verification → connected components →
+    (id, cluster_id).
 
-    Texts reach the verification stage by HASH JOIN of the candidate
-    pairs against the documents table (one key-hash shuffle per side per
-    id column, ``stages.join.bucketed_join``) — never by materializing
-    the corpus on the driver, so the path holds at any corpus size.
+    Shape (two shuffles past the candidate set, both bucketed):
+
+    1. ATTACH — candidate pairs explode to (lookup=id, pair, role) rows,
+       union with the documents table (id, text, minhash signature), and
+       one ``groupby(bucket(lookup))`` merge attaches each doc's text +
+       signature to every pair-role row.  Texts never touch the driver.
+    2. VERIFY — regroup by ``bucket(pair)``; the two role rows of each
+       pair meet, the minhash signatures give an unbiased Jaccard
+       estimate (matching fraction of ``n_perm`` components), and ONLY
+       pairs with estimate ≥ threshold − max(0.3, 2/√n_perm) reach the
+       exact kernel.  At n_perm=64 a true pair at the threshold fails the
+       prefilter with P < 1e-8 (binomial tail), while the typical ~100:1
+       LSH false-positive bulk is dropped before the expensive exact
+       shingle intersection.  Standard hybrid per Leskovec et al., MMDS
+       ch.3 (candidate recall is governed by the banding either way).
+
     Components run driver-side union-find over VERIFIED pairs only — that
-    set is provably small at a sane band setting, the standard hybrid
-    (Leskovec et al., MMDS ch.3).
+    set is provably small at a sane band setting.
     """
-    from .join import bucketed_join
+    from ..hashing import hash64
 
-    # materialize the (small) candidate set and join output: chaining three
-    # sort-based wide ops in one lazy graph measurably de-pipelines on ray
-    # 2.49 (stage sums ~24 s vs ~45-65 s fused, sf0.1); the intermediates
-    # are O(candidate pairs) and object-store-resident
+    est_cut = max(0.0, threshold - max(0.3, 2.0 / np.sqrt(n_perm)))
+    sig_bytes = n_perm * 8
+    mh = MinHasher(text_col, id_col, n_perm, k, seed)
+
+    # materialize the (small) candidate set: chaining every wide op in one
+    # lazy graph measurably de-pipelines on ray 2.49; the intermediate is
+    # O(candidate pairs) and object-store-resident
     cands = minhash_lsh_candidates(ds, text_col, id_col, n_perm, bands, k, seed).materialize()
-    docs = ds.select_columns([id_col, text_col])
 
-    docs_a = docs.map_batches(
-        lambda t: t.rename_columns(["id_a", "text_a"]), batch_format="pyarrow"
+    union_schema = pa.schema(
+        [
+            ("lookup", pa.int64()),
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("role", pa.int8()),
+            ("text", pa.string()),
+            ("sig", pa.binary()),
+        ]
     )
-    docs_b = docs.map_batches(
-        lambda t: t.rename_columns(["id_b", "text_b"]), batch_format="pyarrow"
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
+        n = len(ia)
+        return pa.table(
+            {
+                "lookup": pa.array(np.concatenate([ia, ib])),
+                "id_a": pa.array(np.concatenate([ia, ia])),
+                "id_b": pa.array(np.concatenate([ib, ib])),
+                "role": pa.array(
+                    np.repeat(np.array([0, 1], np.int8), n), pa.int8()
+                ),
+                "text": pa.nulls(2 * n, pa.string()),
+                "sig": pa.nulls(2 * n, pa.binary()),
+            },
+            schema=union_schema,
+        )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        sigt = mh(t)
+        n = t.num_rows
+        sigs = (
+            sigt["signature"].combine_chunks().flatten().to_numpy().reshape(n, n_perm)
+        )
+        buf = np.ascontiguousarray(sigs.astype("<u8")).tobytes()
+        sig_col = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [
+                None,
+                pa.py_buffer(
+                    np.arange(0, (n + 1) * sig_bytes, sig_bytes, dtype=np.int32).tobytes()
+                ),
+                pa.py_buffer(buf),
+            ],
+        )
+        ids = t[id_col].cast(pa.int64())
+        return pa.table(
+            {
+                "lookup": ids,
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "role": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                "text": t[text_col].cast(pa.string()),
+                "sig": sig_col,
+            },
+            schema=union_schema,
+        )
+
+    def bucket_of(t: pa.Table) -> pa.Table:
+        b = (hash64(t["lookup"]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    both = (
+        cands.map_batches(pair_rows, batch_format="pyarrow")
+        .union(ds.map_batches(doc_rows, batch_format="pyarrow", batch_size=1024))
+        .map_batches(bucket_of, batch_format="pyarrow")
     )
-    with_a = bucketed_join(cands, docs_a, key="id_a").materialize()
-    with_b = bucketed_join(with_a, docs_b, key="id_b")
+
+    attached_schema = pa.schema(
+        [
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("role", pa.int8()),
+            ("text", pa.string()),
+            ("sig", pa.binary()),
+        ]
+    )
+
+    def attach(g: pd.DataFrame) -> pa.Table:
+        pr = g[g["role"] >= 0]
+        dr = g[g["role"] < 0]
+        out = pr[["lookup", "id_a", "id_b", "role"]].merge(
+            dr[["lookup", "text", "sig"]], on="lookup", how="inner"
+        )[["id_a", "id_b", "role", "text", "sig"]]
+        return pa.Table.from_pandas(out, schema=attached_schema, preserve_index=False)
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        h = hash64(t["id_a"]) ^ (hash64(t["id_b"]) * np.uint64(0x9E3779B97F4A7C15))
+        return t.append_column(
+            "__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    attached = (
+        both.groupby("__bucket")
+        .map_groups(attach, batch_format="pandas")
+        .map_batches(rebucket, batch_format="pyarrow")
+    )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype="int64"),
+             "id_b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
         if g.empty:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64"),
-                 "jaccard": pd.Series([], dtype="float64")}
-            )
-        jac = ngram_jaccard_batch(g["text_a"].tolist(), g["text_b"].tolist(), k)
-        g = g.assign(jaccard=jac)
-        return g.loc[g["jaccard"] >= threshold, ["id_a", "id_b", "jaccard"]]
+            return empty
+        g = g.sort_values(["id_a", "id_b", "role"], kind="stable")
+        a = g[g["role"] == 0].reset_index(drop=True)
+        b = g[g["role"] == 1].reset_index(drop=True)
+        if len(a) != len(b):  # a pair missing one side's doc row
+            keys_a = pd.MultiIndex.from_frame(a[["id_a", "id_b"]])
+            keys_b = pd.MultiIndex.from_frame(b[["id_a", "id_b"]])
+            common = keys_a.intersection(keys_b)
+            a = a.set_index(["id_a", "id_b"]).loc[common].reset_index()
+            b = b.set_index(["id_a", "id_b"]).loc[common].reset_index()
+        if not len(a):
+            return empty
+        sa = np.frombuffer(b"".join(a["sig"]), "<u8").reshape(len(a), n_perm)
+        sb = np.frombuffer(b"".join(b["sig"]), "<u8").reshape(len(b), n_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= est_cut
+        if not keep.any():
+            return empty
+        a, b = a.loc[keep], b.loc[keep]
+        jac = ngram_jaccard_batch(a["text"].tolist(), b["text"].tolist(), k)
+        out = pd.DataFrame(
+            {"id_a": a["id_a"].to_numpy(), "id_b": a["id_b"].to_numpy(), "jaccard": jac}
+        )
+        return out.loc[out["jaccard"] >= threshold]
 
-    # moderate batch_size: the jaccard kernel's scratch buffers then stay
-    # small enough for workers to reuse warm pages across calls (large
-    # one-shot batches pay lazy-restore first-touch faults per call)
-    verified = with_b.map_batches(verify, batch_format="pandas", batch_size=2048)
+    verified = attached.groupby("__pb").map_groups(verify, batch_format="pandas")
     pairs = verified.to_pandas()
 
     parent: dict = {}
