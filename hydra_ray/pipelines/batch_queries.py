@@ -588,6 +588,21 @@ def q_approx_distinct(sf_dir):
     return approx_distinct(ds, "user_id", group_col="event_type", p=12)
 
 
+def _dist_synth(n: int, make_batch, num_blocks: int = 16):
+    """Synthesize fixture rows INSIDE tasks over an index range.
+
+    A driver-built ``from_arrow`` table is one block, so every downstream
+    ``map_batches`` stage runs as a single task; distributing the
+    synthesis over ``rd.range`` blocks parallelizes both the synthesis
+    and the decode that follows.  ``make_batch(idx)`` gets an int64
+    index array and returns an Arrow table (deterministic per index)."""
+    import ray.data as rd
+
+    return rd.range(n, override_num_blocks=num_blocks).map_batches(
+        lambda b: make_batch(b["id"].astype(np.int64)), batch_format="numpy"
+    )
+
+
 def _synth_image(i: int, h: int = 48, w: int = 64) -> np.ndarray:
     y, x = np.mgrid[0:h, 0:w]
     r = (x * 255 // max(w - 1, 1)).astype(np.uint8)
@@ -610,26 +625,29 @@ def q_image_features(sf_dir):
     )
 
     n = 400
-    ids, payloads, fmts = [], [], []
-    for i in range(n):
-        fmt = ("ppm", "bmp", "pgm")[i % 3]
-        rgb = _synth_image(i)
-        if fmt == "ppm":
-            payloads.append(encode_ppm(rgb))
-        elif fmt == "bmp":
-            payloads.append(encode_bmp(rgb))
-        else:
-            payloads.append(encode_pgm(rgb[:, :, 0]))
-        ids.append(f"img-{i:06d}")
-        fmts.append(fmt)
-    tbl = pa.table(
-        {
-            "image_id": pa.array(ids),
-            "bytes": pa.array(payloads, pa.large_binary()),
-            "format": pa.array(fmts),
-        }
-    )
-    ds = rd.from_arrow(tbl).map_batches(
+
+    def make(idx: np.ndarray) -> pa.Table:
+        ids, payloads, fmts = [], [], []
+        for i in idx.tolist():
+            fmt = ("ppm", "bmp", "pgm")[i % 3]
+            rgb = _synth_image(i)
+            if fmt == "ppm":
+                payloads.append(encode_ppm(rgb))
+            elif fmt == "bmp":
+                payloads.append(encode_bmp(rgb))
+            else:
+                payloads.append(encode_pgm(rgb[:, :, 0]))
+            ids.append(f"img-{i:06d}")
+            fmts.append(fmt)
+        return pa.table(
+            {
+                "image_id": pa.array(ids),
+                "bytes": pa.array(payloads, pa.large_binary()),
+                "format": pa.array(fmts),
+            }
+        )
+
+    ds = _dist_synth(n, make).map_batches(
         ImageDecoder(), batch_format="pyarrow", batch_size=64
     )
     return ds.select_columns(
@@ -659,23 +677,28 @@ def q_image_neardup(sf_dir):
         )
 
     n = 300
-    ids, payloads, fmts = [], [], []
-    for i in range(n):
-        if i % 3 == 1:
-            rgb = np.clip(diverse(i - 1).astype(np.int16) + 8, 0, 255).astype(np.uint8)
-        else:
-            rgb = diverse(i)
-        ids.append(f"img-{i:06d}")
-        payloads.append(encode_ppm(rgb))
-        fmts.append("ppm")
-    tbl = pa.table(
-        {
-            "image_id": pa.array(ids),
-            "bytes": pa.array(payloads, pa.large_binary()),
-            "format": pa.array(fmts),
-        }
-    )
-    hashed = rd.from_arrow(tbl).map_batches(
+
+    def make(idx: np.ndarray) -> pa.Table:
+        ids, payloads, fmts = [], [], []
+        for i in idx.tolist():
+            if i % 3 == 1:
+                rgb = np.clip(
+                    diverse(i - 1).astype(np.int16) + 8, 0, 255
+                ).astype(np.uint8)
+            else:
+                rgb = diverse(i)
+            ids.append(f"img-{i:06d}")
+            payloads.append(encode_ppm(rgb))
+            fmts.append("ppm")
+        return pa.table(
+            {
+                "image_id": pa.array(ids),
+                "bytes": pa.array(payloads, pa.large_binary()),
+                "format": pa.array(fmts),
+            }
+        )
+
+    hashed = _dist_synth(n, make).map_batches(
         ImageDecoder(), batch_format="pyarrow", batch_size=64
     ).select_columns(["image_id", "dhash"])
     return hamming_near_pairs(hashed, "dhash", "image_id", max_hamming=3)
@@ -689,25 +712,27 @@ def q_video_frames(sf_dir):
     from ..stages.multimodal import FrameSampler, encode_rawv
 
     n = 60
-    ids, payloads, fmts = [], [], []
-    for i in range(n):
-        nf, h, w, fps = 24 + (i % 5) * 12, 24, 32, 12
-        y, x = np.mgrid[0:h, 0:w]
-        base = ((x + y + i) % 256).astype(np.uint8)
-        frames = np.stack(
-            [np.roll(base, f * 2, axis=1) for f in range(nf)]
+    def make(idx: np.ndarray) -> pa.Table:
+        ids, payloads, fmts = [], [], []
+        for i in idx.tolist():
+            nf, h, w, fps = 24 + (i % 5) * 12, 24, 32, 12
+            y, x = np.mgrid[0:h, 0:w]
+            base = ((x + y + i) % 256).astype(np.uint8)
+            frames = np.stack(
+                [np.roll(base, f * 2, axis=1) for f in range(nf)]
+            )
+            ids.append(f"vid-{i:04d}")
+            payloads.append(encode_rawv(frames, fps))
+            fmts.append("rawv")
+        return pa.table(
+            {
+                "video_id": pa.array(ids),
+                "bytes": pa.array(payloads, pa.large_binary()),
+                "format": pa.array(fmts),
+            }
         )
-        ids.append(f"vid-{i:04d}")
-        payloads.append(encode_rawv(frames, fps))
-        fmts.append("rawv")
-    tbl = pa.table(
-        {
-            "video_id": pa.array(ids),
-            "bytes": pa.array(payloads, pa.large_binary()),
-            "format": pa.array(fmts),
-        }
-    )
-    ds = rd.from_arrow(tbl).map_batches(
+
+    ds = _dist_synth(n, make).map_batches(
         FrameSampler(stride_ms=500), batch_format="pyarrow", batch_size=16
     )
     return ds.select_columns(
@@ -719,17 +744,14 @@ def q_audio_features(sf_dir):
     """Decode → vectorized per-clip audio features (RMS, peak, ZCR,
     clipping, dominant frequency) on the synthetic clip stream
     (rows-only; no SQL audio codec)."""
-    import ray.data as rd
-
     from ..stages.audio_features import AudioFeatures
     from ..stages.decode import AudioDecoder, split_dlq
-    from ..synth import synth_clips_table
+    from ..synth import synth_clips_batch
 
     n = 600
-    t = synth_clips_table(n, hot_fraction=0.0)
-    ds = rd.from_arrow(t).map_batches(
-        AudioDecoder(), batch_format="pyarrow", batch_size=128
-    )
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0)
+    ).map_batches(AudioDecoder(), batch_format="pyarrow", batch_size=128)
     main, _ = split_dlq(ds)
     feats = main.map_batches(AudioFeatures(), batch_format="pyarrow", batch_size=128)
 
