@@ -397,8 +397,9 @@ def decode_batch(
                 seg = i16[s // 2 : s // 2 + c]
             else:  # unaligned start (wav payload after odd header) — copy path
                 seg = np.frombuffer(bytes(mv[s : s + 2 * c]), dtype="<i2")
-            flat[o0:o1] = seg
-            flat[o0:o1] *= inv
+            # fused cast+scale: one pass over the output span instead of
+            # an int16→f32 copy followed by an in-place multiply
+            np.multiply(seg, inv, out=flat[o0:o1])
         elif f == 4:
             if s % 4 == 0:
                 flat[o0:o1] = data[s : s + 4 * c].view(np.float32)

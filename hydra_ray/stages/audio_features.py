@@ -15,6 +15,23 @@ import pyarrow as pa
 __all__ = ["audio_features", "AudioFeatures"]
 
 
+# Per-worker-process scratch buffers, keyed by dtype.  Every fresh numpy
+# allocation on this host pays lazy-restore first-touch page faults
+# (~180 µs/page, CLAUDE.md), so the kernel's full-width temporaries reuse
+# one warm buffer per dtype across calls.  Safe: Ray task/actor workers
+# run one batch at a time per process.
+_SCRATCH: dict = {}
+
+
+def _scratch(n: int, dtype) -> np.ndarray:
+    key = np.dtype(dtype).str
+    buf = _SCRATCH.get(key)
+    if buf is None or len(buf) < n:
+        buf = np.empty(max(int(n * 5 // 4), 1024), dtype)
+        _SCRATCH[key] = buf
+    return buf[:n]
+
+
 def _flat_and_offsets(col) -> tuple[np.ndarray, np.ndarray]:
     """Zero-copy float32 view of the flattened PCM + row offsets.
 
@@ -38,28 +55,37 @@ def audio_features(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz")
     safe = np.maximum(counts, 1.0)
 
     # float32 intermediates throughout: ~3 single-width passes total
-    # instead of ~6 double-width ones (this kernel is memory-bound)
-    sq_sum = np.add.reduceat(flat * flat, starts, dtype=np.float64)
+    # instead of ~6 double-width ones (this kernel is memory-bound), and
+    # every temporary lives in a reused per-worker scratch buffer
+    nf = len(flat)
+    work = _scratch(nf, np.float32)
+    mask = _scratch(nf, np.bool_)
+
+    np.multiply(flat, flat, out=work)
+    sq_sum = np.add.reduceat(work, starts, dtype=np.float64)
     sq_sum = np.where(counts > 0, sq_sum, 0.0)
     rms = np.sqrt(sq_sum / safe)
 
-    absf = np.abs(flat)
-    peak = np.maximum.reduceat(absf, starts).astype(np.float64)
+    np.abs(flat, out=work)  # |pcm| — feeds both peak and the clip mask
+    peak = np.maximum.reduceat(work, starts).astype(np.float64)
     peak = np.where(counts > 0, peak, 0.0)
 
+    np.greater_equal(work, np.float32(0.999), out=mask)
+    clip_ratio = np.add.reduceat(
+        mask.view(np.uint8), starts, dtype=np.int64
+    ).astype(np.float64)
+    clip_ratio = np.where(counts > 0, clip_ratio / safe, 0.0)
+
     # zero crossings: sign change counts per segment (uint8 mask pass)
-    sign = np.signbit(flat)
-    change = np.zeros(len(flat), dtype=np.uint8)
-    if len(flat) > 1:
-        np.not_equal(sign[1:], sign[:-1], out=change[1:])
+    np.signbit(flat, out=mask)
+    change = _scratch(nf, np.uint8)
+    if nf > 1:
+        np.not_equal(mask[1:], mask[:-1], out=change[1:])
+    if nf > 0:
+        change[0] = 0
     change[starts] = 0  # don't count across row boundaries
     zc = np.add.reduceat(change, starts, dtype=np.int64).astype(np.float64)
     zc_rate = np.where(counts > 1, zc / safe, 0.0)
-
-    clip_ratio = np.add.reduceat(
-        (absf >= np.float32(0.999)).astype(np.uint8), starts, dtype=np.int64
-    ).astype(np.float64)
-    clip_ratio = np.where(counts > 0, clip_ratio / safe, 0.0)
 
     # dominant frequency ≈ zero-crossing rate × sr / 2 (two crossings per cycle)
     sr = batch[sr_col].to_numpy(zero_copy_only=False).astype(np.float64)
