@@ -59,19 +59,25 @@ def latest_by_key(ds, key_cols: list[str], order_cols: list[str], drop_nulls_in:
     compaction (tombstone delete semantics).
     """
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return _keep_extreme(df, key_cols, order_cols, keep_max=True)
+    num_buckets = 32
 
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = _keep_extreme(df, key_cols, order_cols, keep_max=True)
+        h = pd.util.hash_pandas_object(out[key_cols], index=False).to_numpy()
+        return out.assign(__bucket=(h % num_buckets).astype("int64"))
+
+    # reduce per BUCKET, not per key: _keep_extreme is a vectorized
+    # sort+drop_duplicates over any number of keys, and per-key
+    # map_groups dispatches each group in Python (the ray.data pitfall —
+    # O(keys) driver-speed work once blocks are large)
     def final(g: pd.DataFrame) -> pd.DataFrame:
         out = _keep_extreme(g, key_cols, order_cols, keep_max=True)
         if drop_nulls_in is not None:
             out = out[out[drop_nulls_in].notna()]
-        return out
+        return out.drop(columns=["__bucket"])
 
     reduced = ds.map_batches(partial, batch_format="pandas")
-    return reduced.groupby(key_cols[0] if len(key_cols) == 1 else key_cols).map_groups(
-        final, batch_format="pandas"
-    )
+    return reduced.groupby("__bucket").map_groups(final, batch_format="pandas")
 
 
 def add_content_hash(
@@ -93,6 +99,8 @@ def exact_dedup(ds, content_cols: list[str], tiebreak: str):
     ``n_copies`` count.  Combiner-style like ``latest_by_key``.
     """
 
+    num_buckets = 32
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = np.zeros(len(df), dtype=np.uint64)
         for c in content_cols:
@@ -104,14 +112,24 @@ def exact_dedup(ds, content_cols: list[str], tiebreak: str):
             "content_hash"
         )
         first["__copies"] = counts
-        return first.reset_index()
+        first = first.reset_index()
+        return first.assign(
+            __bucket=(first["content_hash"].to_numpy(np.uint64) % num_buckets).astype(
+                "int64"
+            )
+        )
 
+    # reduce per BUCKET (vectorized groupby-sum + drop_duplicates over the
+    # whole bucket), never per content group — per-group map_groups is
+    # O(groups) Python dispatch, the documented ray.data pitfall
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["content_hash", tiebreak], kind="mergesort")
-        total = g["__copies"].sum()
-        out = g.head(1).copy()
-        out["n_copies"] = int(total)
-        return out.drop(columns=["__copies", "content_hash"])
+        totals = g.groupby("content_hash", sort=False)["__copies"].sum()
+        out = g.drop_duplicates(subset=["content_hash"], keep="first").set_index(
+            "content_hash"
+        )
+        out["n_copies"] = totals
+        return out.reset_index().drop(columns=["__copies", "content_hash", "__bucket"])
 
     reduced = ds.map_batches(partial, batch_format="pandas")
-    return reduced.groupby("content_hash").map_groups(final, batch_format="pandas")
+    return reduced.groupby("__bucket").map_groups(final, batch_format="pandas")

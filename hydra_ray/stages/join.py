@@ -117,24 +117,42 @@ def bucketed_join(
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+# per-worker-process cache of fetched broadcast sides (keyed by object
+# ref), so a task pool deserializes each side once per worker instead of
+# once per batch — without paying actor-pool spin-up per query
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_get(ref):
+    import ray
+
+    key = ref.hex()
+    obj = _BCAST_CACHE.get(key)
+    if obj is None:
+        obj = ray.get(ref)
+        if len(_BCAST_CACHE) >= 4:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        _BCAST_CACHE[key] = obj
+    return obj
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str], how: str = "inner"):
     """Merge a small pandas side into every batch (no shuffle).
 
-    The side table is shipped to the object store once; each task merges
-    its batch against the shared copy (zero re-serialization per batch).
+    The side table is shipped to the object store once (``ray.put``);
+    tasks fetch it from the local plasma store and keep a deserialized
+    copy per worker process (``_BCAST_CACHE``).  A plain task pool beats
+    the previous actor pool here: no per-query actor spin-up, and the
+    pool elastically uses every CPU.
     """
     import ray
 
     ref = ray.put(small_df)
 
-    class Merge:
-        def __init__(self):
-            self.side = ray.get(ref)
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(_bcast_get(ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.side, on=on, how=how)
-
-    return ds.map_batches(Merge, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(merge, batch_format="pandas")
 
 
 def keyed_join(
@@ -199,34 +217,59 @@ def interval_join(
     interval sweep.
     """
 
+    from ..hashing import hash64
+
+    num_buckets = 32
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            b = (hash64(t[key]) % np.uint64(num_buckets)).astype(np.int64)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array([side] * t.num_rows, pa.int8()))
+
+        return f
+
     lsel = left.select_columns(list(dict.fromkeys([key, left_ts] + left_cols)))
     rsel = right.select_columns(list(dict.fromkeys([key, right_ts] + right_cols)))
-    lt = lsel.map_batches(
-        lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
-        batch_format="pyarrow",
+    both = lsel.map_batches(tag(0), batch_format="pyarrow").union(
+        rsel.map_batches(tag(1), batch_format="pyarrow")
     )
-    rt = rsel.map_batches(
-        lambda t: t.append_column("__side", pa.array([1] * t.num_rows, pa.int8())),
-        batch_format="pyarrow",
-    )
-    both = lt.union(rt)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    # reduce per BUCKET: every key of the bucket sweeps in one vectorized
+    # pass over a composite (key_code, ts) ordering — per-key map_groups
+    # dispatches each group in Python (O(keys) driver-speed work)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         gl = g[g["__side"] == 0]
         gr = g[g["__side"] == 1]
         if gl.empty or gr.empty:
             return pd.DataFrame()
         lms = ts_to_ms(pa.Array.from_pandas(gl[left_ts]))
         rms = ts_to_ms(pa.Array.from_pandas(gr[right_ts]))
-        r_order = np.argsort(rms, kind="stable")
-        rms_sorted = rms[r_order]
-        starts = np.searchsorted(rms_sorted, lms + lo_ms, side="left")
-        ends = np.searchsorted(rms_sorted, lms + hi_ms, side="left")
+        # np.unique, not pd.factorize: the pandas object hashtable
+        # C-string-compares, collapsing NUL-containing keys
+        keys_all = np.concatenate(
+            [gl[key].to_numpy(dtype=object), gr[key].to_numpy(dtype=object)]
+        )
+        _, codes = np.unique(keys_all, return_inverse=True)
+        cl, cr = codes[: len(gl)].astype(np.int64), codes[len(gl) :].astype(np.int64)
+        lo_all = lms + lo_ms
+        hi_all = lms + hi_ms
+        tmin = min(int(rms.min()), int(lo_all.min()))
+        span = max(int(rms.max()), int(hi_all.max())) - tmin + 2
+        r_comp = cr * span + (rms - tmin)
+        r_order = np.argsort(r_comp, kind="stable")
+        r_sorted = r_comp[r_order]
+        starts = np.searchsorted(r_sorted, cl * span + (lo_all - tmin), side="left")
+        ends = np.searchsorted(r_sorted, cl * span + (hi_all - tmin), side="left")
         counts = ends - starts
+        total = int(counts.sum())
         li = np.repeat(np.arange(len(gl)), counts)
-        ri = np.concatenate(
-            [r_order[s:e] for s, e in zip(starts, ends)]
-        ) if counts.sum() else np.empty(0, np.int64)
+        if total:
+            run = np.repeat(np.cumsum(counts) - counts, counts)
+            pos = np.arange(total, dtype=np.int64) - run + np.repeat(starts, counts)
+            ri = r_order[pos]
+        else:
+            ri = np.empty(0, np.int64)
         out_l = gl.iloc[li][[key, left_ts] + left_cols].reset_index(drop=True)
         out_r = gr.iloc[ri][[right_ts] + right_cols].reset_index(drop=True)
         out_r.columns = [
@@ -234,4 +277,4 @@ def interval_join(
         ]
         return pd.concat([out_l, out_r], axis=1)
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
