@@ -213,10 +213,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_range": """
             SELECT q.vec_id AS query_id,
                    e.vec_id AS vec_id,
-                   round(list_cosine_similarity(q.embedding, e.embedding), 2) AS cosine
+                   round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 2) AS cosine
             FROM embeddings q, embeddings e
             WHERE q.vec_id < 8
-              AND list_cosine_similarity(q.embedding, e.embedding) >= 0.2
+              AND list_cosine_similarity(
+                      q.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.2
         """,
         "vector_norms": """
             SELECT label,
@@ -228,15 +230,18 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": """
             SELECT a.vec_id AS id_a,
                    b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 2) AS cosine
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 2) AS cosine
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+              AND list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
         """,
         "ann_topk": """
             WITH s AS (
                 SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-                       list_cosine_similarity(q.embedding, e.embedding) AS cos
+                       list_cosine_similarity(
+                           q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
                 FROM embeddings q, embeddings e
                 WHERE q.vec_id < 8
             ), r AS (
