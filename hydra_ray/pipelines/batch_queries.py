@@ -45,7 +45,7 @@ DAY = 86_400_000
 _NROWS_CACHE: dict = {}
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, rows_per_block=20_000):
     """Read one table with DATA-derived block sizing.
 
     Ray's default split (2×CPUs) shreds small single-file tables into
@@ -54,6 +54,8 @@ def _read(sf_dir: str, table: str, columns=None):
     join 4.6 s → 3.0 s at sf0.1 just from block count).  Target ~20 k
     rows per block from parquet metadata — derived from the table, not
     the cluster, so the same rule yields thousands of blocks at 100 TB.
+    Compute-heavy downstream stages (ms per ROW, e.g. simhash word
+    explode) pass a smaller ``rows_per_block`` so the map stage fans out.
     """
     import ray.data as rd
 
@@ -64,7 +66,7 @@ def _read(sf_dir: str, table: str, columns=None):
 
         nrows = pq.read_metadata(path).num_rows
         _NROWS_CACHE[path] = nrows
-    nb = max(2, min(64, -(-nrows // 20_000)))
+    nb = max(2, min(64, -(-nrows // rows_per_block)))
     return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
@@ -394,7 +396,7 @@ def q_minhash_neardup(sf_dir):
 
 
 def q_simhash_neardup(sf_dir):
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
     return simhash_near_pairs(ds, max_hamming=3)
 
 
@@ -769,11 +771,15 @@ def q_audio_features(sf_dir):
     from ..synth import synth_clips_batch
 
     n = 600
+    # Block-sized batches (no batch_size): bundling 16 synth blocks into
+    # 128-row batches ran the fused synth→decode→features chain as only 4
+    # tasks; block-granular batches over 32 blocks keep all cores faulting
+    # their buffers concurrently (13.6 s → 4.1 s cold on this host).
     ds = _dist_synth(
-        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0)
-    ).map_batches(AudioDecoder(), batch_format="pyarrow", batch_size=128)
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0), num_blocks=32
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
     main, _ = split_dlq(ds)
-    feats = main.map_batches(AudioFeatures(), batch_format="pyarrow", batch_size=128)
+    feats = main.map_batches(AudioFeatures(), batch_format="pyarrow")
 
     def project(t2: pa.Table) -> pa.Table:
         return t2.select(

@@ -533,17 +533,66 @@ def neardup_clusters(
     )
 
 
+# byte value → its 8 bits (LSB first), int16 so reduceat sums don't wrap
+_BYTE_BITS = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1).astype(np.int16)
+
+
 class SimHasher:
     """64-bit SimHash over word features (near-dup by Hamming distance).
 
     Whole-batch vectorized: all docs' words explode into one flat array,
     hash once, per-bit majority votes come from ``add.reduceat`` over doc
-    boundaries — no per-doc Python loop."""
+    boundaries — no per-doc Python loop.  The word×64 bit matrix is the
+    memory hot spot: it is materialized int16 (not int64) through a
+    byte→bits lookup, in doc-aligned chunks, into a small reused scratch
+    buffer — on this host first-touch page faults on a fresh 256 MB int64
+    matrix cost ~20 s; the ≤8 MB scratch faults once and its pages stay
+    warm in the long-lived Ray worker's allocator across tasks/queries
+    (task pool deliberately, NOT an actor pool: fresh actors re-pay the
+    cold-start every query; the scratch is lazy so pickling stays tiny)."""
 
-    def __init__(self, text_col="text", id_col="doc_id", seed=42):
+    def __init__(self, text_col="text", id_col="doc_id", seed=42,
+                 chunk_words=1 << 16):
         self.text_col = text_col
         self.id_col = id_col
         self._shifts = np.arange(64, dtype=np.uint64)
+        self._chunk_words = int(chunk_words)
+        self._bits = None  # lazy: not serialized with the callable
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_bits"] = None
+        return d
+
+    def _bit_sums(self, h: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """Per-doc per-bit counts, chunked through the int16 scratch."""
+        n = len(counts)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        sums = np.zeros((n, 64), dtype=np.int64)
+        d0 = 0
+        while d0 < n:
+            d1 = int(np.searchsorted(ends, starts[d0] + self._chunk_words, "right"))
+            d1 = min(max(d1, d0 + 1), n)
+            w0, w1 = int(starts[d0]), int(ends[d1 - 1])
+            nw = w1 - w0
+            if self._bits is None or nw > self._bits.shape[0]:
+                self._bits = np.empty((max(nw, self._chunk_words), 64), np.int16)
+            bits = self._bits[:nw]
+            hc = h[w0:w1]
+            for b in range(8):
+                byte = ((hc >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.intp)
+                np.take(_BYTE_BITS, byte, axis=0, out=bits[:, 8 * b:8 * b + 8])
+            sub_counts = counts[d0:d1]
+            nz = sub_counts > 0
+            if nz.any():
+                if sub_counts.max() > 30_000:  # int16 reduceat would wrap
+                    bits = bits.astype(np.int32)
+                sums[d0:d1][nz] = np.add.reduceat(
+                    bits, (starts[d0:d1] - w0)[nz], axis=0
+                )
+            d0 = d1
+        return sums
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -554,11 +603,9 @@ class SimHasher:
         out = np.zeros(n, dtype=np.int64)
         if len(flat):
             h = pd.util.hash_array(flat.to_numpy(dtype=object), categorize=False)
-            bits = ((h[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            sums = self._bit_sums(h, counts)
             nz = counts > 0
-            starts = np.cumsum(counts) - counts
-            sums = np.add.reduceat(bits, starts[nz], axis=0)
-            v = (sums * 2 > counts[nz, None]).astype(np.uint64)
+            v = (sums[nz] * 2 > counts[nz, None]).astype(np.uint64)
             vals = (v << self._shifts[None, :]).sum(axis=1, dtype=np.uint64)
             # shift uint64 → int64 range via wraparound (two's complement)
             out[nz] = (vals - np.uint64(1 << 63)).view(np.int64)
@@ -571,7 +618,7 @@ def simhash_near_pairs(
     """SimHash near-dup candidates: hash per doc, then the generic
     banded-Hamming pairing (``hamming_near_pairs``)."""
     hashed = ds.map_batches(
-        SimHasher(text_col, id_col), batch_format="pyarrow", batch_size=1024
+        SimHasher(text_col, id_col), batch_format="pyarrow", batch_size=512
     )
     return hamming_near_pairs(
         hashed, "simhash", id_col, max_hamming, n_tables, num_buckets
