@@ -157,16 +157,27 @@ class MinHasher:
         return pa.table({self.id_col: batch[self.id_col], "signature": sig_col})
 
 
+def minhash_signatures(ds, text_col="text", id_col="doc_id", n_perm=64, k=5,
+                       seed=42, batch_size=1024):
+    """(id, signature) dataset — one MinHasher pass over the corpus."""
+    return ds.map_batches(
+        MinHasher(text_col, id_col, n_perm, k, seed),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def minhash_lsh_candidates(
     ds, text_col="text", id_col="doc_id", n_perm=64, bands=16, k=5, seed=42,
-    num_buckets=256,
+    num_buckets=256, hashed=None,
 ):
     """MinHash+LSH candidate pairs.
 
     ds → map_batches(MinHasher) → explode to (band, band_hash, id) →
     groupby hash bucket → vectorized same-(band, band_hash) pairing.
     Returns a Dataset of (id_a, id_b) candidate rows (id_a < id_b,
-    deduplicated).
+    deduplicated).  Pass ``hashed`` (an (id, signature) dataset from
+    ``minhash_signatures``) to reuse signatures computed elsewhere.
 
     ``num_buckets`` controls the wide step's parallelism: buckets are a
     well-mixed hash of (band, band_hash), so expected bucket size is
@@ -177,11 +188,8 @@ def minhash_lsh_candidates(
     """
     rows_per_band = n_perm // bands
 
-    hashed = ds.map_batches(
-        MinHasher(text_col, id_col, n_perm, k, seed),
-        batch_format="pyarrow",
-        batch_size=1024,
-    )
+    if hashed is None:
+        hashed = minhash_signatures(ds, text_col, id_col, n_perm, k, seed)
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -373,12 +381,18 @@ def neardup_clusters(
 
     est_cut = max(0.0, threshold - max(0.3, 2.0 / np.sqrt(n_perm)))
     sig_bytes = n_perm * 8
-    mh = MinHasher(text_col, id_col, n_perm, k, seed)
+
+    # ONE MinHasher pass: the (id, signature) table is ~8·n_perm B/doc
+    # (≈5 % of a text corpus) — materializing it is the cheap trade
+    # against re-shingling the whole corpus for the attach step below.
+    sigged = minhash_signatures(ds, text_col, id_col, n_perm, k, seed).materialize()
 
     # materialize the (small) candidate set: chaining every wide op in one
     # lazy graph measurably de-pipelines on ray 2.49; the intermediate is
     # O(candidate pairs) and object-store-resident
-    cands = minhash_lsh_candidates(ds, text_col, id_col, n_perm, bands, k, seed).materialize()
+    cands = minhash_lsh_candidates(
+        ds, text_col, id_col, n_perm, bands, k, seed, hashed=sigged
+    ).materialize()
 
     union_schema = pa.schema(
         [
@@ -409,11 +423,24 @@ def neardup_clusters(
             schema=union_schema,
         )
 
-    def doc_rows(t: pa.Table) -> pa.Table:
-        sigt = mh(t)
+    def text_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "lookup": t[id_col].cast(pa.int64()),
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "role": pa.array(np.full(n, -1, np.int8), pa.int8()),
+                "text": t[text_col].cast(pa.string()),
+                "sig": pa.nulls(n, pa.binary()),
+            },
+            schema=union_schema,
+        )
+
+    def sig_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
         sigs = (
-            sigt["signature"].combine_chunks().flatten().to_numpy().reshape(n, n_perm)
+            t["signature"].combine_chunks().flatten().to_numpy().reshape(n, n_perm)
         )
         buf = np.ascontiguousarray(sigs.astype("<u8")).tobytes()
         sig_col = pa.Array.from_buffers(
@@ -427,14 +454,13 @@ def neardup_clusters(
                 pa.py_buffer(buf),
             ],
         )
-        ids = t[id_col].cast(pa.int64())
         return pa.table(
             {
-                "lookup": ids,
+                "lookup": t[id_col].cast(pa.int64()),
                 "id_a": pa.nulls(n, pa.int64()),
                 "id_b": pa.nulls(n, pa.int64()),
-                "role": pa.array(np.full(n, -1, np.int8), pa.int8()),
-                "text": t[text_col].cast(pa.string()),
+                "role": pa.array(np.full(n, -2, np.int8), pa.int8()),
+                "text": pa.nulls(n, pa.string()),
                 "sig": sig_col,
             },
             schema=union_schema,
@@ -446,7 +472,8 @@ def neardup_clusters(
 
     both = (
         cands.map_batches(pair_rows, batch_format="pyarrow")
-        .union(ds.map_batches(doc_rows, batch_format="pyarrow", batch_size=1024))
+        .union(ds.map_batches(text_rows, batch_format="pyarrow", batch_size=1024))
+        .union(sigged.map_batches(sig_rows, batch_format="pyarrow", batch_size=1024))
         .map_batches(bucket_of, batch_format="pyarrow")
     )
 
@@ -462,9 +489,12 @@ def neardup_clusters(
 
     def attach(g: pd.DataFrame) -> pa.Table:
         pr = g[g["role"] >= 0]
-        dr = g[g["role"] < 0]
-        out = pr[["lookup", "id_a", "id_b", "role"]].merge(
-            dr[["lookup", "text", "sig"]], on="lookup", how="inner"
+        tx = g.loc[g["role"] == -1, ["lookup", "text"]]
+        sg = g.loc[g["role"] == -2, ["lookup", "sig"]]
+        out = (
+            pr[["lookup", "id_a", "id_b", "role"]]
+            .merge(tx, on="lookup", how="inner")
+            .merge(sg, on="lookup", how="inner")
         )[["id_a", "id_b", "role", "text", "sig"]]
         return pa.Table.from_pandas(out, schema=attached_schema, preserve_index=False)
 
