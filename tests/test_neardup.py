@@ -63,6 +63,20 @@ def test_simhash_batch_matches_per_doc():
     assert got == [_naive_simhash(d) for d in DOCS]
 
 
+def test_simhash_chunked_scratch_matches_whole_batch():
+    """Doc-aligned chunking through the tiny scratch must not change bits —
+    force chunk boundaries inside the batch (chunk_words smaller than the
+    batch's word total, docs straddling the cap, empty docs between)."""
+    docs = ["alpha beta gamma " * 9, "", "one two", "x " * 25, None,
+            "delta epsilon zeta eta theta", "solo"]
+    batch = pa.table({"doc_id": pa.array(range(len(docs))),
+                      "text": pa.array(docs, pa.string())})
+    big = SimHasher()(batch)["simhash"].to_pylist()
+    tiny = SimHasher(chunk_words=8)(batch)["simhash"].to_pylist()
+    assert tiny == big
+    assert big == [_naive_simhash(d) for d in docs]
+
+
 @pytest.fixture()
 def corpus_ds(ray_session):
     import ray.data as rd
