@@ -30,6 +30,7 @@ __all__ = ["AckStrategy", "ValidationStrategy", "IngestSession"]
 HYDRA_ACK_STRATEGY = "HYDRA-ACK-STRATEGY"
 HYDRA_VALIDATION_STRATEGY = "HYDRA-VALIDATION-STRATEGY"
 HYDRA_CLIENT_ID = "HYDRA-CLIENT-ID"
+HYDRA_KAFKA_TOPIC = "HYDRA-KAFKA-TOPIC"
 
 
 class AckStrategy:
@@ -64,9 +65,18 @@ class IngestSession:
     ``(status_code, message)`` pairs mirroring SimpleOutgoingMessage.
     """
 
-    def __init__(self, handler: Callable[[dict], Any] | None = None):
+    def __init__(
+        self,
+        handler: Callable[[dict], Any] | None = None,
+        catalog: Any | None = None,
+    ):
+        """``catalog`` (a ``table.registry.TopicCatalog``) gates ingest on
+        topic existence like the v1 ingestor's KafkaTopicsActor lookup:
+        a request targeting an unknown topic is rejected 404 before the
+        handler runs."""
         self.metadata: dict[str, str] = {}
         self.handler = handler or (lambda req: None)
+        self.catalog = catalog
 
     # ------------------------------------------------------------ commands
     def process(self, line: str) -> tuple[int, str]:
@@ -99,6 +109,9 @@ class IngestSession:
         return self._ingest(cid, payload)
 
     def _ingest(self, correlation_id: str | None, payload: str) -> tuple[int, str]:
+        topic = self.metadata.get(HYDRA_KAFKA_TOPIC)
+        if self.catalog is not None and topic and not self.catalog.exists(topic):
+            return 404, f"UNKNOWN_TOPIC[{topic}]"
         req = {
             "correlation_id": correlation_id or "0",
             "payload": payload,

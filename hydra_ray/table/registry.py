@@ -28,7 +28,7 @@ from typing import Any, Callable
 
 import pyarrow as pa
 
-__all__ = ["CircuitOpenError", "SchemaRegistry", "check_compatible"]
+__all__ = ["CircuitOpenError", "SchemaRegistry", "TopicCatalog", "check_compatible"]
 
 
 class CircuitOpenError(RuntimeError):
@@ -143,3 +143,51 @@ class SchemaRegistry:
             self._opened_at is not None
             and self._clock() - self._opened_at < self._reset_s
         )
+
+
+class TopicCatalog:
+    """TTL-cached topic-existence lookups (T5).
+
+    Reference parity (`ingestors/kafka/.../ingestors/KafkaTopicsActor.scala`):
+    the v1 ingestor asks "does this topic exist?" before publishing; the
+    actor holds the broker's topic list, refreshes it on a TTL, and keeps
+    serving the LAST KNOWN list when a refresh fails (stale-over-outage —
+    the actor's state survives a failed poll).
+
+    ``fetch`` returns the current topic collection (the broker metadata
+    call in the reference; a lancelite catalog listing here).  Time is
+    injected for deterministic tests, same convention as SchemaRegistry.
+    """
+
+    def __init__(
+        self,
+        fetch: Callable[[], Any],
+        ttl_s: float = 60.0,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        self._fetch = fetch
+        self._ttl = ttl_s
+        self._clock = clock
+        self._topics: frozenset[str] | None = None
+        self._fetched_at: float = -float("inf")
+
+    def _refresh_if_stale(self) -> None:
+        now = self._clock()
+        if self._topics is not None and now - self._fetched_at < self._ttl:
+            return
+        try:
+            self._topics = frozenset(self._fetch())
+            self._fetched_at = now
+        except Exception:
+            if self._topics is None:  # no stale state to fall back on
+                raise
+            # serve stale; retry at next call past the TTL
+            self._fetched_at = now
+
+    def exists(self, topic: str) -> bool:
+        self._refresh_if_stale()
+        return topic in (self._topics or ())
+
+    def topics(self) -> frozenset[str]:
+        self._refresh_if_stale()
+        return self._topics or frozenset()

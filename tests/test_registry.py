@@ -113,3 +113,42 @@ def test_tags_view_upsert_delete_validate(tmp_path):
     # reopen: the view is durable table state, not process memory
     v2 = TagsView(str(tmp_path / "tags"))
     assert v2.all_tags()["name"].to_pylist() == ["Source: CDC"]
+
+
+def test_topic_catalog_ttl_stale_and_session_gate():
+    from hydra_ray.table.registry import TopicCatalog
+    from hydra_ray.sources.session import IngestSession
+
+    clock = {"t": 0.0}
+    calls = {"n": 0}
+    topics = {"clips", "updates"}
+
+    def fetch():
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise ConnectionError("broker down")
+        return set(topics)
+
+    cat = TopicCatalog(fetch, ttl_s=60, clock=lambda: clock["t"])
+    assert cat.exists("clips") and not cat.exists("nope")
+    assert calls["n"] == 1  # within TTL: cached, no refetch
+    clock["t"] = 61
+    topics.add("late-topic")
+    assert cat.exists("late-topic")  # TTL expiry refreshed the list
+    assert calls["n"] == 2
+    clock["t"] = 122  # third fetch fails → serve stale last-known list
+    assert cat.exists("clips") and cat.exists("late-topic")
+    assert calls["n"] == 3
+    clock["t"] = 183  # recovery: next expiry refetches fine
+    topics.discard("late-topic")
+    assert not cat.exists("late-topic")
+
+    # session gate: unknown topic rejected 404 before the handler runs
+    seen = []
+    s = IngestSession(handler=seen.append, catalog=cat)
+    s.process("-c set hydra-kafka-topic=nope")
+    code, msg = s.process("-i 7 payload-bytes")
+    assert code == 404 and "nope" in msg and seen == []
+    s.process("-c set hydra-kafka-topic=clips")
+    code, _ = s.process("-i 7 payload-bytes")
+    assert code == 200 and len(seen) == 1
