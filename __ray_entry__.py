@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": q.q_sliding_window,
         "session_window": q.q_session_window,
         "interval_join": q.q_interval_join,
+        "asof_join": q.q_asof_join,
         "latest_by_key": q.q_latest_by_key,
         "consumer_lag": q.q_consumer_lag,
         "topic_tail": q.q_topic_tail,
@@ -125,6 +126,30 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(b.ts) >= epoch_ms(a.ts)
              AND epoch_ms(b.ts) < epoch_ms(a.ts) + 600000
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts, value
+                FROM events WHERE event_type = 'purchase'
+            ), r AS (
+                SELECT event_id, user_id, ts
+                FROM events WHERE event_type = 'click'
+            ), m AS (
+                SELECT l.user_id,
+                       l.event_id AS purchase_id,
+                       epoch_ms(l.ts) AS purchase_ts_ms,
+                       l.value AS value,
+                       r.event_id AS click_id,
+                       epoch_ms(r.ts) AS click_ts_ms,
+                       row_number() OVER (
+                           PARTITION BY l.event_id
+                           ORDER BY r.ts DESC, r.event_id DESC) AS rn
+                FROM l JOIN r
+                  ON l.user_id = r.user_id AND r.ts <= l.ts
+            )
+            SELECT user_id, purchase_id, purchase_ts_ms, value,
+                   click_id, click_ts_ms
+            FROM m WHERE rn = 1
         """,
         "latest_by_key": """
             SELECT user_id,

@@ -32,6 +32,7 @@ SEED = 42
 
 QUERY_NAMES = [
     "tumbling_window", "sliding_window", "session_window", "interval_join",
+    "asof_join",
     "latest_by_key", "consumer_lag", "topic_tail", "json_key_extract",
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
     "hash_join", "upsert_compaction", "exact_dedup",

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.dedup import exact_dedup, latest_by_key
-from ..stages.join import broadcast_join, interval_join
+from ..stages.join import asof_join, broadcast_join, interval_join
 from ..stages.keys import extract_json_key
 from ..stages.neardup import minhash_lsh_candidates, simhash_near_pairs
 from ..stages.similarity import (
@@ -147,6 +147,34 @@ def q_interval_join(sf_dir):
                 "click_id": t["event_id"],
                 "purchase_id": t["event_id_r"],
                 "dt_ms": pa.array(rms - lms, pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def q_asof_join(sf_dir):
+    """Purchase→click attribution: each purchase matches the latest
+    prior-or-equal click by the same user (backward as-of, ties to the
+    greatest click event_id)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = asof_join(
+        purchases, clicks, "user_id", "ts", "ts",
+        left_cols=["event_id", "value"], right_cols=["event_id"],
+        tie_col="event_id",
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "purchase_id": t["event_id"],
+                "purchase_ts_ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
+                "value": t["value"],
+                "click_id": t["event_id_r"],
+                "click_ts_ms": pa.array(ts_to_ms(t["ts_r"]), pa.int64()),
             }
         )
 

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .windows import ts_to_ms
 
-__all__ = ["broadcast_join", "keyed_join", "bucketed_join", "interval_join"]
+__all__ = ["broadcast_join", "keyed_join", "bucketed_join", "interval_join", "asof_join"]
 
 
 def _arrow_schema_of(ds) -> pa.Schema:
@@ -270,6 +270,94 @@ def interval_join(
             ri = r_order[pos]
         else:
             ri = np.empty(0, np.int64)
+        out_l = gl.iloc[li][[key, left_ts] + left_cols].reset_index(drop=True)
+        out_r = gr.iloc[ri][[right_ts] + right_cols].reset_index(drop=True)
+        out_r.columns = [
+            c + suffix if c in out_l.columns else c for c in out_r.columns
+        ]
+        return pd.concat([out_l, out_r], axis=1)
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    tie_col: str | None = None,
+    tolerance_ms: int | None = None,
+    suffix: str = "_r",
+    num_buckets: int = 32,
+):
+    """Backward as-of join: each left row matches the single right row of
+    the same key with the greatest ``right_ts <= left_ts`` (optionally
+    within ``left_ts - right_ts <= tolerance_ms``); ties on the timestamp
+    break to the greatest ``tie_col`` so the match is deterministic under
+    any row/block order.  Inner semantics: unmatched left rows drop.
+
+    Shape mirrors ``interval_join``: one key-hash bucket shuffle, then a
+    per-BUCKET vectorized kernel — every key of a bucket resolves in one
+    lexsort + searchsorted pass over a composite (key_code, ts) ordering,
+    never a per-key Python dispatch.  Same partitioning assumption: one
+    key's rows share a bucket (salt hot keys upstream, `stages/skew`).
+    """
+    from ..hashing import hash64
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            b = (hash64(t[key]) % np.uint64(num_buckets)).astype(np.int64)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array([side] * t.num_rows, pa.int8()))
+
+        return f
+
+    rkeep = list(dict.fromkeys([key, right_ts] + right_cols
+                               + ([tie_col] if tie_col else [])))
+    lsel = left.select_columns(list(dict.fromkeys([key, left_ts] + left_cols)))
+    rsel = right.select_columns(rkeep)
+    both = lsel.map_batches(tag(0), batch_format="pyarrow").union(
+        rsel.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == 0]
+        gr = g[g["__side"] == 1]
+        if gl.empty or gr.empty:
+            return pd.DataFrame()
+        lms = ts_to_ms(pa.Array.from_pandas(gl[left_ts]))
+        rms = ts_to_ms(pa.Array.from_pandas(gr[right_ts]))
+        # np.unique, not pd.factorize: the pandas object hashtable
+        # C-string-compares, collapsing NUL-containing keys
+        keys_all = np.concatenate(
+            [gl[key].to_numpy(dtype=object), gr[key].to_numpy(dtype=object)]
+        )
+        _, codes = np.unique(keys_all, return_inverse=True)
+        cl, cr = codes[: len(gl)].astype(np.int64), codes[len(gl):].astype(np.int64)
+        tmin = int(min(lms.min(), rms.min()))
+        span = int(max(lms.max(), rms.max())) - tmin + 2
+        r_comp = cr * span + (rms - tmin)
+        if tie_col:
+            r_order = np.lexsort((gr[tie_col].to_numpy(), r_comp))
+        else:
+            r_order = np.argsort(r_comp, kind="stable")
+        r_sorted = r_comp[r_order]
+        # side="right" lands AFTER every right row with comp <= target,
+        # so idx points at the greatest (ts, tie) match
+        idx = np.searchsorted(r_sorted, cl * span + (lms - tmin), "right") - 1
+        valid = idx >= 0
+        safe = np.where(valid, idx, 0)
+        cand = r_sorted[safe]
+        valid &= (cand // span) == cl  # same key
+        if tolerance_ms is not None:
+            valid &= (lms - tmin) - (cand % span) <= tolerance_ms
+        li = np.flatnonzero(valid)
+        if not len(li):
+            return pd.DataFrame()
+        ri = r_order[idx[li]]
         out_l = gl.iloc[li][[key, left_ts] + left_cols].reset_index(drop=True)
         out_r = gr.iloc[ri][[right_ts] + right_cols].reset_index(drop=True)
         out_r.columns = [

@@ -361,9 +361,11 @@ def neardup_clusters(
     Shape (two shuffles past the candidate set, both bucketed):
 
     1. ATTACH — candidate pairs explode to (lookup=id, pair, role) rows,
-       union with the documents table (id, text, minhash signature), and
-       one ``groupby(bucket(lookup))`` merge attaches each doc's text +
-       signature to every pair-role row.  Texts never touch the driver.
+       union with text rows (from the documents table) and signature rows
+       (from the one materialized (id, signature) table, shared with the
+       banding step), and one ``groupby(bucket(lookup))`` merge attaches
+       each doc's text + signature to every pair-role row.  Texts never
+       touch the driver; signatures are computed exactly once.
     2. VERIFY — regroup by ``bucket(pair)``; the two role rows of each
        pair meet, the minhash signatures give an unbiased Jaccard
        estimate (matching fraction of ``n_perm`` components), and ONLY

@@ -113,3 +113,54 @@ def test_bucketed_join_rejects_shared_columns(rd):
 
     with _pytest.raises(ValueError, match="shared"):
         bucketed_join(left, right, "k")
+
+
+def test_asof_join_matches_bruteforce(rd):
+    """Backward as-of vs a per-row brute force: ties on ts break to the
+    greatest tie_col; unmatched left rows drop; tolerance bounds the gap.
+    Randomized keys/ts across blocks so bucket routing is exercised."""
+    import numpy as np
+
+    from hydra_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(11)
+    nl, nr = 400, 300
+    lk = rng.integers(0, 12, nl)
+    rk = rng.integers(0, 12, nr)
+    lts = rng.integers(0, 5_000, nl) * 1000
+    rts = rng.integers(0, 5_000, nr) * 1000  # coarse grid forces ts ties
+    ldf = pd.DataFrame({"k": lk, "ts": pd.to_datetime(lts, unit="ms"),
+                        "lid": np.arange(nl)})
+    rdf = pd.DataFrame({"k": rk, "ts": pd.to_datetime(rts, unit="ms"),
+                        "rid": np.arange(nr)})
+
+    for tol in (None, 120_000):
+        out = (
+            asof_join(
+                rd.from_pandas(ldf).repartition(5),
+                rd.from_pandas(rdf).repartition(4),
+                "k", "ts", "ts",
+                left_cols=["lid"], right_cols=["rid"],
+                tie_col="rid", tolerance_ms=tol,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        expect = {}
+        for _, lrow in ldf.iterrows():
+            best = None
+            for _, rrow in rdf.iterrows():
+                if rrow["k"] != lrow["k"] or rrow["ts"] > lrow["ts"]:
+                    continue
+                gap = (lrow["ts"] - rrow["ts"]).total_seconds() * 1000
+                if tol is not None and gap > tol:
+                    continue
+                cand = (rrow["ts"], rrow["rid"])
+                if best is None or cand > best:
+                    best = cand
+            if best is not None:
+                expect[lrow["lid"]] = best[1]
+        assert out["lid"].tolist() == sorted(expect)
+        got = dict(zip(out["lid"], out["rid"]))
+        assert got == expect
