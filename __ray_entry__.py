@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": q.q_session_window,
         "interval_join": q.q_interval_join,
         "asof_join": q.q_asof_join,
+        "train_split": q.q_train_split,
+        "source_cap": q.q_source_cap,
         "latest_by_key": q.q_latest_by_key,
         "consumer_lag": q.q_consumer_lag,
         "topic_tail": q.q_topic_tail,
@@ -150,6 +152,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, purchase_id, purchase_ts_ms, value,
                    click_id, click_ts_ms
             FROM m WHERE rn = 1
+        """,
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
+        """,
+        "source_cap": """
+            SELECT doc_id, source, len(coalesce(text, '')) AS n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY len(coalesce(text, '')) DESC, doc_id) <= 10
         """,
         "latest_by_key": """
             SELECT user_id,

@@ -400,6 +400,37 @@ def q_quality_scores(sf_dir):
     return _round_cols(out, {"avg_quality": 4, "avg_stopword_ratio": 4})
 
 
+def q_train_split(sf_dir):
+    """Deterministic hash-based train/val assignment (oracle reproduces
+    the multiplicative hash in SQL)."""
+    from ..stages.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, "doc_id")
+
+
+def q_source_cap(sf_dir):
+    """Per-source quota: keep the 10 longest docs per source (doc_id
+    tiebreak), emit (doc_id, source, n_chars)."""
+    from ..stages.sampling import per_key_topn
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def measure(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_chars": pc.utf8_length(
+                    pc.fill_null(t["text"], "")
+                ).cast(pa.int64()),
+            }
+        )
+
+    sized = ds.map_batches(measure, batch_format="pyarrow")
+    return per_key_topn(sized, "source", "n_chars", 10, tie_col="doc_id")
+
+
 def q_langid(sf_dir):
     """n-gram language-ID heuristic vs labeled lang (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])

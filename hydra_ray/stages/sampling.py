@@ -1,0 +1,98 @@
+"""Dataset-shaping operators for training-data pipelines: deterministic
+splits and per-group quota capping.
+
+These are the "shape the corpus" steps that follow dedup/quality in a
+web-scale pipeline: carve reproducible train/val partitions and cap any
+one source's contribution.  Both are embarrassingly parallel or one
+bucketed reduce — no global sort, no driver materialization.
+
+No direct reference analogue (ps-dev/hydra is an ingest engine); the
+semantics follow the standard corpus-preparation recipes (hash-based
+splitting, per-domain quotas) used by public LLM-data pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["hash_split", "per_key_topn"]
+
+_KNUTH = 2654435761  # Knuth multiplicative constant, fits int64 products
+_MOD = 1 << 32
+
+
+def hash_split(ds, id_col: str, splits=(("train", 0.8), ("val", 0.2)),
+               out_col: str = "split"):
+    """Assign each row a deterministic split label from its integer id.
+
+    ``h = (id * 2654435761) mod 2^32`` maps ids to a uniform lattice; the
+    cumulative split fractions partition that range.  The assignment is a
+    pure per-row function — stable under repartitioning, resumable, and
+    exactly reproducible in SQL (the oracle uses the same arithmetic), so
+    train/val membership never drifts between runs or engines.
+
+    Per-batch map only (no shuffle); ids must be integers (string keys
+    should pre-hash with ``hashing.hash64``, which is engine-stable but
+    not SQL-expressible).
+    """
+    names = [s for s, _ in splits]
+    fracs = np.array([f for _, f in splits], dtype=np.float64)
+    if not np.isclose(fracs.sum(), 1.0):
+        raise ValueError(f"split fractions must sum to 1, got {fracs.sum()}")
+    bounds = np.floor(np.cumsum(fracs) * _MOD).astype(np.int64)
+    bounds[-1] = _MOD  # close the range against float rounding
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * _KNUTH) % _MOD
+        lab = np.searchsorted(bounds, h, side="right")
+        return t.append_column(
+            out_col, pa.array(np.asarray(names, dtype=object)[lab], pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def per_key_topn(ds, key_col: str, order_col: str, n: int, tie_col: str,
+                 descending: bool = True, num_buckets: int = 64):
+    """Keep at most ``n`` rows per key, ranked by ``order_col`` (ties
+    broken by ascending ``tie_col`` so the kept set is deterministic
+    under any row order) — the per-source/domain quota cap.
+
+    One hash(key) bucket shuffle, then each bucket ranks ALL its keys in
+    a single lexsort + run-length pass (the repo's standard wide-reduce
+    shape: ray.data's per-group aggregate dispatches Python per key).
+    """
+    from ..hashing import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return g.drop(columns="__bucket")
+        keys = g[key_col].to_numpy(dtype=object)
+        _, codes = np.unique(keys, return_inverse=True)
+        order = g[order_col].to_numpy()
+        if descending:
+            if order.dtype == object:
+                raise TypeError("descending order_col must be numeric")
+            order = -order
+        pos = np.lexsort((g[tie_col].to_numpy(), order, codes))
+        sc = codes[pos]
+        run_start = np.zeros(len(sc), dtype=bool)
+        run_start[0] = True
+        run_start[1:] = sc[1:] != sc[:-1]
+        run_idx = np.flatnonzero(run_start)
+        rank = np.arange(len(sc)) - np.repeat(run_idx, np.diff(np.append(run_idx, len(sc))))
+        keep = pos[rank < n]
+        return g.iloc[np.sort(keep)].drop(columns="__bucket")
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(cap, batch_format="pandas")
+    )

@@ -164,3 +164,44 @@ def test_asof_join_matches_bruteforce(rd):
         assert out["lid"].tolist() == sorted(expect)
         got = dict(zip(out["lid"], out["rid"]))
         assert got == expect
+
+
+def test_hash_split_deterministic_and_fractioned(rd):
+    import numpy as np
+
+    from hydra_ray.stages.sampling import hash_split
+
+    ids = pd.DataFrame({"doc_id": np.arange(10_000)})
+    out = hash_split(rd.from_pandas(ids).repartition(7), "doc_id",
+                     splits=(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    df = out.to_pandas()
+    frac = df["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.02
+    # deterministic: same id -> same split regardless of partitioning
+    df2 = hash_split(rd.from_pandas(ids).repartition(2), "doc_id",
+                     splits=(("train", 0.8), ("val", 0.1), ("test", 0.1))).to_pandas()
+    m = df.merge(df2, on="doc_id")
+    assert (m["split_x"] == m["split_y"]).all()
+    with pytest.raises(ValueError):
+        hash_split(rd.from_pandas(ids), "doc_id", splits=(("a", 0.5), ("b", 0.3)))
+
+
+def test_per_key_topn_rank_and_ties(rd):
+    import numpy as np
+
+    from hydra_ray.stages.sampling import per_key_topn
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 2,
+        "score": [3, 3, 2, 1, 3, 9, 9],
+        "id": [10, 11, 12, 13, 14, 20, 21],
+    })
+    out = (
+        per_key_topn(rd.from_pandas(df).repartition(3), "k", "score", 3, tie_col="id")
+        .to_pandas().sort_values("id")
+    )
+    # a: three score-3 rows win (ids 10,11,14 — ascending id breaks ties
+    # BEFORE lower scores); b: both rows kept (cap not binding)
+    assert out[out["k"] == "a"]["id"].tolist() == [10, 11, 14]
+    assert out[out["k"] == "b"]["id"].tolist() == [20, 21]
