@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window": q.q_session_window,
         "interval_join": q.q_interval_join,
         "asof_join": q.q_asof_join,
+        "value_quantiles": q.q_value_quantiles,
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
         "latest_by_key": q.q_latest_by_key,
@@ -152,6 +153,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, purchase_id, purchase_ts_ms, value,
                    click_id, click_ts_ms
             FROM m WHERE rn = 1
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.5) AS median,
+                   quantile_disc(value, 0.9) AS q90
+            FROM events GROUP BY 1
         """,
         "train_split": """
             SELECT doc_id,

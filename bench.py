@@ -37,7 +37,7 @@ QUERY_NAMES = [
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
     "hash_join", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
-    "train_split", "source_cap",
+    "train_split", "source_cap", "value_quantiles",
     "token_stats", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "audio_features",

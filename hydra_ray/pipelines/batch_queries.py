@@ -153,6 +153,17 @@ def q_interval_join(sf_dir):
     return out.map_batches(project, batch_format="pyarrow")
 
 
+def q_value_quantiles(sf_dir):
+    """Exact per-event-type value quantiles (quantile_disc convention —
+    exact elements, so values match the oracle bit-for-bit)."""
+    from ..stages.windows import grouped_quantile
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantile(
+        ds, ["event_type"], "value", {"q25": 0.25, "median": 0.5, "q90": 0.9}
+    )
+
+
 def q_asof_join(sf_dir):
     """Purchase→click attribution: each purchase matches the latest
     prior-or-equal click by the same user (backward as-of, ties to the

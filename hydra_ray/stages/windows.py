@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -40,6 +41,7 @@ __all__ = [
     "tumbling_window",
     "sliding_window",
     "session_window",
+    "grouped_quantile",
 ]
 
 
@@ -222,6 +224,59 @@ def grouped_aggregate(ds, group_cols: list[str], aggs: list[AggSpec]):
         return _partial_agg_batch(t, group_cols, aggs)
 
     return _final_agg(ds.map_batches(partial, batch_format="pyarrow"), group_cols, aggs)
+
+
+def grouped_quantile(ds, group_cols: list[str], value_col: str,
+                     qs: dict[str, float], num_buckets: int = 64):
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
+    convention: the element at sorted index ``max(0, ceil(q·n) − 1)``;
+    NULL values are ignored).  ``qs`` maps output column name → q.
+
+    Quantiles don't pre-aggregate (no exact combiner), so this is one
+    hash(key)-bucket shuffle of the (group, value) pairs, then each
+    bucket resolves ALL its groups in a single lexsort + run-offset
+    gather — the repo's standard wide-reduce shape.  For corpora where
+    shipping raw values is too wide, use ``approx_distinct``-style
+    sketches (histogram) instead and accept the approximation.
+    """
+    from ..hashing import hash64
+
+    sel = ds.select_columns(list(dict.fromkeys(group_cols + [value_col])))
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = hash64(t[group_cols[0]]).copy()
+        for c in group_cols[1:]:
+            h ^= hash64(t[c]) * np.uint64(0x9E3779B97F4A7C15)
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[value_col].notna()]
+        if g.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in group_cols}
+                | {name: pd.Series([], dtype="float64") for name in qs}
+            )
+        keys = pd.MultiIndex.from_frame(g[group_cols])
+        _, codes = np.unique(np.asarray(keys.to_numpy(), dtype=object),
+                             return_inverse=True)
+        vals = g[value_col].to_numpy()
+        order = np.lexsort((vals, codes))
+        sc, sv = codes[order], vals[order]
+        run_start = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        counts = np.diff(np.append(run_start, len(sc)))
+        first_rows = g.iloc[order[run_start]][group_cols].reset_index(drop=True)
+        out = {c: first_rows[c] for c in group_cols}
+        for name, q in qs.items():
+            idx = np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
+            out[name] = sv[run_start + idx]
+        return pd.DataFrame(out)
+
+    return (
+        sel.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def tumbling_window(

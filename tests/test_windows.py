@@ -132,3 +132,30 @@ def test_session_vs_pandas(ray_session, events_pdf):
     ref = ref.sort_values(["user_id", "session_start"]).reset_index(drop=True)
     assert len(got) == len(ref)
     pd.testing.assert_frame_equal(got[ref.columns], ref, check_dtype=False, atol=1e-9)
+
+
+def test_grouped_quantile_disc_convention(ray_session):
+    """quantile_disc semantics: element at max(0, ceil(q*n)-1); NULLs
+    ignored; multi-column groups; q=0/1 endpoints."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.stages.windows import grouped_quantile
+
+    df = pd.DataFrame({
+        "a": ["x"] * 5 + ["x"] * 4 + ["y"] * 3,
+        "b": [1] * 5 + [2] * 4 + [1] * 3,
+        "v": [5.0, 1.0, 9.0, 3.0, 7.0,   4.0, None, 2.0, 8.0,   10.0, 30.0, 20.0],
+    })
+    out = (
+        grouped_quantile(rd.from_pandas(df).repartition(4), ["a", "b"], "v",
+                         {"q0": 0.0, "med": 0.5, "q1": 1.0})
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # (x,1): sorted [1,3,5,7,9] -> med idx ceil(2.5)-1=2 -> 5; q0=1, q1=9
+    # (x,2): NULL dropped -> [2,4,8] -> med idx ceil(1.5)-1=1 -> 4
+    # (y,1): [10,20,30] -> med 20
+    assert out["med"].tolist() == [5.0, 4.0, 20.0]
+    assert out["q0"].tolist() == [1.0, 2.0, 10.0]
+    assert out["q1"].tolist() == [9.0, 8.0, 30.0]
