@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q.q_approx_distinct,
         # audio analysis
         "audio_features": q.q_audio_features,
+        "audio_neardup": q.q_audio_neardup,
         # image / video (real ppm/pgm/bmp + rawv kernels; PIL/ffmpeg
         # formats are DLQ-routed stubs)
         "image_features": q.q_image_features,

@@ -40,7 +40,7 @@ QUERY_NAMES = [
     "train_split", "source_cap", "value_quantiles",
     "token_stats", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
-    "distinct_users", "approx_distinct", "audio_features",
+    "distinct_users", "approx_distinct", "audio_features", "audio_neardup",
     "image_features", "image_neardup", "video_frames",
 ]
 

@@ -442,6 +442,58 @@ def q_source_cap(sf_dir):
     return per_key_topn(sized, "source", "n_chars", 10, tie_col="doc_id")
 
 
+def q_audio_neardup(sf_dir):
+    """Audio near-dup by 64-bit perceptual fingerprint + banded Hamming
+    pairing (rows-only).  Every third clip is a faintly-noised copy of
+    its predecessor — a planted near-dup the fingerprint must catch
+    through the pcm16 encode→decode round trip."""
+    from ..audio import encode
+    from ..stages.audio_features import AudioFingerprint
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..stages.neardup import hamming_near_pairs
+
+    n = 600
+    sr = 16_000
+
+    def wave(seed: int, n_samp: int = 8000) -> np.ndarray:
+        r = np.random.default_rng(seed)
+        # per-frame amplitude walk: delta-sign bits need non-stationary
+        # energy (a pure steady tone has near-tied frame deltas)
+        env = np.repeat(r.uniform(0.2, 1.0, 20), n_samp // 20 + 1)[:n_samp]
+        f = 200 + (seed * 37) % 800
+        t = np.arange(n_samp) / sr
+        return (env * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+    def make(idx: np.ndarray) -> pa.Table:
+        ids, payloads = [], []
+        for i in idx.tolist():
+            w = wave(i - 1 if i % 3 == 1 else i)
+            if i % 3 == 1:
+                r = np.random.default_rng(10_000 + i)
+                w = w + (0.002 * r.standard_normal(len(w))).astype(np.float32)
+            ids.append(i)
+            payloads.append(encode(w, "pcm16", sr))
+        m = len(ids)
+        return pa.table(
+            {
+                "clip_id": pa.array([f"clip-{i:06d}" for i in ids]),
+                "seq": pa.array(ids, pa.int64()),
+                "bytes": pa.array(payloads, pa.large_binary()),
+                "codec": pa.array(["pcm16"] * m),
+                "sr_hz": pa.array([sr] * m, pa.int32()),
+            }
+        )
+
+    ds = _dist_synth(n, make, num_blocks=32).map_batches(
+        AudioDecoder(), batch_format="pyarrow"
+    )
+    main, _ = split_dlq(ds)
+    fp = main.map_batches(AudioFingerprint(), batch_format="pyarrow").select_columns(
+        ["seq", "afp"]
+    )
+    return hamming_near_pairs(fp, "afp", "seq", max_hamming=3)
+
+
 def q_langid(sf_dir):
     """n-gram language-ID heuristic vs labeled lang (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])

@@ -148,3 +148,45 @@ def test_f32_bad_length_routed():
         pa.array([b"\x00\x00\x00"], pa.large_binary()), pa.array(["f32"]), None
     )
     assert err[0].as_py() is not None
+
+
+def test_audio_fingerprint_invariance_and_neardup(ray_session):
+    """Fingerprint: amplitude-scale invariant, batch-independent; the
+    audio_neardup query recovers every planted noisy-copy pair."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hydra_ray.stages.audio_features import audio_fingerprint
+
+    def clip(seed, n=8000):
+        r = np.random.default_rng(seed)
+        env = np.repeat(r.uniform(0.2, 1.0, 20), n // 20 + 1)[:n]
+        t = np.arange(n) / 16000
+        return (env * np.sin(2 * np.pi * (200 + seed * 37 % 800) * t)).astype(
+            np.float32
+        )
+
+    clips = [clip(i) for i in range(12)]
+
+    def tbl(pcms):
+        return pa.table(
+            {"pcm": pa.array([p.tolist() for p in pcms], pa.large_list(pa.float32()))}
+        )
+
+    fp = audio_fingerprint(tbl(clips))["afp"].to_numpy()
+    assert (fp == audio_fingerprint(tbl([c * 2.5 for c in clips]))["afp"].to_numpy()).all()
+    singles = np.concatenate(
+        [audio_fingerprint(tbl([c]))["afp"].to_numpy() for c in clips]
+    )
+    assert (fp == singles).all()
+
+    import __ray_entry__ as entrymod
+
+    pairs = entrymod.queries()["audio_neardup"]("/root/testdata/sf0.001").to_pandas()
+    planted = {(i - 1, i) for i in range(600) if i % 3 == 1}
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    missed = planted - got
+    assert not missed, f"{len(missed)} planted pairs missed: {sorted(missed)[:5]}"
+    # false positives are possible in principle but the fixture is distant
+    extras = got - planted
+    assert len(extras) <= 2, sorted(extras)[:5]

@@ -75,6 +75,7 @@ NO_ORACLE = [
     "ann_ivf",
     "approx_distinct",
     "audio_features",
+    "audio_neardup",
     "image_features",
     "image_neardup",
     "video_frames",
