@@ -1,0 +1,122 @@
+"""Resumable partitioned batch output.
+
+``write_partitioned`` writes a Dataset as one directory per key-hash
+partition with a per-partition ``_DONE`` marker, committed stage→rename:
+a crashed run leaves finished partitions adopted and unfinished ones
+invisible, and the NEXT run skips every ``_DONE`` partition at the map
+stage (their rows are filtered before any work or shuffle).  That makes
+bulk output restartable at partition granularity — the batch-side
+counterpart of the streaming sink's per-partition epochs
+(`table/lancelite.py commit_epoch`), and the "never one giant file"
+rule at 100 TB: partition count is chosen from the KEY SPACE, not the
+cluster.
+
+Layout::
+
+    root/
+      part=17/
+        <ray write_parquet files>
+        _DONE            # json: rows, run id
+      _stage/<run>/      # in-flight run output (discarded on crash)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .hashing import partition_for
+
+__all__ = ["write_partitioned", "done_partitions"]
+
+_PART_PREFIX = "part="
+
+
+def done_partitions(root: str) -> set[int]:
+    """Partitions already committed under ``root`` (by ``_DONE`` marker)."""
+    if not os.path.isdir(root):
+        return set()
+    out = set()
+    for name in os.listdir(root):
+        if name.startswith(_PART_PREFIX) and os.path.exists(
+            os.path.join(root, name, "_DONE")
+        ):
+            out.add(int(name[len(_PART_PREFIX):]))
+    return out
+
+
+def write_partitioned(ds, root: str, key_col: str, num_partitions: int = 64):
+    """Write ``ds`` under ``root`` as ``part=<hash(key) % P>/`` directories,
+    skipping partitions already marked ``_DONE`` by a previous (possibly
+    crashed) run.  Returns ``{partition: rows}`` for partitions committed
+    BY THIS RUN (empty partitions commit too, so a resume never rescans
+    them).
+
+    One streaming pass: tag+filter in ``map_batches``, then Ray Data's
+    partitioned ``write_parquet`` into a stage directory; the driver
+    renames each partition into place and writes its marker (O(P) cheap
+    metadata work).  A crash before a partition's rename leaves it in
+    ``_stage`` — invisible to readers and re-done next run.
+    """
+    os.makedirs(root, exist_ok=True)
+    # single-writer contract: stale stage dirs are crashed runs — discard
+    shutil.rmtree(os.path.join(root, "_stage"), ignore_errors=True)
+    done = done_partitions(root)
+    run = uuid.uuid4().hex[:12]
+    stage = os.path.join(root, "_stage", run)
+
+    done_arr = np.array(sorted(done), dtype=np.int32)
+
+    def tag_and_filter(t: pa.Table) -> pa.Table:
+        part = partition_for(t[key_col], num_partitions)
+        t = t.append_column("partition", pa.array(part, pa.int32()))
+        if len(done_arr):
+            keep = ~np.isin(part, done_arr)
+            t = t.filter(pa.array(keep))
+        return t
+
+    ds.map_batches(tag_and_filter, batch_format="pyarrow").write_parquet(
+        stage, partition_cols=["partition"]
+    )
+
+    committed: dict[int, int] = {}
+    staged = set()
+    if os.path.isdir(stage):
+        for name in os.listdir(stage):
+            if not name.startswith("partition="):
+                continue
+            p = int(name.split("=", 1)[1])
+            staged.add(p)
+            src = os.path.join(stage, name)
+            dest = os.path.join(root, f"{_PART_PREFIX}{p}")
+            os.makedirs(dest, exist_ok=True)
+            rows = 0
+            for f in sorted(os.listdir(src)):
+                if f.endswith(".parquet"):
+                    rows += pq.read_metadata(os.path.join(src, f)).num_rows
+                    os.replace(os.path.join(src, f), os.path.join(dest, f))
+            _mark_done(dest, rows, run)
+            committed[p] = rows
+    # empty partitions: commit a marker so a resume never re-waits on them
+    for p in range(num_partitions):
+        if p in done or p in staged:
+            continue
+        dest = os.path.join(root, f"{_PART_PREFIX}{p}")
+        os.makedirs(dest, exist_ok=True)
+        _mark_done(dest, 0, run)
+        committed[p] = 0
+    shutil.rmtree(os.path.join(root, "_stage", run), ignore_errors=True)
+    return committed
+
+
+def _mark_done(dest: str, rows: int, run: str) -> None:
+    tmp = os.path.join(dest, f"_DONE.tmp.{run}")
+    with open(tmp, "w") as f:
+        json.dump({"rows": rows, "run": run}, f)
+    os.replace(tmp, os.path.join(dest, "_DONE"))

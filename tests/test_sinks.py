@@ -1,0 +1,85 @@
+"""write_partitioned: per-partition _DONE commit + skip-finished resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from hydra_ray.sinks import done_partitions, write_partitioned
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _df(n=1000):
+    rng = np.random.default_rng(5)
+    return pd.DataFrame({
+        "k": rng.integers(0, 200, n).astype(str),
+        "v": np.arange(n),
+    })
+
+
+def _read_all(root: str) -> pd.DataFrame:
+    parts = []
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("part="):
+            continue
+        d = os.path.join(root, name)
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                parts.append(pq.read_table(os.path.join(d, f)).to_pandas())
+    return pd.concat(parts) if parts else pd.DataFrame(columns=["k", "v"])
+
+
+def test_write_partitioned_roundtrip_and_markers(rd, tmp_path):
+    root = str(tmp_path / "out")
+    df = _df()
+    committed = write_partitioned(rd.from_pandas(df).repartition(6), root, "k",
+                                  num_partitions=16)
+    assert set(committed) == set(range(16))  # empty partitions commit too
+    assert done_partitions(root) == set(range(16))
+    assert sum(committed.values()) == len(df)
+    back = _read_all(root).sort_values("v").reset_index(drop=True)
+    assert back["v"].tolist() == df["v"].tolist()
+    # marker row counts match files on disk
+    for p, rows in committed.items():
+        d = os.path.join(root, f"part={p}")
+        disk = sum(pq.read_metadata(os.path.join(d, f)).num_rows
+                   for f in os.listdir(d) if f.endswith(".parquet"))
+        assert disk == rows
+
+
+def test_write_partitioned_skips_done(rd, tmp_path):
+    """Partitions with _DONE (e.g. from a crashed-then-adopted run) are
+    filtered at the map stage: their files are never touched again and
+    the second run writes exactly the remaining rows."""
+    root = str(tmp_path / "out")
+    df = _df()
+    full = write_partitioned(rd.from_pandas(df).repartition(6), root, "k",
+                             num_partitions=16)
+    # wipe markers for half the partitions and delete their files —
+    # simulates a run that crashed before committing those partitions
+    redo = set(range(8))
+    mtimes = {}
+    for p in range(16):
+        d = os.path.join(root, f"part={p}")
+        if p in redo:
+            for f in list(os.listdir(d)):
+                os.unlink(os.path.join(d, f))
+        else:
+            mtimes[p] = os.path.getmtime(os.path.join(d, "_DONE"))
+    committed = write_partitioned(rd.from_pandas(df).repartition(6), root, "k",
+                                  num_partitions=16)
+    assert set(committed) == redo
+    assert sum(committed.values()) == sum(full[p] for p in redo)
+    # untouched partitions keep their original marker (never rewritten)
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(root, f"part={p}", "_DONE")) == t
+    back = _read_all(root).sort_values("v").reset_index(drop=True)
+    assert back["v"].tolist() == df["v"].tolist()
