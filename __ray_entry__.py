@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.q_embedding_neardup,
         # text analysis
         "token_stats": q.q_token_stats,
+        "tfidf_terms": q.q_tfidf_terms,
         "quality_scores": q.q_quality_scores,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
@@ -161,6 +162,26 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS median,
                    quantile_disc(value, 0.9) AS q90
             FROM events GROUP BY 1
+        """,
+        "tfidf_terms": r"""
+            WITH tok AS (
+                SELECT doc_id, u.t AS term
+                FROM documents,
+                     unnest(string_split_regex(lower(coalesce(text, '')),
+                                               '[^a-z]+')) AS u(t)
+                WHERE u.t <> ''
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+            ), n AS (SELECT count(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.term,
+                   round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
+                         tf.term) <= 3
         """,
         "train_split": """
             SELECT doc_id,

@@ -38,7 +38,7 @@ QUERY_NAMES = [
     "hash_join", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "train_split", "source_cap", "value_quantiles",
-    "token_stats", "quality_scores",
+    "token_stats", "tfidf_terms", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "audio_features", "audio_neardup",
     "image_features", "image_neardup", "video_frames",

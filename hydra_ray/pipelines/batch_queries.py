@@ -442,6 +442,15 @@ def q_source_cap(sf_dir):
     return per_key_topn(sized, "source", "n_chars", 10, tie_col="doc_id")
 
 
+def q_tfidf_terms(sf_dir):
+    """Top-3 tf·idf terms per document (tie → ascending term)."""
+    from ..stages.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, k=3)
+    return _round_cols(out, {"score": 6})
+
+
 def q_audio_neardup(sf_dir):
     """Audio near-dup by 64-bit perceptual fingerprint + banded Hamming
     pairing (rows-only).  Every third clip is a faintly-noised copy of

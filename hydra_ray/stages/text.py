@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["TokenStats", "QualityScore", "LangId", "Fingerprint"]
+__all__ = ["TokenStats", "QualityScore", "LangId", "Fingerprint", "tfidf_top_terms"]
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"},
@@ -134,3 +134,88 @@ class Fingerprint:
         norm = pd.Series(texts).fillna("").str.lower().str.replace(r"\s+", " ", regex=True)
         h = pd.util.hash_array(norm.to_numpy(dtype=object), categorize=False)
         return batch.append_column(self.out_col, pa.array(h.astype(np.int64)))
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, num_buckets: int = 32):
+    """Top-``k`` terms per document by tf·idf (score = tf · ln(N/df),
+    ties broken by ascending term so output is order-independent).
+
+    Tokenization is ``lower(text)`` split on ``[^a-z]+`` — byte-for-byte
+    the DuckDB ``string_split_regex`` oracle's convention.
+
+    Shape: (1) per-batch term frequencies — every doc lives in one row,
+    so TF needs no shuffle; (2) document frequencies via ONE bucketed
+    reduce over hash(term) (each (doc, term) appears once, so partials
+    are plain row counts); (3) the df table is vocabulary-sized — tiny
+    next to the corpus — so it broadcasts via ``ray.put`` and scoring +
+    per-doc top-k run per batch with no further shuffle.  For an open
+    vocabulary too large to broadcast, swap step 3 for a bucketed join
+    on term (`stages/join.py bucketed_join`).
+    """
+    import ray
+
+    from ..hashing import hash64
+
+    n_docs = ds.count()  # parquet metadata count: no data pass
+
+    def term_freqs(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_pylist(), dtype=object).fillna("").str.lower()
+        toks = s.str.split(r"[^a-z]+")
+        counts = toks.str.len().to_numpy(dtype=np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, counts)
+        flat = toks.explode().to_numpy(dtype=object)
+        # empty docs explode to NaN; the split regex also yields '' edges
+        keep = pd.notna(flat) & (flat != "")
+        tf = (
+            pd.DataFrame({"doc_id": doc[keep], "term": flat[keep]})
+            .groupby(["doc_id", "term"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    # cache the (doc, term, tf) rows: consumed by the df reduce AND the
+    # scoring pass; columnar, object-store resident (spills), and cheaper
+    # than re-tokenizing the corpus twice
+    tf_ds = ds.map_batches(term_freqs, batch_format="pyarrow").materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["term"]).to_pandas()
+            .groupby("term", as_index=False, sort=False).size()
+            .rename(columns={"size": "df"})
+        )
+        b = (hash64(g["term"].to_numpy(dtype=object)) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(g.assign(__bucket=b), preserve_index=False)
+
+    df_tbl = (
+        tf_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: g.groupby("term", as_index=False)["df"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()  # vocabulary-sized (see docstring)
+    )
+    df_ref = ray.put(df_tbl)
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        if g.empty:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64())})
+        dfm = ray.get(df_ref)
+        g = g.merge(dfm, on="term", how="left")
+        g["score"] = g["tf"].to_numpy(np.float64) * (
+            np.log(float(n_docs) / g["df"].to_numpy(np.float64))
+        )
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g[g.groupby("doc_id").cumcount() < k]
+        out = g[["doc_id", "term", "score"]].reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tf_ds.map_batches(score_topk, batch_format="pyarrow")
