@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_agg": q.q_salted_agg,
         "broadcast_enrich": q.q_broadcast_enrich,
         "hash_join": q.q_hash_join,
+        "anti_join": q.q_anti_join,
         "upsert_compaction": q.q_upsert_compaction,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -162,6 +163,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS median,
                    quantile_disc(value, 0.9) AS q90
             FROM events GROUP BY 1
+        """,
+        "anti_join": """
+            SELECT user_id, count(*) AS n_clicks
+            FROM events
+            WHERE event_type = 'click'
+              AND user_id NOT IN (
+                  SELECT user_id FROM events
+                  WHERE event_type = 'purchase' AND value > 150)
+            GROUP BY 1
         """,
         "tfidf_terms": r"""
             WITH tok AS (

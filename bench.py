@@ -35,7 +35,7 @@ QUERY_NAMES = [
     "asof_join",
     "latest_by_key", "consumer_lag", "topic_tail", "json_key_extract",
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
-    "hash_join", "upsert_compaction", "exact_dedup",
+    "hash_join", "anti_join", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "train_split", "source_cap", "value_quantiles",
     "token_stats", "tfidf_terms", "quality_scores",

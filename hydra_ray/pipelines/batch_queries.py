@@ -442,6 +442,27 @@ def q_source_cap(sf_dir):
     return per_key_topn(sized, "source", "n_chars", 10, tie_col="doc_id")
 
 
+def q_anti_join(sf_dir):
+    """Click counts for users with no big (value > 150) purchase —
+    distributed anti join (existence filter, left columns only)."""
+    from ..stages.dedup import bucketed_distinct
+    from ..stages.join import bucketed_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    clicks = grouped_aggregate(
+        ev.filter(expr="event_type == 'click'"), ["user_id"],
+        [AggSpec("count", None, "n_clicks")],
+    )
+    big_buyers = bucketed_distinct(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        .filter(expr="event_type == 'purchase' and value > 150")
+        .select_columns(["user_id"]),
+        ["user_id"],
+        num_buckets=16,
+    )
+    return bucketed_join(clicks, big_buyers, "user_id", how="anti")
+
+
 def q_tfidf_terms(sf_dir):
     """Top-3 tf·idf terms per document (tie → ascending term)."""
     from ..stages.text import tfidf_top_terms

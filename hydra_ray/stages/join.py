@@ -58,6 +58,9 @@ def bucketed_join(
     key — the right shape when the key cardinality is large relative to
     the cluster.  Same single all-to-all as any hash join; ``num_buckets``
     only sets reduce parallelism, never results.
+
+    ``how``: pandas merge kinds (inner/left/outer/...) plus ``semi`` /
+    ``anti`` — existence filters that emit the LEFT columns only.
     """
     from ..hashing import hash64
 
@@ -106,9 +109,18 @@ def bucketed_join(
         + [rschema.field(n) for n in rnames if n != key]
     )
 
+    # semi/anti joins emit the LEFT columns only (existence filter)
+    left_only_schema = pa.schema([lschema.field(n) for n in lnames])
+
     def merge(g: pd.DataFrame) -> pa.Table:
         gl = g[g["__side"] == 0][lnames].astype(ldtypes)
         gr = g[g["__side"] == 1][rnames].astype(rdtypes)
+        if how in ("semi", "anti"):
+            hit = gl[key].isin(gr[key].unique())
+            out = gl[hit if how == "semi" else ~hit]
+            return pa.Table.from_pandas(
+                out, schema=left_only_schema, preserve_index=False
+            )
         out = gl.merge(gr, on=key, how=how, suffixes=("", suffix))
         # from_pandas semantics: NaN padding from outer joins → nulls,
         # ints stay ints; every block leaves with the identical schema

@@ -205,3 +205,16 @@ def test_per_key_topn_rank_and_ties(rd):
     # BEFORE lower scores); b: both rows kept (cap not binding)
     assert out[out["k"] == "a"]["id"].tolist() == [10, 11, 14]
     assert out[out["k"] == "b"]["id"].tolist() == [20, 21]
+
+
+def test_bucketed_join_semi_anti(rd):
+    from hydra_ray.stages.join import bucketed_join
+
+    left = rd.from_items([{"k": i, "a": i * 10} for i in range(8)])
+    right = rd.from_items([{"k": 2}, {"k": 2}, {"k": 5}, {"k": 9}])
+    semi = bucketed_join(left, right, "k", how="semi").to_pandas().sort_values("k")
+    anti = bucketed_join(left, right, "k", how="anti").to_pandas().sort_values("k")
+    assert semi["k"].tolist() == [2, 5]          # left columns only, no dup
+    assert list(semi.columns) == ["k", "a"]
+    assert anti["k"].tolist() == [0, 1, 3, 4, 6, 7]
+    assert anti["a"].tolist() == [0, 10, 30, 40, 60, 70]
