@@ -526,6 +526,89 @@ class Table:
         self._commit_fragments(moved, {"pipelines": pipelines})
         return True
 
+    def compact(self, target_rows: int = 200_000,
+                reader_horizon: int | None = None) -> int | None:
+        """Merge small fragments into ~``target_rows`` ones (maintenance).
+
+        Micro-batch epochs leave one fragment per (partition, epoch);
+        at long horizons reads pay per-file open cost that dwarfs the
+        data.  Compaction bin-packs fragments under ``target_rows``
+        per partition into merged fragments and commits a REPLACEMENT
+        manifest version.  Older manifest versions still reference the
+        original files (which stay on disk), so time travel is intact.
+
+        Delta-read contract (the reason for ``reader_horizon``): a merged
+        fragment carries ``added_version = max(inputs)``, so any delta
+        reader with ``after_version >= reader_horizon`` sees no change.
+        Only fragments with ``added_version <= reader_horizon`` (default:
+        the current latest version) participate; a reader strictly behind
+        the horizon must restart from a full scan — the same caveat as
+        Delta Lake's OPTIMIZE vs CDC readers.  Single-maintainer op: a
+        concurrent compactor aborts on manifest conflict.
+
+        Returns the committed version, or None if nothing to merge.
+        """
+        base = self._manifest(self.latest_version())
+        horizon = base.version if reader_horizon is None else reader_horizon
+        keep: list[FragmentMeta] = []
+        pools: dict[int | None, list[FragmentMeta]] = {}
+        for f in base.fragments:
+            if f.added_version <= horizon and f.rows < target_rows:
+                pools.setdefault(f.partition, []).append(f)
+            else:
+                keep.append(f)
+        merged: list[FragmentMeta] = []
+        consumed: set[str] = set()
+        for part, group in sorted(pools.items(), key=lambda kv: (kv[0] is None, kv[0])):
+            group.sort(key=lambda f: (f.added_version, f.path))
+            bins, cur, rows = [], [], 0
+            for f in group:
+                cur.append(f)
+                rows += f.rows
+                if rows >= target_rows:
+                    bins.append(cur)
+                    cur, rows = [], 0
+            if cur:
+                bins.append(cur)
+            for b in bins:
+                if len(b) < 2:
+                    keep.extend(b)
+                    continue
+                tbl = pa.concat_tables(
+                    [pq.read_table(os.path.join(self.root, f.path)) for f in b],
+                    promote_options="default",
+                )
+                m = self._write_fragment(tbl, _DATA_DIR, part, None)
+                m.added_version = max(f.added_version for f in b)
+                merged.append(m)
+                consumed.update(f.path for f in b)
+        if not merged:
+            return None
+        for _ in range(5):
+            cur_m = self._manifest(self.latest_version())
+            cur_paths = {f.path for f in cur_m.fragments}
+            if not consumed <= cur_paths:
+                raise RuntimeError(
+                    f"compact: inputs disappeared under {self.root} "
+                    "(concurrent compaction?)"
+                )
+            # carry fragments added since our snapshot through unchanged
+            extra = [f for f in cur_m.fragments
+                     if f.path not in consumed
+                     and f.path not in {k.path for k in keep}]
+            new_list = keep + extra + merged
+            m2 = _Manifest(
+                version=cur_m.version + 1,
+                fragments=new_list,
+                properties=dict(cur_m.properties),
+                schema_json=cur_m.schema_json,
+            )
+            try:
+                return self._write_manifest(m2)
+            except FileExistsError:
+                continue
+        raise RuntimeError(f"compact: too much commit contention at {self.root}")
+
     def gc_staged(self) -> int:
         """Discard orphaned staged fragments (aborted epochs)."""
         d = os.path.join(self.root, _STAGE_DIR)

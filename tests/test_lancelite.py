@@ -227,3 +227,38 @@ def test_upsert_evolves_schema_like_append(tmp_path):
     assert t.schema().get_field_index("extra") >= 0
     got = t.read_compacted()
     assert got["extra"].to_pylist() == [2.5]
+
+
+def test_compact_merges_preserving_versions(tmp_path):
+    import pyarrow as pa
+
+    from hydra_ray.table import Table
+
+    root = str(tmp_path / "t")
+    t = Table.create(root, pa.schema([("k", pa.int64()), ("v", pa.string())]))
+    for i in range(10):
+        t.append(
+            pa.table({"k": [i * 2, i * 2 + 1], "v": [f"a{i}", f"b{i}"]}),
+            partition=i % 2,
+        )
+    v_before = t.latest_version()
+    n_frags_before = len(t.fragments())
+    rows_before = t.to_arrow().to_pandas().sort_values("k").reset_index(drop=True)
+
+    v_new = t.compact(target_rows=1000)
+    assert v_new == v_before + 1
+    frags = t.fragments()
+    assert len(frags) == 2  # one merged fragment per partition
+    assert {f.partition for f in frags} == {0, 1}
+    rows_after = t.to_arrow().to_pandas().sort_values("k").reset_index(drop=True)
+    assert rows_after.equals(rows_before)
+    # time travel: the pre-compaction version still reads the old layout
+    assert len(t.fragments(v_before)) == n_frags_before
+    assert t.count_rows(v_before) == len(rows_before)
+    # delta contract: a reader at the horizon sees NOTHING new
+    assert t.read_fragments(after_version=v_before) == []
+    # merged fragments carry the max input added_version, not the commit's
+    assert all(f.added_version <= v_before for f in frags)
+    # big fragments and fresh appends stay untouched by a second compact
+    t.append(pa.table({"k": [100], "v": ["z"]}), partition=0)
+    assert t.compact(target_rows=1, reader_horizon=v_before) is None
