@@ -485,3 +485,25 @@ def test_long_run_bounded_manifest_and_delta_resume(tmp_path, ray_session):
         ReplicatePipeline(f"{root2}/clips", f"{root2}/out", c_crash, f"{root2}/updates").run()
     ReplicatePipeline(f"{root2}/clips", f"{root2}/out", c, f"{root2}/updates").run()
     assert _content_signature(f"{root2}/out") == sig_clean
+
+
+def test_compaction_preserves_replicated_output(clean_run):
+    """Post-run sink compaction (maintenance) must not change what
+    read_replicated returns — byte-identical join, far fewer fragments."""
+    from hydra_ray.pipelines.replicate import read_replicated
+    from hydra_ray.table import Table as LTable
+
+    root = clean_run[0]
+    before = read_replicated(f"{root}/out").to_pandas().sort_values("seq")
+    shrunk = 0
+    for name in ("replicated", "payload", "views", "dlq"):
+        t = LTable(f"{root}/out/{name}")
+        n0 = len(t.fragments())
+        if t.compact(target_rows=10**9) is not None:
+            shrunk += n0 - len(t.fragments())
+        assert t.count_rows() == sum(f.rows for f in t.fragments())
+    assert shrunk > 0  # per-(partition, epoch) fragments actually merged
+    after = read_replicated(f"{root}/out").to_pandas().sort_values("seq")
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
