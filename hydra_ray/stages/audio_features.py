@@ -136,6 +136,9 @@ def audio_fingerprint(batch: pa.Table, pcm_col: str = "pcm",
     flat, offsets = _flat_and_offsets(batch[pcm_col])
     counts = offsets[1:] - offsets[:-1]
     nf = len(flat)
+    if nf == 0:  # every clip empty: all-zero fingerprints
+        zero = int(np.int64(-(1 << 63)))
+        return batch.append_column(out_col, pa.array([zero] * n, pa.int64()))
     F = 17
     k = np.arange(F, dtype=np.int64)
     seg = (offsets[:-1, None] + (counts[:, None] * k) // F).reshape(-1)

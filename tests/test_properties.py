@@ -82,3 +82,61 @@ def test_sessionize_gap_invariant(ts, gap):
     # breaks exactly where the gap is exceeded
     brk = np.diff(ts) > gap
     assert np.array_equal(np.diff(sid) == 1, brk)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(texts, max_size=10), st.integers(4, 64))
+def test_simhash_chunking_invariant(docs, chunk_words):
+    """SimHash bits are independent of the scratch chunk size (doc-aligned
+    chunking through the int16 LUT path == whole-batch reference)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from hydra_ray.stages.neardup import SimHasher
+
+    batch = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+    small = SimHasher(chunk_words=chunk_words)(batch)["simhash"].to_pylist()
+    big = SimHasher(chunk_words=1 << 20)(batch)["simhash"].to_pylist()
+    assert small == big
+    # naive per-doc recomputation
+    shifts = np.arange(64, dtype=np.uint64)
+    for doc, got in zip(docs, small):
+        words = np.array(str(doc).lower().split(), dtype=object)
+        if len(words) == 0:
+            assert got == 0
+            continue
+        h = pd.util.hash_array(words, categorize=False)
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        v = (bits.sum(axis=0) * 2 > len(words)).astype(np.uint64)
+        ref = int((v << shifts).sum(dtype=np.uint64) - np.uint64(1 << 63))
+        if ref >= 1 << 63:
+            ref -= 1 << 64
+        assert got == ref
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-1, 1, width=32, allow_nan=False), max_size=200),
+        min_size=1, max_size=6,
+    ),
+    st.floats(0.25, 4.0),
+)
+def test_audio_fingerprint_scale_and_batch_invariant(pcms, scale):
+    """Fingerprint bits don't change under positive amplitude scaling and
+    don't depend on which clips share a batch."""
+    import pyarrow as pa
+
+    from hydra_ray.stages.audio_features import audio_fingerprint
+
+    def tbl(rows):
+        return pa.table({"pcm": pa.array(rows, pa.large_list(pa.float32()))})
+
+    fp = audio_fingerprint(tbl(pcms))["afp"].to_pylist()
+    scaled = audio_fingerprint(
+        tbl([[x * scale for x in p] for p in pcms])
+    )["afp"].to_pylist()
+    assert fp == scaled
+    singles = [audio_fingerprint(tbl([p]))["afp"].to_pylist()[0] for p in pcms]
+    assert fp == singles
