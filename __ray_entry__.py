@@ -149,9 +149,10 @@ def oracle_sql() -> dict[str, str]:
                        epoch_ms(r.ts) AS click_ts_ms,
                        row_number() OVER (
                            PARTITION BY l.event_id
-                           ORDER BY r.ts DESC, r.event_id DESC) AS rn
+                           ORDER BY epoch_ms(r.ts) DESC, r.event_id DESC) AS rn
                 FROM l JOIN r
-                  ON l.user_id = r.user_id AND r.ts <= l.ts
+                  ON l.user_id = r.user_id
+                 AND epoch_ms(r.ts) <= epoch_ms(l.ts)
             )
             SELECT user_id, purchase_id, purchase_ts_ms, value,
                    click_id, click_ts_ms

@@ -31,7 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .hashing import partition_for
+from .hashing import add_partition_column
 
 __all__ = ["write_partitioned", "done_partitions"]
 
@@ -74,11 +74,11 @@ def write_partitioned(ds, root: str, key_col: str, num_partitions: int = 64):
     done_arr = np.array(sorted(done), dtype=np.int32)
 
     def tag_and_filter(t: pa.Table) -> pa.Table:
-        part = partition_for(t[key_col], num_partitions)
-        t = t.append_column("partition", pa.array(part, pa.int32()))
+        # add_partition_column drops any pre-existing 'partition' column
+        t = add_partition_column(t, key_col, num_partitions)
         if len(done_arr):
-            keep = ~np.isin(part, done_arr)
-            t = t.filter(pa.array(keep))
+            part = t["partition"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(~np.isin(part, done_arr)))
         return t
 
     ds.map_batches(tag_and_filter, batch_format="pyarrow").write_parquet(
@@ -96,6 +96,10 @@ def write_partitioned(ds, root: str, key_col: str, num_partitions: int = 64):
             src = os.path.join(stage, name)
             dest = os.path.join(root, f"{_PART_PREFIX}{p}")
             os.makedirs(dest, exist_ok=True)
+            # a dest without _DONE may hold orphans from a run that
+            # crashed mid-adoption: wipe them or the re-write duplicates
+            for f in list(os.listdir(dest)):
+                os.unlink(os.path.join(dest, f))
             rows = 0
             for f in sorted(os.listdir(src)):
                 if f.endswith(".parquet"):

@@ -141,16 +141,19 @@ def audio_fingerprint(batch: pa.Table, pcm_col: str = "pcm",
         return batch.append_column(out_col, pa.array([zero] * n, pa.int64()))
     F = 17
     k = np.arange(F, dtype=np.int64)
+    # frame starts in [0, nf]; the work buffers carry ONE zero pad so
+    # reduceat accepts index nf (empty trailing clips) without clamping —
+    # clamping to nf-1 truncated the previous clip's final sample, making
+    # fingerprints depend on batch composition
     seg = (offsets[:-1, None] + (counts[:, None] * k) // F).reshape(-1)
-    seg = np.minimum(seg, max(nf - 1, 0))
 
-    work = _scratch(nf, np.float32)
+    work = _scratch(nf + 1, np.float32)
     mask = _scratch(nf, np.bool_)
 
     def seg_energy(x: np.ndarray) -> np.ndarray:
-        np.multiply(x, x, out=work[: len(x)])
-        e = np.add.reduceat(work[: len(x)], np.minimum(seg, max(len(x) - 1, 0)),
-                            dtype=np.float64)
+        np.multiply(x, x, out=work[:nf])
+        work[nf] = 0.0
+        e = np.add.reduceat(work[: nf + 1], seg, dtype=np.float64)
         return e.reshape(n, F)
 
     e0 = seg_energy(flat)
@@ -169,15 +172,21 @@ def audio_fingerprint(batch: pa.Table, pcm_col: str = "pcm",
     for off in (offsets[:-1], np.minimum(offsets[:-1] + 1, max(nf - 1, 0))):
         d1[np.minimum(off, max(nf - 1, 0))] = 0.0
     e2 = seg_energy(d1)
-    # zero crossings per frame
+    # zero crossings per frame (same one-zero pad as seg_energy)
     np.signbit(flat, out=mask)
-    change = _scratch(nf, np.uint8)[:nf]
+    change = _scratch(nf + 1, np.uint8, "fpzc")
     if nf > 1:
-        np.not_equal(mask[1:], mask[:-1], out=change[1:])
-    if nf > 0:
-        change[0] = 0
-    change[np.minimum(offsets[:-1], max(nf - 1, 0))] = 0
-    zc = np.add.reduceat(change, seg, dtype=np.int64).reshape(n, F).astype(np.float64)
+        np.not_equal(mask[1:], mask[:-1], out=change[1:nf])
+    change[0] = 0
+    change[nf] = 0
+    # clip-start positions must not count a crossing against the previous
+    # clip's last sample; empty clips' starts (== nf) land on the pad
+    change[np.minimum(offsets[:-1], nf)] = 0
+    zc = (
+        np.add.reduceat(change[: nf + 1], seg, dtype=np.int64)
+        .reshape(n, F)
+        .astype(np.float64)
+    )
 
     bits = np.zeros(n, dtype=np.uint64)
     shift = 0

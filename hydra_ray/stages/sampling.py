@@ -46,6 +46,13 @@ def hash_split(ds, id_col: str, splits=(("train", 0.8), ("val", 0.2)),
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() > (1 << 63) // _KNUTH):
+            # numpy % is non-negative while SQL % keeps the dividend's
+            # sign, and the product wraps past ~3.47e9 — either silently
+            # diverges from the oracle arithmetic
+            raise ValueError(
+                f"hash_split ids must be in [0, {(1 << 63) // _KNUTH}]"
+            )
         h = (ids * _KNUTH) % _MOD
         lab = np.searchsorted(bounds, h, side="right")
         return t.append_column(
@@ -80,7 +87,10 @@ def per_key_topn(ds, key_col: str, order_col: str, n: int, tie_col: str,
         if descending:
             if order.dtype == object:
                 raise TypeError("descending order_col must be numeric")
-            order = -order
+            if order.dtype == np.bool_ or np.issubdtype(order.dtype, np.unsignedinteger):
+                order = order.max() - order  # negation would wrap mod 2^N
+            else:
+                order = -order
         pos = np.lexsort((g[tie_col].to_numpy(), order, codes))
         sc = codes[pos]
         run_start = np.zeros(len(sc), dtype=bool)

@@ -201,21 +201,28 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     df_ref = ray.put(df_tbl)
 
-    def score_topk(t: pa.Table) -> pa.Table:
+    def score(t: pa.Table) -> pa.Table:
         g = t.to_pandas()
         if g.empty:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "term": pa.array([], pa.string()),
                              "score": pa.array([], pa.float64())})
-        dfm = ray.get(df_ref)
-        g = g.merge(dfm, on="term", how="left")
+        from .join import _bcast_get  # per-worker cache: one get per worker
+
+        g = g.merge(_bcast_get(df_ref), on="term", how="left")
         g["score"] = g["tf"].to_numpy(np.float64) * (
             np.log(float(n_docs) / g["df"].to_numpy(np.float64))
         )
-        g = g.sort_values(["doc_id", "score", "term"],
-                          ascending=[True, False, True], kind="mergesort")
-        g = g[g.groupby("doc_id").cumcount() < k]
-        out = g[["doc_id", "term", "score"]].reset_index(drop=True)
+        out = g[["doc_id", "term", "score"]]
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return tf_ds.map_batches(score_topk, batch_format="pyarrow")
+    scored = tf_ds.map_batches(score, batch_format="pyarrow")
+    # per-doc top-k through the bucketed rank operator: a doc's tf rows
+    # can straddle an output-block split (Ray slices >128 MB outputs at
+    # arbitrary row offsets), so a per-batch top-k could emit >k rows
+    from .sampling import per_key_topn
+
+    ranked = per_key_topn(scored, "doc_id", "score", k, tie_col="term")
+    return ranked.map_batches(
+        lambda t: t.select(["doc_id", "term", "score"]), batch_format="pyarrow"
+    )

@@ -251,12 +251,15 @@ def grouped_quantile(ds, group_cols: list[str], value_col: str,
         return t.append_column("__bucket", pa.array(b))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # groups whose values are ALL NULL still emit a row (with NULL
+        # quantiles) — SQL aggregate semantics
+        all_groups = g[group_cols].drop_duplicates()
         g = g[g[value_col].notna()]
         if g.empty:
-            return pd.DataFrame(
-                {c: pd.Series([], dtype=g[c].dtype) for c in group_cols}
-                | {name: pd.Series([], dtype="float64") for name in qs}
-            )
+            out = all_groups.reset_index(drop=True)
+            for name in qs:
+                out[name] = np.nan
+            return out
         keys = pd.MultiIndex.from_frame(g[group_cols])
         _, codes = np.unique(np.asarray(keys.to_numpy(), dtype=object),
                              return_inverse=True)
@@ -270,7 +273,16 @@ def grouped_quantile(ds, group_cols: list[str], value_col: str,
         for name, q in qs.items():
             idx = np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
             out[name] = sv[run_start + idx]
-        return pd.DataFrame(out)
+        out = pd.DataFrame(out)
+        missing = all_groups.merge(
+            out[group_cols], on=group_cols, how="left", indicator=True
+        )
+        missing = missing[missing["_merge"] == "left_only"][group_cols]
+        if len(missing):
+            for name in qs:
+                missing[name] = np.nan
+            out = pd.concat([out, missing], ignore_index=True)
+        return out
 
     return (
         sel.map_batches(tag, batch_format="pyarrow")

@@ -546,42 +546,100 @@ class Table:
         Delta Lake's OPTIMIZE vs CDC readers.  Single-maintainer op: a
         concurrent compactor aborts on manifest conflict.
 
+        KEYED tables (``read_compacted`` resolves per-key MVCC from
+        fragment ``added_version``): merging may only span version RUNS
+        with no outside fragment's version inside, and each run is
+        pre-compacted per key (keeping tombstones — they still shadow
+        rows in older kept fragments), so collapsing the run's versions
+        into one cannot reorder any key's history.
+
         Returns the committed version, or None if nothing to merge.
         """
         base = self._manifest(self.latest_version())
         horizon = base.version if reader_horizon is None else reader_horizon
         keep: list[FragmentMeta] = []
-        pools: dict[int | None, list[FragmentMeta]] = {}
-        for f in base.fragments:
-            if f.added_version <= horizon and f.rows < target_rows:
-                pools.setdefault(f.partition, []).append(f)
-            else:
-                keep.append(f)
         merged: list[FragmentMeta] = []
         consumed: set[str] = set()
-        for part, group in sorted(pools.items(), key=lambda kv: (kv[0] is None, kv[0])):
-            group.sort(key=lambda f: (f.added_version, f.path))
-            bins, cur, rows = [], [], 0
-            for f in group:
-                cur.append(f)
-                rows += f.rows
-                if rows >= target_rows:
-                    bins.append(cur)
-                    cur, rows = [], 0
-            if cur:
-                bins.append(cur)
-            for b in bins:
-                if len(b) < 2:
-                    keep.extend(b)
+
+        def eligible(f: FragmentMeta) -> bool:
+            return f.added_version <= horizon and f.rows < target_rows
+
+        if self.key_columns():
+            kept_versions = {
+                f.added_version for f in base.fragments if not eligible(f)
+            }
+            ordered = sorted(
+                enumerate(base.fragments), key=lambda kv: (kv[1].added_version, kv[0])
+            )
+            runs: list[list[FragmentMeta]] = [[]]
+            for _, f in ordered:
+                # sharing a version with a kept fragment would make the
+                # post-merge equal-version tie-break depend on manifest
+                # order — treat such fragments as kept
+                if eligible(f) and f.added_version not in kept_versions:
+                    runs[-1].append(f)
+                else:
+                    keep.append(f)
+                    runs.append([])  # an outside version breaks the run
+            kc = self.key_columns()
+            for run in runs:
+                if len(run) < 2:
+                    keep.extend(run)
                     continue
-                tbl = pa.concat_tables(
-                    [pq.read_table(os.path.join(self.root, f.path)) for f in b],
-                    promote_options="default",
-                )
-                m = self._write_fragment(tbl, _DATA_DIR, part, None)
-                m.added_version = max(f.added_version for f in b)
+                tables = []
+                for f in run:  # manifest/version order = MVCC order
+                    t = pq.read_table(os.path.join(self.root, f.path))
+                    if "__tombstone" not in t.column_names:
+                        t = t.append_column(
+                            "__tombstone", pa.array([False] * t.num_rows, pa.bool_())
+                        )
+                    tables.append(t)
+                import numpy as np
+
+                cat = pa.concat_tables(tables, promote_options="default")
+                # keep-last per key by row index, then take() on the Arrow
+                # table — a pandas round trip would upcast nullable int
+                # columns to double and poison later fragment concats
+                kdf = cat.select(kc).to_pandas()
+                kdf["__i"] = np.arange(len(kdf))
+                last = kdf.drop_duplicates(subset=kc, keep="last")["__i"].to_numpy()
+                tbl = cat.take(pa.array(np.sort(last)))
+                m = self._write_fragment(tbl, _DATA_DIR, None, None)
+                m.added_version = max(f.added_version for f in run)
                 merged.append(m)
-                consumed.update(f.path for f in b)
+                consumed.update(f.path for f in run)
+        else:
+            pools: dict[int | None, list[FragmentMeta]] = {}
+            for f in base.fragments:
+                if eligible(f):
+                    pools.setdefault(f.partition, []).append(f)
+                else:
+                    keep.append(f)
+            for part, group in sorted(
+                pools.items(), key=lambda kv: (kv[0] is None, kv[0])
+            ):
+                group.sort(key=lambda f: (f.added_version, f.path))
+                bins, cur, rows = [], [], 0
+                for f in group:
+                    cur.append(f)
+                    rows += f.rows
+                    if rows >= target_rows:
+                        bins.append(cur)
+                        cur, rows = [], 0
+                if cur:
+                    bins.append(cur)
+                for b in bins:
+                    if len(b) < 2:
+                        keep.extend(b)
+                        continue
+                    tbl = pa.concat_tables(
+                        [pq.read_table(os.path.join(self.root, f.path)) for f in b],
+                        promote_options="default",
+                    )
+                    m = self._write_fragment(tbl, _DATA_DIR, part, None)
+                    m.added_version = max(f.added_version for f in b)
+                    merged.append(m)
+                    consumed.update(f.path for f in b)
         if not merged:
             return None
         for _ in range(5):

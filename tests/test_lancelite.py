@@ -262,3 +262,42 @@ def test_compact_merges_preserving_versions(tmp_path):
     # big fragments and fresh appends stay untouched by a second compact
     t.append(pa.table({"k": [100], "v": ["z"]}), partition=0)
     assert t.compact(target_rows=1, reader_horizon=v_before) is None
+
+
+def test_compact_keyed_preserves_mvcc_and_tombstones(tmp_path):
+    import pyarrow as pa
+
+    from hydra_ray.table import Table
+
+    root = str(tmp_path / "kt")
+    t = Table.create(
+        root,
+        pa.schema([pa.field("k", pa.string(), nullable=False),
+                   ("v", pa.int64())]),
+        key=["k"]
+    )
+    t.upsert(pa.table({"k": ["x", "y"], "v": [1, 10]}))       # v1 small
+    t.delete_by_key(pa.table({"k": ["y"]}))                    # v2 tombstone
+    t.upsert(pa.table({"k": ["x", "z"], "v": [2, 30]}))        # v3 small
+    big = pa.table({"k": [f"pad{i}" for i in range(50)] + ["x"],
+                    "v": list(range(50)) + [99]})
+    t.upsert(big)                                              # v4 big (kept)
+    t.upsert(pa.table({"k": ["w"], "v": [7]}))                 # v5 small
+    before = t.read_compacted().to_pandas().sort_values("k").reset_index(drop=True)
+    assert before.set_index("k")["v"]["x"] == 99               # v4 wins
+    assert "y" not in set(before["k"])                         # tombstoned
+
+    v = t.compact(target_rows=20)  # merges the v1-v3 run; v4 kept; v5 single
+    assert v is not None
+    after = t.read_compacted().to_pandas().sort_values("k").reset_index(drop=True)
+    assert after.equals(before)
+    # the merged fragment pre-compacted per key and kept the tombstone row
+    frags = t.fragments()
+    assert len(frags) < 5
+    merged = [f for f in frags if f.added_version == 3 and f.rows <= 4]
+    assert merged, [f.__dict__ for f in frags]
+    # a later upsert still supersedes the merged history
+    t.upsert(pa.table({"k": ["z"], "v": [31]}))
+    assert (
+        t.read_compacted().to_pandas().set_index("k")["v"]["z"] == 31
+    )

@@ -83,3 +83,29 @@ def test_write_partitioned_skips_done(rd, tmp_path):
         assert os.path.getmtime(os.path.join(root, f"part={p}", "_DONE")) == t
     back = _read_all(root).sort_values("v").reset_index(drop=True)
     assert back["v"].tolist() == df["v"].tolist()
+
+
+def test_write_partitioned_recovers_from_crash_mid_adoption(rd, tmp_path):
+    """Orphan parquet files in a dest dir without _DONE (crash between
+    os.replace and _mark_done) must not duplicate rows on resume."""
+    root = str(tmp_path / "out")
+    df = pd.DataFrame({"k": [str(i % 40) for i in range(500)], "v": range(500)})
+    write_partitioned(rd.from_pandas(df).repartition(4), root, "k",
+                      num_partitions=8)
+    victim = os.path.join(root, "part=3")
+    os.unlink(os.path.join(victim, "_DONE"))
+    assert any(f.endswith(".parquet") for f in os.listdir(victim))
+    write_partitioned(rd.from_pandas(df).repartition(4), root, "k",
+                      num_partitions=8)
+    back = _read_all(root).sort_values("v").reset_index(drop=True)
+    assert back["v"].tolist() == list(range(500))  # exactly once, no dups
+
+
+def test_write_partitioned_drops_preexisting_partition_column(rd, tmp_path):
+    from hydra_ray.hashing import add_partition_column
+
+    root = str(tmp_path / "out")
+    df = pd.DataFrame({"k": ["a", "b", "c"], "v": [1, 2, 3],
+                       "partition": [99, 99, 99]})
+    committed = write_partitioned(rd.from_pandas(df), root, "k", num_partitions=4)
+    assert sum(committed.values()) == 3
