@@ -218,3 +218,17 @@ def test_bucketed_join_semi_anti(rd):
     assert list(semi.columns) == ["k", "a"]
     assert anti["k"].tolist() == [0, 1, 3, 4, 6, 7]
     assert anti["a"].tolist() == [0, 10, 30, 40, 60, 70]
+
+
+def test_per_key_topn_unsigned_order_and_split_guard(rd):
+    import numpy as np
+
+    from hydra_ray.stages.sampling import hash_split, per_key_topn
+
+    df = pd.DataFrame({"k": ["a"] * 4, "score": np.array([0, 5, 3, 9], np.uint32),
+                       "id": [1, 2, 3, 4]})
+    out = per_key_topn(rd.from_pandas(df), "k", "score", 2, tie_col="id").to_pandas()
+    assert sorted(out["id"]) == [2, 4]  # largest uint values, not wrapped
+    with pytest.raises(Exception):  # negative ids diverge from the SQL oracle
+        hash_split(rd.from_pandas(pd.DataFrame({"doc_id": [-2, 1]})),
+                   "doc_id").to_pandas()
