@@ -51,12 +51,18 @@ def done_partitions(root: str) -> set[int]:
     return out
 
 
-def write_partitioned(ds, root: str, key_col: str, num_partitions: int = 64):
+def write_partitioned(ds, root: str, key_col: str | None = None,
+                      num_partitions: int = 64,
+                      partition_col: str | None = None):
     """Write ``ds`` under ``root`` as ``part=<hash(key) % P>/`` directories,
     skipping partitions already marked ``_DONE`` by a previous (possibly
     crashed) run.  Returns ``{partition: rows}`` for partitions committed
     BY THIS RUN (empty partitions commit too, so a resume never rescans
     them).
+
+    Pass ``partition_col`` to partition on an EXISTING int column in
+    ``[0, num_partitions)`` (e.g. an IVF list id) instead of hashing
+    ``key_col``.
 
     One streaming pass: tag+filter in ``map_batches``, then Ray Data's
     partitioned ``write_parquet`` into a stage directory; the driver
@@ -73,9 +79,23 @@ def write_partitioned(ds, root: str, key_col: str, num_partitions: int = 64):
 
     done_arr = np.array(sorted(done), dtype=np.int32)
 
+    if (key_col is None) == (partition_col is None):
+        raise ValueError("pass exactly one of key_col / partition_col")
+
     def tag_and_filter(t: pa.Table) -> pa.Table:
-        # add_partition_column drops any pre-existing 'partition' column
-        t = add_partition_column(t, key_col, num_partitions)
+        if partition_col is None:
+            # add_partition_column drops any pre-existing 'partition' column
+            t = add_partition_column(t, key_col, num_partitions)
+        else:
+            part = t[partition_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(part) and (part.min() < 0 or part.max() >= num_partitions):
+                raise ValueError(
+                    f"{partition_col} values outside [0, {num_partitions})"
+                )
+            if partition_col != "partition":
+                if "partition" in t.column_names:
+                    t = t.drop_columns(["partition"])
+                t = t.append_column("partition", pa.array(part.astype(np.int32)))
         if len(done_arr):
             part = t["partition"].to_numpy(zero_copy_only=False)
             t = t.filter(pa.array(~np.isin(part, done_arr)))

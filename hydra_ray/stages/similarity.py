@@ -24,6 +24,8 @@ __all__ = [
     "cosine_topk",
     "train_centroids",
     "ivf_topk",
+    "build_ivf_index",
+    "ivf_search_index",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
 ]
@@ -347,3 +349,134 @@ def embedding_neardup_lsh(
         )
 
     return ab.map_batches(verify, batch_format="pyarrow")
+
+
+def build_ivf_index(ds, root: str, n_centroids: int = 64, id_col="vec_id",
+                    vec_col="embedding", sample: int = 4096, seed: int = 42) -> str:
+    """Persist an IVF-Flat index: centroids + the corpus partitioned into
+    one directory per inverted list (``lists/part=<list_id>/``).
+
+    The layout IS the optimization: a search that probes ``nprobe`` lists
+    reads ONLY those directories — at 100 TB the object store never sees
+    the other ``1 - nprobe/n_centroids`` of the corpus (prune-at-the-read,
+    vs ``ivf_topk`` which prunes compute but still scans every block).
+    Built with ``sinks.write_partitioned``, so a crashed build resumes at
+    list granularity.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..sinks import write_partitioned
+
+    cents = train_centroids(ds, n_centroids, vec_col, sample, seed=seed)
+    os.makedirs(root, exist_ok=True)
+    pq.write_table(
+        pa.table({"centroid": [[float(x) for x in c] for c in cents]}),
+        os.path.join(root, "centroids.parquet"),
+    )
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from .join import _bcast_get
+
+        m = _normalize(_stack(t[vec_col]))
+        lid = (m @ _bcast_get(cref).T).argmax(axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+                "list_id": pa.array(lid),
+            }
+        )
+
+    write_partitioned(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        os.path.join(root, "lists"),
+        partition_col="list_id",
+        num_partitions=len(cents),
+    )
+    return root
+
+
+def ivf_search_index(root: str, queries_ids, queries_mat, k: int,
+                     nprobe: int = 4, id_col="vec_id", vec_col="embedding"):
+    """Top-k search against a ``build_ivf_index`` layout.
+
+    Reads ONLY the union of the queries' probed list directories; each
+    batch scores its rows against exactly the queries probing that row's
+    list, then a tiny per-query merge ranks the partials.  Approximate
+    (recall governed by nprobe/n_centroids, same as ``ivf_topk``).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cents = _normalize(
+        np.stack(
+            pq.read_table(os.path.join(root, "centroids.parquet"))["centroid"]
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+    )
+    qmat = _normalize(np.asarray(queries_mat, np.float64))
+    probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
+    needed = sorted({int(b) for row in probes for b in row})
+    paths = []  # explicit files: the dirs also hold _DONE markers
+    for b in needed:
+        d = os.path.join(root, "lists", f"part={b}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    if not paths:
+        return rd.from_arrow(empty)
+    qref = ray.put({"ids": np.asarray(queries_ids), "mat": qmat, "probes": probes})
+
+    def score(t: pa.Table) -> pa.Table:
+        from .join import _bcast_get
+
+        q = _bcast_get(qref)
+        lids = t["list_id"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_stack(t[vec_col]))
+        out_q, out_i, out_s = [], [], []
+        for b in np.unique(lids):
+            qidx = np.flatnonzero((q["probes"] == b).any(axis=1))
+            if not len(qidx):
+                continue
+            rows = lids == b
+            s = m[rows] @ q["mat"][qidx].T
+            kk = min(k, s.shape[0])
+            top = np.argpartition(-s, kk - 1, axis=0)[:kk]
+            rid = ids[rows]
+            for j, qi in enumerate(qidx):
+                out_q.append(np.full(kk, q["ids"][qi]))
+                out_i.append(rid[top[:, j]])
+                out_s.append(s[top[:, j], j])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partial = rd.read_parquet(paths).map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
+        out = g.head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

