@@ -246,8 +246,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n_rows,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         / 100.0, 2) AS sum_base_price,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS sum_revenue
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY 1, 2

@@ -314,27 +314,50 @@ def q_pricing_summary(sf_dir):
 
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        # money columns carry exactly 2 decimals: sum EXACT integer cents
+        # (float sums are order-dependent — at 600k rows per group the
+        # accumulated error flips the 2-dp rounding; measured at sf0.1)
+        extc = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        discc = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(extc, pc.subtract(pa.scalar(100, pa.int64()), discc))
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
                 "l_quantity": t["l_quantity"],
-                "l_extendedprice": t["l_extendedprice"],
-                "revenue": rev,
+                "base_cents": extc,
+                "rev_e4": rev4,
             }
         )
 
     base = ds.map_batches(prep, batch_format="pyarrow")
-    out = grouped_aggregate(
+    agg = grouped_aggregate(
         base, ["l_returnflag", "l_linestatus"],
         [
             AggSpec("count", None, "n_rows"),
             AggSpec("sum", "l_quantity", "sum_qty"),
-            AggSpec("sum", "l_extendedprice", "sum_base_price"),
-            AggSpec("sum", "revenue", "sum_revenue"),
+            AggSpec("sum", "base_cents", "base_cents"),
+            AggSpec("sum", "rev_e4", "rev_e4"),
         ],
     )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "n_rows": t["n_rows"],
+                "sum_qty": t["sum_qty"],
+                "sum_base_price": pc.divide(
+                    pc.cast(t["base_cents"], pa.float64()), pa.scalar(100.0)
+                ),
+                "sum_revenue": pc.divide(
+                    pc.cast(t["rev_e4"], pa.float64()), pa.scalar(10000.0)
+                ),
+            }
+        )
+
+    out = agg.map_batches(finalize, batch_format="pyarrow")
     return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_revenue": 2})
 
 
