@@ -258,14 +258,16 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_enrich": """
             SELECT c.c_nationkey AS c_nationkey,
                    count(*) AS n_orders,
-                   round(sum(o.o_totalprice), 2) AS sum_price
+                   round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                         / 100.0, 2) AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
         "hash_join": """
             SELECT c.c_nationkey AS c_nationkey,
                    count(*) AS n_orders,
-                   round(sum(o.o_totalprice), 2) AS sum_price
+                   round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                         / 100.0, 2) AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,

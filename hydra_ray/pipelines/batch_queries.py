@@ -361,6 +361,26 @@ def q_pricing_summary(sf_dir):
     return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_revenue": 2})
 
 
+
+def _cents_col(ds, src: str, out: str):
+    """Exact integer cents of a 2-dp money column (order-independent sums
+    — see q_pricing_summary)."""
+    def f(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t[src], pa.scalar(100.0))), pa.int64())
+        return t.drop_columns([src]).append_column(out, c)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _price_from_cents(ds):
+    def f(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_cents")
+        price = pc.divide(pc.cast(t["sum_cents"], pa.float64()), pa.scalar(100.0))
+        return t.remove_column(i).append_column("sum_price", price)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_hash_join(sf_dir):
     """Large-large partitioned hash join (bucketed_join): orders ⋈ customer
     with neither side broadcast — the non-broadcast sibling of
@@ -371,13 +391,16 @@ def q_hash_join(sf_dir):
         lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
         batch_format="pyarrow",
     )
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _cents_col(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        "o_totalprice", "price_cents",
+    )
     joined = bucketed_join(orders, cust, key="o_custkey")
     out = grouped_aggregate(
         joined, ["c_nationkey"],
-        [AggSpec("count", None, "n_orders"), AggSpec("sum", "o_totalprice", "sum_price")],
+        [AggSpec("count", None, "n_orders"), AggSpec("sum", "price_cents", "sum_cents")],
     )
-    return _round_cols(out, {"sum_price": 2})
+    return _price_from_cents(out)
 
 
 def q_broadcast_enrich(sf_dir):
@@ -388,13 +411,16 @@ def q_broadcast_enrich(sf_dir):
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = _cents_col(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        "o_totalprice", "price_cents",
+    )
     joined = broadcast_join(orders, cust, on="o_custkey")
     out = grouped_aggregate(
         joined, ["c_nationkey"],
-        [AggSpec("count", None, "n_orders"), AggSpec("sum", "o_totalprice", "sum_price")],
+        [AggSpec("count", None, "n_orders"), AggSpec("sum", "price_cents", "sum_cents")],
     )
-    return _round_cols(out, {"sum_price": 2})
+    return _price_from_cents(out)
 
 
 # --------------------------------------------------------------- dedup / text
