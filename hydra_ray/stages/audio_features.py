@@ -162,15 +162,17 @@ def audio_fingerprint(batch: pa.Table, pcm_col: str = "pcm",
     d1 = _scratch(nf, np.float32, "diff")
     if nf > 1:
         np.subtract(flat[1:], flat[:-1], out=d1[1:])
-    if nf > 0:
-        d1[0] = 0.0
-    d1[np.minimum(offsets[:-1], max(nf - 1, 0))] = 0.0
+    d1[0] = 0.0
+    # an empty trailing clip starts at nf — SKIP such positions rather
+    # than clamping them into range (clamping zeroed the previous clip's
+    # final diff sample, making bits depend on batch composition)
+    starts = offsets[:-1]
+    d1[starts[starts < nf]] = 0.0
     e1 = seg_energy(d1)
     d1[1:] = np.diff(d1)  # second difference (in place over the same scratch)
-    if nf > 0:
-        d1[0] = 0.0
-    for off in (offsets[:-1], np.minimum(offsets[:-1] + 1, max(nf - 1, 0))):
-        d1[np.minimum(off, max(nf - 1, 0))] = 0.0
+    d1[0] = 0.0
+    both = np.concatenate([starts, starts + 1])
+    d1[both[both < nf]] = 0.0
     e2 = seg_energy(d1)
     # zero crossings per frame (same one-zero pad as seg_energy)
     np.signbit(flat, out=mask)
