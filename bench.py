@@ -89,7 +89,12 @@ def build_bench_input(root: str, n_clips: int, n_epochs: int):
     open(marker, "w").write("ok")
 
 
-def run_headline(num_cpus: int) -> dict:
+def run_headline(
+    num_cpus: int,
+    dedup: bool = False,
+    warm: bool = True,
+    dedup_cols: tuple = ("bytes",),
+) -> dict:
     from hydra_ray.pipelines.replicate import ReplicateConfig, ReplicatePipeline
     from hydra_ray.table import Table
 
@@ -106,19 +111,23 @@ def run_headline(num_cpus: int) -> dict:
         max_versions_per_epoch=int(os.environ.get("HYDRA_BENCH_VPE", "1")),
         window_size_ms=10_000,
         session_gap_ms=5_000,
+        dedup=dedup,
+        num_dedup_shards=8,
+        dedup_cols=dedup_cols,
     )
-    # untimed warmup: small run faults in worker heaps + page cache
-    warm_root = "/tmp/hydra_bench/warm_out"
-    shutil.rmtree(warm_root, ignore_errors=True)
-    warm_cfg = ReplicateConfig(
-        num_partitions=4, actor_num_cpus=0.25,
-        max_versions_per_epoch=N_EPOCHS,
-    )
-    ReplicatePipeline(
-        os.path.join(root, "clips"), warm_root, warm_cfg, os.path.join(root, "updates")
-    ).run(max_epochs=1)
+    if warm:
+        # untimed warmup: small run faults in worker heaps + page cache
+        warm_root = "/tmp/hydra_bench/warm_out"
+        shutil.rmtree(warm_root, ignore_errors=True)
+        warm_cfg = ReplicateConfig(
+            num_partitions=4, actor_num_cpus=0.25,
+            max_versions_per_epoch=N_EPOCHS,
+        )
+        ReplicatePipeline(
+            os.path.join(root, "clips"), warm_root, warm_cfg, os.path.join(root, "updates")
+        ).run(max_epochs=1)
 
-    out_root = "/tmp/hydra_bench/out"
+    out_root = "/tmp/hydra_bench/out_dedup" if dedup else "/tmp/hydra_bench/out"
     shutil.rmtree(out_root, ignore_errors=True)
     pipe = ReplicatePipeline(
         os.path.join(root, "clips"), out_root, cfg, os.path.join(root, "updates")
@@ -127,13 +136,16 @@ def run_headline(num_cpus: int) -> dict:
     metrics = pipe.run()
     dt = time.perf_counter() - t0
     replicated = Table(os.path.join(out_root, "replicated")).count_rows()
-    return {
+    out = {
         "sec": dt,
         "clips": N_CLIPS,
         "replicated": replicated,
         "clips_per_sec": N_CLIPS / dt,
         "windows_closed": metrics.get("windows_closed", 0),
     }
+    if dedup:
+        out["dedup_dropped"] = metrics.get("dedup_dropped", 0)
+    return out
 
 
 def run_decode_only(num_cpus: int) -> dict:
@@ -261,20 +273,35 @@ def main():
             headline = run_decode_only(NUM_CPUS)
         else:
             headline = run_headline(NUM_CPUS)
-        queries = {} if os.environ.get("HYDRA_BENCH_HEADLINE_ONLY") else run_queries()
-        print(
-            json.dumps(
-                {
-                    "metric": "replicate_pipeline_sec",
-                    "value": round(headline["sec"], 3),
-                    "unit": "sec",
-                    "queries": queries,
-                    "sf": SF_DIR,
-                    "num_cpus": NUM_CPUS,
-                    "headline": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in headline.items()},
-                }
+        headline_only = bool(os.environ.get("HYDRA_BENCH_HEADLINE_ONLY"))
+        queries = {} if headline_only else run_queries()
+        payload = {
+            "metric": "replicate_pipeline_sec",
+            "value": round(headline["sec"], 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "headline": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in headline.items()},
+        }
+        if not headline_only and os.environ.get("HYDRA_BENCH_MODE") != "decode":
+            # corpus-history dedup tier on the same stream, two regimes
+            # (cluster already warm from the plain headline):
+            # - dup-heavy: synth payloads repeat with period 192, so ~98 %
+            #   of clips drop pre-decode — the tier's intended payoff;
+            # - unique: hashing (bytes, seq) makes every row novel, so the
+            #   delta vs "headline" is the pure hash-pass + resolve tax.
+            d = run_headline(NUM_CPUS, dedup=True, warm=False)
+            payload["headline_dedup_dupheavy"] = {
+                k: (round(v, 3) if isinstance(v, float) else v) for k, v in d.items()
+            }
+            d = run_headline(
+                NUM_CPUS, dedup=True, warm=False, dedup_cols=("bytes", "seq")
             )
-        )
+            payload["headline_dedup_unique"] = {
+                k: (round(v, 3) if isinstance(v, float) else v) for k, v in d.items()
+            }
+        print(json.dumps(payload))
     finally:
         ray.shutdown()
 

@@ -78,6 +78,12 @@ class ReplicateConfig:
     # full state snapshot every K epochs; the epochs between checkpoint
     # O(delta) only (restore = full + delta chain, store.py)
     full_checkpoint_every: int = 4
+    # cross-epoch exact content dedup (state/dedup_index.py): a clip
+    # whose content hash was already ingested in ANY earlier epoch (or a
+    # non-min-seq copy within this epoch) is dropped before decode.
+    dedup: bool = False
+    num_dedup_shards: int = 4                # semantic, like num_partitions
+    dedup_cols: tuple = ("bytes",)
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -106,6 +112,7 @@ def _route_factory(
     hot_keys: frozenset = frozenset(),
     n_salts: int = 4,
     flush_bytes: int = 64 << 20,
+    drop: np.ndarray | None = None,
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
     heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
@@ -139,14 +146,14 @@ def _route_factory(
     """
     return _Router(
         handles, kind, wm, key_col, P, decoder, payload_root, epoch, nonce,
-        hot_keys, n_salts, flush_bytes,
+        hot_keys, n_salts, flush_bytes, drop,
     )
 
 
 class _Router:
     def __init__(
         self, handles, kind, wm, key_col, P, decoder, payload_root,
-        epoch, nonce, hot_keys, n_salts, flush_bytes,
+        epoch, nonce, hot_keys, n_salts, flush_bytes, drop=None,
     ):
         self.handles = handles
         self.kind = kind
@@ -160,6 +167,7 @@ class _Router:
         self.hot_keys = hot_keys
         self.n_salts = n_salts
         self.flush_bytes = flush_bytes
+        self.drop = drop                     # sorted seqs to drop (dedup)
         self._pending: dict[int, list[pa.Table]] = {}
         self._pbytes = 0
         # frag json strings from mid-stream byte-threshold flushes; the
@@ -204,6 +212,16 @@ class _Router:
 
         if batch.num_rows == 0:
             return _empty_ack()
+        if self.drop is not None and len(self.drop):
+            # duplicate content (resolved by the dedup tier BEFORE this
+            # pass) drops here — ahead of the decode it would have cost
+            from ..state.dedup_index import in_sorted
+
+            dup = in_sorted(self.drop, batch["seq"].to_numpy())
+            if dup.any():
+                batch = batch.filter(pa.array(~dup))
+                if batch.num_rows == 0:
+                    return _empty_ack()
         t0 = _time.perf_counter()
         if decoder is not None:
             batch = decoder(batch)
@@ -460,6 +478,10 @@ class ReplicatePipeline:
         self._key_counts: dict[str, int] = {}
         self._total_clips = 0
         self._hot_metrics: dict[str, int] = {}
+        # cross-epoch dedup tier (cfg.dedup)
+        self.dedup_shards = []
+        self._dedup_metrics: dict[str, int] = {}
+        self._dedup_epoch_dropped: dict[int, int] = {}
 
     # ----------------------------------------------------------- lifecycle
     def _spawn_actors(self):
@@ -474,13 +496,22 @@ class ReplicatePipeline:
             )
             for p in range(cfg.num_partitions)
         ]
+        if cfg.dedup:
+            from ..state.dedup_index import DedupShardActor
+
+            dcls = DedupShardActor()
+            self.dedup_shards = [
+                dcls.options(num_cpus=0.1).remote(d, self.ckpt_root)
+                for d in range(cfg.num_dedup_shards)
+            ]
 
     def _shutdown_actors(self):
         import ray
 
-        for a in self.actors:
+        for a in self.actors + self.dedup_shards:
             ray.kill(a, no_restart=True)
         self.actors = []
+        self.dedup_shards = []
 
     # ---------------------------------------------------------------- run
     def _next_slice(self, clips_v: int, updates_v: int):
@@ -509,7 +540,10 @@ class ReplicatePipeline:
         self._spawn_actors()
         try:
             if committed >= 0:
-                ray.get([a.restore.remote(committed) for a in self.actors])
+                ray.get(
+                    [a.restore.remote(committed) for a in self.actors]
+                    + [d.restore.remote(committed) for d in self.dedup_shards]
+                )
             epoch = committed + 1
             clips_v = int(state.get("clips_version", 0))
             updates_v = int(state.get("updates_version", 0))
@@ -523,6 +557,9 @@ class ReplicatePipeline:
             self._total_clips = int(state.get("total_clips", 0))
             self._hot_metrics = {
                 k: int(v) for k, v in state.get("hot_metrics", {}).items()
+            }
+            self._dedup_metrics = {
+                k: int(v) for k, v in state.get("dedup_metrics", {}).items()
             }
             flushed = bool(state.get("flushed", False))
             metrics: dict = {}
@@ -546,11 +583,14 @@ class ReplicatePipeline:
                 if pre is not None and pre[0] == epoch and pre[2:] == (cv, uv):
                     refs = pre[1]
                 else:
-                    if pre is not None and pre[1][0] == "refs":
+                    if pre is not None and pre[1][0] in ("refs", "dedup"):
                         # discarded pre-launch: cancel what hasn't run; any
                         # stash it already made carries a dead nonce and is
-                        # dropped at close (never double-applied)
-                        for r in pre[1][1]:
+                        # dropped at close/resolve (never double-applied)
+                        stale = (
+                            pre[1][1] if pre[1][0] == "refs" else pre[1][1][0]
+                        )
+                        for r in stale:
                             ray.cancel(r, force=False, recursive=False)
                     refs = self._launch_ingest(epoch, clips_v, cv, updates_v, uv, wm)
                 pre = None
@@ -634,6 +674,40 @@ class ReplicatePipeline:
                 self._copy_hot_buffers(newly, epoch, nonce)
                 for k in newly:
                     self._hot_copied[k] = epoch
+        if cfg.dedup and clips_to > clips_from:
+            # two-phase: the column-pruned hash pass runs first (it can
+            # pre-launch and overlap the previous epoch's close); the
+            # routed ingest launches after resolve with the drop set
+            refs = self._launch_hash_pass(epoch, clips_from, clips_to, nonce)
+            return (
+                "dedup",
+                (refs, epoch, nonce, clips_from, clips_to,
+                 updates_from, updates_to, wm_prev),
+            )
+        return self._launch_routed(
+            epoch, clips_from, clips_to, updates_from, updates_to,
+            wm_prev, nonce, None,
+        )
+
+    def _launch_hash_pass(self, epoch, clips_from, clips_to, nonce):
+        from ..state.dedup_index import hash_pass_task
+
+        task = hash_pass_task()
+        cols = list(self.cfg.dedup_cols)
+        return [
+            task.remote(
+                self.clips.fragment_paths([f]), self.dedup_shards,
+                epoch, nonce, cols,
+            )
+            for f in self.clips.read_fragments(clips_from, clips_to)
+        ]
+
+    def _launch_routed(
+        self, epoch, clips_from, clips_to, updates_from, updates_to,
+        wm_prev, nonce, drop,
+    ):
+        cfg = self.cfg
+        hot = frozenset(self._hot) if cfg.hot_key_threshold else frozenset()
         clips_route = _route_factory(
             self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions,
             decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
@@ -642,6 +716,7 @@ class ReplicatePipeline:
             nonce=nonce,
             hot_keys=hot,
             n_salts=cfg.n_salts,
+            drop=drop,
         )
         updates_route = _route_factory(
             self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions,
@@ -753,6 +828,26 @@ class ReplicatePipeline:
         kind, payload = launched
         acks: list = []
         frags: list = []
+        if kind == "dedup":
+            # phase 2: hash pass done → resolve drop set → routed ingest
+            refs, ep, nonce, cf, ct, uf, ut, wm_prev = payload
+            ray.get(refs)
+            resolved = ray.get(
+                [d.resolve.remote(ep, dict(self._nonces)) for d in self.dedup_shards]
+            )
+            drops = [r[0] for r in resolved if len(r[0])]
+            drop = np.sort(np.concatenate(drops)) if drops else None
+            dropped = int(sum(st["dropped"] for _, st in resolved))
+            new_hashes = int(sum(st["new"] for _, st in resolved))
+            self._dedup_metrics["dedup_dropped"] = (
+                self._dedup_metrics.get("dedup_dropped", 0) + dropped
+            )
+            self._dedup_metrics["dedup_new_hashes"] = (
+                self._dedup_metrics.get("dedup_new_hashes", 0) + new_hashes
+            )
+            self._dedup_epoch_dropped[ep] = dropped
+            launched = self._launch_routed(ep, cf, ct, uf, ut, wm_prev, nonce, drop)
+            return self._collect_acks(launched, ep)
         if kind == "refs":
             for chunk in ray.get(payload):
                 acks.extend(chunk["acks"])
@@ -833,6 +928,7 @@ class ReplicatePipeline:
         full = (epoch % max(cfg.full_checkpoint_every, 1)) == 0
         ray.get(
             [a.checkpoint.remote(epoch, wm, full) for a in self.actors]
+            + [d.checkpoint.remote(epoch, full) for d in self.dedup_shards]
         )
         self._gc_checkpoints(epoch)
         _marks.append(("checkpoint", _t()))
@@ -861,20 +957,23 @@ class ReplicatePipeline:
                 merged[k] = merged.get(k, 0) + v
         for k, v in self._hot_metrics.items():
             merged[k] = merged.get(k, 0) + v
+        for k, v in self._dedup_metrics.items():
+            merged[k] = merged.get(k, 0) + v
         self._update_hot_detection(results, acks)
         # per-epoch lineage goes to an append-only SIDE LOG (bounded
         # manifests at any horizon); the line is written before the commit
         # so a committed epoch always has its entry, and replays write
         # duplicate epoch lines that the reader dedupes (last wins)
-        self._append_lineage(
-            {
-                "epoch": epoch,
-                "clips": [clips_from, clips_to],
-                "updates": [updates_from, updates_to],
-                "wm_prev": wm_prev,
-                "wm_close": wm,
-            }
-        )
+        lineage_entry = {
+            "epoch": epoch,
+            "clips": [clips_from, clips_to],
+            "updates": [updates_from, updates_to],
+            "wm_prev": wm_prev,
+            "wm_close": wm,
+        }
+        if cfg.dedup:
+            lineage_entry["dedup_dropped"] = self._dedup_epoch_dropped.pop(epoch, 0)
+        self._append_lineage(lineage_entry)
         self.sink[self.MAIN].commit_epoch(
             self.name,
             epoch,
@@ -895,6 +994,7 @@ class ReplicatePipeline:
                 )[:1024],
                 "total_clips": self._total_clips,
                 "hot_metrics": dict(self._hot_metrics),
+                "dedup_metrics": dict(self._dedup_metrics),
             },
         )
         _marks.append(("commit", _t()))
@@ -1037,8 +1137,14 @@ class ReplicatePipeline:
 
         keep = self.cfg.keep_checkpoints
         min_needed = epoch - keep + 1
-        for p in range(self.cfg.num_partitions):
-            d = os.path.join(self.ckpt_root, f"p{p:04d}")
+        dirs = [
+            os.path.join(self.ckpt_root, f"p{p:04d}")
+            for p in range(self.cfg.num_partitions)
+        ] + [
+            os.path.join(self.ckpt_root, f"d{s:04d}")
+            for s in range(len(self.dedup_shards))
+        ]
+        for d in dirs:
             if not os.path.isdir(d):
                 continue
             fulls = [

@@ -121,11 +121,18 @@ def test_simhash_chunking_invariant(docs, chunk_words):
         st.lists(st.floats(-1, 1, width=32, allow_nan=False), max_size=200),
         min_size=1, max_size=6,
     ),
-    st.floats(0.25, 4.0),
+    st.integers(-2, 2),
 )
-def test_audio_fingerprint_scale_and_batch_invariant(pcms, scale):
+def test_audio_fingerprint_scale_and_batch_invariant(pcms, scale_exp):
     """Fingerprint bits don't change under positive amplitude scaling and
-    don't depend on which clips share a batch."""
+    don't depend on which clips share a batch.
+
+    Scale is a power of two: float32 scaling is then EXACT, which is the
+    regime where sign-of-delta invariance is a theorem.  A non-dyadic
+    scale can round a near-tie delta across zero and legitimately flip
+    that bit (hypothesis found [1.0, 0.33333334, 0, 0] × 3: the second
+    sample rounds to exactly 1.0); that robustness-not-identity regime
+    is covered by the planted-noisy-copy recall test instead."""
     import pyarrow as pa
 
     from hydra_ray.stages.audio_features import audio_fingerprint
@@ -133,6 +140,7 @@ def test_audio_fingerprint_scale_and_batch_invariant(pcms, scale):
     def tbl(rows):
         return pa.table({"pcm": pa.array(rows, pa.large_list(pa.float32()))})
 
+    scale = 2.0**scale_exp
     fp = audio_fingerprint(tbl(pcms))["afp"].to_pylist()
     scaled = audio_fingerprint(
         tbl([[x * scale for x in p] for p in pcms])
