@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct / sketches
         "distinct_users": q.q_distinct_users,
         "approx_distinct": q.q_approx_distinct,
+        "heavy_hitters": q.q_heavy_hitters,
         # audio analysis
         "audio_features": q.q_audio_features,
         "audio_neardup": q.q_audio_neardup,
@@ -274,6 +275,10 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
             FROM events GROUP BY 1
+        """,
+        "heavy_hitters": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1 HAVING count(*) >= 80
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

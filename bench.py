@@ -40,7 +40,8 @@ QUERY_NAMES = [
     "train_split", "source_cap", "value_quantiles",
     "token_stats", "tfidf_terms", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
-    "distinct_users", "approx_distinct", "audio_features", "audio_neardup",
+    "distinct_users", "approx_distinct", "heavy_hitters",
+    "audio_features", "audio_neardup",
     "image_features", "image_neardup", "video_frames",
 ]
 

@@ -811,6 +811,32 @@ def q_approx_distinct(sf_dir):
     return approx_distinct(ds, "user_id", group_col="event_type", p=12)
 
 
+def q_heavy_hitters(sf_dir):
+    """Users with ≥80 events via the Misra–Gries frequent-items sketch.
+
+    Run in the exact regime (capacity ≫ per-block distinct users, so no
+    MG decrements fire and count_lo == true count) — which is what makes
+    a SQL oracle possible; the bounded-memory approximate regime is
+    exercised by the pytest property (`test_frequent_items_bounds`)."""
+    import pyarrow.compute as pc
+
+    from ..stages.sketches import frequent_items
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    fi = frequent_items(ds, ["user_id"], capacity=1 << 20)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["count_lo"], 80))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": pc.cast(t["count_lo"], pa.int64()),
+            }
+        )
+
+    return fi.map_batches(finalize, batch_format="pyarrow")
+
+
 def _dist_synth(n: int, make_batch, num_blocks: int = 16):
     """Synthesize fixture rows INSIDE tasks over an index range.
 

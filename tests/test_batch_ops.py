@@ -277,3 +277,61 @@ def test_ivf_index_build_search_recall(rd, tmp_path):
     for q in qids:
         top1 = approx[approx["query_id"] == q].sort_values("rank").iloc[0]
         assert top1["vec_id"] == q and top1["cosine"] > 0.999
+
+
+# ------------------------------------------------- frequent items (MG sketch)
+
+
+def test_frequent_items_exact_regime(rd):
+    """capacity ≥ per-block distinct keys → no decrements, exact counts."""
+    import numpy as np
+
+    from hydra_ray.stages.sketches import frequent_items
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 40, size=5000)
+    df = pd.DataFrame({"k": keys})
+    out = (
+        frequent_items(rd.from_pandas(df).repartition(7), ["k"], capacity=1024)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    truth = df.groupby("k").size().sort_index()
+    assert out["k"].tolist() == truth.index.tolist()
+    assert out["count_lo"].tolist() == truth.tolist()
+    assert (out["count_lo"] == out["count_hi"]).all()
+
+
+def test_frequent_items_bounds(rd):
+    """Small capacity over skewed keys: lower/upper bounds bracket the
+    truth, the error budget respects N/(capacity+1), and every key more
+    frequent than the budget is guaranteed present."""
+    import numpy as np
+
+    from hydra_ray.stages.sketches import frequent_items
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: a few heavy keys over a long uniform tail
+    heavy = np.repeat(np.arange(5), 800)
+    tail = rng.integers(100, 3000, size=4000)
+    keys = rng.permutation(np.concatenate([heavy, tail]))
+    df = pd.DataFrame({"k": keys})
+    n = len(df)
+    capacity = 64
+    out = frequent_items(
+        rd.from_pandas(df).repartition(8), ["k"], capacity=capacity
+    ).to_pandas()
+    truth = df.groupby("k").size()
+    budget = n / (capacity + 1)
+    err = (out["count_hi"] - out["count_lo"]).iloc[0]
+    assert (out["count_hi"] - out["count_lo"] == err).all()  # global Σcuts
+    assert err <= budget
+    got = out.set_index("k")
+    for k, cnt in truth.items():
+        if k in got.index:
+            assert got.loc[k, "count_lo"] <= cnt <= got.loc[k, "count_hi"]
+        else:
+            assert cnt <= err  # only keys under the realized error may drop
+    for k in truth[truth > budget].index:
+        assert k in got.index
