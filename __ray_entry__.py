@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_clusters": q.q_neardup_clusters,
         "simhash_neardup": q.q_simhash_neardup,
+        "jaccard_search": q.q_jaccard_search,
         "embedding_neardup": q.q_embedding_neardup,
         # text analysis
         "token_stats": q.q_token_stats,
@@ -327,6 +328,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
+        """,
+        "jaccard_search": r"""
+            WITH d AS (SELECT doc_id,
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id, substr(t, CAST(u.i AS INT), 5) AS s
+                   FROM d, unnest(generate_series(1, length(t) - 4)) AS u(i)),
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+            probe AS (SELECT * FROM sh WHERE doc_id < 4),
+            inter AS (SELECT p.doc_id AS probe_id, s.doc_id AS doc_id,
+                             count(*) AS m
+                      FROM probe p JOIN sh s ON p.s = s.s GROUP BY 1, 2)
+            SELECT inter.probe_id, inter.doc_id,
+                   round(m * 1.0 / (cp.c + cd.c - m), 6) AS jaccard
+            FROM inter
+            JOIN cnt cp ON inter.probe_id = cp.doc_id
+            JOIN cnt cd ON inter.doc_id = cd.doc_id
+            WHERE m * 1.0 / (cp.c + cd.c - m) >= 0.22
         """,
         "ann_topk": """
             WITH s AS (

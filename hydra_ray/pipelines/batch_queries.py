@@ -601,6 +601,27 @@ def q_simhash_neardup(sf_dir):
     return simhash_near_pairs(ds, max_hamming=3)
 
 
+def q_jaccard_search(sf_dir):
+    """Exact char-5-gram Jaccard range search against 4 probe docs (SQL
+    oracle — the exact/verifiable member of the near-dup family; both
+    sides compute the same intersection/union integer ratio)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.neardup import jaccard_range_search
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 4)],
+    )
+    # compute-heavy per row (B×P shingle gathers): small blocks fan out
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+    out = jaccard_range_search(
+        ds, t["doc_id"].to_pylist(), t["text"].to_pylist(), threshold=0.22
+    )
+    return _round_cols(out, {"jaccard": 6})
+
+
 # ----------------------------------------------------------------- similarity
 def _load_queries(sf_dir, n=8):
     import pyarrow.parquet as pq

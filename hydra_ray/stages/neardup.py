@@ -23,6 +23,7 @@ __all__ = [
     "MinHasher",
     "minhash_lsh_candidates",
     "ngram_jaccard",
+    "jaccard_range_search",
     "SimHasher",
     "simhash_near_pairs",
     "hamming_near_pairs",
@@ -341,6 +342,89 @@ def ngram_jaccard_batch(texts_a, texts_b, k: int = 5) -> np.ndarray:
     union = counts[uca] + counts[ucb] - inter
     jac_u = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
     return jac_u[inv]
+
+
+def jaccard_range_search(
+    ds,
+    probe_ids,
+    probe_texts,
+    threshold: float,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact k-gram Jaccard of every document against a SMALL broadcast
+    probe set — the ``ann_range`` pattern applied to text: the probes go
+    into the object store once (``ray.put``), every batch scores B×P
+    pairs through the text-deduped vectorized kernel, and nothing
+    shuffles (linear in corpus size, embarrassingly parallel).  This is
+    the exact/oracle-checkable member of the near-dup family (LSH
+    candidates are probabilistic and not SQL-expressible).
+
+    Emits ``(probe_id, doc_id, jaccard)`` for pairs ≥ ``threshold``.
+    Both sides of the driver oracle compute the same integer
+    intersection/union ratio, so any threshold is hash-stable (the only
+    divergence channel is a 64-bit shingle-hash collision).  Note: docs
+    shorter than ``k`` normalized chars use a whole-string fallback
+    shingle in this kernel but produce zero shingles in the SQL oracle —
+    keep oracle fixtures ≥ ``k`` chars (the synthetic corpus is ≥48).
+    """
+    import ray
+
+    # probe shingle sets are fixed: hash+unique them ONCE on the driver
+    # and broadcast the sorted arrays (not the texts)
+    psets = [_char_shingles(t or "", k) for t in probe_texts]
+    probes_ref = ray.put(
+        (np.asarray(list(probe_ids), dtype=np.int64), psets)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        pids, psh = ray.get(probes_ref)
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        B, P = len(texts), len(pids)
+        empty = pa.table(
+            {
+                "probe_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if B == 0 or P == 0:
+            return empty
+        # one rolling-hash pass over the batch, deduped per doc; then per
+        # probe ONE searchsorted membership pass + reduceat — no per-pair
+        # shingle-run expansion (B×P pairs cost P passes over B docs)
+        flat, starts = _batch_shingles(texts, k)
+        h, d = _unique_per_doc(flat, starts)
+        doc_c = np.bincount(d, minlength=B).astype(np.int64)
+        run_starts = np.cumsum(doc_c) - doc_c
+        out_p, out_d, out_j = [], [], []
+        for j in range(P):
+            ps = psh[j]
+            if len(h):
+                idx = np.searchsorted(ps, h)
+                idx_c = np.minimum(idx, len(ps) - 1)
+                member = (idx < len(ps)) & (ps[idx_c] == h)
+                inter = np.add.reduceat(member, np.minimum(run_starts, len(h) - 1))
+                inter = np.where(doc_c > 0, inter, 0).astype(np.int64)
+            else:
+                inter = np.zeros(B, np.int64)
+            union = len(ps) + doc_c - inter
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            keep = jac >= threshold
+            out_p.append(np.full(int(keep.sum()), pids[j], np.int64))
+            out_d.append(ids[keep])
+            out_j.append(jac[keep])
+        return pa.table(
+            {
+                "probe_id": pa.array(np.concatenate(out_p), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "jaccard": pa.array(np.concatenate(out_j), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def neardup_clusters(

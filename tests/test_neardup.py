@@ -135,6 +135,30 @@ def test_ngram_jaccard_batch_matches_per_pair():
     assert np.allclose(got, ref), (got, ref)
 
 
+def test_jaccard_range_search_matches_per_pair(ray_session):
+    import ray.data as rd
+
+    from hydra_ray.stages.neardup import jaccard_range_search
+
+    docs = [d for d in DOCS if d and len(" ".join(d.split())) >= 5]
+    ids = list(range(len(docs)))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs)})
+    )
+    probes = docs[:3]
+    out = jaccard_range_search(ds, ids[:3], probes, threshold=0.3).to_pandas()
+    got = {
+        (int(r.probe_id), int(r.doc_id)): r.jaccard for r in out.itertuples()
+    }
+    for pi, pt in zip(ids[:3], probes):
+        for di, dt in zip(ids, docs):
+            ref = ngram_jaccard(pt, dt, 5)
+            if ref >= 0.3:
+                assert (pi, di) in got and abs(got[(pi, di)] - ref) < 1e-12
+            else:
+                assert (pi, di) not in got
+
+
 def test_embedding_neardup_lsh_matches_exact(ray_session):
     """Sign-projection LSH finds the planted high-cosine pairs the exact
     broadcast kernel finds (deterministic under the fixed seed)."""
