@@ -37,6 +37,7 @@ QUERY_NAMES = [
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
     "hash_join", "anti_join", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
+    "jaccard_search",
     "train_split", "source_cap", "value_quantiles",
     "token_stats", "tfidf_terms", "quality_scores",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
