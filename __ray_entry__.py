@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q.q_value_quantiles,
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
+        "stratified_sample": q.q_stratified_sample,
         "latest_by_key": q.q_latest_by_key,
         "consumer_lag": q.q_consumer_lag,
         "topic_tail": q.q_topic_tail,
@@ -51,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_enrich": q.q_broadcast_enrich,
         "hash_join": q.q_hash_join,
         "anti_join": q.q_anti_join,
+        "bloom_semi_join": q.q_bloom_semi_join,
         "upsert_compaction": q.q_upsert_compaction,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -62,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_stats": q.q_token_stats,
         "tfidf_terms": q.q_tfidf_terms,
+        "redact_text": q.q_redact_text,
+        "top_bigrams": q.q_top_bigrams,
         "quality_scores": q.q_quality_scores,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
@@ -167,6 +171,11 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.9) AS q90
             FROM events GROUP BY 1
         """,
+        "bloom_semi_join": """
+            SELECT l_orderkey, l_partkey, l_quantity
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+        """,
         "anti_join": """
             SELECT user_id, count(*) AS n_clicks
             FROM events
@@ -201,6 +210,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
                         THEN 'train' ELSE 'val' END AS split
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+                  CASE lang WHEN 'en' THEN 2147483648
+                            WHEN 'de' THEN 1073741824
+                            ELSE 429496729 END
+        """,
+        "redact_text": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g'),
+                       '\b(user|order)\b', '[ENTITY]', 'g') AS text,
+                   CAST(len(regexp_extract_all(text, '\bcustomer\b'))
+                        + len(regexp_extract_all(
+                              regexp_replace(text, '\bcustomer\b',
+                                             '[REDACTED]', 'g'),
+                              '\b(user|order)\b')) AS BIGINT) AS n_redacted
+            FROM documents
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+                SELECT string_split(coalesce(text, ''), ' ') AS ws
+                FROM documents
+            ),
+            pairs AS (
+                SELECT ws[CAST(i AS BIGINT)] || ' ' ||
+                       ws[CAST(i AS BIGINT) + 1] AS ngram
+                FROM toks, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+            )
+            SELECT ngram, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1
+            ORDER BY n DESC, ngram
+            LIMIT 20
         """,
         "source_cap": """
             SELECT doc_id, source, len(coalesce(text, '')) AS n_chars

@@ -35,11 +35,11 @@ QUERY_NAMES = [
     "asof_join",
     "latest_by_key", "consumer_lag", "topic_tail", "json_key_extract",
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
-    "hash_join", "anti_join", "upsert_compaction", "exact_dedup",
+    "hash_join", "anti_join", "bloom_semi_join", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search",
-    "train_split", "source_cap", "value_quantiles",
-    "token_stats", "tfidf_terms", "quality_scores",
+    "train_split", "source_cap", "stratified_sample", "value_quantiles",
+    "token_stats", "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "heavy_hitters",
     "audio_features", "audio_neardup",

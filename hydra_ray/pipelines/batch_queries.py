@@ -491,6 +491,44 @@ def q_source_cap(sf_dir):
     return per_key_topn(sized, "source", "n_chars", 10, tie_col="doc_id")
 
 
+def q_stratified_sample(sf_dir):
+    """Deterministic per-language corpus rebalance: keep 50 % of en,
+    25 % of de, 10 % of everything else (oracle reproduces the hash
+    lattice thresholds in SQL)."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds, "lang", "doc_id", {"en": 0.5, "de": 0.25}, default=0.1
+    )
+
+
+def q_redact_text(sf_dir):
+    """Pattern scrubbing: redact two vocab patterns, count replacements
+    (oracle = nested regexp_replace + regexp_extract_all counts)."""
+    from ..stages.text import Redactor
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        Redactor(
+            [
+                (r"\bcustomer\b", "[REDACTED]"),
+                (r"\b(user|order)\b", "[ENTITY]"),
+            ]
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_top_bigrams(sf_dir):
+    """Exact corpus-wide top-20 token bigrams (collocation mining) —
+    per-batch partial counts, one bucketed reduce, tiny driver merge."""
+    from ..stages.text import top_ngrams
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return top_ngrams(ds, "text", n=2, k=20)
+
+
 def q_anti_join(sf_dir):
     """Click counts for users with no big (value > 150) purchase —
     distributed anti join (existence filter, left columns only)."""
@@ -510,6 +548,25 @@ def q_anti_join(sf_dir):
         num_buckets=16,
     )
     return bucketed_join(clicks, big_buyers, "user_id", how="anti")
+
+
+def q_bloom_semi_join(sf_dir):
+    """Lineitems of size-1 parts — a 2 %-selective semi join run with the
+    broadcast Bloom prefilter: ~98 % of probe rows drop before the
+    exchange; false positives are caught by the exact per-bucket merge,
+    so any fpp yields identical results (oracle-checked)."""
+    from ..stages.join import bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    small = (
+        _read(sf_dir, "part", ["p_partkey", "p_size"])
+        .filter(expr="p_size == 1")
+        .map_batches(
+            lambda t: pa.table({"l_partkey": t["p_partkey"]}),
+            batch_format="pyarrow",
+        )
+    )
+    return bucketed_join(li, small, "l_partkey", how="semi", bloom_fpp=0.01)
 
 
 def q_tfidf_terms(sf_dir):

@@ -24,7 +24,13 @@ import pyarrow as pa
 
 from .windows import ts_to_ms
 
-__all__ = ["broadcast_join", "keyed_join", "bucketed_join", "interval_join", "asof_join"]
+__all__ = [
+    "broadcast_join",
+    "keyed_join",
+    "bucketed_join",
+    "interval_join",
+    "asof_join",
+]
 
 
 def _arrow_schema_of(ds) -> pa.Schema:
@@ -49,6 +55,7 @@ def bucketed_join(
     how: str = "inner",
     num_buckets: int = 32,
     suffix: str = "_r",
+    bloom_fpp: float | None = None,
 ):
     """Partitioned hash join with BUCKETED reduce granularity.
 
@@ -61,8 +68,35 @@ def bucketed_join(
 
     ``how``: pandas merge kinds (inner/left/outer/...) plus ``semi`` /
     ``anti`` — existence filters that emit the LEFT columns only.
+
+    ``bloom_fpp`` turns on a runtime Bloom prefilter (``stages/bloom.py``)
+    when the RIGHT side is much smaller than the left: right keys build a
+    broadcast bitmap, and left rows that cannot match skip the exchange —
+    dropped outright for inner/semi, emitted directly for anti (a bloom
+    miss is a definite anti keep).  Results are identical for any fpp;
+    the right side is scanned twice (once to build, once to join), so
+    leave it None unless the left side dominates the shuffle.  Not valid
+    for left/outer joins (unmatched left rows must still be emitted with
+    null padding, so nothing can be dropped).
     """
     from ..hashing import hash64
+
+    if bloom_fpp is not None:
+        import ray
+
+        from .bloom import bloom_filter_batches, build_bloom
+
+        if how not in ("inner", "semi", "anti"):
+            raise ValueError(
+                f"bloom_fpp requires how in inner/semi/anti, got {how!r}"
+            )
+        bloom_ref = ray.put(build_bloom(right, key, fpp=bloom_fpp))
+        if how == "anti":
+            bypass = bloom_filter_batches(left, bloom_ref, key, keep_hits=False)
+            hits = bloom_filter_batches(left, bloom_ref, key, keep_hits=True)
+            joined = bucketed_join(hits, right, key, "anti", num_buckets, suffix)
+            return bypass.union(joined)
+        left = bloom_filter_batches(left, bloom_ref, key, keep_hits=True)
 
     lschema = _arrow_schema_of(left)
     rschema = _arrow_schema_of(right)

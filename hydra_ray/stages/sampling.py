@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_split", "per_key_topn"]
+__all__ = ["hash_split", "per_key_topn", "stratified_sample"]
 
 _KNUTH = 2654435761  # Knuth multiplicative constant, fits int64 products
 _MOD = 1 << 32
@@ -60,6 +60,48 @@ def hash_split(ds, id_col: str, splits=(("train", 0.8), ("val", 0.2)),
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sample_threshold(fraction: float) -> int:
+    """The integer keep-threshold a ``fraction`` maps to on the hash
+    lattice — exposed so SQL oracles can embed the exact constant."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(np.floor(fraction * _MOD))
+
+
+def stratified_sample(ds, key_col: str, id_col: str, fractions: dict,
+                      default: float = 0.0):
+    """Keep a deterministic per-stratum fraction of rows: row survives
+    iff ``(id * 2654435761) mod 2^32 < floor(fraction[key] * 2^32)``.
+
+    The standard corpus-rebalancing step (upsample scarce languages /
+    downsample dominant domains) as a pure per-batch filter: the same
+    multiplicative-hash lattice as ``hash_split``, so membership is
+    stable under repartitioning and resumable mid-run, and strata nest —
+    a stratum sampled at 0.5 contains every row of the same stratum
+    sampled at 0.25.  Keys not in ``fractions`` fall back to ``default``.
+    No shuffle; embarrassingly parallel at any scale.
+    """
+    thresholds = {k: sample_threshold(f) for k, f in fractions.items()}
+    default_thr = sample_threshold(default)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() > (1 << 63) // _KNUTH):
+            raise ValueError(
+                f"stratified_sample ids must be in [0, {(1 << 63) // _KNUTH}]"
+            )
+        h = (ids * _KNUTH) % _MOD
+        thr = (
+            pd.Series(t[key_col].to_pylist(), dtype=object)
+            .map(thresholds)
+            .fillna(default_thr)
+            .to_numpy(dtype=np.int64)
+        )
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def per_key_topn(ds, key_col: str, order_col: str, n: int, tie_col: str,

@@ -15,7 +15,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["TokenStats", "QualityScore", "LangId", "Fingerprint", "tfidf_top_terms"]
+__all__ = [
+    "TokenStats",
+    "QualityScore",
+    "LangId",
+    "Fingerprint",
+    "Redactor",
+    "tfidf_top_terms",
+    "top_ngrams",
+]
 
 _STOPWORDS = {
     "en": {"the", "a", "of", "to", "and", "in", "is", "it", "that", "for"},
@@ -134,6 +142,105 @@ class Fingerprint:
         norm = pd.Series(texts).fillna("").str.lower().str.replace(r"\s+", " ", regex=True)
         h = pd.util.hash_array(norm.to_numpy(dtype=object), categorize=False)
         return batch.append_column(self.out_col, pa.array(h.astype(np.int64)))
+
+
+class Redactor:
+    """Pattern scrubbing (PII-style redaction): replace every match of
+    each configured regex with its placeholder, counting replacements.
+
+    The standard pre-training cleanup pass (emails, phones, URLs, ids —
+    any compilable pattern).  Patterns compile ONCE in ``__init__`` (the
+    per-actor/worker state convention), each batch is two vectorized
+    pandas ``.str`` passes per pattern (count, then replace).  Pure
+    per-batch map: no shuffle, stable under repartitioning.
+
+    Patterns must stay in the RE2-compatible subset (no backreferences /
+    lookaround) so a DuckDB ``regexp_replace(..., 'g')`` oracle computes
+    byte-identical output.
+    """
+
+    def __init__(self, patterns: list[tuple[str, str]], text_col: str = "text",
+                 out_col: str = "text", count_col: str = "n_redacted"):
+        self.compiled = [(re.compile(p), repl) for p, repl in patterns]
+        self.text_col, self.out_col, self.count_col = text_col, out_col, count_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        total = np.zeros(len(s), dtype=np.int64)
+        for pat, repl in self.compiled:
+            total += s.str.count(pat).to_numpy(dtype=np.int64)
+            s = s.str.replace(pat, repl, regex=True)
+        batch[self.out_col] = s
+        batch[self.count_col] = total
+        return batch
+
+
+def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20,
+               sep: str = " ", num_buckets: int = 32):
+    """Exact corpus-wide top-``k`` token ``n``-grams by count (ties
+    broken by ascending n-gram) — collocation mining / boilerplate
+    detection over a training corpus.
+
+    Scale shape: (1) per-batch PARTIAL counts — tokens come out of one
+    Arrow ``split_pattern`` pass (flat values + offsets, no Python row
+    loop), n-grams are a vectorized join of the flat token array against
+    its own shifts with windows crossing a document boundary masked off,
+    and each batch emits at most its distinct-n-gram rows; (2) ONE
+    bucketed reduce over hash(ngram) — every n-gram lives in exactly one
+    bucket, so a per-bucket top-``k`` after summing is globally sound;
+    (3) the k·num_buckets survivors merge on the driver.  The shuffle
+    carries distinct-per-batch counts, never token instances.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(
+            pc.coalesce(t[text_col].combine_chunks(), ""), sep
+        )
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        empty = pa.table({"ngram": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "__bucket": pa.array([], pa.int64())})
+        if len(flat) < n:
+            return empty
+        m = len(flat) - n + 1
+        # windows whose tokens straddle a doc boundary are invalid: for
+        # boundary b, starts b-1 … b-n+1 span it (same scatter trick as
+        # neardup._batch_shingles)
+        valid = np.ones(m, dtype=bool)
+        bnd = offsets[1:-1].astype(np.int64)
+        for j in range(1, n):
+            idx = bnd - j
+            valid[idx[(idx >= 0) & (idx < m)]] = False
+        if not valid.any():
+            return empty
+        parts = [pd.Series(flat[j:j + m], dtype=object)[valid] for j in range(n)]
+        grams = parts[0].str.cat(parts[1:], sep=sep)
+        counts = grams.value_counts(sort=False)
+        g = pd.DataFrame({"ngram": counts.index.to_numpy(dtype=object),
+                          "n": counts.to_numpy(dtype=np.int64)})
+        b = (hash64(g["ngram"].to_numpy(dtype=object)) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(g.assign(__bucket=b), preserve_index=False)
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        summed = g.groupby("ngram", as_index=False)["n"].sum()
+        pos = np.lexsort((summed["ngram"].to_numpy(dtype=object),
+                          -summed["n"].to_numpy(np.int64)))[:k]
+        return summed.iloc[pos]
+
+    survivors = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_topk, batch_format="pandas")
+        .to_pandas()  # ≤ k·num_buckets rows
+    )
+    pos = np.lexsort((survivors["ngram"].to_numpy(dtype=object),
+                      -survivors["n"].to_numpy(np.int64)))[:k]
+    return pa.Table.from_pandas(survivors.iloc[pos].reset_index(drop=True),
+                                preserve_index=False)
 
 
 def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",

@@ -335,3 +335,130 @@ def test_frequent_items_bounds(rd):
             assert cnt <= err  # only keys under the realized error may drop
     for k in truth[truth > budget].index:
         assert k in got.index
+
+
+def test_stratified_sample_rates_nesting_determinism(rd):
+    import numpy as np
+
+    from hydra_ray.stages.sampling import stratified_sample
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(12_000),
+         "lang": rng.choice(["en", "de", "zh"], size=12_000)}
+    )
+    half = stratified_sample(
+        rd.from_pandas(df).repartition(6), "lang", "doc_id",
+        {"en": 0.5, "de": 0.25}, default=0.0,
+    ).to_pandas()
+    rates = half.groupby("lang").size() / df.groupby("lang").size()
+    assert abs(rates["en"] - 0.5) < 0.03
+    assert abs(rates["de"] - 0.25) < 0.03
+    assert "zh" not in half["lang"].values  # default 0.0 drops the stratum
+    # nesting: the 0.25-en sample is a subset of the 0.5-en sample
+    quarter = stratified_sample(
+        rd.from_pandas(df).repartition(2), "lang", "doc_id",
+        {"en": 0.25}, default=0.0,
+    ).to_pandas()
+    q_en = set(quarter.loc[quarter["lang"] == "en", "doc_id"])
+    h_en = set(half.loc[half["lang"] == "en", "doc_id"])
+    assert q_en <= h_en and len(q_en) > 0
+
+
+def test_top_ngrams_matches_bruteforce(rd):
+    from collections import Counter
+
+    from hydra_ray.stages.text import top_ngrams
+
+    docs = [
+        "a b c a b",       # bigrams: a b, b c, c a, a b
+        "b c",             # b c
+        "a",               # too short: none
+        "",                # none
+        None,              # none
+        "c a b c",         # c a, a b, b c
+    ]
+    for n in (2, 3):
+        truth = Counter()
+        for d in docs:
+            toks = (d or "").split(" ")
+            for i in range(len(toks) - n + 1):
+                truth[" ".join(toks[i:i + n])] += 1
+        want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+        got = top_ngrams(ds.repartition(3), "text", n=n, k=4).to_pandas()
+        assert list(map(tuple, got[["ngram", "n"]].to_numpy())) == want
+
+
+def test_redactor_sequential_patterns_and_counts(rd):
+    from hydra_ray.stages.text import Redactor
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2],
+         "text": ["customer order data", "no hits here", None]}
+    )
+    out = (
+        rd.from_pandas(df)
+        .map_batches(
+            Redactor([(r"\bcustomer\b", "[R]"), (r"\b(order|data)\b", "[E]")]),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["text"].tolist() == ["[R] [E] [E]", "no hits here", ""]
+    assert out["n_redacted"].tolist() == [3, 0, 0]
+
+
+def test_bloom_filter_no_false_negatives_and_fpp():
+    import numpy as np
+
+    from hydra_ray.stages.bloom import BloomFilter
+
+    rng = np.random.default_rng(11)
+    members = rng.integers(0, 1 << 62, size=20_000, dtype=np.uint64)
+    others = rng.integers(0, 1 << 62, size=20_000, dtype=np.uint64)
+    others = others[~np.isin(others, members)]
+    bf = BloomFilter(len(members), fpp=0.01)
+    bf.add(members)
+    assert bf.contains(members).all()  # no false negatives, ever
+    fp = bf.contains(others).mean()
+    assert fp < 0.03  # ~1% target with slack
+    # union merges per-shard builds
+    a, b = BloomFilter(100, 0.01), BloomFilter(100, 0.01)
+    a.add(members[:50]); b.add(members[50:100])
+    assert a.union(b).contains(members[:100]).all()
+
+
+def test_bucketed_join_bloom_prefilter_identical(rd):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5000, size=8000),
+        "a": np.arange(8000),
+    })
+    right = pd.DataFrame({"k": np.arange(0, 500), "b": np.arange(500) * 1.5})
+
+    def norm(df, cols):
+        return df.sort_values(cols).reset_index(drop=True)
+
+    from hydra_ray.stages.join import bucketed_join
+
+    for how in ("inner", "semi", "anti"):
+        plain = bucketed_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2), "k", how=how,
+        ).to_pandas()
+        bloomed = bucketed_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2), "k", how=how,
+            bloom_fpp=0.01,
+        ).to_pandas()
+        cols = list(plain.columns)
+        pd.testing.assert_frame_equal(
+            norm(plain, cols), norm(bloomed, cols), check_dtype=False
+        )
+    with pytest.raises(ValueError):
+        bucketed_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                      how="left", bloom_fpp=0.01)
