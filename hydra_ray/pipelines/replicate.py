@@ -84,6 +84,16 @@ class ReplicateConfig:
     dedup: bool = False
     num_dedup_shards: int = 4                # semantic, like num_partitions
     dedup_cols: tuple = ("bytes",)
+    # cross-epoch NEAR-dup (state/neardup_index.py): a clip whose 64-bit
+    # perceptual fingerprint is within neardup_max_hamming of ANY
+    # retained clip (any earlier epoch, or a smaller-seq keeper of this
+    # epoch) is dropped before routing.  Composes with cfg.dedup: the
+    # drop sets union (byte-identical copies resolve identically in both
+    # tiers, so the union is consistent).
+    neardup: bool = False
+    num_neardup_shards: int = 4              # semantic, like num_partitions
+    neardup_bands: int = 4                   # 16-bit bands of the 64-bit fp
+    neardup_max_hamming: int = 3             # must stay < neardup_bands
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -482,6 +492,9 @@ class ReplicatePipeline:
         self.dedup_shards = []
         self._dedup_metrics: dict[str, int] = {}
         self._dedup_epoch_dropped: dict[int, int] = {}
+        # cross-epoch near-dup tier (cfg.neardup)
+        self.neardup_shards = []
+        self._neardup_epoch_dropped: dict[int, int] = {}
 
     # ----------------------------------------------------------- lifecycle
     def _spawn_actors(self):
@@ -504,14 +517,30 @@ class ReplicatePipeline:
                 dcls.options(num_cpus=0.1).remote(d, self.ckpt_root)
                 for d in range(cfg.num_dedup_shards)
             ]
+        if cfg.neardup:
+            from ..state.neardup_index import NearDupShardActor
+
+            if cfg.neardup_max_hamming >= cfg.neardup_bands:
+                raise ValueError(
+                    "neardup_max_hamming must be < neardup_bands "
+                    "(pigeonhole recall guarantee)"
+                )
+            ncls = NearDupShardActor()
+            self.neardup_shards = [
+                ncls.options(num_cpus=0.1).remote(
+                    d, self.ckpt_root, cfg.neardup_max_hamming
+                )
+                for d in range(cfg.num_neardup_shards)
+            ]
 
     def _shutdown_actors(self):
         import ray
 
-        for a in self.actors + self.dedup_shards:
+        for a in self.actors + self.dedup_shards + self.neardup_shards:
             ray.kill(a, no_restart=True)
         self.actors = []
         self.dedup_shards = []
+        self.neardup_shards = []
 
     # ---------------------------------------------------------------- run
     def _next_slice(self, clips_v: int, updates_v: int):
@@ -543,6 +572,7 @@ class ReplicatePipeline:
                 ray.get(
                     [a.restore.remote(committed) for a in self.actors]
                     + [d.restore.remote(committed) for d in self.dedup_shards]
+                    + [d.restore.remote(committed) for d in self.neardup_shards]
                 )
             epoch = committed + 1
             clips_v = int(state.get("clips_version", 0))
@@ -674,11 +704,21 @@ class ReplicatePipeline:
                 self._copy_hot_buffers(newly, epoch, nonce)
                 for k in newly:
                     self._hot_copied[k] = epoch
-        if cfg.dedup and clips_to > clips_from:
-            # two-phase: the column-pruned hash pass runs first (it can
-            # pre-launch and overlap the previous epoch's close); the
-            # routed ingest launches after resolve with the drop set
-            refs = self._launch_hash_pass(epoch, clips_from, clips_to, nonce)
+        if (cfg.dedup or cfg.neardup) and clips_to > clips_from:
+            # two-phase: the column-pruned hash pass and/or the decode+
+            # fingerprint pass run first (they can pre-launch and overlap
+            # the previous epoch's close); the routed ingest launches
+            # after resolve with the merged drop set
+            refs = (
+                self._launch_hash_pass(epoch, clips_from, clips_to, nonce)
+                if cfg.dedup
+                else []
+            )
+            refs += (
+                self._launch_fp_pass(epoch, clips_from, clips_to, nonce)
+                if cfg.neardup
+                else []
+            )
             return (
                 "dedup",
                 (refs, epoch, nonce, clips_from, clips_to,
@@ -701,6 +741,26 @@ class ReplicatePipeline:
             )
             for f in self.clips.read_fragments(clips_from, clips_to)
         ]
+
+    def _launch_fp_pass(self, epoch, clips_from, clips_to, nonce):
+        from ..state.neardup_index import fp_pass_task
+
+        task = fp_pass_task()
+        refs = []
+        for f in self.clips.read_fragments(clips_from, clips_to):
+            # decode dominates this pass: fan a big fragment out across
+            # row-window tasks (each re-reads the pruned columns, ~0.1 s)
+            n_parts = max(1, min(8, -(-f.rows // 512)))
+            step = -(-f.rows // n_parts)
+            for p in range(n_parts):
+                refs.append(
+                    task.remote(
+                        self.clips.fragment_paths([f]), self.neardup_shards,
+                        epoch, nonce, self.cfg.neardup_bands,
+                        row_lo=p * step, row_cnt=step,
+                    )
+                )
+        return refs
 
     def _launch_routed(
         self, epoch, clips_from, clips_to, updates_from, updates_to,
@@ -829,23 +889,45 @@ class ReplicatePipeline:
         acks: list = []
         frags: list = []
         if kind == "dedup":
-            # phase 2: hash pass done → resolve drop set → routed ingest
+            # phase 2: hash/fingerprint passes done → resolve drop sets →
+            # routed ingest with their union
             refs, ep, nonce, cf, ct, uf, ut, wm_prev = payload
             ray.get(refs)
-            resolved = ray.get(
-                [d.resolve.remote(ep, dict(self._nonces)) for d in self.dedup_shards]
+            drop_parts = []
+            if self.dedup_shards:
+                resolved = ray.get(
+                    [d.resolve.remote(ep, dict(self._nonces))
+                     for d in self.dedup_shards]
+                )
+                drop_parts += [r[0] for r in resolved if len(r[0])]
+                dropped = int(sum(st["dropped"] for _, st in resolved))
+                new_hashes = int(sum(st["new"] for _, st in resolved))
+                self._dedup_metrics["dedup_dropped"] = (
+                    self._dedup_metrics.get("dedup_dropped", 0) + dropped
+                )
+                self._dedup_metrics["dedup_new_hashes"] = (
+                    self._dedup_metrics.get("dedup_new_hashes", 0) + new_hashes
+                )
+                self._dedup_epoch_dropped[ep] = dropped
+            if self.neardup_shards:
+                from ..state.neardup_index import resolve_near_epoch
+
+                kept, ndrop = resolve_near_epoch(
+                    self.neardup_shards, ep, dict(self._nonces),
+                    self.cfg.neardup_bands, self.cfg.neardup_max_hamming,
+                )
+                if len(ndrop):
+                    drop_parts.append(ndrop)
+                self._dedup_metrics["neardup_dropped"] = (
+                    self._dedup_metrics.get("neardup_dropped", 0) + len(ndrop)
+                )
+                self._dedup_metrics["neardup_kept"] = (
+                    self._dedup_metrics.get("neardup_kept", 0) + len(kept)
+                )
+                self._neardup_epoch_dropped[ep] = len(ndrop)
+            drop = (
+                np.unique(np.concatenate(drop_parts)) if drop_parts else None
             )
-            drops = [r[0] for r in resolved if len(r[0])]
-            drop = np.sort(np.concatenate(drops)) if drops else None
-            dropped = int(sum(st["dropped"] for _, st in resolved))
-            new_hashes = int(sum(st["new"] for _, st in resolved))
-            self._dedup_metrics["dedup_dropped"] = (
-                self._dedup_metrics.get("dedup_dropped", 0) + dropped
-            )
-            self._dedup_metrics["dedup_new_hashes"] = (
-                self._dedup_metrics.get("dedup_new_hashes", 0) + new_hashes
-            )
-            self._dedup_epoch_dropped[ep] = dropped
             launched = self._launch_routed(ep, cf, ct, uf, ut, wm_prev, nonce, drop)
             return self._collect_acks(launched, ep)
         if kind == "refs":
@@ -929,6 +1011,7 @@ class ReplicatePipeline:
         ray.get(
             [a.checkpoint.remote(epoch, wm, full) for a in self.actors]
             + [d.checkpoint.remote(epoch, full) for d in self.dedup_shards]
+            + [d.checkpoint.remote(epoch, full) for d in self.neardup_shards]
         )
         self._gc_checkpoints(epoch)
         _marks.append(("checkpoint", _t()))
@@ -973,6 +1056,10 @@ class ReplicatePipeline:
         }
         if cfg.dedup:
             lineage_entry["dedup_dropped"] = self._dedup_epoch_dropped.pop(epoch, 0)
+        if cfg.neardup:
+            lineage_entry["neardup_dropped"] = self._neardup_epoch_dropped.pop(
+                epoch, 0
+            )
         self._append_lineage(lineage_entry)
         self.sink[self.MAIN].commit_epoch(
             self.name,
@@ -1143,6 +1230,9 @@ class ReplicatePipeline:
         ] + [
             os.path.join(self.ckpt_root, f"d{s:04d}")
             for s in range(len(self.dedup_shards))
+        ] + [
+            os.path.join(self.ckpt_root, f"n{s:04d}")
+            for s in range(len(self.neardup_shards))
         ]
         for d in dirs:
             if not os.path.isdir(d):

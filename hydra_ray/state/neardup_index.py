@@ -1,0 +1,437 @@
+"""Cross-epoch streaming NEAR-dup: a banded-fingerprint shard-actor tier.
+
+The exact tier (``state/dedup_index.py``) drops byte-identical re-ingests;
+re-encoded / faintly-noised copies of already-ingested audio slip past it.
+This tier drops a clip whose 64-bit perceptual fingerprint
+(``stages/audio_features.py audio_fingerprint``) is within Hamming
+distance ``max_hamming`` of ANY retained clip from any earlier epoch —
+the streaming form of the batch ``audio_neardup`` operator, and the
+point where the two graft axes meet (streaming replication × audio).
+
+Index layout: each fingerprint splits into ``n_bands`` 16-bit bands
+(pigeonhole: ``max_hamming < n_bands`` ⇒ a true near-pair shares at
+least one exact band, so recall is 1.0 — same guarantee as
+``stages/neardup.py hamming_near_pairs``).  A band entry is
+``key = band << 16 | band_value``; entries shard by ``mix(key) %
+num_shards`` (disjoint state, linear scale-out).  Per shard the
+committed index is LSM-ish: sorted-by-key runs of ``(key: uint32,
+fp: uint64)`` pairs; a lookup is two ``searchsorted`` calls per run plus
+one vectorized XOR+popcount over the gathered same-key candidates.
+
+Epoch protocol (same stash/nonce/replay discipline as the exact tier —
+decisions are arrival-order AND routing independent):
+
+1. FINGERPRINT PASS — one raw task per source fragment reads ONLY
+   ``(seq, bytes, codec, sr_hz)``, decodes, fingerprints (both
+   vectorized), and ships band-entry slices ``(key, fp, seq)`` to their
+   shards, which STASH them under ``(epoch, nonce)``.  Rows that fail
+   decode get no fingerprint and are never near-dup-dropped (they DLQ at
+   ingest like always).
+2. ``resolve(epoch, nonces)`` — each shard probes its authoritative
+   stash entries against the COMMITTED index only and returns
+   ``(seq, fp, matched)`` per entry (stash stays put).  The driver ORs
+   entry verdicts per row: any committed match ⇒ definite drop.
+3. The driver then runs the INTRA-epoch pass over the surviving rows in
+   global ``seq`` order (greedy: keep a row iff no already-kept row of
+   this epoch within ``max_hamming``) — a pure function of the epoch's
+   row set, so replay gives byte-identical decisions.  The epoch is a
+   micro-batch, so this greedy is epoch-bounded, never corpus-bounded.
+4. ``commit(epoch, kept_seqs)`` — each shard folds its stashed entries
+   of kept rows into the committed runs and clears the stash.
+5. ``checkpoint(epoch, full)`` — full snapshot / delta of new entries,
+   same full+delta chain and restore rules as the exact tier.
+
+Greedy-by-seq makes near-dup retention deterministic even though
+near-duplication is not transitive: the kept set is exactly what a
+single-threaded pass over the corpus in seq order would retain.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "NearDupIndexState",
+    "NearDupShardActor",
+    "band_entries",
+    "hamming64",
+    "greedy_keep",
+    "resolve_near_epoch",
+    "fp_pass_task",
+]
+
+_MAX_RUNS = 8
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between aligned uint64 arrays."""
+    x = (np.ascontiguousarray(a, np.uint64) ^ np.ascontiguousarray(b, np.uint64))
+    return _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def band_entries(fps: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n·n_bands,) uint32 band keys ``band << 16 | band_value`` for each
+    fingerprint, row-major (entry ``i*n_bands + b`` belongs to row i)."""
+    fps = np.ascontiguousarray(fps, np.uint64)
+    out = np.empty((len(fps), n_bands), dtype=np.uint32)
+    for b in range(n_bands):
+        val = (fps >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        out[:, b] = (np.uint32(b << 16)) | val.astype(np.uint32)
+    return out.reshape(-1)
+
+
+def shard_of(keys: np.ndarray, num_shards: int) -> np.ndarray:
+    h = keys.astype(np.uint64) * _MIX
+    h ^= h >> np.uint64(29)
+    return (h % np.uint64(num_shards)).astype(np.int64)
+
+
+def greedy_keep(seqs: np.ndarray, fps: np.ndarray, n_bands: int,
+                max_hamming: int) -> np.ndarray:
+    """Sorted seqs of rows RETAINED by the sequential greedy pass: a row
+    is kept iff no kept row with smaller seq is within ``max_hamming``.
+    Pure function of the (seq, fp) set — the intra-epoch resolve."""
+    order = np.argsort(seqs, kind="stable")
+    keys = band_entries(fps, n_bands).reshape(len(fps), n_bands)
+    buckets: dict[int, list] = {}
+    kept = []
+    for i in order:
+        fp = fps[i]
+        cand: list = []
+        for k in keys[i]:
+            cand.extend(buckets.get(int(k), ()))
+        if cand and (hamming64(np.array(cand, np.uint64),
+                               np.full(len(cand), fp, np.uint64))
+                     <= max_hamming).any():
+            continue
+        kept.append(seqs[i])
+        for k in keys[i]:
+            buckets.setdefault(int(k), []).append(fp)
+    return np.sort(np.asarray(kept, dtype=np.int64))
+
+
+class NearDupIndexState:
+    """One shard's committed band index + per-epoch stash."""
+
+    def __init__(self, shard: int, max_hamming: int = 3):
+        self.shard = shard
+        self.max_hamming = max_hamming
+        self.runs: list[tuple[np.ndarray, np.ndarray]] = []  # (keys↑, fps)
+        self.pending: dict[int, list] = {}     # epoch -> [(nonce, k, f, s)]
+        self._delta_new: list[tuple[np.ndarray, np.ndarray]] = []
+        self.metrics: dict[str, int] = {"neardup_new": 0}
+
+    # ------------------------------------------------------------- queries
+    def matched(self, keys: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Per entry: any committed same-key fp within max_hamming."""
+        out = np.zeros(len(keys), dtype=bool)
+        for rk, rf in self.runs:
+            lo = np.searchsorted(rk, keys, "left")
+            hi = np.searchsorted(rk, keys, "right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            base = np.repeat(lo, counts)
+            steps = np.arange(total) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            row = np.repeat(np.arange(len(keys)), counts)
+            ham = hamming64(rf[base + steps], fps[row])
+            out[row[ham <= self.max_hamming]] = True
+        return out
+
+    def n_entries(self) -> int:
+        return sum(len(k) for k, _ in self.runs)
+
+    # ------------------------------------------------------------ protocol
+    def submit(self, keys, fps, seqs, epoch: int, nonce: int):
+        self.pending.setdefault(epoch, []).append(
+            (nonce, np.asarray(keys, np.uint32),
+             np.asarray(fps, np.uint64), np.asarray(seqs, np.int64))
+        )
+
+    def _authoritative(self, epoch: int, nonces: dict | None):
+        for e in sorted(k for k in self.pending if k <= epoch):
+            for nonce, k, f, s in self.pending[e]:
+                if nonces is not None and nonces.get(e, nonce) != nonce:
+                    continue
+                yield k, f, s
+
+    def resolve(self, epoch: int, nonces: dict | None):
+        """→ (seqs, fps, matched-vs-committed) over authoritative stash
+        entries (stash kept until ``commit``)."""
+        parts = list(self._authoritative(epoch, nonces))
+        if not parts:
+            z = np.empty(0, np.int64)
+            return z, np.empty(0, np.uint64), np.zeros(0, bool)
+        k = np.concatenate([p[0] for p in parts])
+        f = np.concatenate([p[1] for p in parts])
+        s = np.concatenate([p[2] for p in parts])
+        return s, f, self.matched(k, f)
+
+    def commit(self, epoch: int, kept_seqs: np.ndarray, nonces: dict | None):
+        """Fold authoritative stash entries of kept rows into the
+        committed runs; clear the stash ≤ epoch."""
+        from .dedup_index import in_sorted
+
+        kept_seqs = np.asarray(kept_seqs, np.int64)
+        ks, fs = [], []
+        for k, f, s in self._authoritative(epoch, nonces):
+            m = in_sorted(kept_seqs, s)
+            if m.any():
+                ks.append(k[m])
+                fs.append(f[m])
+        for e in [e for e in self.pending if e <= epoch]:
+            del self.pending[e]
+        if not ks:
+            return 0
+        k = np.concatenate(ks)
+        f = np.concatenate(fs)
+        order = np.argsort(k, kind="stable")
+        run = (k[order], f[order])
+        self.runs.append(run)
+        self._delta_new.append(run)
+        if len(self.runs) > _MAX_RUNS:
+            self._compact()
+        self.metrics["neardup_new"] += len(k)
+        return len(k)
+
+    def _compact(self):
+        k = np.concatenate([r[0] for r in self.runs])
+        f = np.concatenate([r[1] for r in self.runs])
+        order = np.argsort(k, kind="stable")
+        self.runs = [(k[order], f[order])]
+
+    # ---------------------------------------------------------- checkpoint
+    def save(self, directory: str, full: bool = True):
+        os.makedirs(directory, exist_ok=True)
+        meta = {"shard": self.shard, "metrics": dict(self.metrics)}
+        if full:
+            if len(self.runs) > 1:
+                self._compact()
+            k, f = self.runs[0] if self.runs else (
+                np.empty(0, np.uint32), np.empty(0, np.uint64))
+            np.savez(os.path.join(directory, "index.npz"), keys=k, fps=f)
+            with open(os.path.join(directory, "state.pkl"), "wb") as fh:
+                pickle.dump(meta, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        else:
+            if self._delta_new:
+                k = np.concatenate([r[0] for r in self._delta_new])
+                f = np.concatenate([r[1] for r in self._delta_new])
+                order = np.argsort(k, kind="stable")
+                k, f = k[order], f[order]
+            else:
+                k, f = np.empty(0, np.uint32), np.empty(0, np.uint64)
+            np.savez(os.path.join(directory, "new.npz"), keys=k, fps=f)
+            with open(os.path.join(directory, "delta.pkl"), "wb") as fh:
+                pickle.dump(meta, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        self._delta_new = []
+
+    def restore_chain(self, full_dir: str, delta_dirs: list[str]):
+        z = np.load(os.path.join(full_dir, "index.npz"))
+        with open(os.path.join(full_dir, "state.pkl"), "rb") as fh:
+            meta = pickle.load(fh)
+        self.runs = [(z["keys"], z["fps"])] if len(z["keys"]) else []
+        for d in delta_dirs:
+            z = np.load(os.path.join(d, "new.npz"))
+            if len(z["keys"]):
+                self.runs.append((z["keys"], z["fps"]))
+            with open(os.path.join(d, "delta.pkl"), "rb") as fh:
+                meta = pickle.load(fh)
+        if len(self.runs) > _MAX_RUNS:
+            self._compact()
+        self.metrics = dict(meta["metrics"])
+        self.pending.clear()      # un-committed stashes replay from source
+        self._delta_new = []
+
+
+def resolve_near_epoch(shards, epoch: int, nonces: dict | None,
+                       n_bands: int, max_hamming: int):
+    """Driver-side epoch resolve: gather per-entry verdicts from every
+    shard, OR them per row, run the intra-epoch greedy over the
+    committed-clean survivors, commit kept rows back to the shards.
+
+    → ``(kept_seqs, drop_seqs)`` both sorted int64.  ``drop`` covers only
+    fingerprinted rows — undecodable rows never appear and pass through.
+    """
+    import ray
+
+    res = ray.get([s.resolve.remote(epoch, nonces) for s in shards])
+    if not any(len(r[0]) for r in res):
+        z = np.empty(0, np.int64)
+        ray.get([s.commit.remote(epoch, z, nonces) for s in shards])
+        return z, z
+    seqs = np.concatenate([r[0] for r in res])
+    fps = np.concatenate([r[1] for r in res])
+    matched = np.concatenate([r[2] for r in res])
+    order = np.argsort(seqs, kind="stable")
+    s, f, m = seqs[order], fps[order], matched[order]
+    first = np.ones(len(s), dtype=bool)
+    first[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(first)
+    row_matched = np.logical_or.reduceat(m, starts)
+    gs, gf = s[first], f[first]               # unique rows, seq-sorted
+    clean = ~row_matched
+    kept = greedy_keep(gs[clean], gf[clean], n_bands, max_hamming)
+    drop = np.setdiff1d(gs, kept, assume_unique=True)
+    ray.get([sh.commit.remote(epoch, kept, nonces) for sh in shards])
+    return kept, drop
+
+
+def _make_shard_actor():
+    import ray
+
+    @ray.remote
+    class _NearDupShardActor:
+        """Same checkpoint/restore layout as the exact dedup shards
+        (``n{shard}/e{epoch}`` dirs, full snapshots + delta chain)."""
+
+        def __init__(self, shard: int, ckpt_root: str, max_hamming: int = 3):
+            self.state = NearDupIndexState(shard, max_hamming)
+            self.shard = shard
+            self.ckpt_root = ckpt_root
+
+        def submit(self, keys, fps, seqs, epoch: int, nonce: int) -> int:
+            self.state.submit(keys, fps, seqs, epoch, nonce)
+            return len(keys)
+
+        def resolve(self, epoch: int, nonces: dict | None):
+            return self.state.resolve(epoch, nonces)
+
+        def commit(self, epoch: int, kept_seqs, nonces: dict | None) -> int:
+            return self.state.commit(epoch, kept_seqs, nonces)
+
+        def checkpoint(self, epoch: int, full: bool = True) -> str:
+            d = os.path.join(self.ckpt_root, f"n{self.shard:04d}", f"e{epoch:06d}")
+            self.state.save(d, full=full)
+            return d
+
+        def restore(self, epoch: int) -> bool:
+            base = os.path.join(self.ckpt_root, f"n{self.shard:04d}")
+            self.state.pending.clear()
+            if not os.path.isdir(base):
+                return False
+            fulls, deltas = [], {}
+            for name in os.listdir(base):
+                if not name.startswith("e"):
+                    continue
+                e = int(name[1:])
+                d = os.path.join(base, name)
+                if os.path.exists(os.path.join(d, "state.pkl")):
+                    fulls.append(e)
+                elif os.path.exists(os.path.join(d, "delta.pkl")):
+                    deltas[e] = d
+            fulls = [e for e in fulls if e <= epoch]
+            if not fulls:
+                return False
+            f = max(fulls)
+            chain = []
+            for e in range(f + 1, epoch + 1):
+                if e not in deltas:
+                    return False
+                chain.append(deltas[e])
+            self.state.restore_chain(os.path.join(base, f"e{f:06d}"), chain)
+            return True
+
+        def n_entries(self) -> int:
+            return self.state.n_entries()
+
+        def ping(self) -> int:
+            return self.shard
+
+    return _NearDupShardActor
+
+
+_SHARD_CLS = None
+
+
+def NearDupShardActor():
+    """Lazy accessor (keeps module import Ray-free)."""
+    global _SHARD_CLS
+    if _SHARD_CLS is None:
+        _SHARD_CLS = _make_shard_actor()
+    return _SHARD_CLS
+
+
+_FP_TASK = None
+
+
+def fp_pass_task():
+    """Lazy raw-task: read ``(seq, bytes, codec, sr_hz)`` from fragment
+    files, decode + fingerprint (vectorized), ship band entries to
+    shards.  ``max_retries=0``: the epoch-level retry owns failures; a
+    relaunch carries a fresh nonce so stale stashes drop at resolve."""
+    global _FP_TASK
+    if _FP_TASK is None:
+        import ray
+
+        @ray.remote(max_retries=0)
+        def fp_fragment(paths, shards, epoch, nonce, n_bands, seq_col="seq",
+                        row_lo: int = 0, row_cnt: int | None = None):
+            import pyarrow.parquet as pq
+
+            from ..audio import decode_batch
+            from ..stages.audio_features import audio_fingerprint
+
+            # decode+fingerprint in SMALL row chunks: the kernels run over
+            # flat sample buffers, and on lazy-memory hosts one
+            # whole-fragment pass faults tens of MB of fresh pages
+            # (measured 58 s cold vs 4.6 s chunked for 261 clips) — small
+            # chunks let every iteration reuse the same warm pages.
+            # Chunking never changes fingerprints (batch-composition
+            # independence is a tested kernel property).
+            CHUNK = 32
+            refs, n = [], 0
+            for path in paths:
+                t = pq.read_table(
+                    path, columns=[seq_col, "bytes", "codec", "sr_hz"]
+                )
+                if row_cnt is not None:
+                    # row-window fan-out: the driver splits big fragments
+                    # across tasks (decode is the dominant cost; the
+                    # column-pruned read it duplicates is ~0.1 s)
+                    t = t.slice(row_lo, row_cnt)
+                fps_parts, seq_parts = [], []
+                for lo in range(0, t.num_rows, CHUNK):
+                    c = t.slice(lo, CHUNK)
+                    pcm, err = decode_batch(c["bytes"], c["codec"], c["sr_hz"])
+                    ok = np.asarray(pa.compute.is_null(err))
+                    if not ok.any():
+                        continue
+                    sub = pa.table(
+                        {"pcm": pcm.filter(pa.array(ok)),
+                         seq_col: c[seq_col].filter(pa.array(ok))}
+                    )
+                    fp_t = audio_fingerprint(sub, "pcm", out_col="afp")
+                    fps_parts.append(
+                        fp_t["afp"].to_numpy().astype(np.int64).view(np.uint64)
+                    )
+                    seq_parts.append(fp_t[seq_col].to_numpy())
+                if not fps_parts:
+                    continue
+                fps = np.concatenate(fps_parts)
+                seqs = np.concatenate(seq_parts)
+                keys = band_entries(fps, n_bands)
+                efps = np.repeat(fps, n_bands)
+                eseqs = np.repeat(seqs, n_bands)
+                sh = shard_of(keys, len(shards))
+                for d in np.unique(sh):
+                    m = sh == d
+                    refs.append(
+                        shards[d].submit.remote(
+                            keys[m], efps[m], eseqs[m], epoch, nonce
+                        )
+                    )
+                n += t.num_rows
+            ray.get(refs)
+            return n
+
+        _FP_TASK = fp_fragment
+    return _FP_TASK
