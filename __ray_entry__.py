@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q.q_interval_join,
         "asof_join": q.q_asof_join,
         "value_quantiles": q.q_value_quantiles,
+        "quantile_sketch": q.q_quantile_sketch,
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
         "stratified_sample": q.q_stratified_sample,
@@ -170,6 +171,19 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS median,
                    quantile_disc(value, 0.9) AS q90
             FROM events GROUP BY 1
+        """,
+        "quantile_sketch": """
+            WITH rnk AS (
+                SELECT event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY (event_id * 2654435761) % 4294967296,
+                                    event_id) AS r
+                FROM events)
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90
+            FROM rnk WHERE r <= 64 GROUP BY 1
         """,
         "bloom_semi_join": """
             SELECT l_orderkey, l_partkey, l_quantity

@@ -39,6 +39,7 @@ QUERY_NAMES = [
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
+    "quantile_sketch",
     "token_stats", "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "heavy_hitters",
@@ -96,6 +97,7 @@ def run_headline(
     dedup: bool = False,
     warm: bool = True,
     dedup_cols: tuple = ("bytes",),
+    neardup: bool = False,
 ) -> dict:
     from hydra_ray.pipelines.replicate import ReplicateConfig, ReplicatePipeline
     from hydra_ray.table import Table
@@ -116,6 +118,8 @@ def run_headline(
         dedup=dedup,
         num_dedup_shards=8,
         dedup_cols=dedup_cols,
+        neardup=neardup,
+        num_neardup_shards=8,
     )
     if warm:
         # untimed warmup: small run faults in worker heaps + page cache
@@ -129,7 +133,11 @@ def run_headline(
             os.path.join(root, "clips"), warm_root, warm_cfg, os.path.join(root, "updates")
         ).run(max_epochs=1)
 
-    out_root = "/tmp/hydra_bench/out_dedup" if dedup else "/tmp/hydra_bench/out"
+    out_root = (
+        "/tmp/hydra_bench/out_near" if neardup
+        else "/tmp/hydra_bench/out_dedup" if dedup
+        else "/tmp/hydra_bench/out"
+    )
     shutil.rmtree(out_root, ignore_errors=True)
     pipe = ReplicatePipeline(
         os.path.join(root, "clips"), out_root, cfg, os.path.join(root, "updates")
@@ -147,6 +155,8 @@ def run_headline(
     }
     if dedup:
         out["dedup_dropped"] = metrics.get("dedup_dropped", 0)
+    if neardup:
+        out["neardup_dropped"] = metrics.get("neardup_dropped", 0)
     return out
 
 
@@ -301,6 +311,14 @@ def main():
                 NUM_CPUS, dedup=True, warm=False, dedup_cols=("bytes", "seq")
             )
             payload["headline_dedup_unique"] = {
+                k: (round(v, 3) if isinstance(v, float) else v) for k, v in d.items()
+            }
+            # streaming NEAR-dup tier (decode+fingerprint pass + banded
+            # index): the periodic payloads are ham-0 near-dups, so drops
+            # match dup-heavy; the delta vs dupheavy is the fingerprint
+            # pass's decode tax
+            d = run_headline(NUM_CPUS, warm=False, neardup=True)
+            payload["headline_neardup"] = {
                 k: (round(v, 3) if isinstance(v, float) else v) for k, v in d.items()
             }
         print(json.dumps(payload))

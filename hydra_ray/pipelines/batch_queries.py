@@ -164,6 +164,20 @@ def q_value_quantiles(sf_dir):
     )
 
 
+def q_quantile_sketch(sf_dir):
+    """Approximate per-event-type quantiles from a mergeable bottom-k
+    sample sketch (k=64 per group): deterministic hash winners, so the
+    SQL oracle reproduces the sample AND its quantiles bit-for-bit."""
+    from ..stages.sampling import bottom_k_sample
+    from ..stages.windows import grouped_quantile
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    samp = bottom_k_sample(ds, "event_type", "event_id", 64)
+    return grouped_quantile(
+        samp, ["event_type"], "value", {"p50": 0.5, "p90": 0.9}
+    )
+
+
 def q_asof_join(sf_dir):
     """Purchase→click attribution: each purchase matches the latest
     prior-or-equal click by the same user (backward as-of, ties to the

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["hash_split", "per_key_topn", "stratified_sample"]
+__all__ = ["bottom_k_sample", "hash_split", "per_key_topn", "stratified_sample"]
 
 _KNUTH = 2654435761  # Knuth multiplicative constant, fits int64 products
 _MOD = 1 << 32
@@ -104,6 +104,39 @@ def stratified_sample(ds, key_col: str, id_col: str, fractions: dict,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def bottom_k_sample(ds, key_col: str, id_col: str, k: int):
+    """Deterministic per-group uniform sample of ``k`` rows — the
+    bottom-k (KMV) sketch: keep the rows whose hashed id
+    ``(id * 2654435761) mod 2^32`` ranks among the group's ``k``
+    smallest (ties broken by ascending id).
+
+    Because the winners are a pure function of the ids, the sample is a
+    MERGEABLE summary (bottom-k of a union = bottom-k of concatenated
+    bottom-ks — ``per_key_topn``'s per-batch combiner exploits exactly
+    that), identical under any partitioning/resume, and exactly
+    reproducible in SQL (row_number over the same hash).  Feed the sample
+    into any downstream aggregate for grouped approximations with
+    O(k·groups) state — e.g. ``grouped_quantile`` over the sample is the
+    approximate-quantile sketch.
+    """
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() > (1 << 63) // _KNUTH):
+            raise ValueError(
+                f"bottom_k_sample ids must be in [0, {(1 << 63) // _KNUTH}]"
+            )
+        return t.append_column("__h", pa.array((ids * _KNUTH) % _MOD))
+
+    sampled = per_key_topn(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        key_col, "__h", k, tie_col=id_col, descending=False,
+    )
+    return sampled.map_batches(
+        lambda t: t.drop_columns(["__h"]), batch_format="pyarrow"
+    )
+
+
 def per_key_topn(ds, key_col: str, order_col: str, n: int, tie_col: str,
                  descending: bool = True, num_buckets: int = 64):
     """Keep at most ``n`` rows per key, ranked by ``order_col`` (ties
@@ -116,13 +149,7 @@ def per_key_topn(ds, key_col: str, order_col: str, n: int, tie_col: str,
     """
     from ..hashing import hash64
 
-    def tag(t: pa.Table) -> pa.Table:
-        b = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int64)
-        return t.append_column("__bucket", pa.array(b))
-
-    def cap(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return g.drop(columns="__bucket")
+    def rank_filter(g: pd.DataFrame) -> pd.DataFrame:
         keys = g[key_col].to_numpy(dtype=object)
         _, codes = np.unique(keys, return_inverse=True)
         order = g[order_col].to_numpy()
@@ -141,10 +168,25 @@ def per_key_topn(ds, key_col: str, order_col: str, n: int, tie_col: str,
         run_idx = np.flatnonzero(run_start)
         rank = np.arange(len(sc)) - np.repeat(run_idx, np.diff(np.append(run_idx, len(sc))))
         keep = pos[rank < n]
-        return g.iloc[np.sort(keep)].drop(columns="__bucket")
+        return g.iloc[np.sort(keep)]
+
+    def prefilter_tag(g: pd.DataFrame) -> pd.DataFrame:
+        # combiner: a key's global top-n is a subset of the union of its
+        # per-batch top-n's, so each batch ships at most n rows per key
+        # into the shuffle instead of all of them
+        if g.empty:
+            return g.assign(__bucket=pd.Series([], dtype="int64"))
+        g = rank_filter(g)
+        b = (hash64(g[key_col].to_numpy(dtype=object)) % np.uint64(num_buckets)).astype(np.int64)
+        return g.assign(__bucket=b)
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return g.drop(columns="__bucket")
+        return rank_filter(g).drop(columns="__bucket")
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(prefilter_tag, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(cap, batch_format="pandas")
     )

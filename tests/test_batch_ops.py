@@ -462,3 +462,30 @@ def test_bucketed_join_bloom_prefilter_identical(rd):
     with pytest.raises(ValueError):
         bucketed_join(rd.from_pandas(left), rd.from_pandas(right), "k",
                       how="left", bloom_fpp=0.01)
+
+
+def test_bottom_k_sample_deterministic_and_accurate(rd):
+    import numpy as np
+
+    from hydra_ray.stages.sampling import bottom_k_sample
+    from hydra_ray.stages.windows import grouped_quantile
+
+    rng = np.random.default_rng(9)
+    n = 30_000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "id": np.arange(n),
+        "v": rng.exponential(100.0, size=n),
+    })
+    s1 = bottom_k_sample(rd.from_pandas(df).repartition(8), "g", "id", 256).to_pandas()
+    s2 = bottom_k_sample(rd.from_pandas(df).repartition(3), "g", "id", 256).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["g", "id"]].to_numpy()))
+    assert key(s1) == key(s2)               # partitioning-independent
+    assert (s1.groupby("g").size() == 256).all()
+    # uniformity: sample median within a few percent of the true median
+    approx = grouped_quantile(
+        rd.from_pandas(s1), ["g"], "v", {"p50": 0.5}
+    ).to_pandas().set_index("g")["p50"]
+    truth = df.groupby("g")["v"].median()
+    rel = ((approx - truth).abs() / truth).max()
+    assert rel < 0.15, rel
