@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q.q_asof_join,
         "value_quantiles": q.q_value_quantiles,
         "quantile_sketch": q.q_quantile_sketch,
+        "pivot_events": q.q_pivot_events,
+        "rolling_value": q.q_rolling_value,
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
         "stratified_sample": q.q_stratified_sample,
@@ -171,6 +173,26 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS median,
                    quantile_disc(value, 0.9) AS q90
             FROM events GROUP BY 1
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   round(sum(CASE WHEN event_type = 'click'
+                                  THEN value ELSE 0 END), 2) AS sum_click,
+                   round(sum(CASE WHEN event_type = 'purchase'
+                                  THEN value ELSE 0 END), 2) AS sum_purchase,
+                   round(sum(CASE WHEN event_type = 'view'
+                                  THEN value ELSE 0 END), 2) AS sum_view
+            FROM events GROUP BY 1
+        """,
+        "rolling_value": """
+            SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                   round(value, 2) AS value,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                       AS rolling_mean
+            FROM events
         """,
         "quantile_sketch": """
             WITH rnk AS (

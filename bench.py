@@ -39,7 +39,7 @@ QUERY_NAMES = [
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
-    "quantile_sketch",
+    "quantile_sketch", "pivot_events", "rolling_value",
     "token_stats", "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "heavy_hitters",

@@ -164,6 +164,47 @@ def q_value_quantiles(sf_dir):
     )
 
 
+def q_pivot_events(sf_dir):
+    """Long → wide reshape: per-user spend by event type (explicit
+    category list — the output schema must be known pre-execution)."""
+    from ..stages.rollup import pivot_wider
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    out = pivot_wider(
+        ds, ["user_id"], "event_type", "value",
+        names=["click", "purchase", "view"], prefix="sum_",
+    )
+    return _round_cols(
+        out, {"sum_click": 2, "sum_purchase": 2, "sum_view": 2}
+    )
+
+
+def q_rolling_value(sf_dir):
+    """Trailing 7-row mean of value per user in (ts, event_id) order —
+    the per-key ordered-window operator (one key-bucket shuffle, cumsum
+    kernel per bucket)."""
+    from ..stages.rollup import grouped_rolling
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def to_ms(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    out = grouped_rolling(
+        ds.map_batches(to_ms, batch_format="pyarrow"),
+        "user_id", "ms", "event_id", "value", window_rows=7,
+        out_col="rolling_mean",
+    )
+    return _round_cols(out, {"rolling_mean": 4, "value": 2})
+
+
 def q_quantile_sketch(sf_dir):
     """Approximate per-event-type quantiles from a mergeable bottom-k
     sample sketch (k=64 per group): deterministic hash winners, so the

@@ -1,0 +1,77 @@
+"""pivot_wider + grouped_rolling vs brute-force pandas references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hydra_ray.stages.rollup import grouped_rolling, pivot_wider
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _events(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "user_id": rng.integers(0, 40, size=n),
+        "event_id": np.arange(n),
+        "ts": rng.integers(0, 10_000, size=n),
+        "event_type": rng.choice(["click", "view", "purchase"], size=n),
+        "value": rng.exponential(50.0, size=n).round(3),
+    })
+
+
+def test_pivot_wider_matches_pandas(rd):
+    df = _events()
+    out = (
+        pivot_wider(
+            rd.from_pandas(df).repartition(5), ["user_id"], "event_type",
+            "value", names=["click", "purchase"], prefix="sum_",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.pivot_table(index="user_id", columns="event_type", values="value",
+                       aggfunc="sum", fill_value=0.0)
+        .reindex(columns=["click", "purchase"], fill_value=0.0)
+        .reset_index()
+    )
+    assert out.columns.tolist() == ["user_id", "sum_click", "sum_purchase"]
+    np.testing.assert_allclose(
+        out[["sum_click", "sum_purchase"]].to_numpy(),
+        ref[["click", "purchase"]].to_numpy(),
+        rtol=1e-9,
+    )
+
+
+def test_grouped_rolling_matches_pandas(rd):
+    df = _events(n=3000)
+    w = 7
+    out = (
+        grouped_rolling(
+            rd.from_pandas(df).repartition(4), "user_id", "ts", "event_id",
+            "value", window_rows=w,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ref["rolling_mean"] = (
+        ref.groupby("user_id")["value"]
+        .rolling(w, min_periods=1).mean().reset_index(level=0, drop=True)
+    )
+    assert len(out) == len(ref)
+    np.testing.assert_allclose(
+        out["rolling_mean"].to_numpy(), ref["rolling_mean"].to_numpy(),
+        rtol=1e-9,
+    )
+    # every input row comes back exactly once
+    assert sorted(out["event_id"]) == sorted(df["event_id"])
