@@ -94,6 +94,9 @@ class ReplicateConfig:
     num_neardup_shards: int = 4              # semantic, like num_partitions
     neardup_bands: int = 4                   # 16-bit bands of the 64-bit fp
     neardup_max_hamming: int = 3             # must stay < neardup_bands
+    # which 64-bit signature feeds the index: "audio_fp" (decode +
+    # perceptual fingerprint) or "simhash" (transcript SimHash, no decode)
+    neardup_signature: str = "audio_fp"
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -758,6 +761,7 @@ class ReplicatePipeline:
                         self.clips.fragment_paths([f]), self.neardup_shards,
                         epoch, nonce, self.cfg.neardup_bands,
                         row_lo=p * step, row_cnt=step,
+                        signature=self.cfg.neardup_signature,
                     )
                 )
         return refs

@@ -374,11 +374,45 @@ def fp_pass_task():
 
         @ray.remote(max_retries=0)
         def fp_fragment(paths, shards, epoch, nonce, n_bands, seq_col="seq",
-                        row_lo: int = 0, row_cnt: int | None = None):
+                        row_lo: int = 0, row_cnt: int | None = None,
+                        signature: str = "audio_fp"):
             import pyarrow.parquet as pq
 
             from ..audio import decode_batch
             from ..stages.audio_features import audio_fingerprint
+
+            if signature == "simhash":
+                # text mode: SimHash of the transcript column — one
+                # column-pruned read, no decode (hamming semantics are
+                # signature-agnostic downstream; the int64→uint64 view
+                # flips only the sign bit, which preserves distances)
+                from ..stages.neardup import SimHasher
+
+                hasher = SimHasher(text_col="transcript", id_col=seq_col)
+                refs, n = [], 0
+                for path in paths:
+                    t = pq.read_table(path, columns=[seq_col, "transcript"])
+                    if row_cnt is not None:
+                        t = t.slice(row_lo, row_cnt)
+                    if t.num_rows == 0:
+                        continue
+                    out = hasher(t)
+                    fps = out["simhash"].to_numpy().view(np.uint64)
+                    seqs = out[seq_col].to_numpy()
+                    keys = band_entries(fps, n_bands)
+                    sh = shard_of(keys, len(shards))
+                    efps = np.repeat(fps, n_bands)
+                    eseqs = np.repeat(seqs, n_bands)
+                    for d in np.unique(sh):
+                        m = sh == d
+                        refs.append(
+                            shards[d].submit.remote(
+                                keys[m], efps[m], eseqs[m], epoch, nonce
+                            )
+                        )
+                    n += t.num_rows
+                ray.get(refs)
+                return n
 
             # decode+fingerprint in SMALL row chunks: the kernels run over
             # flat sample buffers, and on lazy-memory hosts one

@@ -345,3 +345,64 @@ def test_neardup_with_exact_dedup_composes(tmp_path, ray_session, neardup_run):
     )
     pipe.run()
     assert _repl_seqs(f"{root}/out") == clean
+
+
+def test_neardup_stream_simhash_signature(tmp_path, ray_session):
+    """Signature mode 'simhash': transcript near-copies (one word edited)
+    drop cross-epoch; distinct transcripts survive.  Oracle = greedy over
+    batch-side SimHasher values."""
+    import pyarrow as pa
+
+    from hydra_ray.audio import encode
+    from hydra_ray.pipelines.replicate import ReplicatePipeline
+    from hydra_ray.stages.neardup import SimHasher
+    from hydra_ray.synth import CLIP_SCHEMA
+    from hydra_ray.table import Table
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    n = 90
+    for i in range(n):
+        if i % 3 == 1:
+            words = texts[i - 1].split()
+            words[7] = "EDITED"
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=40)))
+    base_ms = 1_700_000_000_000
+    pcm = _wave(0, 800)
+    root = str(tmp_path)
+    clips = pa.table(
+        {
+            "clip_id": pa.array([f"c{i:05d}" for i in range(n)]),
+            "bytes": pa.array([encode(pcm, "pcm16", SR)] * n, pa.large_binary()),
+            "sr_hz": pa.array([SR] * n, pa.int32()),
+            "dur_ms": pa.array([50] * n, pa.int32()),
+            "codec": pa.array(["pcm16"] * n),
+            "transcript": pa.array(texts),
+            "event_ts": pa.array(np.arange(n) * 50 + base_ms, pa.timestamp("ms")),
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+        },
+        schema=CLIP_SCHEMA,
+    )
+    ct = Table.create(f"{root}/clips", schema=clips.schema)
+    for v in range(3):
+        ct.append(clips.slice(v * 30, 30))
+    pipe = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out",
+        _near_cfg(neardup_signature="simhash"),
+    )
+    metrics = pipe.run()
+    fps = (
+        SimHasher(text_col="transcript", id_col="seq")(clips)["simhash"]
+        .to_numpy()
+        .view(np.uint64)
+    )
+    kept = []
+    for i in range(n):
+        if all(bin(int(fps[i]) ^ int(fps[j])).count("1") > 3 for j in kept):
+            kept.append(i)
+    assert _repl_seqs(f"{root}/out") == kept
+    assert metrics["neardup_dropped"] == n - len(kept)
+    assert 0 < len(kept) < n  # the fixture plants real text near-dups
