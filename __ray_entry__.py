@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": q.q_neardup_clusters,
         "simhash_neardup": q.q_simhash_neardup,
         "jaccard_search": q.q_jaccard_search,
+        "decontaminate": q.q_decontaminate,
         "embedding_neardup": q.q_embedding_neardup,
         # text analysis
         "token_stats": q.q_token_stats,
@@ -407,6 +408,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
+        """,
+        "decontaminate": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                                                        '\s+', ' ', 'g')),
+                                    ' ') AS ws
+                FROM documents),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(
+                             ws[CAST(i AS BIGINT):CAST(i AS BIGINT) + 7],
+                             ' ') AS gram
+                  FROM d, unnest(generate_series(1, len(ws) - 7)) AS u(i)),
+            probe AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id < 4),
+            hits AS (SELECT p.probe_id, g.doc_id, count(*) AS n_overlap
+                     FROM probe p JOIN g ON p.gram = g.gram GROUP BY 1, 2)
+            SELECT probe_id, doc_id, CAST(n_overlap AS BIGINT) AS n_overlap
+            FROM hits WHERE n_overlap >= 3
         """,
         "jaccard_search": r"""
             WITH d AS (SELECT doc_id,

@@ -37,7 +37,7 @@ QUERY_NAMES = [
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
     "hash_join", "anti_join", "bloom_semi_join", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
-    "jaccard_search",
+    "jaccard_search", "decontaminate",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
     "quantile_sketch", "pivot_events", "rolling_value",
     "token_stats", "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",

@@ -713,6 +713,26 @@ def q_simhash_neardup(sf_dir):
     return simhash_near_pairs(ds, max_hamming=3)
 
 
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination: docs sharing ≥3 distinct word 8-grams
+    with any of 4 probe (eval-set) docs — integer overlap counts, exact
+    SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.neardup import ngram_overlap_probe
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 4)],
+    )
+    ds = _read(sf_dir, "documents", ["doc_id", "text"], rows_per_block=512)
+    return ngram_overlap_probe(
+        ds, t["doc_id"].to_pylist(), t["text"].to_pylist(),
+        min_overlap=3, n=8,
+    )
+
+
 def q_jaccard_search(sf_dir):
     """Exact char-5-gram Jaccard range search against 4 probe docs (SQL
     oracle — the exact/verifiable member of the near-dup family; both

@@ -24,6 +24,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "ngram_jaccard",
     "jaccard_range_search",
+    "ngram_overlap_probe",
     "SimHasher",
     "simhash_near_pairs",
     "hamming_near_pairs",
@@ -399,17 +400,17 @@ def jaccard_range_search(
         h, d = _unique_per_doc(flat, starts)
         doc_c = np.bincount(d, minlength=B).astype(np.int64)
         run_starts = np.cumsum(doc_c) - doc_c
+        nz = doc_c > 0  # reduceat only over non-empty runs: a clamped
+        # empty-run index would truncate the PRECEDING doc's sum
         out_p, out_d, out_j = [], [], []
         for j in range(P):
             ps = psh[j]
-            if len(h):
+            inter = np.zeros(B, np.int64)
+            if len(h) and len(ps) and nz.any():
                 idx = np.searchsorted(ps, h)
                 idx_c = np.minimum(idx, len(ps) - 1)
                 member = (idx < len(ps)) & (ps[idx_c] == h)
-                inter = np.add.reduceat(member, np.minimum(run_starts, len(h) - 1))
-                inter = np.where(doc_c > 0, inter, 0).astype(np.int64)
-            else:
-                inter = np.zeros(B, np.int64)
+                inter[nz] = np.add.reduceat(member, run_starts[nz])
             union = len(ps) + doc_c - inter
             jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
             keep = jac >= threshold
@@ -421,6 +422,119 @@ def jaccard_range_search(
                 "probe_id": pa.array(np.concatenate(out_p), pa.int64()),
                 "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
                 "jaccard": pa.array(np.concatenate(out_j), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _word_ngram_doc_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word n-gram hashes: one Arrow split over the
+    normalized batch, n shifted views string-concatenated (windows that
+    cross a doc boundary masked), one hash pass, (doc, hash) dedupe.
+    Gram identity is the hash of the literal space-joined token string,
+    so a SQL ``array_to_string(ws[i:i+n-1], ' ')`` sees the same grams.
+
+    Returns ``(hashes, doc_idx)`` sorted by (doc, hash), deduped per doc.
+    """
+    import pyarrow.compute as pc
+
+    norm = pd.Series(texts, dtype=object).fillna("").str.lower().str.split().str.join(" ")
+    toks = pc.split_pattern(pa.array(norm.to_numpy(dtype=object), pa.string()), " ")
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(flat) - n + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    valid = np.ones(m, dtype=bool)
+    bnd = offsets[1:-1]
+    for j in range(1, n):
+        idx = bnd - j
+        valid[idx[(idx >= 0) & (idx < m)]] = False
+    # empty docs split to [''] — a 1-token doc yields no n-gram for n>1,
+    # but its lone window could survive the boundary mask only if n == 1
+    if not valid.any():
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    parts = [pd.Series(flat[j:j + m], dtype=object)[valid] for j in range(n)]
+    grams = parts[0].str.cat(parts[1:], sep=" ").to_numpy(dtype=object)
+    h = pd.util.hash_array(grams, categorize=False)
+    starts = np.flatnonzero(valid)
+    doc = np.searchsorted(offsets[1:], starts, side="right")
+    order = np.lexsort((h, doc))
+    d, hh = doc[order], h[order]
+    keep = np.ones(len(hh), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    return hh[keep], d[keep]
+
+
+def ngram_overlap_probe(
+    ds,
+    probe_ids,
+    probe_texts,
+    min_overlap: int,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark decontamination: flag every document sharing at least
+    ``min_overlap`` DISTINCT word ``n``-grams with any probe (eval-set)
+    document — the published n-gram-collision decontamination rule
+    (Brown et al. 2020 §C applied it with 13-grams; n is a knob).
+
+    Same broadcast shape as ``jaccard_range_search``: probe gram sets go
+    to the object store once, every batch runs one membership pass per
+    probe — linear in corpus size, no shuffle.  Emits ``(probe_id,
+    doc_id, n_overlap)`` for flagged pairs; anti-filter the flagged
+    doc_ids to decontaminate.  Integer overlap counts, so the SQL oracle
+    matches bit-for-bit (hash collisions are the only divergence channel).
+    """
+    import ray
+
+    psets = []
+    for t in probe_texts:
+        h, _ = _word_ngram_doc_hashes([t], n)
+        psets.append(h)
+    probes_ref = ray.put((np.asarray(list(probe_ids), dtype=np.int64), psets))
+
+    def score(batch: pa.Table) -> pa.Table:
+        pids, psh = ray.get(probes_ref)
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        B, P = len(texts), len(pids)
+        empty = pa.table(
+            {
+                "probe_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "n_overlap": pa.array([], pa.int64()),
+            }
+        )
+        if B == 0 or P == 0:
+            return empty
+        h, d = _word_ngram_doc_hashes(texts, n)
+        if not len(h):
+            return empty
+        doc_c = np.bincount(d, minlength=B).astype(np.int64)
+        run_starts = np.cumsum(doc_c) - doc_c
+        nz = doc_c > 0  # reduceat only over non-empty runs: a clamped
+        # empty-run index would truncate the PRECEDING doc's sum
+        out_p, out_d, out_n = [], [], []
+        for j in range(P):
+            ps = psh[j]
+            inter = np.zeros(B, np.int64)
+            if len(ps) and nz.any():
+                idx = np.searchsorted(ps, h)
+                idx_c = np.minimum(idx, len(ps) - 1)
+                member = (idx < len(ps)) & (ps[idx_c] == h)
+                inter[nz] = np.add.reduceat(member, run_starts[nz])
+            keep = inter >= min_overlap
+            out_p.append(np.full(int(keep.sum()), pids[j], np.int64))
+            out_d.append(ids[keep])
+            out_n.append(inter[keep])
+        return pa.table(
+            {
+                "probe_id": pa.array(np.concatenate(out_p), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "n_overlap": pa.array(np.concatenate(out_n), pa.int64()),
             }
         )
 

@@ -192,3 +192,37 @@ def test_embedding_neardup_lsh_matches_exact(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(lsh, exact, check_dtype=False)
+
+
+def test_ngram_overlap_probe_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from hydra_ray.stages.neardup import ngram_overlap_probe
+
+    def grams(t, n=3):
+        toks = " ".join((t or "").lower().split()).split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = [
+        "a b c d e f g",            # probe 0
+        "x y z a b c d q r",        # shares 'a b c'/'b c d' with probe 0
+        "a b c d e zz",             # shares 3 grams with probe 0
+        "completely different words here now",
+        "a  B c D e f g",           # whitespace/case-normalized dup of 0
+        "",                         # empty
+        "tiny doc",                 # < n tokens
+    ]
+    ids = list(range(len(docs)))
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    ).repartition(3)
+    out = ngram_overlap_probe(ds, [0], [docs[0]], min_overlap=2, n=3).to_pandas()
+    got = {(r.probe_id, r.doc_id): r.n_overlap for r in out.itertuples()}
+    pg = grams(docs[0])
+    for i, d in enumerate(docs):
+        ov = len(pg & grams(d))
+        if ov >= 2:
+            assert got[(0, i)] == ov, (i, ov)
+        else:
+            assert (0, i) not in got
