@@ -199,6 +199,15 @@ def run_queries() -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # untimed warmup: the headline runs in raw-task mode, so the FIRST
+    # catalog query otherwise pays the whole Ray-Data executor + worker
+    # import + parquet-reader cold start (measured ~2-3 s attributed to
+    # whichever query runs first — this sandbox's standard warm-up rule)
+    import ray.data as rd
+
+    rd.read_parquet(os.path.join(SF_DIR, "region.parquet")).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).count()
     out = {}
     for name in QUERY_NAMES:
         t0 = time.perf_counter()

@@ -105,6 +105,9 @@ class ReplicateConfig:
     ingest_mode: str = "tasks"
     # overlap epoch e+1's ingest tasks with epoch e's close/commit
     pipeline_epochs: bool = True
+    # maintenance: bin-pack each sink's small fragments every K committed
+    # epochs (0 = off); content/time-travel preserving (Table.compact)
+    compact_sinks_every: int = 0
     # test hooks: raise CrashPoint at a given (epoch, point)
     crash_at: tuple | None = None            # e.g. (1, "after_prepare")
 
@@ -1099,6 +1102,18 @@ class ReplicatePipeline:
             )
             print(f"[epoch {epoch}] {spans}", file=_sys.stderr)
         merged["__watermark"] = wm if wm < WATERMARK_MAX else max_ts
+        # maintenance: micro-batch epochs leave one tiny fragment per
+        # (sink, partition, epoch); periodic bin-pack keeps long-horizon
+        # reads from paying a per-file open cost that dwarfs the data.
+        # Runs strictly AFTER the commit (pure maintenance — skipping it
+        # on crash is safe, replay is unaffected: the pipeline's delta
+        # readers track the SOURCE tables, and compaction preserves sink
+        # content + time travel by contract, test_lancelite/test_sinks).
+        if cfg.compact_sinks_every and (
+            (epoch + 1) % cfg.compact_sinks_every == 0
+        ):
+            for t in self.sink.values():
+                t.compact()
         return merged
 
     def _append_lineage(self, entry: dict):

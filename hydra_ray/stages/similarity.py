@@ -229,27 +229,29 @@ def embedding_neardup_pairs(ds, threshold, id_col="vec_id", vec_col="embedding")
     mat = _normalize(_stack(tbl[vec_col]))
     ref = ray.put({"ids": ids, "mat": mat})
 
-    class Pairs:
-        def __init__(self):
-            d = ray.get(ref)
-            self.ids, self.mat = d["ids"], d["mat"]
+    def pairs(batch: pa.Table) -> pa.Table:
+        # task pool + per-worker broadcast cache, NOT an actor pool: on
+        # this host fresh per-query actors re-pay import/fault cold
+        # start; long-lived task workers keep the fetched matrix warm
+        # (CLAUDE.md actor-pool trap, same rationale as broadcast_join)
+        from .join import _bcast_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = batch[id_col].to_numpy(zero_copy_only=False)
-            m = _normalize(_stack(batch[vec_col]))
-            s = m @ self.mat.T
-            ri, ci = np.nonzero(s >= threshold)
-            keep = bids[ri] < self.ids[ci]
-            ri, ci = ri[keep], ci[keep]
-            return pa.table(
-                {
-                    "id_a": pa.array(bids[ri]),
-                    "id_b": pa.array(self.ids[ci]),
-                    "cosine": pa.array(s[ri, ci], pa.float64()),
-                }
-            )
+        d = _bcast_get(ref)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_stack(batch[vec_col]))
+        s = m @ d["mat"].T
+        ri, ci = np.nonzero(s >= threshold)
+        keep = bids[ri] < d["ids"][ci]
+        ri, ci = ri[keep], ci[keep]
+        return pa.table(
+            {
+                "id_a": pa.array(bids[ri]),
+                "id_b": pa.array(d["ids"][ci]),
+                "cosine": pa.array(s[ri, ci], pa.float64()),
+            }
+        )
 
-    return ds.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(pairs, batch_format="pyarrow")
 
 
 def embedding_neardup_lsh(
