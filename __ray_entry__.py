@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": q.q_quantile_sketch,
         "pivot_events": q.q_pivot_events,
         "rolling_value": q.q_rolling_value,
+        "lag_delta": q.q_lag_delta,
+        "running_total": q.q_running_total,
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
         "stratified_sample": q.q_stratified_sample,
@@ -174,6 +176,22 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS median,
                    quantile_disc(value, 0.9) AS q90
             FROM events GROUP BY 1
+        """,
+        "lag_delta": """
+            SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                   round(value, 2) AS value,
+                   round(lag(value, 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id), 2)
+                       AS prev_value
+            FROM events
+        """,
+        "running_total": """
+            SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                   round(value, 2) AS value,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+            FROM events
         """,
         "pivot_events": """
             SELECT user_id,

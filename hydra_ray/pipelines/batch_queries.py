@@ -205,6 +205,32 @@ def q_rolling_value(sf_dir):
     return _round_cols(out, {"rolling_mean": 4, "value": 2})
 
 
+def q_lag_delta(sf_dir):
+    """Per-user previous event value (SQL LAG) — the per-key ordered
+    shift operator; first event per user gets NULL."""
+    from ..stages.rollup import grouped_shift
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = grouped_shift(
+        _ms_col(ds, "ts", "ms"),
+        "user_id", "ms", "event_id", "value", periods=1, out_col="prev_value",
+    )
+    return _round_cols(out, {"value": 2, "prev_value": 2})
+
+
+def q_running_total(sf_dir):
+    """Per-user running sum of value in (ts, event_id) order (SQL SUM
+    OVER ROWS UNBOUNDED PRECEDING) — cumsum-kernel ordered window."""
+    from ..stages.rollup import grouped_cumsum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = grouped_cumsum(
+        _ms_col(ds, "ts", "ms"),
+        "user_id", "ms", "event_id", "value", out_col="running_sum",
+    )
+    return _round_cols(out, {"value": 2, "running_sum": 4})
+
+
 def q_quantile_sketch(sf_dir):
     """Approximate per-event-type quantiles from a mergeable bottom-k
     sample sketch (k=64 per group): deterministic hash winners, so the

@@ -14,7 +14,117 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pivot_wider", "grouped_rolling"]
+__all__ = ["pivot_wider", "grouped_rolling", "grouped_shift", "grouped_cumsum"]
+
+
+def _bucket_tag(key_col: str, num_buckets: int):
+    """Append the hash(key)-bucket column — the ONE shuffle key every
+    ordered-window operator here shares."""
+    from ..hashing import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    return tag
+
+
+def _sorted_runs(g: pd.DataFrame, key_col: str, order_col: str, tie_col: str):
+    """Lexsort one bucket's rows by (key, order, tie); return the sort
+    permutation, the per-row key codes in sorted order, and a boolean
+    mask marking each key-run's first row.  Shared kernel for every
+    per-key ordered window in this module — all keys in the bucket are
+    resolved in ONE pass, never a Python dispatch per key."""
+    keys = g[key_col].to_numpy(dtype=object)
+    _, codes = np.unique(keys, return_inverse=True)
+    pos = np.lexsort((g[tie_col].to_numpy(), g[order_col].to_numpy(), codes))
+    sc = codes[pos]
+    first = np.r_[True, sc[1:] != sc[:-1]]
+    return pos, sc, first
+
+
+def grouped_shift(ds, key_col: str, order_col: str, tie_col: str,
+                  value_col: str, periods: int = 1,
+                  out_col: str = "lag_value", num_buckets: int = 64):
+    """Per-key LAG/LEAD: SQL ``LAG(v, periods) OVER (PARTITION BY key
+    ORDER BY order, tie)`` (negative ``periods`` = LEAD).  Emits every
+    input row plus ``out_col`` (float64, NaN→NULL where the shifted row
+    falls outside the key's run).
+
+    Reference has no window functions (its views are last-write-wins
+    compactions, `ConsumerGroupsAlgebra.scala`); this is part of the
+    beyond-reference ordered-window family.  Scale shape: ONE
+    hash(key)-bucket shuffle, then one lexsort + shifted-array pass per
+    bucket resolves all keys at once.
+    """
+    tag = _bucket_tag(key_col, num_buckets)
+    k = abs(int(periods))
+    lead = periods < 0
+
+    def shift(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        pos, sc, first = _sorted_runs(g, key_col, order_col, tie_col)
+        v = g[value_col].to_numpy(dtype=np.float64)[pos]
+        n = len(sc)
+        shifted = np.full(n, np.nan)
+        if k == 0:
+            shifted = v.copy()
+        elif lead:
+            shifted[:n - k] = v[k:]
+            # invalid where the source row belongs to a different key
+            bad = sc[:n - k] != sc[k:]
+            shifted[:n - k][bad] = np.nan
+        else:
+            shifted[k:] = v[:n - k]
+            bad = sc[k:] != sc[:n - k]
+            shifted[k:][bad] = np.nan
+        out = g.iloc[pos].copy()
+        out[out_col] = shifted
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(shift, batch_format="pandas")
+    )
+
+
+def grouped_cumsum(ds, key_col: str, order_col: str, tie_col: str,
+                   value_col: str, out_col: str = "running_sum",
+                   num_buckets: int = 64):
+    """Per-key running total: SQL ``SUM(v) OVER (PARTITION BY key ORDER
+    BY order, tie ROWS UNBOUNDED PRECEDING)``.  Same shuffle shape as
+    :func:`grouped_shift`; the running sum is a global cumsum minus the
+    cumsum value just before each key-run start (no per-key loop).
+    """
+    tag = _bucket_tag(key_col, num_buckets)
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        pos, sc, first = _sorted_runs(g, key_col, order_col, tie_col)
+        v = g[value_col].to_numpy(dtype=np.float64)[pos]
+        cs = np.cumsum(v)
+        run_start = np.flatnonzero(first)
+        counts = np.diff(np.append(run_start, len(sc)))
+        # cumsum just before each run's first row, broadcast over the run
+        base = np.where(run_start > 0, cs[run_start - 1], 0.0)
+        out = g.iloc[pos].copy()
+        out[out_col] = cs - np.repeat(base, counts)
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(cum, batch_format="pandas")
+    )
 
 
 def pivot_wider(ds, group_cols: list[str], name_col: str, value_col: str,

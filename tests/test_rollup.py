@@ -1,11 +1,16 @@
-"""pivot_wider + grouped_rolling vs brute-force pandas references."""
+"""pivot_wider + ordered-window operators vs brute-force pandas references."""
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
 
-from hydra_ray.stages.rollup import grouped_rolling, pivot_wider
+from hydra_ray.stages.rollup import (
+    grouped_cumsum,
+    grouped_rolling,
+    grouped_shift,
+    pivot_wider,
+)
 
 
 @pytest.fixture()
@@ -75,3 +80,42 @@ def test_grouped_rolling_matches_pandas(rd):
     )
     # every input row comes back exactly once
     assert sorted(out["event_id"]) == sorted(df["event_id"])
+
+
+@pytest.mark.parametrize("periods", [1, 2, -1])
+def test_grouped_shift_matches_pandas(rd, periods):
+    df = _events(n=2500, seed=11)
+    out = (
+        grouped_shift(
+            rd.from_pandas(df).repartition(4), "user_id", "ts", "event_id",
+            "value", periods=periods, out_col="shifted",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ref["shifted"] = ref.groupby("user_id")["value"].shift(periods)
+    assert len(out) == len(ref)
+    a, b = out["shifted"].to_numpy(), ref["shifted"].to_numpy()
+    assert (np.isnan(a) == np.isnan(b)).all()
+    np.testing.assert_allclose(a[~np.isnan(a)], b[~np.isnan(b)], rtol=1e-9)
+    assert sorted(out["event_id"]) == sorted(df["event_id"])
+
+
+def test_grouped_cumsum_matches_pandas(rd):
+    df = _events(n=2500, seed=12)
+    out = (
+        grouped_cumsum(
+            rd.from_pandas(df).repartition(4), "user_id", "ts", "event_id",
+            "value", out_col="running",
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    ref["running"] = ref.groupby("user_id")["value"].cumsum()
+    np.testing.assert_allclose(
+        out["running"].to_numpy(), ref["running"].to_numpy(), rtol=1e-9
+    )
