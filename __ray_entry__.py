@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q.q_interval_join,
         "asof_join": q.q_asof_join,
         "value_quantiles": q.q_value_quantiles,
+        "value_quantiles_cont": q.q_value_quantiles_cont,
         "quantile_sketch": q.q_quantile_sketch,
         "pivot_events": q.q_pivot_events,
         "rolling_value": q.q_rolling_value,
@@ -69,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.q_embedding_neardup,
         # text analysis
         "token_stats": q.q_token_stats,
+        "token_explode": q.q_token_explode,
+        "repetition_stats": q.q_repetition_stats,
+        "event_paths": q.q_event_paths,
         "tfidf_terms": q.q_tfidf_terms,
         "redact_text": q.q_redact_text,
         "top_bigrams": q.q_top_bigrams,
@@ -192,6 +196,13 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING), 4) AS running_sum
             FROM events
+        """,
+        "value_quantiles_cont": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS q25,
+                   round(quantile_cont(value, 0.5), 4) AS median,
+                   round(quantile_cont(value, 0.9), 4) AS q90
+            FROM events GROUP BY 1
         """,
         "pivot_events": """
             SELECT user_id,
@@ -399,6 +410,32 @@ def oracle_sql() -> dict[str, str]:
                             END) AS BIGINT) AS n_tokens,
                    CAST(sum(len(text)) AS BIGINT) AS n_chars_text
             FROM documents GROUP BY 1
+        """,
+        "token_explode": r"""
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(1 - count(*)::DOUBLE / sum(cnt), 4) AS dup_token_frac,
+                   round(max(cnt)::DOUBLE / sum(cnt), 4) AS top_token_frac
+            FROM c GROUP BY doc_id
+        """,
+        "event_paths": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM events GROUP BY user_id
         """,
         "ann_range": """
             SELECT q.vec_id AS query_id,

@@ -164,6 +164,19 @@ def q_value_quantiles(sf_dir):
     )
 
 
+def q_value_quantiles_cont(sf_dir):
+    """Interpolated per-event-type quantiles (quantile_cont / numpy
+    linear convention), rounded on both sides."""
+    from ..stages.windows import grouped_quantile
+
+    out = grouped_quantile(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"], "value", {"q25": 0.25, "median": 0.5, "q90": 0.9},
+        interpolation="linear",
+    )
+    return _round_cols(out, {"q25": 4, "median": 4, "q90": 4})
+
+
 def q_pivot_events(sf_dir):
     """Long → wide reshape: per-user spend by event type (explicit
     category list — the output schema must be known pre-execution)."""
@@ -229,6 +242,35 @@ def q_running_total(sf_dir):
         "user_id", "ms", "event_id", "value", out_col="running_sum",
     )
     return _round_cols(out, {"value": 2, "running_sum": 4})
+
+
+def q_token_explode(sf_dir):
+    """Unnest each document into one row per token (the relational
+    explode/flatten primitive; pure per-batch map, no shuffle)."""
+    from ..stages.text import explode_tokens
+
+    return explode_tokens(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_repetition_stats(sf_dir):
+    """Per-doc token repetition signals (Gopher-style quality rules):
+    duplicate-token and top-token fractions."""
+    from ..stages.text import repetition_stats
+
+    out = repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return _round_cols(out, {"dup_token_frac": 4, "top_token_frac": 4})
+
+
+def q_event_paths(sf_dir):
+    """Per-user ordered event-type path (string_agg ORDER BY) — the
+    session-path / sequence-collect reshape."""
+    from ..stages.rollup import collect_sorted
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    return collect_sorted(
+        _ms_col(ds, "ts", "ms"),
+        "user_id", "ms", "event_id", "event_type", sep=",", out_col="path",
+    )
 
 
 def q_quantile_sketch(sf_dir):

@@ -14,7 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pivot_wider", "grouped_rolling", "grouped_shift", "grouped_cumsum"]
+__all__ = ["pivot_wider", "grouped_rolling", "grouped_shift", "grouped_cumsum",
+           "collect_sorted"]
 
 
 def _bucket_tag(key_col: str, num_buckets: int):
@@ -90,6 +91,53 @@ def grouped_shift(ds, key_col: str, order_col: str, tie_col: str,
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(shift, batch_format="pandas")
+    )
+
+
+def collect_sorted(ds, key_col: str, order_col: str, tie_col: str,
+                   value_col: str, sep: str = ",",
+                   out_col: str = "path", num_buckets: int = 64):
+    """Ordered group-concat: one row per key with ``value_col`` joined by
+    ``sep`` in ``(order_col, tie_col)`` order plus the element count —
+    SQL ``string_agg(v, sep ORDER BY order, tie)``.  The classic
+    event-sequence / session-path reshape (and the list-collect step
+    before sequence modeling).
+
+    Scale shape: ONE hash(key)-bucket shuffle; each bucket lexsorts once
+    and joins ALL its keys' runs in a single Arrow ``binary_join`` over
+    a ListArray built from the run offsets — no per-key Python join.
+    Output strings are O(rows in the key); keys with pathological
+    cardinality belong under a ``per_key_topn`` cap first.
+    """
+    import pyarrow.compute as pc
+
+    tag = _bucket_tag(key_col, num_buckets)
+
+    def join_runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            return pd.DataFrame({key_col: pd.Series([], dtype=g[key_col].dtype),
+                                 out_col: pd.Series([], dtype="object"),
+                                 "n_items": pd.Series([], dtype="int64")})
+        pos, sc, first = _sorted_runs(g, key_col, order_col, tie_col)
+        vals = pa.array(g[value_col].to_numpy(dtype=object)[pos], pa.string())
+        run_start = np.flatnonzero(first)
+        offsets = np.append(run_start, len(sc)).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals),
+            sep,
+        )
+        keys = g[key_col].to_numpy(dtype=object)[pos][run_start]
+        return pd.DataFrame({
+            key_col: keys,
+            out_col: joined.to_numpy(zero_copy_only=False),
+            "n_items": np.diff(offsets).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(join_runs, batch_format="pandas")
     )
 
 

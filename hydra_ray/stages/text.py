@@ -21,6 +21,8 @@ __all__ = [
     "LangId",
     "Fingerprint",
     "Redactor",
+    "explode_tokens",
+    "repetition_stats",
     "tfidf_top_terms",
     "top_ngrams",
 ]
@@ -173,6 +175,82 @@ class Redactor:
         batch[self.out_col] = s
         batch[self.count_col] = total
         return batch
+
+
+def explode_tokens(ds, text_col: str = "text", id_col: str = "doc_id",
+                   out_col: str = "token"):
+    """Explode each document into one row per whitespace token (SQL
+    ``unnest(string_split_regex(trim(text), '\\s+'))``) — the unnest /
+    flatten relational primitive, and the front half of any
+    token-granular pipeline.
+
+    Pure per-batch map, no shuffle: one Arrow ``split_pattern_regex``
+    pass gives flat values + offsets; ``list_parent_indices`` replicates
+    the id column without ever touching Python rows.  Output rows ≈
+    corpus token count — downstream consumers should aggregate or
+    filter before any wide exchange.
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.coalesce(t[text_col].combine_chunks(), "")),
+            r"\s+",
+        )
+        parent = pc.list_parent_indices(toks)
+        return pa.table({
+            id_col: pc.take(t[id_col].combine_chunks(), parent),
+            out_col: toks.values,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals (Gopher-style quality rules over
+    token repetition): token count, distinct-token count, duplicate
+    fraction ``1 − distinct/total`` and top-token fraction
+    ``max_count/total``.  High values flag boilerplate / degenerate
+    docs for corpus filtering.
+
+    Pure per-batch map: one Arrow split pass, one ``pd.factorize`` over
+    the batch's flat tokens (exact, C-side), then run-length math on the
+    lexsorted ``(doc, token_code)`` pairs — no Python per doc, no
+    shuffle (each doc's stats depend only on its own tokens).
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.coalesce(t[text_col].combine_chunks(), "")),
+            r"\s+",
+        )
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offsets)
+        ndocs = len(n_tok)
+        codes = pd.factorize(flat)[0] if len(flat) else np.array([], np.int64)
+        parent = np.repeat(np.arange(ndocs, dtype=np.int64), n_tok)
+        # sort (doc, code) pairs once; runs = per-doc distinct tokens
+        key = parent * np.int64(len(flat) + 1) + codes
+        key.sort()
+        first = np.r_[True, key[1:] != key[:-1]] if len(key) else np.array([], bool)
+        run_start = np.flatnonzero(first)
+        run_len = np.diff(np.append(run_start, len(key)))
+        run_doc = (key[run_start] // np.int64(len(flat) + 1)) if len(key) else run_start
+        n_distinct = np.bincount(run_doc, minlength=ndocs).astype(np.int64)
+        top_cnt = np.zeros(ndocs, dtype=np.int64)
+        np.maximum.at(top_cnt, run_doc, run_len)
+        tot = np.maximum(n_tok, 1).astype(np.float64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "dup_token_frac": pa.array(1.0 - n_distinct / tot),
+            "top_token_frac": pa.array(top_cnt / tot),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20,

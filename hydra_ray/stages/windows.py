@@ -227,10 +227,13 @@ def grouped_aggregate(ds, group_cols: list[str], aggs: list[AggSpec]):
 
 
 def grouped_quantile(ds, group_cols: list[str], value_col: str,
-                     qs: dict[str, float], num_buckets: int = 64):
-    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
-    convention: the element at sorted index ``max(0, ceil(q·n) − 1)``;
-    NULL values are ignored).  ``qs`` maps output column name → q.
+                     qs: dict[str, float], num_buckets: int = 64,
+                     interpolation: str = "disc"):
+    """Exact per-group quantiles.  ``interpolation="disc"`` (default) is
+    the DuckDB ``quantile_disc`` convention: the element at sorted index
+    ``max(0, ceil(q·n) − 1)``; ``"linear"`` is ``quantile_cont``
+    (numpy default): linear interpolation at rank ``q·(n−1)``.  NULL
+    values are ignored.  ``qs`` maps output column name → q.
 
     Quantiles don't pre-aggregate (no exact combiner), so this is one
     hash(key)-bucket shuffle of the (group, value) pairs, then each
@@ -271,8 +274,17 @@ def grouped_quantile(ds, group_cols: list[str], value_col: str,
         first_rows = g.iloc[order[run_start]][group_cols].reset_index(drop=True)
         out = {c: first_rows[c] for c in group_cols}
         for name, q in qs.items():
-            idx = np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
-            out[name] = sv[run_start + idx]
+            if interpolation == "linear":
+                pos = q * (counts - 1)
+                lo = np.floor(pos).astype(np.int64)
+                hi = np.minimum(lo + 1, counts - 1)
+                frac = pos - lo
+                a = sv[run_start + lo].astype(np.float64)
+                b = sv[run_start + hi].astype(np.float64)
+                out[name] = a + (b - a) * frac
+            else:
+                idx = np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
+                out[name] = sv[run_start + idx]
         out = pd.DataFrame(out)
         missing = all_groups.merge(
             out[group_cols], on=group_cols, how="left", indicator=True

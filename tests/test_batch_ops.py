@@ -390,6 +390,49 @@ def test_top_ngrams_matches_bruteforce(rd):
         assert list(map(tuple, got[["ngram", "n"]].to_numpy())) == want
 
 
+def test_explode_tokens_and_repetition_stats(rd):
+    from collections import Counter
+
+    from hydra_ray.stages.text import explode_tokens, repetition_stats
+
+    docs = ["a b  c a", "  x ", "y y y y", "a"]
+    ids = [10, 11, 12, 13]
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": docs})).repartition(2)
+
+    got = explode_tokens(ds).to_pandas().sort_values(["doc_id", "token"])
+    want = [(i, t) for i, d in zip(ids, docs) for t in d.split()]
+    assert sorted(map(tuple, got.to_numpy())) == sorted(want)
+
+    st = repetition_stats(ds).to_pandas().set_index("doc_id").sort_index()
+    for i, d in zip(ids, docs):
+        toks = d.split()
+        c = Counter(toks)
+        assert st.loc[i, "n_tokens"] == len(toks)
+        assert st.loc[i, "n_distinct"] == len(c)
+        assert abs(st.loc[i, "dup_token_frac"] - (1 - len(c) / len(toks))) < 1e-12
+        assert abs(st.loc[i, "top_token_frac"] - max(c.values()) / len(toks)) < 1e-12
+
+
+def test_grouped_quantile_linear_matches_numpy(rd):
+    import numpy as np
+
+    from hydra_ray.stages.windows import grouped_quantile
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, size=900),
+        "v": rng.normal(size=900).round(4),
+    })
+    out = (
+        grouped_quantile(rd.from_pandas(df).repartition(4), ["k"], "v",
+                         {"q30": 0.3, "q50": 0.5}, interpolation="linear")
+        .to_pandas().set_index("k").sort_index()
+    )
+    for k, g in df.groupby("k"):
+        assert abs(out.loc[k, "q30"] - np.quantile(g["v"], 0.3)) < 1e-12
+        assert abs(out.loc[k, "q50"] - np.quantile(g["v"], 0.5)) < 1e-12
+
+
 def test_redactor_sequential_patterns_and_counts(rd):
     from hydra_ray.stages.text import Redactor
 

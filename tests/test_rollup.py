@@ -103,6 +103,30 @@ def test_grouped_shift_matches_pandas(rd, periods):
     assert sorted(out["event_id"]) == sorted(df["event_id"])
 
 
+def test_collect_sorted_matches_pandas(rd):
+    from hydra_ray.stages.rollup import collect_sorted
+
+    df = _events(n=2000, seed=13)
+    out = (
+        collect_sorted(
+            rd.from_pandas(df).repartition(4), "user_id", "ts", "event_id",
+            "event_type", sep="|", out_col="seq",
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")["event_type"]
+        .agg(lambda s: "|".join(s))
+        .reset_index(name="seq")
+    )
+    assert out["user_id"].tolist() == ref["user_id"].tolist()
+    assert out["seq"].tolist() == ref["seq"].tolist()
+    assert out["n_items"].sum() == len(df)
+
+
 def test_grouped_cumsum_matches_pandas(rd):
     df = _events(n=2500, seed=12)
     out = (
