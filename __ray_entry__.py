@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
         "stratified_sample": q.q_stratified_sample,
+        "pack_sequences": q.q_pack_sequences,
         "latest_by_key": q.q_latest_by_key,
         "consumer_lag": q.q_consumer_lag,
         "topic_tail": q.q_topic_tail,

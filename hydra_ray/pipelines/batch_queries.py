@@ -273,6 +273,16 @@ def q_event_paths(sf_dir):
     )
 
 
+def q_pack_sequences(sf_dir):
+    """Greedy deterministic packing of documents into ≤2048-weight
+    training sequences (rows-only: the greedy fold is not
+    SQL-expressible; exactness vs a reference fold is pytest-verified)."""
+    from ..stages.sampling import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return pack_sequences(ds, "doc_id", "n_chars", budget=2048)
+
+
 def q_quantile_sketch(sf_dir):
     """Approximate per-event-type quantiles from a mergeable bottom-k
     sample sketch (k=64 per group): deterministic hash winners, so the

@@ -17,7 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["bottom_k_sample", "hash_split", "per_key_topn", "stratified_sample"]
+__all__ = ["bottom_k_sample", "hash_split", "pack_sequences", "per_key_topn",
+           "stratified_sample"]
 
 _KNUTH = 2654435761  # Knuth multiplicative constant, fits int64 products
 _MOD = 1 << 32
@@ -189,4 +190,78 @@ def per_key_topn(ds, key_col: str, order_col: str, n: int, tie_col: str,
         ds.map_batches(prefilter_tag, batch_format="pandas")
         .groupby("__bucket")
         .map_groups(cap, batch_format="pandas")
+    )
+
+
+def pack_sequences(ds, id_col: str, weight_col: str, budget: int,
+                   num_buckets: int = 64):
+    """Pack documents into training sequences of total ``weight_col``
+    (token count) ≤ ``budget`` — the example-packing step before LLM
+    pretraining (greedy first-fit over a deterministic document order).
+
+    Semantics: documents are assigned to pack bins greedily in ``(hash64
+    (id), id)`` order within their hash bucket; a bin closes when the
+    next document would overflow ``budget``; a single document heavier
+    than ``budget`` gets a bin of its own (truncation is the consumer's
+    call).  Output = every input row plus ``pack_id`` (globally unique
+    int64), ``pack_pos`` (0-based position within the pack) and
+    ``pack_tokens`` (the pack's total weight).
+
+    Determinism/scale: the bucket is ``hash64(id) % num_buckets`` — a
+    pure function of the data, so the SAME packs come out under any
+    repartitioning, resume, or cluster size (the repo's partitioning
+    rule).  ONE hash-bucket shuffle; each bucket packs ALL its docs in
+    one sorted cumsum pass whose only loop is over PACKS (searchsorted
+    per pack close — O(packs·log n), packs ≪ rows when budget ≫ mean
+    doc weight).
+    """
+    from ..hashing import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = hash64(t[id_col])
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return (t.append_column("__h", pa.array(h.astype(np.int64)))
+                 .append_column("__bucket", pa.array(b)))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["__bucket"].iloc[0]) if len(g) else 0
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            out = g.drop(columns="__h").copy()
+            out["pack_id"] = pd.Series([], dtype="int64")
+            out["pack_pos"] = pd.Series([], dtype="int64")
+            out["pack_tokens"] = pd.Series([], dtype="int64")
+            return out
+        pos = np.lexsort((g[id_col].to_numpy(), g["__h"].to_numpy()))
+        w = g[weight_col].to_numpy()[pos].astype(np.int64)
+        n = len(w)
+        cs = np.cumsum(w)
+        starts = [0]
+        while True:
+            s = starts[-1]
+            base = cs[s - 1] if s > 0 else 0
+            # last j with cs[j] - base <= budget, but at least one doc
+            j = int(np.searchsorted(cs, base + budget, side="right"))
+            j = max(j, s + 1)
+            if j >= n:
+                break
+            starts.append(j)
+        starts = np.asarray(starts, dtype=np.int64)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        local = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        pack_id = (np.int64(bucket) << np.int64(40)) + local
+        pack_pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        pack_tokens = np.repeat(cs[ends - 1] - base, sizes)
+        out = g.iloc[pos].drop(columns="__h").copy()
+        out["pack_id"] = pack_id
+        out["pack_pos"] = pack_pos
+        out["pack_tokens"] = pack_tokens
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pack, batch_format="pandas")
     )

@@ -1,6 +1,7 @@
 """Direct unit tests for batch join/dedup operators (edges not covered by
 the oracle-parity harness)."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -431,6 +432,71 @@ def test_grouped_quantile_linear_matches_numpy(rd):
     for k, g in df.groupby("k"):
         assert abs(out.loc[k, "q30"] - np.quantile(g["v"], 0.3)) < 1e-12
         assert abs(out.loc[k, "q50"] - np.quantile(g["v"], 0.5)) < 1e-12
+
+
+def test_pack_sequences_greedy_exact_and_partition_invariant(rd):
+    from hydra_ray.hashing import hash64
+    from hydra_ray.stages.sampling import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n, budget = 800, 1000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "w": rng.integers(1, 400, size=n).astype(np.int64),
+    })
+    df.loc[5, "w"] = 1500  # oversize doc: must land in a pack of its own
+
+    def ref_pack(sub):
+        # greedy first-fit in (hash64(id), id) order — the documented rule
+        h = hash64(pa.array(sub["doc_id"]))
+        order = np.lexsort((sub["doc_id"].to_numpy(), h.astype(np.int64)))
+        packs, cur, tot = [], [], 0
+        for i in order:
+            w = int(sub["w"].iloc[i])
+            if cur and tot + w > budget:
+                packs.append((cur, tot))
+                cur, tot = [], 0
+            cur.append(int(sub["doc_id"].iloc[i]))
+            tot += w
+        if cur:
+            packs.append((cur, tot))
+        return packs
+
+    outs = []
+    for parts in (3, 11):
+        out = (
+            pack_sequences(rd.from_pandas(df).repartition(parts),
+                           "doc_id", "w", budget=budget, num_buckets=8)
+            .to_pandas()
+        )
+        assert len(out) == n
+        # invariant: no pack exceeds budget unless it is a single oversize doc
+        sizes = out.groupby("pack_id").agg(
+            tot=("pack_tokens", "first"), cnt=("doc_id", "count"))
+        over = sizes[sizes["tot"] > budget]
+        assert (over["cnt"] == 1).all()
+        # pack_tokens is consistent with the member weights
+        assert (out.groupby("pack_id")["w"].sum()
+                == out.groupby("pack_id")["pack_tokens"].first()).all()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    # identical assignment at any partitioning
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    # exactness vs the reference greedy fold, bucket by bucket
+    out = outs[0]
+    b = (hash64(pa.array(df["doc_id"])) % np.uint64(8)).astype(np.int64)
+    for bucket in range(8):
+        sub = df[b == bucket]
+        got = (
+            out[out["doc_id"].isin(sub["doc_id"])]
+            .sort_values(["pack_id", "pack_pos"])
+        )
+        ref = ref_pack(sub)
+        got_packs = [
+            (grp["doc_id"].tolist(), int(grp["pack_tokens"].iloc[0]))
+            for _, grp in got.groupby("pack_id", sort=True)
+        ]
+        assert got_packs == ref
 
 
 def test_redactor_sequential_patterns_and_counts(rd):

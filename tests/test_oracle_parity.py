@@ -74,6 +74,7 @@ NO_ORACLE = [
     "simhash_neardup",
     "ann_ivf",
     "approx_distinct",
+    "pack_sequences",
     "audio_features",
     "audio_neardup",
     "image_features",
