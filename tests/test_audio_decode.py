@@ -11,6 +11,7 @@ import pytest
 from hydra_ray.audio import (
     DecodeError,
     decode_batch,
+    encode,
     encode_pcm16,
     encode_wav,
     snr_db,
@@ -57,19 +58,20 @@ def test_decode_error_routing():
             b"\x01\x02\x03",                      # odd-length pcm16
             encode_wav(wave, 8000),
             b"RIFFbadwavpayload",                  # malformed wav
-            encode_pcm16(wave),                    # flac-declared → unsupported stub
+            encode_pcm16(wave),                    # flac-declared, not FLAC bytes
             encode_pcm16(wave),                    # unknown codec
+            encode(wave, "flac", 8000),            # real flac → decodes fine
         ],
         pa.large_binary(),
     )
-    codecs = pa.array(["pcm16", "pcm16", "wav", "wav", "flac", "mp3"])
-    srs = pa.array([8000] * 6, pa.int32())
+    codecs = pa.array(["pcm16", "pcm16", "wav", "wav", "flac", "mp3", "flac"])
+    srs = pa.array([8000] * 7, pa.int32())
     pcm, err = decode_batch(payloads, codecs, srs)
     errs = err.to_pylist()
-    assert errs[0] is None and errs[2] is None
+    assert errs[0] is None and errs[2] is None and errs[6] is None
     assert "odd byte length" in errs[1]
     assert "RIFF" in errs[3] or "data chunk" in errs[3]
-    assert "UnsupportedCodecError" in errs[4]
+    assert "not a FLAC" in errs[4]
     assert "unknown codec" in errs[5]
     valid = pcm.is_valid().to_pylist() if hasattr(pcm, "is_valid") else []
     assert valid[0] and not valid[1]
@@ -100,7 +102,7 @@ def test_decoder_stage_on_dataset(ray_session):
     assert main.count() == 297
     dlq_rows = dlq.take_all()
     assert len(dlq_rows) == 3
-    assert all("flac" in r["decode_error"] for r in dlq_rows)
+    assert all("FLAC" in r["decode_error"] for r in dlq_rows)
     assert "bytes" not in main.schema().names
     assert "pcm" in main.schema().names
 
