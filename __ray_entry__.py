@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q.q_asof_join,
         "value_quantiles": q.q_value_quantiles,
         "value_quantiles_cont": q.q_value_quantiles_cont,
+        "value_dispersion": q.q_value_dispersion,
         "quantile_sketch": q.q_quantile_sketch,
         "pivot_events": q.q_pivot_events,
         "rolling_value": q.q_rolling_value,
@@ -197,6 +198,14 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING), 4) AS running_sum
             FROM events
+        """,
+        "value_dispersion": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(avg(value), 4) AS mean_value,
+                   round(var_samp(value), 4) AS var_value,
+                   round(stddev_samp(value), 4) AS std_value
+            FROM events GROUP BY 1
         """,
         "value_quantiles_cont": """
             SELECT event_type,

@@ -39,8 +39,10 @@ QUERY_NAMES = [
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search", "decontaminate",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
-    "quantile_sketch", "pivot_events", "rolling_value",
-    "token_stats", "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
+    "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
+    "lag_delta", "running_total", "event_paths", "pack_sequences",
+    "token_stats", "token_explode", "repetition_stats",
+    "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "heavy_hitters",
     "audio_features", "audio_neardup",

@@ -164,6 +164,22 @@ def q_value_quantiles(sf_dir):
     )
 
 
+def q_value_dispersion(sf_dir):
+    """Per-event-type mean / sample variance / stddev — the statistical
+    aggregates, combined exactly from (sum, sumsq, count) partials."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_aggregate(
+        ds, ["event_type"],
+        [
+            AggSpec("count", None, "n"),
+            AggSpec("mean", "value", "mean_value"),
+            AggSpec("var", "value", "var_value"),
+            AggSpec("std", "value", "std_value"),
+        ],
+    )
+    return _round_cols(out, {"mean_value": 4, "var_value": 4, "std_value": 4})
+
+
 def q_value_quantiles_cont(sf_dir):
     """Interpolated per-event-type quantiles (quantile_cont / numpy
     linear convention), rounded on both sides."""

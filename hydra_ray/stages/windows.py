@@ -48,14 +48,17 @@ __all__ = [
 # --------------------------------------------------------------------- specs
 @dataclass(frozen=True)
 class AggSpec:
-    """One output aggregate: ``fn`` ∈ {count, sum, min, max, mean} over ``col``."""
+    """One output aggregate: ``fn`` ∈ {count, sum, min, max, mean, var,
+    std} over ``col`` (var/std are SAMPLE variance/stddev — DuckDB
+    var_samp/stddev_samp semantics, NULL when n ≤ 1; combined exactly
+    from (sum, sum-of-squares, count) partials)."""
 
     fn: str
     col: str | None
     alias: str
 
     def __post_init__(self):
-        if self.fn not in ("count", "sum", "min", "max", "mean"):
+        if self.fn not in ("count", "sum", "min", "max", "mean", "var", "std"):
             raise ValueError(f"unsupported agg fn {self.fn!r}")
         if self.fn != "count" and self.col is None:
             raise ValueError(f"{self.fn} needs a column")
@@ -125,6 +128,10 @@ def _partial_columns(aggs: list[AggSpec]) -> list[tuple[str, str, str]]:
         elif a.fn == "mean":
             cols.append((a.col, "sum", f"__{a.alias}__sum"))
             cols.append((None, "count", f"__{a.alias}__cnt"))
+        elif a.fn in ("var", "std"):
+            cols.append((a.col, "sum", f"__{a.alias}__sum"))
+            cols.append((a.col, "sumsq", f"__{a.alias}__sumsq"))
+            cols.append((None, "count", f"__{a.alias}__cnt"))
         else:
             cols.append((a.col, a.fn, f"__{a.alias}__{a.fn}"))
     # dedupe (mean+count share a count partial only if aliases differ — keep per-alias)
@@ -140,6 +147,12 @@ def _partial_agg_batch(
         if fn == "count":
             # count rows: use count of the first group col (non-null keys)
             plan.append((group_cols[0], "count"))
+        elif fn == "sumsq":
+            sq = f"__sq_{src}"
+            if sq not in batch.column_names:
+                x = pc.cast(batch[src], pa.float64())
+                batch = batch.append_column(sq, pc.multiply(x, x))
+            plan.append((sq, "sum"))
         else:
             plan.append((src, fn))
         names.append(pname)
@@ -171,7 +184,7 @@ def _final_agg(ds, group_cols: list[str], aggs: list[AggSpec], num_buckets: int 
 
     plan, names = [], []
     for src, fn, pname in _partial_columns(aggs):
-        plan.append((pname, "sum" if fn in ("count", "sum") else fn))
+        plan.append((pname, "sum" if fn in ("count", "sum", "sumsq") else fn))
         names.append(pname)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -208,6 +221,19 @@ def _final_agg(ds, group_cols: list[str], aggs: list[AggSpec], num_buckets: int 
                     pc.cast(t[f"__{a.alias}__sum"], pa.float64()),
                     pc.cast(t[f"__{a.alias}__cnt"], pa.float64()),
                 )
+            elif a.fn in ("var", "std"):
+                s = pc.cast(t[f"__{a.alias}__sum"], pa.float64())
+                ss = pc.cast(t[f"__{a.alias}__sumsq"], pa.float64())
+                n = pc.cast(t[f"__{a.alias}__cnt"], pa.float64())
+                var = pc.divide(
+                    pc.subtract(ss, pc.divide(pc.multiply(s, s), n)),
+                    pc.subtract(n, pa.scalar(1.0)),
+                )
+                # sample semantics: NULL when n <= 1; clamp tiny negative
+                # float residue to 0 before sqrt
+                var = pc.if_else(pc.greater(n, 1.0),
+                                 pc.max_element_wise(var, 0.0), pa.scalar(None, pa.float64()))
+                out[a.alias] = pc.sqrt(var) if a.fn == "std" else var
             else:
                 out[a.alias] = t[f"__{a.alias}__{a.fn}"]
         return pa.table(out)

@@ -159,3 +159,37 @@ def test_grouped_quantile_disc_convention(ray_session):
     assert out["med"].tolist() == [5.0, 4.0, 20.0]
     assert out["q0"].tolist() == [1.0, 2.0, 10.0]
     assert out["q1"].tolist() == [9.0, 8.0, 30.0]
+
+
+def test_tumbling_var_std_vs_pandas(ray_session, events_pdf):
+    import ray.data as rd
+
+    ds = rd.read_parquet(EVENTS, columns=["user_id", "ts", "value"])
+    out = (
+        tumbling_window(
+            ds, ["user_id"], "ts", HOUR,
+            [
+                AggSpec("count", None, "n"),
+                AggSpec("var", "value", "v"),
+                AggSpec("std", "value", "s"),
+            ],
+        )
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    df = events_pdf.copy()
+    df["window_start"] = (df["ms"] // HOUR) * HOUR
+    ref = (
+        df.groupby(["user_id", "window_start"])["value"]
+        .agg(n="count", v="var", s="std")           # pandas default ddof=1
+        .reset_index()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref)
+    assert (out["n"].to_numpy() == ref["n"].to_numpy()).all()
+    for c in ("v", "s"):
+        a, b = out[c].to_numpy(), ref[c].to_numpy()
+        both_nan = np.isnan(a) & np.isnan(b)
+        assert (both_nan | (np.abs(a - b) < 1e-8)).all()
