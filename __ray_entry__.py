@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_stats": q.q_token_stats,
         "token_explode": q.q_token_explode,
+        "chunk_docs": q.q_chunk_docs,
         "repetition_stats": q.q_repetition_stats,
         "event_paths": q.q_event_paths,
         "tfidf_terms": q.q_tfidf_terms,
@@ -425,6 +426,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\s+')) AS token
             FROM documents
+        """,
+        "chunk_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS t
+                FROM documents
+            ), c AS (
+                SELECT doc_id, t,
+                       greatest(1, CAST(ceil((len(t) - 24)::DOUBLE / 16)
+                                        AS BIGINT) + 1) AS nc
+                FROM toks
+            ), g AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, nc)) AS i
+                FROM c
+            )
+            SELECT doc_id,
+                   i - 1 AS chunk_idx,
+                   array_to_string(t[(i - 1) * 16 + 1 : (i - 1) * 16 + 24], ' ')
+                       AS chunk
+            FROM g
         """,
         "repetition_stats": r"""
             WITH toks AS (

@@ -41,7 +41,8 @@ QUERY_NAMES = [
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
     "lag_delta", "running_total", "event_paths", "pack_sequences",
-    "token_stats", "token_explode", "repetition_stats",
+    "token_stats", "token_explode", "repetition_stats", "chunk_docs",
+    "value_dispersion",
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "heavy_hitters",

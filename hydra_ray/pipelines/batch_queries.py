@@ -277,6 +277,15 @@ def q_repetition_stats(sf_dir):
     return _round_cols(out, {"dup_token_frac": 4, "top_token_frac": 4})
 
 
+def q_chunk_docs(sf_dir):
+    """Overlapping 24-token windows (stride 16) per document — the
+    chunking reshape before embedding / retrieval indexing."""
+    from ..stages.text import chunk_tokens
+
+    return chunk_tokens(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        size=24, stride=16)
+
+
 def q_event_paths(sf_dir):
     """Per-user ordered event-type path (string_agg ORDER BY) — the
     session-path / sequence-collect reshape."""

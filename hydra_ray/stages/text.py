@@ -21,6 +21,7 @@ __all__ = [
     "LangId",
     "Fingerprint",
     "Redactor",
+    "chunk_tokens",
     "explode_tokens",
     "repetition_stats",
     "tfidf_top_terms",
@@ -201,6 +202,65 @@ def explode_tokens(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({
             id_col: pc.take(t[id_col].combine_chunks(), parent),
             out_col: toks.values,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def chunk_tokens(ds, text_col: str = "text", id_col: str = "doc_id",
+                 size: int = 128, stride: int = 96):
+    """Split each document into overlapping token windows of ``size``
+    tokens advancing by ``stride`` — the chunking step before embedding /
+    retrieval indexing.  A doc with n tokens yields
+    ``max(1, ceil((n − size)/stride) + 1)`` chunks; the last may be
+    shorter; a short doc yields itself.
+
+    Pure per-batch map, no shuffle.  Vectorized end to end: one Arrow
+    split pass → flat tokens + offsets; all chunks' token indices are
+    built with arange/repeat arithmetic, gathered with ONE Arrow
+    ``take``, and joined with ONE ``binary_join`` over a ListArray —
+    no Python per doc or per chunk.
+    """
+    import pyarrow.compute as pc
+
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.coalesce(t[text_col].combine_chunks(), "")),
+            r"\s+",
+        )
+        flat = toks.values
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offsets)
+        # chunks per doc
+        nc = np.maximum(1, -((n_tok - size) // -stride) + 1).astype(np.int64)
+        total_c = int(nc.sum())
+        if total_c == 0:
+            return pa.table({id_col: t[id_col].slice(0, 0),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        doc_of_chunk = np.repeat(np.arange(len(nc), dtype=np.int64), nc)
+        cum_c = np.cumsum(nc) - nc
+        chunk_idx = np.arange(total_c, dtype=np.int64) - cum_c[doc_of_chunk]
+        starts = offsets[:-1][doc_of_chunk] + chunk_idx * stride
+        ends = np.minimum(starts + size, offsets[1:][doc_of_chunk])
+        lens = np.maximum(ends - starts, 0)
+        total_t = int(lens.sum())
+        cum_l = np.cumsum(lens) - lens
+        tok_idx = (np.arange(total_t, dtype=np.int64)
+                   - np.repeat(cum_l, lens)
+                   + np.repeat(starts, lens))
+        gathered = flat.take(pa.array(tok_idx))
+        list_offs = pa.array(np.concatenate([[0], np.cumsum(lens)]), pa.int32())
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(list_offs, gathered), " "
+        )
+        return pa.table({
+            id_col: t[id_col].take(pa.array(doc_of_chunk)),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk": chunks,
         })
 
     return ds.map_batches(f, batch_format="pyarrow")

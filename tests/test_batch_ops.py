@@ -414,6 +414,39 @@ def test_explode_tokens_and_repetition_stats(rd):
         assert abs(st.loc[i, "top_token_frac"] - max(c.values()) / len(toks)) < 1e-12
 
 
+def test_chunk_tokens_windows_and_edges(rd):
+    from hydra_ray.stages.text import chunk_tokens
+
+    docs = {
+        1: "a b c d e f g h i j",   # 10 toks: exact-multiple case
+        2: "a b c d e f g h i j k", # 11 toks: short tail chunk
+        3: "x y",                   # shorter than size → itself
+        4: "solo",
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(docs), "text": list(docs.values())
+    })).repartition(2)
+    out = (
+        chunk_tokens(ds, size=5, stride=5)
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+
+    def ref(text, size=5, stride=5):
+        t = text.split()
+        nc = max(1, -((len(t) - size) // -stride) + 1)
+        return [" ".join(t[i * stride : i * stride + size]) for i in range(nc)]
+
+    for did, text in docs.items():
+        got = out[out["doc_id"] == did]["chunk"].tolist()
+        assert got == ref(text), (did, got)
+    # overlapping stride covers every token at least once
+    out2 = chunk_tokens(ds, size=5, stride=3).to_pandas()
+    covered = set()
+    for _, r in out2[out2["doc_id"] == 2].iterrows():
+        covered.update(r["chunk"].split())
+    assert covered == set(docs[2].split())
+
+
 def test_grouped_quantile_linear_matches_numpy(rd):
     import numpy as np
 

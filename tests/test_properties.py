@@ -148,3 +148,23 @@ def test_audio_fingerprint_scale_and_batch_invariant(pcms, scale_exp):
     assert fp == scaled
     singles = [audio_fingerprint(tbl([p]))["afp"].to_pylist()[0] for p in pcms]
     assert fp == singles
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    # -32768 is unreachable through the float wave contract (clip to
+    # -1.0 quantizes to -32767), so the property holds on [-32767, 32767]
+    st.lists(st.integers(-32767, 32767), min_size=0, max_size=3000),
+    st.sampled_from([256, 1024, 4096]),
+)
+def test_flaclite_roundtrip_property(samples, blocksize):
+    """encode→decode is the identity on arbitrary int16 sample streams
+    (any blocksize, any subframe type the encoder picks)."""
+    from hydra_ray.flaclite import decode_flac, encode_flac
+
+    x = np.asarray(samples, dtype=np.int16)
+    wave = x.astype(np.float32) / 32767.0  # pcm16 quantization inverts exactly
+    raw = encode_flac(wave, 16000, blocksize=blocksize)
+    got, sr = decode_flac(raw, verify_crc=True)
+    assert sr == 16000
+    assert np.array_equal(got, x)
