@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # audio analysis
         "audio_features": q.q_audio_features,
         "audio_neardup": q.q_audio_neardup,
+        "flac_roundtrip": q.q_flac_roundtrip,
         # image / video (real ppm/pgm/bmp + rawv kernels; PIL/ffmpeg
         # formats are DLQ-routed stubs)
         "image_features": q.q_image_features,

@@ -46,7 +46,7 @@ QUERY_NAMES = [
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "distinct_users", "approx_distinct", "heavy_hitters",
-    "audio_features", "audio_neardup",
+    "audio_features", "audio_neardup", "flac_roundtrip",
     "image_features", "image_neardup", "video_frames",
 ]
 

@@ -788,6 +788,63 @@ def q_audio_neardup(sf_dir):
     return hamming_near_pairs(fp, "afp", "seq", max_hamming=3)
 
 
+def q_flac_roundtrip(sf_dir):
+    """flaclite under distributed load: every wave is encoded BOTH as
+    flac and pcm16, both decode through the Dataset path, and per-seq
+    PCM checksums must agree (flac is bit-lossless vs the pcm16
+    quantization).  Output: one row {n_seqs, n_lossless} — equal counts
+    mean every clip round-tripped exactly.  PCM never transits the
+    shuffle: rows reduce to 16-byte checksums right after decode."""
+    import hashlib
+
+    from ..audio import encode, synth_wave
+    from ..stages.decode import AudioDecoder, split_dlq
+
+    n = 300
+    sr = 16_000
+
+    def make(idx: np.ndarray) -> pa.Table:
+        ids, payloads, codecs = [], [], []
+        for i in idx.tolist():
+            w = synth_wave(i, sr, 400 + (i % 7) * 100)
+            for c in ("flac", "pcm16"):
+                ids.append(i)
+                payloads.append(encode(w, c, sr))
+                codecs.append(c)
+        return pa.table({
+            "clip_id": pa.array([f"clip-{i:06d}" for i in ids]),
+            "seq": pa.array(ids, pa.int64()),
+            "bytes": pa.array(payloads, pa.large_binary()),
+            "codec": pa.array(codecs),
+            "sr_hz": pa.array([sr] * len(ids), pa.int32()),
+        })
+
+    ds = _dist_synth(n, make, num_blocks=16).map_batches(
+        AudioDecoder(), batch_format="pyarrow"
+    )
+    main, _ = split_dlq(ds)
+
+    def checksum(t: pa.Table) -> pa.Table:
+        pcm = t["pcm"].combine_chunks()
+        flat = pcm.values.to_numpy(zero_copy_only=False).astype(np.float32)
+        offs = pcm.offsets.to_numpy(zero_copy_only=False)
+        mv = memoryview(flat.tobytes())
+        sums = [
+            hashlib.blake2b(mv[4 * int(offs[i]) : 4 * int(offs[i + 1])],
+                            digest_size=16).hexdigest()
+            for i in range(len(pcm))
+        ]
+        return pa.table({"seq": t["seq"], "pcm_sum": pa.array(sums)})
+
+    sums = main.map_batches(checksum, batch_format="pyarrow").to_pandas()
+    per_seq = sums.groupby("seq")["pcm_sum"].agg(["count", "nunique"])
+    lossless = int(((per_seq["count"] == 2) & (per_seq["nunique"] == 1)).sum())
+    return pa.table({
+        "n_seqs": pa.array([len(per_seq)], pa.int64()),
+        "n_lossless": pa.array([lossless], pa.int64()),
+    })
+
+
 def q_langid(sf_dir):
     """n-gram language-ID heuristic vs labeled lang (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])

@@ -77,6 +77,7 @@ NO_ORACLE = [
     "pack_sequences",
     "audio_features",
     "audio_neardup",
+    "flac_roundtrip",
     "image_features",
     "image_neardup",
     "video_frames",
@@ -114,6 +115,12 @@ def test_rows_only_queries_run(name, ray_session):
     res = _to_pandas(entrymod.queries()[name](SF_DIR))
     assert len(res) >= 0
     assert len(res.columns) > 0
+
+
+def test_flac_roundtrip_all_lossless(ray_session):
+    r = _to_pandas(entrymod.queries()["flac_roundtrip"](SF_DIR))
+    assert r["n_seqs"].iloc[0] == 300
+    assert r["n_lossless"].iloc[0] == 300
 
 
 def test_entry_smoke(ray_session):
