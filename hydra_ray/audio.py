@@ -22,10 +22,11 @@ batches:
   actual FLAC bitstream — STREAMINFO, CRC-8/CRC-16 framing, UTF-8 frame
   numbers, constant/verbatim/fixed-predictor subframes with Rice-coded
   residuals (decode is a vectorized pointer-doubling orbit over the bit
-  array, not a per-residual Python loop).  Bit-lossless against the
-  pcm16 quantization of the same wave; out-of-subset payloads (LPC,
-  stereo, non-16-bit) raise ``DecodeError`` → DLQ, mirroring the
-  reference's unsupported-type rejection (`JsonConverter.java:94-97`).
+  array, not a per-residual Python loop); LPC subframes (orders 1-32)
+  decode too.  Bit-lossless against the pcm16 quantization of the same
+  wave; out-of-subset payloads (stereo, non-16-bit, wasted bits) raise
+  ``DecodeError`` → DLQ, mirroring the reference's unsupported-type
+  rejection (`JsonConverter.java:94-97`).
 
 Decode errors never throw out of the batch kernel: they land in an error
 column, and the caller splits main / DLQ — the reference's

@@ -9,10 +9,16 @@ parameter, any partition order, escape-to-raw supported on decode).
 
 Subset boundaries (explicit, DLQ-routed as ``DecodeError`` — mirroring
 the reference's unsupported-type rejection, `JsonConverter.java:94-97`):
-mono, 16-bit only; LPC subframes and wasted-bits are NOT decoded (the
-encoder never emits them).  Everything inside the subset is real FLAC:
-the encoder picks the best fixed predictor order and Rice parameter per
-frame, and encode→decode is bit-lossless on int16 samples.
+mono, 16-bit only; wasted-bits are NOT decoded.  LPC subframes (orders
+1-32, any precision/shift) ARE decoded — the reconstruction recursion
+x[i] = ((Σ c_j·x[i−1−j]) >> shift) + r[i] is inherently sequential, so
+the LPC path costs O(blocksize·order) Python per frame (~tens of ms);
+the encoder emits FIXED predictors (vectorized decode) by default and
+LPC only when asked (``use_lpc=True``, fixed-equivalent coefficients —
+exercised by tests for real-world-stream compatibility).  Everything
+inside the subset is real FLAC: the encoder picks the best fixed
+predictor order and Rice parameter per frame, and encode→decode is
+bit-lossless on int16 samples.
 
 Performance notes (this is the interesting part at 100 TB):
 - Rice DECODE is vectorized with a pointer-doubling orbit: unpack the
@@ -145,9 +151,13 @@ def _best_rice_k(u: np.ndarray) -> int:
     return best_k
 
 
-def encode_flac(wave: np.ndarray, sr_hz: int, blocksize: int = 4096) -> bytes:
+def encode_flac(wave: np.ndarray, sr_hz: int, blocksize: int = 4096,
+                use_lpc: bool = False) -> bytes:
     """Encode float32 [-1, 1] mono audio as real FLAC (16-bit samples,
-    fixed predictors, one Rice partition per subframe)."""
+    fixed predictors, one Rice partition per subframe).  With
+    ``use_lpc=True`` predictive subframes are written as LPC with the
+    fixed-equivalent binomial coefficients (same residuals) — used to
+    exercise the decoder's LPC path with real bitstreams."""
     # EXACTLY audio.encode_pcm16's quantization (same dtype promotion,
     # truncation toward zero), so flac and pcm16 encodings of one wave
     # decode to IDENTICAL samples
@@ -165,7 +175,7 @@ def encode_flac(wave: np.ndarray, sr_hz: int, blocksize: int = 4096) -> bytes:
         blk = x[start : start + blocksize]
         if len(blk) == 0:
             break
-        out.append(_encode_frame(blk, fidx))
+        out.append(_encode_frame(blk, fidx, use_lpc))
     return b"".join(out)
 
 
@@ -174,7 +184,7 @@ def _pack_sr_ch_bps_total(sr: int, ch: int, bps: int, total: int) -> bytes:
     return v.to_bytes(8, "big")
 
 
-def _encode_frame(blk: np.ndarray, fidx: int) -> bytes:
+def _encode_frame(blk: np.ndarray, fidx: int, use_lpc: bool = False) -> bytes:
     bs = len(blk)
     hdr = bytearray(b"\xff\xf8")                 # sync + fixed blocking
     hdr.append((0b0111 << 4) | 0b0000)           # 16-bit blocksize; sr from SI
@@ -183,7 +193,7 @@ def _encode_frame(blk: np.ndarray, fidx: int) -> bytes:
     hdr += struct.pack(">H", bs - 1)
     hdr.append(_crc8(bytes(hdr)))
 
-    sub_bits = _encode_subframe_bits(blk)
+    sub_bits = _encode_subframe_bits(blk, use_lpc)
     pad = (-len(sub_bits)) % 8
     if pad:
         sub_bits = np.concatenate([sub_bits, np.zeros(pad, np.uint8)])
@@ -192,7 +202,17 @@ def _encode_frame(blk: np.ndarray, fidx: int) -> bytes:
     return frame + struct.pack(">H", _crc16(frame))
 
 
-def _encode_subframe_bits(blk: np.ndarray) -> np.ndarray:
+# fixed-predictor binomial coefficients (x[i] ≈ Σ c_j·x[i-j]) per order
+_FIXED_COEFS = {1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _int_to_bits(v: int, n: int) -> np.ndarray:
+    """n-bit big-endian two's-complement bit array."""
+    u = v & ((1 << n) - 1)
+    return np.array([(u >> (n - 1 - i)) & 1 for i in range(n)], np.uint8)
+
+
+def _encode_subframe_bits(blk: np.ndarray, use_lpc: bool = False) -> np.ndarray:
     bs = len(blk)
     if np.all(blk == blk[0]):
         head = np.zeros(8, np.uint8)             # 0 pad, 000000 CONSTANT, 0 wasted
@@ -214,12 +234,22 @@ def _encode_subframe_bits(blk: np.ndarray) -> np.ndarray:
         head[6] = 1                              # 000001 VERBATIM
         return np.concatenate([head, _samples_to_bits(blk)])
     head = np.zeros(8, np.uint8)
-    type_code = 0b001000 | order                 # FIXED
-    head[1:7] = [(type_code >> (5 - i)) & 1 for i in range(6)]
     warm = _samples_to_bits(blk[:order]) if order else np.empty(0, np.uint8)
     # residual method 00 (4-bit Rice) + partition order 0000 = 6 zero bits
     meta = np.zeros(6, np.uint8)
     kbits = np.array([(k >> (3 - i)) & 1 for i in range(4)], np.uint8)
+    if use_lpc and order >= 1:
+        # LPC subframe with the fixed-equivalent coefficients: identical
+        # residuals, but exercises the decoder's general LPC path
+        type_code = 0b100000 | (order - 1)
+        head[1:7] = [(type_code >> (5 - i)) & 1 for i in range(6)]
+        precision = 5                            # fits every binomial coef
+        coef_bits = [_int_to_bits(precision - 1, 4), _int_to_bits(0, 5)]
+        coef_bits += [_int_to_bits(c, precision) for c in _FIXED_COEFS[order]]
+        return np.concatenate([head, warm, *coef_bits, meta, kbits,
+                               _rice_encode_bits(u, k)])
+    type_code = 0b001000 | order                 # FIXED
+    head[1:7] = [(type_code >> (5 - i)) & 1 for i in range(6)]
     return np.concatenate([head, warm, meta, kbits, _rice_encode_bits(u, k)])
 
 
@@ -294,6 +324,64 @@ def _restore_fixed(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
         init = np.diff(warm, n=kk - 1)[-1] if kk > 1 else warm[-1]
         out = np.cumsum(out) + init
     return np.concatenate([warm, out]) if order else out
+
+
+def _restore_lpc(warm: np.ndarray, res: np.ndarray, coefs: np.ndarray,
+                 shift: int) -> np.ndarray:
+    """x[i] = ((Σ_j coefs[j]·x[i-1-j]) >> shift) + res[i-order].
+
+    The recursion is inherently sequential (each sample feeds the next
+    prediction), so this is a Python loop — O(blocksize·order) per
+    frame.  Python ints keep the 64-bit-plus intermediate products
+    exact, matching libFLAC's wide-accumulator path."""
+    order = len(coefs)
+    n = order + len(res)
+    x = [0] * n
+    x[:order] = [int(v) for v in warm]
+    c = [int(v) for v in coefs]
+    r = res.tolist()
+    for i in range(order, n):
+        acc = 0
+        for j in range(order):
+            acc += c[j] * x[i - 1 - j]
+        x[i] = (acc >> shift) + r[i - order]
+    return np.asarray(x, dtype=np.int64)
+
+
+def _read_residuals(bits, C, ones_pos, bp, bs, order):
+    """Read one subframe's residual section (method + partitioned Rice
+    with per-partition escape-to-raw) starting at bit ``bp``.  Returns
+    ``(res, bp)`` — shared by the FIXED and LPC decode paths."""
+    method = _read_uint(bits, bp, 2)
+    if method > 1:
+        raise FlacError("reserved residual method")
+    pbits = 5 if method == 1 else 4
+    esc = (1 << pbits) - 1
+    part_order = _read_uint(bits, bp + 2, 4)
+    bp += 6
+    nparts = 1 << part_order
+    res_parts = []
+    for p in range(nparts):
+        cnt = (bs >> part_order) - (order if p == 0 else 0)
+        k = _read_uint(bits, bp, pbits)
+        bp += pbits
+        if k == esc:                              # raw residuals
+            rb = _read_uint(bits, bp, 5)
+            bp += 5
+            if rb:
+                seg = bits[bp : bp + rb * cnt].reshape(cnt, rb)
+                w = (1 << np.arange(rb - 1, -1, -1, dtype=np.uint64))
+                uv = seg.astype(np.uint64) @ w
+                r = uv.astype(np.int64)
+                r -= (r >> (rb - 1)) << rb if rb < 64 else 0
+            else:
+                r = np.zeros(cnt, np.int64)
+            bp += rb * cnt
+        else:
+            r, bp = _rice_decode(bits, C, ones_pos, bp, k, cnt)
+        res_parts.append(r)
+    res = np.concatenate(res_parts) if len(res_parts) > 1 else res_parts[0]
+    return res, bp
 
 
 def decode_flac(raw: bytes, verify_crc: bool = False) -> tuple[np.ndarray, int]:
@@ -386,38 +474,28 @@ def decode_flac(raw: bytes, verify_crc: bool = False) -> tuple[np.ndarray, int]:
             order = stype & 0x7
             warm = _read_samples16(bits, bp, order)
             bp += 16 * order
-            method = _read_uint(bits, bp, 2)
-            if method > 1:
-                raise FlacError("reserved residual method")
-            pbits = 5 if method == 1 else 4
-            esc = (1 << pbits) - 1
-            part_order = _read_uint(bits, bp + 2, 4)
-            bp += 6
-            nparts = 1 << part_order
-            res_parts = []
-            for p in range(nparts):
-                cnt = (bs >> part_order) - (order if p == 0 else 0)
-                k = _read_uint(bits, bp, pbits)
-                bp += pbits
-                if k == esc:                      # raw residuals
-                    rb = _read_uint(bits, bp, 5)
-                    bp += 5
-                    if rb:
-                        seg = bits[bp : bp + rb * cnt].reshape(cnt, rb)
-                        w = (1 << np.arange(rb - 1, -1, -1, dtype=np.uint64))
-                        uv = seg.astype(np.uint64) @ w
-                        r = uv.astype(np.int64)
-                        r -= (r >> (rb - 1)) << rb if rb < 64 else 0
-                    else:
-                        r = np.zeros(cnt, np.int64)
-                    bp += rb * cnt
-                else:
-                    r, bp = _rice_decode(bits, C, ones_pos, bp, k, cnt)
-                res_parts.append(r)
-            res = np.concatenate(res_parts) if len(res_parts) > 1 else res_parts[0]
+            res, bp = _read_residuals(bits, C, ones_pos, bp, bs, order)
             chunks.append(_restore_fixed(warm, res, order))
-        elif stype >= 0b100000:
-            raise FlacError("LPC subframes not in flaclite subset")
+        elif stype >= 0b100000:                   # LPC order 1-32
+            order = (stype & 0x1F) + 1
+            warm = _read_samples16(bits, bp, order)
+            bp += 16 * order
+            prec_code = _read_uint(bits, bp, 4)
+            if prec_code == 0b1111:
+                raise FlacError("invalid LPC precision code")
+            precision = prec_code + 1
+            shift = _read_uint(bits, bp + 4, 5)
+            shift -= (shift >> 4) << 5            # signed 5-bit
+            if shift < 0:
+                raise FlacError("negative LPC shift")
+            bp += 9
+            coefs = np.empty(order, np.int64)
+            for j in range(order):
+                c = _read_uint(bits, bp, precision)
+                coefs[j] = c - ((c >> (precision - 1)) << precision)
+                bp += precision
+            res, bp = _read_residuals(bits, C, ones_pos, bp, bs, order)
+            chunks.append(_restore_lpc(warm, res, coefs, shift))
         else:
             raise FlacError(f"reserved subframe type {stype:06b}")
 
