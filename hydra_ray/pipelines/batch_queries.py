@@ -70,20 +70,28 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block=20_000):
     return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
+def round_f64(arr, nd: int):
+    """DuckDB-exact ROUND(double, nd): floor(|x·10^nd| + 0.5)·sign(x) / 10^nd.
+
+    pc.round(..., round_mode="half_towards_infinity") is NOT bit-identical
+    to DuckDB's ROUND — e.g. round(6.59 + 0.31, 2) stays
+    6.8999999999999995 under pyarrow but becomes the 6.9 double under
+    DuckDB's scale→std::round→unscale — and the driver's value hash
+    compares exact doubles.  This reproduces DuckDB's float computation
+    step for step (validated on 60k adversarial values at 2/4/6 digits);
+    nulls pass through untouched."""
+    a = pc.cast(arr, pa.float64())
+    p = pa.scalar(10.0 ** nd, pa.float64())
+    y = pc.multiply(a, p)
+    mag = pc.floor(pc.add(pc.abs(y), pa.scalar(0.5, pa.float64())))
+    return pc.divide(pc.multiply(mag, pc.sign(y)), p)
+
+
 def _round_cols(ds, cols: dict[str, int]):
     def f(t: pa.Table) -> pa.Table:
         for c, nd in cols.items():
             i = t.schema.get_field_index(c)
-            # half_towards_infinity == DuckDB ROUND (half away from zero);
-            # pyarrow's default half_to_even would diverge on exact .xx5
-            t = t.set_column(
-                i, c,
-                pc.round(
-                    pc.cast(t[c], pa.float64()),
-                    ndigits=nd,
-                    round_mode="half_towards_infinity",
-                ),
-            )
+            t = t.set_column(i, c, round_f64(t[c], nd))
         return t
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -360,7 +368,7 @@ def q_latest_by_key(sf_dir):
                 "user_id": t["user_id"],
                 "last_event_id": t["event_id"],
                 "last_type": t["event_type"],
-                "last_value": pc.round(pc.cast(t["value"], pa.float64()), ndigits=2, round_mode="half_towards_infinity"),
+                "last_value": round_f64(t["value"], 2),
                 "last_ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
             }
         )
@@ -413,8 +421,7 @@ def q_topic_tail(sf_dir, n: int = 10):
                 "user_id": top["user_id"],
                 "event_type": top["event_type"],
                 "ms": pa.array(ts_to_ms(top["ts"]), pa.int64()),
-                "value": pc.round(pc.cast(top["value"], pa.float64()), ndigits=2,
-                                  round_mode="half_towards_infinity"),
+                "value": round_f64(top["value"], 2),
             }
         )
 
@@ -1093,10 +1100,7 @@ def q_salted_agg(sf_dir):
             {
                 "event_type": t["event_type"],
                 "n": pc.cast(t["n"], pa.int64()),
-                "sum_value": pc.round(
-                    pc.cast(t["sum_value"], pa.float64()), ndigits=2,
-                    round_mode="half_towards_infinity",
-                ),
+                "sum_value": round_f64(t["sum_value"], 2),
             }
         )
 

@@ -127,7 +127,7 @@ def collect_sorted(ds, key_col: str, order_col: str, tie_col: str,
             pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals),
             sep,
         )
-        keys = g[key_col].to_numpy(dtype=object)[pos][run_start]
+        keys = g[key_col].to_numpy()[pos][run_start]  # native dtype (int keys stay int64)
         return pd.DataFrame({
             key_col: keys,
             out_col: joined.to_numpy(zero_copy_only=False),

@@ -631,3 +631,30 @@ def test_bottom_k_sample_deterministic_and_accurate(rd):
     truth = df.groupby("g")["v"].median()
     rel = ((approx - truth).abs() / truth).max()
     assert rel < 0.15, rel
+
+
+def test_round_f64_matches_duckdb_exactly():
+    """round_f64 must reproduce DuckDB's ROUND(double, nd) bit-for-bit —
+    the driver's value hash compares exact doubles, and pc.round's
+    half_towards_infinity mode diverges (e.g. 6.59 + 0.31 at 2 digits)."""
+    import duckdb
+    import pyarrow as pa
+
+    from hydra_ray.pipelines.batch_queries import round_f64
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        np.round(rng.uniform(-1000, 1000, 5000), 2)
+        + np.round(rng.uniform(-1000, 1000, 5000), 2),   # 2-dp sums (ulp drift)
+        rng.uniform(-1, 1, 5000),
+        np.array([6.59 + 0.31, 0.125, -0.125, 2.675, -2.675, 0.005, -0.005, 0.0]),
+    ])
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": vals}))
+    for nd in (2, 4, 6):
+        mine = round_f64(pa.array(vals, pa.float64()), nd).to_numpy()
+        ref = con.execute(f"SELECT round(x, {nd}) FROM t").df().iloc[:, 0].values
+        assert (mine == ref).all(), np.flatnonzero(mine != ref)[:5]
+    # nulls pass through
+    out = round_f64(pa.array([1.005, None], pa.float64()), 2)
+    assert out[1].as_py() is None
