@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
         "stratified_sample": q.q_stratified_sample,
+        "token_budget": q.q_token_budget,
         "pack_sequences": q.q_pack_sequences,
         "latest_by_key": q.q_latest_by_key,
         "consumer_lag": q.q_consumer_lag,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths": q.q_event_paths,
         "tfidf_terms": q.q_tfidf_terms,
         "redact_text": q.q_redact_text,
+        "lm_quality": q.q_lm_quality,
         "top_bigrams": q.q_top_bigrams,
         "quality_scores": q.q_quality_scores,
         "langid": q.q_langid,
@@ -295,6 +297,18 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 2147483648
                             WHEN 'de' THEN 1073741824
                             ELSE 429496729 END
+        """,
+        "token_budget": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(running_chars AS BIGINT) AS running_chars
+            FROM (
+                SELECT doc_id, lang, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS running_chars
+                FROM documents)
+            WHERE running_chars <= 10000
         """,
         "redact_text": r"""
             SELECT doc_id,

@@ -668,6 +668,40 @@ def q_stratified_sample(sf_dir):
     )
 
 
+def q_token_budget(sf_dir):
+    """Per-language token-budget curation: take documents longest-first
+    (doc_id tiebreak) until each language has spent a 10k-char
+    allowance; emit the kept rows with their inclusive running total
+    (oracle = windowed running SUM + filter)."""
+    from ..stages.sampling import budget_cap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return budget_cap(
+        ds, "lang", "n_chars", "doc_id", "n_chars",
+        budget=10_000, descending=True, out_col="running_chars",
+    )
+
+
+def q_lm_quality(sf_dir):
+    """CCNet-style perplexity quality filter: train a byte-bigram LM on
+    the English slice, broadcast the 512 KB log-prob matrix once, score
+    every document's bits/byte cross-entropy (rows-only: model scoring
+    is not SQL-expressible; exactness + partition-invariance are
+    pytest-verified, `tests/test_batch_ops.py`)."""
+    import ray
+
+    from ..stages.text import LmScore, train_char_lm
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    en = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    model_ref = ray.put(train_char_lm(en, "text"))
+    return ds.map_batches(
+        LmScore(model_ref), batch_format="pyarrow"
+    ).select_columns(["doc_id", "lang", "bits_per_byte"])
+
+
 def q_redact_text(sf_dir):
     """Pattern scrubbing: redact two vocab patterns, count replacements
     (oracle = nested regexp_replace + regexp_extract_all counts)."""

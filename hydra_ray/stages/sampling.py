@@ -17,8 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["bottom_k_sample", "hash_split", "pack_sequences", "per_key_topn",
-           "stratified_sample"]
+__all__ = ["bottom_k_sample", "budget_cap", "hash_split", "pack_sequences",
+           "per_key_topn", "stratified_sample"]
 
 _KNUTH = 2654435761  # Knuth multiplicative constant, fits int64 products
 _MOD = 1 << 32
@@ -265,3 +265,50 @@ def pack_sequences(ds, id_col: str, weight_col: str, budget: int,
         .groupby("__bucket")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def budget_cap(ds, key_col: str, order_col: str, tie_col: str,
+               weight_col: str, budget: int, descending: bool = True,
+               out_col: str = "running_weight", num_buckets: int = 64):
+    """Keep each key's best rows until a cumulative weight budget: SQL
+    ``sum(w) OVER (PARTITION BY key ORDER BY order [DESC], tie ROWS
+    UNBOUNDED PRECEDING) <= budget``.
+
+    The token-budget curation step of a training-data pipeline: per
+    language (or domain), take documents in quality order until the
+    group's token allowance is spent.  Composes :func:`~hydra_ray.
+    stages.rollup.grouped_cumsum` (ONE hash(key)-bucket shuffle, one
+    vectorized cumsum per bucket) with a pure per-batch filter; rows at
+    the budget boundary are kept iff their INCLUSIVE running sum still
+    fits, so output is independent of partitioning and resumable.
+    ``out_col`` is emitted as int64 when ``weight_col`` is an integer
+    column (float64 cumsum of int64 weights is exact below 2^53).
+    """
+    import pyarrow.compute as pc
+
+    from .rollup import grouped_cumsum
+
+    work, ocol = ds, order_col
+    if descending:
+        def neg(t: pa.Table) -> pa.Table:
+            return t.append_column("__neg_order", pc.negate(t[order_col]))
+
+        work, ocol = ds.map_batches(neg, batch_format="pyarrow"), "__neg_order"
+
+    out = grouped_cumsum(work, key_col, ocol, tie_col, weight_col,
+                         out_col=out_col, num_buckets=num_buckets)
+    sch = ds.schema()                 # Arrow or pandas block schema
+    wt = dict(zip(sch.names, sch.types))[weight_col]
+    int_weight = (pa.types.is_integer(wt) if isinstance(wt, pa.DataType)
+                  else np.issubdtype(wt, np.integer))
+
+    def trim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t[out_col], pa.scalar(float(budget))))
+        if descending:
+            t = t.drop_columns(["__neg_order"])
+        if int_weight:
+            i = t.schema.get_field_index(out_col)
+            t = t.set_column(i, out_col, pc.cast(t[out_col], pa.int64()))
+        return t
+
+    return out.map_batches(trim, batch_format="pyarrow")

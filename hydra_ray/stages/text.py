@@ -471,3 +471,107 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     return ranked.map_batches(
         lambda t: t.select(["doc_id", "term", "score"]), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- char-bigram LM
+def _byte_pairs(texts):
+    """Flat byte-pair ids for a batch: encode the column to ONE UTF-8
+    buffer (Arrow's string layout is exactly that), form every
+    consecutive-byte pair id ``b[i]*256 + b[i+1]``, and drop pairs that
+    straddle a document boundary by offset arithmetic — no per-doc loop.
+
+    Returns ``(pair_ids, doc_starts, n_pairs)``: concatenated per-doc
+    pair runs in document order, each doc's start offset into that flat
+    array, and its pair count (``max(len_bytes - 1, 0)``).
+    """
+    norm = pd.Series(texts, dtype=object).fillna("")
+    arr = pa.array(norm.to_numpy(dtype=object), pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: offsets[-1]]
+    if len(data) < 2:
+        z = np.zeros(n, np.int64)
+        return np.empty(0, np.int64), z, z
+    pairs = data[:-1].astype(np.int64) * 256 + data[1:]
+    valid = np.ones(len(pairs), dtype=bool)
+    bnd = offsets[1:-1]                       # interior doc starts
+    idx = bnd - 1                             # pair spanning the boundary
+    valid[idx[(idx >= 0) & (idx < len(valid))]] = False
+    lengths = np.diff(offsets)
+    n_pairs = np.maximum(lengths - 1, 0)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_pairs[:-1], out=doc_starts[1:])
+    return pairs[valid], doc_starts, n_pairs
+
+
+def train_char_lm(ds, text_col: str = "text", alpha: float = 0.5) -> np.ndarray:
+    """Train a byte-bigram language model over a corpus → 256×256
+    float64 ``log2 P(next | prev)`` matrix (add-``alpha`` smoothing).
+
+    The CCNet-style quality-model step, distributed: each batch reduces
+    to ONE ``bincount(65536)`` partial and emits only its nonzero
+    ``(pair_id, n)`` rows; a single bucketed sum (the repo's standard
+    partial/combine grouped aggregate) merges them, and the ≤65 536-row
+    result is driver-built into the matrix — counts are additive, so
+    the model is bit-identical under any partitioning or resume.
+    """
+    from .windows import AggSpec, grouped_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        pairs, _, _ = _byte_pairs(t[text_col].to_pylist())
+        counts = np.bincount(pairs, minlength=65536)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "pair_id": pa.array(nz.astype(np.int64)),
+            "n": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["pair_id"], [AggSpec("sum", "n", "n")],
+    ).to_pandas()                             # bounded: ≤65 536 rows
+    counts = np.zeros(65536, dtype=np.float64)
+    counts[merged["pair_id"].to_numpy()] = merged["n"].to_numpy()
+    counts = counts.reshape(256, 256)
+    row_tot = counts.sum(axis=1, keepdims=True)
+    return np.log2((counts + alpha) / (row_tot + 256.0 * alpha))
+
+
+class LmScore:
+    """Score documents against a broadcast byte-bigram LM: bits/byte
+    cross-entropy ``-(Σ log2 P(pairs)) / n_pairs`` (the perplexity
+    quality filter; low = in-domain, high = noise/out-of-language).
+
+    Holds a ``ray.put`` ObjectRef and materializes the 512 KB matrix
+    lazily per worker (zero-copy plasma read) — the broadcast-small-side
+    pattern, never re-shipped per batch.  Documents under 2 bytes score
+    NULL.  Per-doc sums use one ``add.reduceat`` over the batch's flat
+    pair run — sequential within each doc segment, so the score is
+    independent of batch composition.
+    """
+
+    def __init__(self, model_ref, text_col: str = "text",
+                 out_col: str = "bits_per_byte"):
+        self._ref = model_ref
+        self._logp = None
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._logp is None:
+            import ray
+
+            self._logp = (ray.get(self._ref)
+                          if not isinstance(self._ref, np.ndarray) else self._ref)
+        logp = self._logp.reshape(-1)
+        pairs, doc_starts, n_pairs = _byte_pairs(t[self.text_col].to_pylist())
+        bits = np.full(t.num_rows, np.nan)
+        has = n_pairs > 0
+        if len(pairs) and has.any():
+            # reduceat over non-empty docs only: zero-pair docs repeat the
+            # next doc's start and would corrupt segment boundaries
+            sums = np.add.reduceat(logp[pairs], doc_starts[has])
+            bits[has] = -sums / n_pairs[has]
+        return t.append_column(self.out_col, pa.array(bits, from_pandas=True))

@@ -658,3 +658,85 @@ def test_round_f64_matches_duckdb_exactly():
     # nulls pass through
     out = round_f64(pa.array([1.005, None], pa.float64()), 2)
     assert out[1].as_py() is None
+
+
+def test_budget_cap_boundary_and_partition_invariance(rd):
+    from hydra_ray.stages.sampling import budget_cap
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], size=400),
+        "id": np.arange(400),
+        "w": rng.integers(1, 50, size=400),
+    })
+    out = {}
+    for parts in (2, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        got = budget_cap(ds, "k", "w", "id", "w", budget=500,
+                         descending=True).to_pandas()
+        out[parts] = got.sort_values(["k", "id"]).reset_index(drop=True)
+    assert out[2].equals(out[7])                       # partition-invariant
+    got = out[2]
+    assert got["running_weight"].dtype == np.int64
+    # reference: pandas window semantics, inclusive running sum <= budget
+    ref = df.sort_values(["k", "w", "id"], ascending=[True, False, True])
+    ref = ref.assign(running_weight=ref.groupby("k")["w"].cumsum())
+    ref = ref[ref["running_weight"] <= 500]
+    ref = ref.sort_values(["k", "id"]).reset_index(drop=True)
+    assert got[["k", "id", "w", "running_weight"]].equals(
+        ref[["k", "id", "w", "running_weight"]].astype({"running_weight": "int64"})
+    )
+
+
+def _lm_reference(train_texts, score_texts, alpha=0.5):
+    counts = np.zeros((256, 256), dtype=np.float64)
+    for s in train_texts:
+        b = s.encode("utf-8")
+        for i in range(len(b) - 1):
+            counts[b[i], b[i + 1]] += 1
+    logp = np.log2((counts + alpha) / (counts.sum(1, keepdims=True) + 256 * alpha))
+    out = []
+    for s in score_texts:
+        b = s.encode("utf-8")
+        if len(b) < 2:
+            out.append(None)
+            continue
+        tot = 0.0
+        for i in range(len(b) - 1):
+            tot += logp[b[i], b[i + 1]]
+        out.append(-tot / (len(b) - 1))
+    return out
+
+
+def test_char_lm_exact_vs_reference_and_invariant(rd):
+    from hydra_ray.stages.text import LmScore, train_char_lm
+
+    train = ["the quick brown fox", "hello world", "the lazy dog", "döner",
+             "", "a"]
+    score = ["the fox", "", "x", "zzzz qqq", "hello there", "中文文本"]
+    model = train_char_lm(rd.from_pandas(pd.DataFrame({"text": train}))
+                          .repartition(3), "text")
+    ref = _lm_reference(train, score)
+    for parts in (1, 4):
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(score)),
+                                          "text": score})).repartition(parts)
+        got = (ds.map_batches(LmScore(model), batch_format="pyarrow")
+                 .to_pandas().sort_values("doc_id")["bits_per_byte"].tolist())
+        for g, r in zip(got, ref):
+            if r is None:
+                assert g is None or np.isnan(g)
+            else:
+                assert abs(g - r) < 1e-12, (g, r)
+    # model itself is partition-invariant (counts are additive)
+    model2 = train_char_lm(rd.from_pandas(pd.DataFrame({"text": train}))
+                           .repartition(1), "text")
+    assert np.array_equal(model, model2)
+
+
+def test_lm_quality_discriminates_language(ray_session):
+    import __ray_entry__ as em
+
+    got = em.queries()["lm_quality"]("/root/testdata/sf0.001").to_pandas()
+    m = got.groupby("lang")["bits_per_byte"].mean()
+    assert m["en"] < m["zh"], m      # en-trained model prefers en text
+    assert m["en"] < m["de"], m

@@ -81,6 +81,7 @@ NO_ORACLE = [
     "image_features",
     "image_neardup",
     "video_frames",
+    "lm_quality",
 ]
 
 
