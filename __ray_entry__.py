@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value": q.q_rolling_value,
         "lag_delta": q.q_lag_delta,
         "running_total": q.q_running_total,
+        "funnel": q.q_funnel,
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
         "stratified_sample": q.q_stratified_sample,
@@ -202,6 +203,25 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING), 4) AS running_sum
             FROM events
+        """,
+        "funnel": f"""
+            WITH s1 AS (
+                SELECT user_id, min(epoch_ms(ts)) AS t1_ms
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(epoch_ms(e.ts)) AS t2_ms
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t1_ms
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(epoch_ms(e.ts)) AS t3_ms
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t2_ms
+                GROUP BY e.user_id
+            )
+            SELECT s1.user_id, s1.t1_ms, s2.t2_ms, s3.t3_ms
+            FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+            WHERE s3.t3_ms - s1.t1_ms <= {2 * DAY}
         """,
         "value_dispersion": """
             SELECT event_type,

@@ -268,6 +268,25 @@ def q_running_total(sf_dir):
     return _round_cols(out, {"value": 2, "running_sum": 4})
 
 
+def q_funnel(sf_dir):
+    """CEP multi-step sequence match: users who viewed, then clicked,
+    then purchased (each strictly later), completing within 2 days of
+    the first view — earliest-completion chain, one bucket shuffle."""
+    from ..stages.cep import funnel_match
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_match(
+        _ms_col(ds, "ts", "ms"),
+        "user_id", "ms", "event_type",
+        steps=["view", "click", "purchase"], within=2 * DAY,
+    )
+    new = {"t1": "t1_ms", "t2": "t2_ms", "t3": "t3_ms"}
+    return out.map_batches(
+        lambda t: t.rename_columns([new.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+
+
 def q_token_explode(sf_dir):
     """Unnest each document into one row per token (the relational
     explode/flatten primitive; pure per-batch map, no shuffle)."""

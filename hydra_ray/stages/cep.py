@@ -1,0 +1,99 @@
+"""CEP sequence-pattern operators: multi-step funnel detection.
+
+The north-star rule calls the engine a structured-streaming/CEP engine;
+windows + the symmetric stream-stream join cover the streaming side,
+and this module adds the classic CEP batch primitive Ray Data has no
+built-in for: ordered multi-step sequence matching per key ("did the
+user do A, then B, then C, each strictly after the previous, within a
+window?").  The reference has no analogue (its views are last-write-wins
+compactions — `ingestors/kafka/src/main/scala/hydra/kafka/algebras/
+ConsumerGroupsAlgebra.scala`); this follows the beyond-reference
+ordered-window family conventions in `rollup.py`.
+
+Semantics (earliest-completion chain — the standard funnel definition,
+expressible in SQL as nested per-key MIN subqueries, which is exactly
+what the DuckDB oracle runs):
+
+    t1(key) = min order over rows with type == steps[0]
+    t_i(key) = min order over rows with type == steps[i] and
+               order > t_{i-1}(key)            (strictly after)
+    match(key) iff every t_i exists and t_n - t1 <= within (if set).
+
+Scale shape: ONE hash(key)-bucket shuffle, then each bucket resolves
+ALL of its keys per step with one boolean mask + one ``np.minimum.at``
+scatter — no Python dispatch per key, state per bucket is O(keys), and
+the shuffle payload is only (key, order, type).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["funnel_match"]
+
+_I64MAX = np.iinfo(np.int64).max
+_I64MIN = np.iinfo(np.int64).min
+
+
+def funnel_chain(keys: np.ndarray, order: np.ndarray, typ: np.ndarray,
+                 steps) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized earliest-completion chain over one partition's rows.
+
+    Returns (unique_keys, t) where t is (n_keys, n_steps) int64 with
+    _I64MAX marking "step never reached".  Shared by the batch operator
+    and its tests."""
+    uniq, codes = np.unique(keys, return_inverse=True)
+    prev = np.full(len(uniq), _I64MIN, dtype=np.int64)
+    cols = []
+    for s in steps:
+        cur = np.full(len(uniq), _I64MAX, dtype=np.int64)
+        cand = (typ == s) & (order > prev[codes])
+        np.minimum.at(cur, codes[cand], order[cand])
+        cols.append(cur)
+        prev = cur
+    return uniq, np.stack(cols, axis=1)
+
+
+def funnel_match(ds, key_col: str, order_col: str, type_col: str,
+                 steps, within: int | None = None, num_buckets: int = 64):
+    """Emit one row per key whose event stream contains the step types
+    in order (strictly increasing ``order_col``), earliest-completion
+    chain; columns ``key_col, t1 .. t<n>`` (int64 ``order_col`` units).
+
+    ``within`` (same units as ``order_col``) bounds t_n − t1.
+    """
+    from ..hashing import hash64
+
+    steps = list(steps)
+    tcols = [f"t{i + 1}" for i in range(len(steps))]
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            out = pd.DataFrame({key_col: g[key_col]})
+            for c in tcols:
+                out[c] = pd.Series([], dtype="int64")
+            return out
+        keys = g[key_col].to_numpy()
+        order = g[order_col].to_numpy(dtype=np.int64)
+        typ = g[type_col].to_numpy(dtype=object)
+        uniq, t = funnel_chain(keys, order, typ, steps)
+        done = t[:, -1] != _I64MAX
+        if within is not None:
+            done &= (t[:, -1] - t[:, 0]) <= within
+        out = pd.DataFrame({key_col: uniq[done]})
+        for i, c in enumerate(tcols):
+            out[c] = t[done, i]
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(match, batch_format="pandas")
+    )

@@ -143,3 +143,60 @@ def test_grouped_cumsum_matches_pandas(rd):
     np.testing.assert_allclose(
         out["running"].to_numpy(), ref["running"].to_numpy(), rtol=1e-9
     )
+
+
+def _brute_funnel(df, steps, within=None):
+    rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        ts = g["ts"].to_numpy()
+        typ = g["event_type"].to_numpy()
+        t_prev, chain = -1, []
+        for s in steps:
+            m = (typ == s) & (ts > t_prev)
+            if not m.any():
+                chain = None
+                break
+            t_prev = int(ts[m].min())
+            chain.append(t_prev)
+        if chain is not None and (within is None or chain[-1] - chain[0] <= within):
+            rows.append([uid] + chain)
+    cols = ["user_id"] + [f"t{i+1}" for i in range(len(steps))]
+    return pd.DataFrame(rows, columns=cols).sort_values("user_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("within", [None, 2500])
+def test_funnel_match_matches_bruteforce(rd, within):
+    from hydra_ray.stages.cep import funnel_match
+
+    df = _events(n=3000, seed=11)
+    steps = ["view", "click", "purchase"]
+    out = (
+        funnel_match(rd.from_pandas(df).repartition(7), "user_id", "ts",
+                     "event_type", steps, within=within, num_buckets=8)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    ref = _brute_funnel(df, steps, within)
+    assert len(out) == len(ref) > 0
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+
+
+def test_funnel_match_strictly_after_and_ties(rd):
+    # equal timestamps do NOT chain (strict >); a later same-type event is
+    # ignored once the earliest chain is fixed
+    from hydra_ray.stages.cep import funnel_match
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3],
+        "event_id": range(8),
+        "ts":       [5, 5, 9, 1, 2, 1, 3, 2],
+        "event_type": ["view", "click", "click",   # u1: click@5 not > view@5
+                       "view", "click",            # u2: 2-step only
+                       "view", "click", "click"],  # u3: earliest click@2
+    })
+    out = (
+        funnel_match(rd.from_pandas(df), "user_id", "ts", "event_type",
+                     ["view", "click"], num_buckets=4)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["t2"].tolist() == [9, 2, 2]
