@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_clusters": q.q_neardup_clusters,
+        "neardup_cc": q.q_neardup_cc,
         "simhash_neardup": q.q_simhash_neardup,
         "jaccard_search": q.q_jaccard_search,
         "decontaminate": q.q_decontaminate,

@@ -1125,6 +1125,21 @@ def q_neardup_clusters(sf_dir):
     return out
 
 
+def q_neardup_cc(sf_dir):
+    """Same near-dup pipeline resolved with DISTRIBUTED connected
+    components (alternating-star rounds, no driver collect) — the
+    10^12-doc scale path; output identical to the union-find resolver
+    (both label clusters by min member id)."""
+    from ..stages.neardup import neardup_clusters
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = neardup_clusters(ds, threshold=0.6, resolve="distributed")
+    if len(out) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return out
+
+
 def q_salted_agg(sf_dir):
     """Skew-safe two-stage aggregate: every key is hot (event_type has 5
     values over the whole table), so rows salt into (key, salt) partials

@@ -551,6 +551,7 @@ def neardup_clusters(
     k: int = 5,
     seed: int = 42,
     num_buckets: int = 64,
+    resolve: str = "driver",
 ):
     """Full MinHash-LSH near-dup pipeline: candidates → signature-estimate
     prefilter → exact n-gram Jaccard verification → connected components →
@@ -574,8 +575,12 @@ def neardup_clusters(
        shingle intersection.  Standard hybrid per Leskovec et al., MMDS
        ch.3 (candidate recall is governed by the banding either way).
 
-    Components run driver-side union-find over VERIFIED pairs only — that
-    set is provably small at a sane band setting.
+    Components: ``resolve="driver"`` runs union-find over VERIFIED pairs
+    on the driver (fine while the verified-pair set fits one node);
+    ``resolve="distributed"`` runs the alternating-star connected
+    components (`stages/graph.py`) — O(log n) bucket-shuffle rounds, no
+    driver collect — the 10^12-doc path.  Both label clusters by min
+    member id, so the outputs are identical.
     """
     from ..hashing import hash64
 
@@ -743,6 +748,21 @@ def neardup_clusters(
         return out.loc[out["jaccard"] >= threshold]
 
     verified = attached.groupby("__pb").map_groups(verify, batch_format="pandas")
+
+    if resolve == "distributed":
+        from .graph import connected_components
+
+        out = connected_components(
+            verified, "id_a", "id_b", num_buckets=num_buckets
+        ).to_pandas()
+        if out.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "cluster_id": pd.Series([], dtype="int64")})
+        return (
+            out.rename(columns={"node": "doc_id", "component": "cluster_id"})
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+
     pairs = verified.to_pandas()
 
     parent: dict = {}

@@ -1,0 +1,92 @@
+"""Distributed connected components vs driver union-find."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+def _uf_labels(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({x for p in pairs for x in p})
+    return pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
+
+
+def _run_cc(rd, pairs, **kw):
+    from hydra_ray.stages.graph import connected_components
+
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    out = (
+        connected_components(rd.from_pandas(df).repartition(6), "id_a", "id_b",
+                             num_buckets=8, **kw)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+def test_cc_random_graph_matches_union_find(rd):
+    rng = np.random.default_rng(7)
+    # sparse random graph: many small components + some chains
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, 500, size=(400, 2))
+             if p[0] != p[1]]
+    out = _run_cc(rd, pairs)
+    ref = _uf_labels(pairs).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref.astype("int64"))
+
+
+def test_cc_long_chain_and_cycle(rd):
+    # a 200-node path (worst case for propagation) + a disjoint cycle
+    chain = [(i, i + 1) for i in range(1000, 1200)]
+    cycle = [(i, i + 1) for i in range(0, 9)] + [(9, 0)]
+    out = _run_cc(rd, chain + cycle)
+    ref = _uf_labels(chain + cycle)
+    pd.testing.assert_frame_equal(out, ref.astype("int64"))
+    assert set(out["component"]) == {0, 1000}
+
+
+def test_cc_duplicate_and_self_edges(rd):
+    pairs = [(1, 2), (2, 1), (1, 1), (2, 3), (5, 5), (7, 8)]
+    out = _run_cc(rd, pairs)
+    # self-loop-only node 5 has no edge after canon; it is absent
+    assert out["node"].tolist() == [1, 2, 3, 7, 8]
+    assert out["component"].tolist() == [1, 1, 1, 7, 7]
+
+
+def test_cc_empty(rd):
+    from hydra_ray.stages.graph import connected_components
+
+    df = pd.DataFrame([(1, 1)], columns=["id_a", "id_b"])  # self-loop only
+    out = connected_components(rd.from_pandas(df), "id_a", "id_b", num_buckets=8)
+    assert out.count() == 0
+
+
+def test_neardup_clusters_resolvers_identical(rd):
+    # driver union-find and distributed CC label the same clusters on the
+    # planted near-dup fixture (documents table, sf0.001)
+    from hydra_ray.stages.neardup import neardup_clusters
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    a = neardup_clusters(ds, threshold=0.6).reset_index(drop=True)
+    ds2 = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"])
+    b = neardup_clusters(ds2, threshold=0.6, resolve="distributed")
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
