@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         # audio analysis
         "audio_features": q.q_audio_features,
+        "audio_curation": q.q_audio_curation,
+        "vad_segments": q.q_vad_segments,
         "audio_neardup": q.q_audio_neardup,
         "flac_roundtrip": q.q_flac_roundtrip,
         # image / video (real ppm/pgm/bmp + rawv kernels; PIL/ffmpeg

@@ -1400,3 +1400,52 @@ def q_audio_features(sf_dir):
         )
 
     return feats.map_batches(project, batch_format="pyarrow")
+
+
+def q_audio_curation(sf_dir):
+    """Decode → resample every clip to 16 kHz → FFT spectral features
+    (centroid/bandwidth/rolloff/flatness) — the sample-rate-normalize +
+    spectral-stats curation pass (rows-only; no SQL audio codec)."""
+    from ..stages.audio_curation import Resampler, SpectralFeatures
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..synth import synth_clips_batch
+
+    n = 600
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0), num_blocks=32
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
+    main, _ = split_dlq(ds)
+    cur = main.map_batches(Resampler(16_000), batch_format="pyarrow").map_batches(
+        SpectralFeatures(), batch_format="pyarrow"
+    )
+
+    def project(t2: pa.Table) -> pa.Table:
+        out_n = pc.list_value_length(t2["pcm"]).cast(pa.int64())
+        return pa.table({
+            "seq": t2["seq"],
+            "sr_hz": t2["sr_hz"],
+            "n_samples": out_n,
+            "spec_centroid_hz": round_f64(t2["spec_centroid_hz"], 1),
+            "spec_bandwidth_hz": round_f64(t2["spec_bandwidth_hz"], 1),
+            "spec_rolloff_hz": round_f64(t2["spec_rolloff_hz"], 1),
+            "spec_flatness": round_f64(t2["spec_flatness"], 4),
+        })
+
+    return cur.map_batches(project, batch_format="pyarrow")
+
+
+def q_vad_segments(sf_dir):
+    """Decode → energy-VAD segmentation: clips explode into active
+    segments (speech-trim curation pass; rows-only)."""
+    from ..stages.audio_curation import VadSegments
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..synth import synth_clips_batch
+
+    n = 600
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0), num_blocks=32
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
+    main, _ = split_dlq(ds)
+    return main.map_batches(
+        VadSegments("seq", thresh_db=-45.0), batch_format="pyarrow"
+    )

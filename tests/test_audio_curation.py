@@ -1,0 +1,123 @@
+"""Audio curation kernels vs analytic signals (spectral / resample / VAD)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hydra_ray.stages.audio_curation import (
+    resample_clips,
+    spectral_features,
+    vad_segments,
+)
+
+
+def _tbl(clips, srs, ids=None):
+    off = np.r_[0, np.cumsum([len(c) for c in clips])].astype(np.int64)
+    flat = np.concatenate(clips).astype(np.float32) if clips else np.array([], np.float32)
+    pcm = pa.LargeListArray.from_arrays(pa.array(off), pa.array(flat, pa.float32()))
+    return pa.table({
+        "clip_id": pa.array(ids or [f"c{i}" for i in range(len(clips))]),
+        "pcm": pcm,
+        "sr_hz": pa.array(np.asarray(srs, np.int32), pa.int32()),
+    })
+
+
+def _sine(f, sr, dur_s, amp=0.5, phase=0.0):
+    t = np.arange(int(sr * dur_s)) / sr
+    return amp * np.sin(2 * np.pi * f * t + phase)
+
+
+def test_spectral_centroid_tracks_sine_freq():
+    sr = 16_000
+    t = spectral_features(_tbl([_sine(1000, sr, 1.0), _sine(3000, sr, 1.0)],
+                               [sr, sr]))
+    cent = t["spec_centroid_hz"].to_numpy()
+    bin_hz = sr / 1024
+    assert abs(cent[0] - 1000) < 3 * bin_hz
+    assert abs(cent[1] - 3000) < 3 * bin_hz
+    # pure tones are spectrally peaky: flatness near 0
+    assert (t["spec_flatness"].to_numpy() < 0.05).all()
+
+
+def test_spectral_noise_vs_tone_and_short_clip():
+    sr = 16_000
+    rng = np.random.default_rng(0)
+    noise = rng.normal(0, 0.2, sr).astype(np.float32)
+    t = spectral_features(_tbl([noise, _sine(500, sr, 1.0), np.zeros(100)],
+                               [sr, sr, sr]))
+    flat = t["spec_flatness"].to_numpy()
+    assert flat[0] > 0.3 > flat[1]          # white noise ≫ tone
+    assert np.isnan(t["spec_centroid_hz"].to_numpy()[2])  # < 1 frame → NULL
+    # rolloff of white noise sits well above the tone's
+    roll = t["spec_rolloff_hz"].to_numpy()
+    assert roll[0] > 4000 and roll[1] < 1000
+
+
+def test_resample_sine_snr_and_lengths():
+    f, amp = 440.0, 0.4
+    src = _sine(f, 8000, 1.0, amp)
+    t = resample_clips(_tbl([src, _sine(f, 16000, 0.5, amp)], [8000, 16000]),
+                       target_sr=16000)
+    assert t["sr_hz"].to_numpy().tolist() == [16000, 16000]
+    out = t["pcm"].combine_chunks()
+    lens = np.diff(out.offsets.to_numpy())
+    assert lens.tolist() == [16000, 8000]
+    up = out.flatten().to_numpy(zero_copy_only=False)[:16000]
+    ref = _sine(f, 16000, 1.0, amp).astype(np.float32)
+    err = up - ref
+    snr = 10 * np.log10((ref ** 2).sum() / max((err ** 2).sum(), 1e-30))
+    assert snr >= 30.0, snr
+    # same-rate clip passes through bit-identically
+    down = out.flatten().to_numpy(zero_copy_only=False)[16000:]
+    np.testing.assert_array_equal(down, _sine(f, 16000, 0.5, amp).astype(np.float32))
+
+
+def test_resample_empty_and_zero_len():
+    t = resample_clips(_tbl([np.array([], np.float32)], [8000]), 16000)
+    assert t["pcm"].combine_chunks().offsets.to_numpy().tolist() == [0, 0]
+
+
+def test_vad_finds_tone_span():
+    sr = 16_000
+    sil = np.zeros(sr // 2, np.float32)           # 500 ms
+    tone = _sine(440, sr, 0.6, 0.3).astype(np.float32)  # 600 ms
+    clip = np.concatenate([sil, tone, sil])
+    t = vad_segments(_tbl([clip], [sr]), "clip_id", frame_ms=20,
+                     thresh_db=-35.0, hang_frames=2)
+    assert t.num_rows == 1
+    start, end = t["start_ms"][0].as_py(), t["end_ms"][0].as_py()
+    assert abs(start - 500) <= 20
+    # hangover extends the tail by up to hang_frames*20 ms
+    assert 1100 - 20 <= end <= 1100 + 3 * 20
+
+
+def test_vad_multiple_segments_and_silence():
+    sr = 8_000
+    seg = _sine(300, sr, 0.2, 0.5).astype(np.float32)
+    gap = np.zeros(int(sr * 0.3), np.float32)
+    clip = np.concatenate([gap, seg, gap, seg, gap])
+    t = vad_segments(_tbl([clip, np.zeros(sr, np.float32)], [sr, sr]),
+                     "clip_id", frame_ms=20, hang_frames=1)
+    df = t.to_pandas()
+    assert (df["clip_id"] == "c0").all()
+    assert df["seg"].tolist() == [0, 1]
+    assert abs(df["start_ms"][0] - 300) <= 20
+    assert abs(df["start_ms"][1] - 800) <= 20
+
+
+def test_vad_segments_on_dataset(ray_session):
+    import ray.data as rd
+
+    sr = 16_000
+    clips = [np.concatenate([np.zeros(sr // 4, np.float32),
+                             _sine(200 + 50 * i, sr, 0.25, 0.4).astype(np.float32)])
+             for i in range(20)]
+    tbl = _tbl(clips, [sr] * 20, ids=[f"clip{i:02d}" for i in range(20)])
+    from hydra_ray.stages.audio_curation import VadSegments
+
+    out = (
+        rd.from_arrow(tbl).repartition(4)
+        .map_batches(VadSegments("clip_id"), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert len(out) == 20 and set(out["seg"]) == {0}
