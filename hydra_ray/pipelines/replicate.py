@@ -97,6 +97,14 @@ class ReplicateConfig:
     # which 64-bit signature feeds the index: "audio_fp" (decode +
     # perceptual fingerprint) or "simhash" (transcript SimHash, no decode)
     neardup_signature: str = "audio_fp"
+    # CEP funnel over the combined stream (clip lifecycle patterns): an
+    # ordered tuple of event kinds from {"clip", "update", "delete"}
+    # ("clip" = clip arrival, "update" = non-tombstone transcript update,
+    # "delete" = tombstone).  A key emits ONE row into the `funnels` sink
+    # at the epoch where its earliest-completion chain completes (within
+    # funnel_within_ms of the first step when set).  () disables.
+    funnel_steps: tuple = ()
+    funnel_within_ms: int = 0
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -129,6 +137,7 @@ def _route_factory(
     n_salts: int = 4,
     flush_bytes: int = 64 << 20,
     drop: np.ndarray | None = None,
+    funnel_on: bool = False,
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
     heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
@@ -162,7 +171,7 @@ def _route_factory(
     """
     return _Router(
         handles, kind, wm, key_col, P, decoder, payload_root, epoch, nonce,
-        hot_keys, n_salts, flush_bytes, drop,
+        hot_keys, n_salts, flush_bytes, drop, funnel_on,
     )
 
 
@@ -170,7 +179,9 @@ class _Router:
     def __init__(
         self, handles, kind, wm, key_col, P, decoder, payload_root,
         epoch, nonce, hot_keys, n_salts, flush_bytes, drop=None,
+        funnel_on=False,
     ):
+        self.funnel_on = funnel_on
         self.handles = handles
         self.kind = kind
         self.wm = wm
@@ -252,6 +263,24 @@ class _Router:
             )
         else:
             parts = partition_for(keys, P)
+        funnel_refs = []
+        if kind == "clips" and self.funnel_on and hot_keys:
+            # funnel state lives on the HOME partition only (per-key
+            # sequential chain — never salted); fan the light funnel rows
+            # of salted-away clips home, pre-filtered to the same
+            # will-emit predicate the actor applies
+            home = partition_for(keys, P)
+            fok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
+            fok &= _ts_to_ms(batch["event_ts"]) >= wm
+            diff = np.flatnonzero(fok & (home != parts))
+            if len(diff):
+                mini = batch.select(["clip_id", "event_ts"]).take(pa.array(diff))
+                hp = home[diff]
+                for p in np.unique(hp):
+                    sub = mini.take(pa.array(np.flatnonzero(hp == p)))
+                    funnel_refs.append(
+                        handles[int(p)].ingest.remote("funnel", sub, wm, epoch, nonce)
+                    )
         replica_rows: dict = {}  # partition -> replica row indices
         if kind == "updates" and hot_keys:
             # fan hot-key updates out to every salt partition of the key
@@ -313,6 +342,8 @@ class _Router:
             self.frag_jsons.extend(self.flush().values())
         t2 = _time.perf_counter()
         acks = ray.get(refs)
+        if funnel_refs:
+            ray.get(funnel_refs)
         t3 = _time.perf_counter()
         k = len(sent)
         return pa.table(
@@ -466,7 +497,8 @@ def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
 
 
 class ReplicatePipeline:
-    SINKS = ("replicated", "payload", "windows", "sliding", "sessions", "dlq", "views")
+    SINKS = ("replicated", "payload", "windows", "sliding",
+             "sessions", "funnels", "dlq", "views")
     MAIN = "replicated"
 
     def __init__(
@@ -784,6 +816,7 @@ class ReplicatePipeline:
             hot_keys=hot,
             n_salts=cfg.n_salts,
             drop=drop,
+            funnel_on=bool(cfg.funnel_steps),
         )
         updates_route = _route_factory(
             self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions,
@@ -1283,6 +1316,8 @@ class _StateCfg:
     sliding_slide_ms: int = 0
     num_partitions: int = 0
 
+    FUNNEL_KINDS = {"clip": 0, "update": 1, "delete": 2}
+
     def __init__(self, cfg: ReplicateConfig):
         self.join_window_ms = cfg.join_window_ms
         self.allowed_lateness_ms = cfg.allowed_lateness_ms
@@ -1291,3 +1326,7 @@ class _StateCfg:
         self.sliding_size_ms = cfg.sliding_size_ms
         self.sliding_slide_ms = cfg.sliding_slide_ms
         self.num_partitions = cfg.num_partitions
+        self.funnel_steps = tuple(
+            self.FUNNEL_KINDS[s] for s in (cfg.funnel_steps or ())
+        )
+        self.funnel_within_ms = cfg.funnel_within_ms

@@ -51,6 +51,7 @@ import pyarrow.compute as pc
 from ..stages.windows import assign_tumbling, ts_to_ms
 
 WATERMARK_MAX = (1 << 62)  # end-of-stream sentinel: flush everything
+_I64MAX = np.iinfo(np.int64).max  # funnel chain: "step not reached"
 
 __all__ = ["PartitionState", "PartitionStateActor", "WATERMARK_MAX"]
 
@@ -74,6 +75,11 @@ class PartitionState:
         self.upd_chunks: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         # compacted latest-transcript view (last-write-wins by (ts, rev))
         self.view: dict[str, tuple] = {}
+        # CEP funnel: key -> list of achieved chain times (earliest-
+        # completion chain over the combined clip/update/delete stream);
+        # buffered not-yet-processed light rows as (keys, ts, kind) arrays
+        self.funnel: dict[str, list] = {}
+        self.funnel_buf: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         # DLQ rows accumulated this epoch: list[(source, reason, table)]
         self.dlq_buf: list[tuple[str, str, pa.Table]] = []
         # per-epoch clip-key counts (reset each close) — feeds the driver's
@@ -93,6 +99,8 @@ class PartitionState:
         self._delta_upd: list[tuple] = []
         self._delta_view: dict[str, tuple] = {}
         self._delta_clips: list[pa.Table] = []
+        self._delta_funnel: dict[str, list] = {}
+        self._delta_funnel_buf: list[tuple] = []
 
     # ------------------------------------------------------------- ingest
     def ingest_clips(self, table: pa.Table, wm: int) -> dict:
@@ -140,7 +148,40 @@ class PartitionState:
             ):
                 self.key_counts[k] = self.key_counts.get(k, 0) + int(c)
             self.metrics["clips_in"] += sub.num_rows
+            if getattr(self.cfg, "funnel_steps", ()):
+                # funnel events for clips whose HOME partition is this one;
+                # salted-away hot clips arrive via the router's explicit
+                # kind="funnel" sends (funnel state is per-key sequential,
+                # never salted — the rows are 3 light columns)
+                from ..hashing import partition_for
+
+                kk = np.asarray(
+                    sub["clip_id"].to_numpy(zero_copy_only=False), dtype=object
+                )
+                home = partition_for(kk, self.cfg.num_partitions) == self.partition
+                if home.any():
+                    self._funnel_append(
+                        kk[home], sub_ts[home],
+                        np.zeros(int(home.sum()), np.int8),
+                    )
         return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
+
+    def ingest_funnel(self, table: pa.Table, wm: int) -> dict:
+        """Light (clip_id, event_ts) rows fan-routed to the HOME partition
+        for clips whose salted route landed elsewhere (pre-filtered to the
+        same will-emit predicate ``ingest_clips`` applies)."""
+        n = table.num_rows
+        if n == 0:
+            return {"n": 0, "late": 0, "max_ts": self.max_ts}
+        ts = ts_to_ms(table["event_ts"])
+        keys = np.asarray(table["clip_id"].to_numpy(zero_copy_only=False), object)
+        self._funnel_append(keys, ts, np.zeros(n, np.int8))
+        return {"n": n, "late": 0, "max_ts": self.max_ts}
+
+    def _funnel_append(self, keys: np.ndarray, tss: np.ndarray, kinds: np.ndarray):
+        chunk = (keys, tss.astype(np.int64), kinds)
+        self.funnel_buf.append(chunk)
+        self._delta_funnel_buf.append(chunk)
 
     @staticmethod
     def _merge_window_partials(
@@ -294,6 +335,19 @@ class PartitionState:
                     self.view[ks[i]] = rec
                     self._delta_view[ks[i]] = rec
             self.metrics["updates_in"] += int((ok & ~replica).sum())
+            if getattr(self.cfg, "funnel_steps", ()):
+                prim = np.flatnonzero(ok & ~replica)
+                if len(prim):
+                    kk = np.asarray(
+                        table["clip_id"].to_numpy(zero_copy_only=False), object
+                    )[prim]
+                    xx = np.asarray(
+                        table["transcript"].to_numpy(zero_copy_only=False), object
+                    )[prim]
+                    kinds = np.where(
+                        pd.isna(xx), np.int8(2), np.int8(1)
+                    ).astype(np.int8)  # tombstone → "delete", else "update"
+                    self._funnel_append(kk, ts[prim], kinds)
         return {"n": n, "late": int(late.sum()), "max_ts": self.max_ts}
 
     # -------------------------------------------------------------- close
@@ -310,6 +364,7 @@ class PartitionState:
         out["windows"], out["hot_windows"] = self._close_windows(epoch, wm, hot_keys)
         out["sliding"], out["hot_sliding"] = self._close_sliding(epoch, wm, hot_keys)
         out["sessions"], out["hot_sessions"] = self._close_sessions(epoch, wm, hot_keys)
+        out["funnels"] = self._close_funnel(epoch, wm)
         out["dlq"] = self._emit_dlq(epoch)
         if wm >= WATERMARK_MAX and self.view:
             # end of stream: materialize the compacted latest-value view
@@ -334,6 +389,70 @@ class PartitionState:
         self.metrics["updates_evicted"] += evicted
         self.metrics["epochs_closed"] += 1
         return out
+
+    def _close_funnel(self, epoch: int, wm: int) -> pa.Table | None:
+        """Advance every buffered key's earliest-completion chain with the
+        rows whose event time passed the watermark; emit one match row per
+        key on its completion transition.
+
+        EXACT vs the batch ``funnel_chain`` kernel: chain times only ever
+        append (never revise), because every unprocessed row has
+        ts ≥ the watermark that processed the rows the existing chain
+        summarizes — so per-step ``min`` over (state ∪ new rows) equals
+        the batch min over all rows.  Arrival-order and routing
+        independent: the per-step scatter is order-free and funnel rows
+        always reach the key's HOME partition.
+        """
+        steps = getattr(self.cfg, "funnel_steps", ())
+        if not steps or not self.funnel_buf:
+            return None
+        keys = np.concatenate([c[0] for c in self.funnel_buf])
+        tss = np.concatenate([c[1] for c in self.funnel_buf])
+        kinds = np.concatenate([c[2] for c in self.funnel_buf])
+        take = tss <= wm if wm < WATERMARK_MAX else np.ones(len(tss), bool)
+        if not take.any():
+            return None
+        rest = ~take
+        self.funnel_buf = (
+            [(keys[rest], tss[rest], kinds[rest])] if rest.any() else []
+        )
+        keys, tss, kinds = keys[take], tss[take], kinds[take]
+
+        uniq, codes = np.unique(keys, return_inverse=True)
+        S = len(steps)
+        t = np.full((len(uniq), S), _I64MAX, np.int64)
+        was_complete = np.zeros(len(uniq), bool)
+        ul = uniq.tolist()
+        for i, k in enumerate(ul):
+            ch = self.funnel.get(k)
+            if ch:
+                t[i, : len(ch)] = ch
+                was_complete[i] = len(ch) == S
+        prev = np.full(len(uniq), -_I64MAX, np.int64)
+        for s, code in enumerate(steps):
+            cand = (kinds == code) & (tss > prev[codes])
+            np.minimum.at(t[:, s], codes[cand], tss[cand])
+            prev = t[:, s]
+
+        levels = (t != _I64MAX).sum(axis=1)
+        for i, k in enumerate(ul):
+            lv = int(levels[i])
+            if lv and len(self.funnel.get(k, ())) != lv:
+                ch = t[i, :lv].tolist()
+                self.funnel[k] = ch
+                self._delta_funnel[k] = ch
+
+        newly = (levels == S) & ~was_complete
+        within = getattr(self.cfg, "funnel_within_ms", 0)
+        if within:
+            newly &= (t[:, -1] - t[:, 0]) <= within
+        if not newly.any():
+            return None
+        self.metrics["funnel_matches"] += int(newly.sum())
+        cols = {"clip_id": pa.array(uniq[newly].astype(str))}
+        for s in range(S):
+            cols[f"t{s + 1}_ms"] = pa.array(t[newly, s], pa.int64())
+        return _stamp(pa.table(cols), self.partition, epoch)
 
     def _consolidated_updates(self):
         """Update buffer as (key, ts, rev)-sorted columnar arrays; the
@@ -594,6 +713,8 @@ class PartitionState:
                 "sessions": dict(self.sessions),
                 "upd_chunks": self.upd_chunks,
                 "view": self.view,
+                "funnel": self.funnel,
+                "funnel_buf": self.funnel_buf,
                 "max_ts": self.max_ts,
                 "metrics": dict(self.metrics),
                 "wm": wm,
@@ -613,6 +734,8 @@ class PartitionState:
                 "swin_delta": self._delta_swin,
                 "upd_delta": self._delta_upd,
                 "view_delta": self._delta_view,
+                "funnel_delta": self._delta_funnel,
+                "funnel_buf_delta": self._delta_funnel_buf,
                 "sessions": dict(self.sessions),   # small: open sessions only
                 "max_ts": self.max_ts,
                 "metrics": dict(self.metrics),
@@ -638,6 +761,8 @@ class PartitionState:
         self.sessions = defaultdict(list, light["sessions"])
         self.upd_chunks = light["upd_chunks"]
         self.view = light["view"]
+        self.funnel = light.get("funnel", {})
+        self.funnel_buf = light.get("funnel_buf", [])
         self.max_ts = light["max_ts"]
         self.metrics = defaultdict(int, light["metrics"])
         buf_path = os.path.join(directory, "clip_buf.parquet")
@@ -662,6 +787,8 @@ class PartitionState:
                     cur[1] += acc[1]
         self.upd_chunks.extend(d["upd_delta"])
         self.view.update(d["view_delta"])
+        self.funnel.update(d.get("funnel_delta", {}))
+        self.funnel_buf.extend(d.get("funnel_buf_delta", []))
         self.sessions = defaultdict(list, d["sessions"])
         self.max_ts = d["max_ts"]
         self.metrics = defaultdict(int, d["metrics"])
@@ -702,6 +829,14 @@ class PartitionState:
         self.upd_chunks = (
             [(keys[keep], tss[keep], revs[keep], texts[keep])] if keep.any() else []
         )
+        # funnel buffer rows with ts ≤ wm were consumed into the chain
+        # state at their close (same monotone predicate)
+        if self.funnel_buf:
+            fk = np.concatenate([c[0] for c in self.funnel_buf])
+            ft = np.concatenate([c[1] for c in self.funnel_buf])
+            fd = np.concatenate([c[2] for c in self.funnel_buf])
+            keep = ft > wm
+            self.funnel_buf = [(fk[keep], ft[keep], fd[keep])] if keep.any() else []
         # sessions are exact (full copy in every delta): closed hot/cold
         # sessions were already removed at their close
 
@@ -784,6 +919,8 @@ def _make_actor_cls():
                         continue
                     if kind == "clips":
                         self.state.ingest_clips(table, wm_i)
+                    elif kind == "funnel":
+                        self.state.ingest_funnel(table, wm_i)
                     else:
                         self.state.ingest_updates(table, wm_i)
             hot = frozenset(hot_keys) if hot_keys else frozenset()
