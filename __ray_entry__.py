@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_delta": q.q_lag_delta,
         "running_total": q.q_running_total,
         "funnel": q.q_funnel,
+        "value_histogram": q.q_value_histogram,
+        "mode_user": q.q_mode_user,
+        "value_corr": q.q_value_corr,
+        "value_outliers": q.q_value_outliers,
         "train_split": q.q_train_split,
         "source_cap": q.q_source_cap,
         "stratified_sample": q.q_stratified_sample,
@@ -225,6 +229,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1.user_id, s1.t1_ms, s2.t2_ms, s3.t3_ms
             FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
             WHERE s3.t3_ms - s1.t1_ms <= {2 * DAY}
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(LEAST(GREATEST(FLOOR(value / 20.0), 0), 9) AS BIGINT)
+                       AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "mode_user": """
+            SELECT event_type, user_id AS mode_user FROM (
+                SELECT event_type, user_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY count(*) DESC, user_id ASC) AS rn
+                FROM events GROUP BY event_type, user_id
+            ) WHERE rn = 1
+        """,
+        "value_corr": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4)
+                       AS corr_qty_price
+            FROM lineitem GROUP BY 1
+        """,
+        "value_outliers": """
+            SELECT event_id, event_type, round(value, 2) AS value FROM (
+                SELECT event_id, event_type, value,
+                       avg(value) OVER (PARTITION BY event_type) AS m,
+                       stddev_samp(value) OVER (PARTITION BY event_type) AS s
+                FROM events
+            ) WHERE abs(value - m) > 3 * s
         """,
         "value_dispersion": """
             SELECT event_type,

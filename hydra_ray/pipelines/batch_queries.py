@@ -268,6 +268,44 @@ def q_running_total(sf_dir):
     return _round_cols(out, {"value": 2, "running_sum": 4})
 
 
+def q_value_histogram(sf_dir):
+    """Fixed-width per-group histogram (profiling combiner: per-batch
+    counts, shuffle carries one row per (group, bin) per block)."""
+    from ..stages.profile import grouped_histogram
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_histogram(ds, ["event_type"], "value", 0.0, 200.0, 10)
+
+
+def q_mode_user(sf_dir):
+    """Most frequent user per event type, ties to the smallest user_id —
+    exact distributed MODE via count partials + one bucket shuffle."""
+    from ..stages.profile import grouped_mode
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_mode(ds, ["event_type"], "user_id", out_col="mode_user")
+
+
+def q_value_corr(sf_dir):
+    """Per-group Pearson correlation from exact sum partials."""
+    from ..stages.profile import grouped_corr
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_corr(ds, ["l_returnflag"], "l_quantity", "l_extendedprice",
+                       out_col="corr_qty_price")
+    return _round_cols(out, {"corr_qty_price": 4})
+
+
+def q_value_outliers(sf_dir):
+    """Z-score outlier rows (> 3 sample stddevs from the group mean) —
+    tiny grouped stats broadcast once, then a stateless filter pass."""
+    from ..stages.profile import grouped_outliers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = grouped_outliers(ds, ["event_type"], "value", n_sigma=3.0)
+    return _round_cols(out, {"value": 2})
+
+
 def q_funnel(sf_dir):
     """CEP multi-step sequence match: users who viewed, then clicked,
     then purchased (each strictly later), completing within 2 days of
