@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q.q_hash_join,
         "anti_join": q.q_anti_join,
         "bloom_semi_join": q.q_bloom_semi_join,
+        "left_join": q.q_left_join,
+        "replication_diff": q.q_replication_diff,
         "upsert_compaction": q.q_upsert_compaction,
         # dedup family
         "exact_dedup": q.q_exact_dedup,
@@ -464,6 +466,37 @@ def oracle_sql() -> dict[str, str]:
                          / 100.0, 2) AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "left_join": """
+            SELECT c.c_custkey AS o_custkey, c.c_nationkey AS c_nationkey,
+                   o.n_orders AS n_orders
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey,
+                              CAST(count(*) AS BIGINT) AS n_orders
+                       FROM orders WHERE o_totalprice > 150000
+                       GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
+        """,
+        "replication_diff": """
+            WITH l AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 97 <> 0
+            ), r AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 50 = 0
+                            THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 89 <> 0
+            )
+            SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+                   CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                        WHEN r.o_orderkey IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM l FULL JOIN r ON l.o_orderkey = r.o_orderkey
+            WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+               OR l.o_totalprice IS DISTINCT FROM r.o_totalprice
+               OR l.o_orderstatus IS DISTINCT FROM r.o_orderstatus
         """,
         "distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct_users

@@ -825,6 +825,60 @@ def q_bloom_semi_join(sf_dir):
     return bucketed_join(li, small, "l_partkey", how="semi", bloom_fpp=0.01)
 
 
+def q_left_join(sf_dir):
+    """Customers left-joined with their order counts — exercises the
+    null-padded outer path of bucketed_join (customers with no orders
+    keep a NULL count, int64 stays int64 with nulls in Arrow)."""
+    from ..stages.join import bucketed_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    counts = grouped_aggregate(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 150000"),
+        ["o_custkey"],
+        [AggSpec("count", None, "n_orders")],
+    )
+    return bucketed_join(cust, counts, key="o_custkey", how="left")
+
+
+def q_replication_diff(sf_dir):
+    """Replication audit: diff a 'source' vs a 'replica' snapshot of the
+    orders table (both derived deterministically: the replica is missing
+    every 89th key, the source every 97th, and every 50th replica price
+    drifted by +1.0) → one row per divergent key with added/removed/
+    changed status (`stages/diff.py table_diff`)."""
+    from ..stages.diff import table_diff
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+
+    def keep_mod(mod):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            return t.filter(pa.array(k % mod != 0))
+
+        return f
+
+    left = _read(sf_dir, "orders", cols).map_batches(
+        keep_mod(97), batch_format="pyarrow"
+    )
+
+    def perturb(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        price = t["o_totalprice"].to_numpy().copy()
+        price[k % 50 == 0] += 1.0
+        i = t.schema.get_field_index("o_totalprice")
+        return t.set_column(i, "o_totalprice", pa.array(price))
+
+    right = _read(sf_dir, "orders", cols).map_batches(
+        keep_mod(89), batch_format="pyarrow"
+    ).map_batches(perturb, batch_format="pyarrow")
+    return table_diff(left, right, "o_orderkey",
+                      ["o_totalprice", "o_orderstatus"])
+
+
 def q_tfidf_terms(sf_dir):
     """Top-3 tf·idf terms per document (tie → ascending term)."""
     from ..stages.text import tfidf_top_terms

@@ -740,3 +740,39 @@ def test_lm_quality_discriminates_language(ray_session):
     m = got.groupby("lang")["bits_per_byte"].mean()
     assert m["en"] < m["zh"], m      # en-trained model prefers en text
     assert m["en"] < m["de"], m
+
+
+def test_table_diff_statuses_and_null_safety(rd):
+    """table_diff emits exactly the divergent keys: added (right-only),
+    removed (left-only), changed (any compare col IS DISTINCT FROM),
+    with NULL==NULL treated as equal; unchanged keys are omitted."""
+    from hydra_ray.stages.diff import table_diff
+
+    ldf = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5, 6],
+        "v": [10.0, 20.0, np.nan, 40.0, np.nan, 60.0],
+        "s": ["a", "b", "c", "d", "e", "f"],
+    })
+    rdf = pd.DataFrame({
+        # 1 unchanged, 2 value drift, 3 NULL==NULL unchanged, 4 dropped,
+        # 5 NULL -> value (changed), 7 added
+        "k": [1, 2, 3, 5, 6, 7],
+        "v": [10.0, 21.0, np.nan, 50.0, 60.0, 70.0],
+        "s": ["a", "b", "c", "e", "f", "g"],
+    })
+    out = (
+        table_diff(rd.from_pandas(ldf).repartition(3),
+                   rd.from_pandas(rdf).repartition(2), "k", ["v", "s"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [2, 4, 5, 7]
+    assert out["status"].tolist() == ["changed", "removed", "changed", "added"]
+
+
+def test_table_diff_identical_tables_empty(rd):
+    from hydra_ray.stages.diff import table_diff
+
+    df = pd.DataFrame({"k": np.arange(200), "v": np.arange(200) * 1.5})
+    out = table_diff(rd.from_pandas(df).repartition(4),
+                     rd.from_pandas(df).repartition(7), "k", ["v"])
+    assert out.count() == 0
