@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_day": q.q_events_per_day,
         # aggregates / joins (§2.5, §2.6)
         "pricing_summary": q.q_pricing_summary,
+        "rollup_sales": q.q_rollup_sales,
         "salted_agg": q.q_salted_agg,
         "broadcast_enrich": q.q_broadcast_enrich,
         "hash_join": q.q_hash_join,
@@ -450,6 +451,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY 1, 2
+        """,
+        "rollup_sales": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                       AS grouping_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         / 100.0, 2) AS sum_base_price
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "broadcast_enrich": """
             SELECT c.c_nationkey AS c_nationkey,

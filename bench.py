@@ -43,7 +43,7 @@ QUERY_NAMES = [
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
     "lag_delta", "running_total", "event_paths", "pack_sequences",
     "token_stats", "token_explode", "repetition_stats", "chunk_docs",
-    "value_dispersion", "funnel", "value_histogram", "mode_user",
+    "value_dispersion", "rollup_sales", "funnel", "value_histogram", "mode_user",
     "value_corr", "value_outliers", "token_budget", "lm_quality",
     "neardup_cc", "audio_curation", "vad_segments",
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",

@@ -583,6 +583,54 @@ def q_pricing_summary(sf_dir):
     return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_revenue": 2})
 
 
+def q_rollup_sales(sf_dir):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): sub-totals and a grand
+    total from ONE scan — coarser levels re-combine the finest partials
+    (`windows.rollup_aggregate`), never the raw data.  Money sums carry
+    exact integer cents (big groups — CLAUDE.md protocol)."""
+    from ..stages.windows import rollup_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        extc = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64(),
+        )
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "base_cents": extc,
+        })
+
+    agg = rollup_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec("count", None, "n_rows"),
+            AggSpec("sum", "l_quantity", "sum_qty"),
+            AggSpec("sum", "base_cents", "base_cents"),
+        ],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "grouping_id": t["grouping_id"],
+            "n_rows": t["n_rows"],
+            "sum_qty": pc.cast(t["sum_qty"], pa.float64()),
+            "sum_base_price": pc.divide(
+                pc.cast(t["base_cents"], pa.float64()), pa.scalar(100.0)
+            ),
+        })
+
+    out = agg.map_batches(finalize, batch_format="pyarrow")
+    return _round_cols(out, {"sum_base_price": 2})
+
+
 
 def _cents_col(ds, src: str, out: str):
     """Exact integer cents of a 2-dp money column (order-independent sums

@@ -38,6 +38,7 @@ __all__ = [
     "assign_tumbling",
     "explode_sliding",
     "sessionize_sorted",
+    "rollup_aggregate",
     "tumbling_window",
     "sliding_window",
     "session_window",
@@ -170,8 +171,12 @@ def _partial_agg_batch(
     return gb.rename_columns(new_names)
 
 
-def _final_agg(ds, group_cols: list[str], aggs: list[AggSpec], num_buckets: int = 32):
-    """Combine partials with a BUCKETED C-side reduce, then finalize.
+def _combine_partials(ds, group_cols: list[str], aggs: list[AggSpec],
+                      num_buckets: int = 32):
+    """Reduce a Dataset of partial columns to one row per group, keeping
+    the PARTIAL columns (not finalized).  Combining is associative, so
+    already-combined partials can be re-combined at a coarser key level
+    (the rollup path).
 
     ``ray.data``'s ``groupby().aggregate`` reduces each group in Python —
     O(groups) driver-speed work once the key cardinality is real
@@ -205,11 +210,15 @@ def _final_agg(ds, group_cols: list[str], aggs: list[AggSpec], num_buckets: int 
             )
         return gb.rename_columns(group_cols + names)
 
-    combined = (
+    return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def _finalize_partials(combined, group_cols: list[str], aggs: list[AggSpec]):
+    """Partial columns → final aggregate columns (one map, no shuffle)."""
 
     def finalize(t: pa.Table) -> pa.Table:
         out = {c: t[c] for c in group_cols}
@@ -241,6 +250,13 @@ def _final_agg(ds, group_cols: list[str], aggs: list[AggSpec], num_buckets: int 
     return combined.map_batches(finalize, batch_format="pyarrow")
 
 
+def _final_agg(ds, group_cols: list[str], aggs: list[AggSpec], num_buckets: int = 32):
+    """Combine partials with a BUCKETED C-side reduce, then finalize."""
+    return _finalize_partials(
+        _combine_partials(ds, group_cols, aggs, num_buckets), group_cols, aggs
+    )
+
+
 # ----------------------------------------------------------- batch operators
 def grouped_aggregate(ds, group_cols: list[str], aggs: list[AggSpec]):
     """Plain grouped aggregate with the same partial/combine path as the
@@ -250,6 +266,85 @@ def grouped_aggregate(ds, group_cols: list[str], aggs: list[AggSpec]):
         return _partial_agg_batch(t, group_cols, aggs)
 
     return _final_agg(ds.map_batches(partial, batch_format="pyarrow"), group_cols, aggs)
+
+
+def rollup_aggregate(ds, group_cols: list[str], aggs: list[AggSpec],
+                     sets: list[list[str]] | None = None,
+                     num_buckets: int = 32):
+    """GROUP BY ROLLUP / GROUPING SETS over one data pass.
+
+    ``sets`` defaults to the ROLLUP prefixes of ``group_cols`` (finest →
+    grand total); any explicit list of subsets of ``group_cols`` gives
+    GROUPING SETS.  Output: every group column (NULL where rolled up), a
+    ``grouping_id`` int64 bitmask matching SQL ``GROUPING(c1, …, cn)``
+    (bit 2^(n-1-i) set when column i is rolled up), and the aggregates.
+
+    Scale shape: the RAW data is scanned and partial-aggregated ONCE at
+    the finest level; the combined finest partials (O(distinct groups)
+    rows — tiny relative to the data) are materialized and every coarser
+    set re-combines THOSE, never the input.  Partial combining is
+    associative (sums of sums, min of mins), so re-reduction is exact —
+    including mean/var/std, whose (sum, sumsq, count) partials survive
+    the first combine un-finalized.
+    """
+    if sets is None:
+        sets = [group_cols[:k] for k in range(len(group_cols), -1, -1)]
+    for s in sets:
+        if not set(s) <= set(group_cols):
+            raise ValueError(f"grouping set {s!r} not a subset of {group_cols!r}")
+
+    from .join import _arrow_schema_of  # runtime import: join imports windows
+
+    schema = _arrow_schema_of(ds)
+    key_types = {c: schema.field(c).type for c in group_cols}
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _partial_agg_batch(t, group_cols, aggs)
+
+    fine = _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_cols, aggs, num_buckets,
+    ).materialize()  # O(groups) rows — the one justified materialize
+
+    n = len(group_cols)
+    out_cols = group_cols + ["grouping_id"] + [a.alias for a in aggs]
+    levels = []
+    for s in sets:
+        keys = [c for c in group_cols if c in s]  # canonical column order
+        gid = sum(
+            (1 << (n - 1 - i)) for i, c in enumerate(group_cols) if c not in s
+        )
+        if keys:
+            lvl = _finalize_partials(
+                _combine_partials(fine, keys, aggs, num_buckets), keys, aggs
+            )
+        else:
+            const = fine.map_batches(
+                lambda t: t.append_column(
+                    "__all", pa.array(np.zeros(t.num_rows, np.int8))
+                ),
+                batch_format="pyarrow",
+            )
+            lvl = _finalize_partials(
+                _combine_partials(const, ["__all"], aggs, num_buckets),
+                ["__all"], aggs,
+            ).drop_columns(["__all"])
+
+        def pad(t: pa.Table, keys=keys, gid=gid) -> pa.Table:
+            for c in group_cols:
+                if c not in keys:
+                    t = t.append_column(c, pa.nulls(t.num_rows, key_types[c]))
+            t = t.append_column(
+                "grouping_id", pa.array(np.full(t.num_rows, gid, np.int64))
+            )
+            return t.select(out_cols)
+
+        levels.append(lvl.map_batches(pad, batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
 
 
 def grouped_quantile(ds, group_cols: list[str], value_col: str,

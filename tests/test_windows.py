@@ -193,3 +193,83 @@ def test_tumbling_var_std_vs_pandas(ray_session, events_pdf):
         a, b = out[c].to_numpy(), ref[c].to_numpy()
         both_nan = np.isnan(a) & np.isnan(b)
         assert (both_nan | (np.abs(a - b) < 1e-8)).all()
+
+
+def test_rollup_aggregate_vs_pandas(ray_session, events_pdf):
+    """ROLLUP levels = pandas groupbys at each prefix; grouping_id is the
+    SQL GROUPING bitmask; mean/var survive the partial re-combine exactly
+    (coarser levels are built from the finest partials, not the data)."""
+    import ray.data as rd
+
+    from hydra_ray.stages.windows import rollup_aggregate
+
+    ds = rd.read_parquet(EVENTS, columns=["user_id", "event_type", "value"])
+    out = (
+        rollup_aggregate(
+            ds, ["user_id", "event_type"],
+            [
+                AggSpec("count", None, "n"),
+                AggSpec("sum", "value", "sv"),
+                AggSpec("mean", "value", "mv"),
+                AggSpec("var", "value", "vv"),
+            ],
+        )
+        .to_pandas()
+    )
+    df = events_pdf
+
+    def check(level_df, ref, gid):
+        level_df = level_df.sort_values(
+            [c for c in ("user_id", "event_type") if level_df[c].notna().any()]
+            or ["n"]
+        ).reset_index(drop=True)
+        assert (level_df["grouping_id"] == gid).all()
+        assert len(level_df) == len(ref)
+        assert (level_df["n"].to_numpy() == ref["n"].to_numpy()).all()
+        for c in ("sv", "mv", "vv"):
+            a, b = level_df[c].to_numpy(), ref[c].to_numpy(dtype=float)
+            nan = np.isnan(a) & np.isnan(b)
+            assert (nan | (np.abs(a - b) < 1e-9)).all(), c
+
+    fine = out[out["grouping_id"] == 0]
+    ref0 = (df.groupby(["user_id", "event_type"])["value"]
+            .agg(n="count", sv="sum", mv="mean", vv="var").reset_index()
+            .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+    # count aggregates ROWS (count of group keys), pandas counts non-null
+    ref0["n"] = df.groupby(["user_id", "event_type"]).size().sort_index().to_numpy()
+    check(fine, ref0, 0)
+
+    mid = out[out["grouping_id"] == 1]
+    ref1 = (df.groupby(["user_id"])["value"]
+            .agg(sv="sum", mv="mean", vv="var").reset_index()
+            .sort_values(["user_id"]).reset_index(drop=True))
+    ref1["n"] = df.groupby(["user_id"]).size().sort_index().to_numpy()
+    check(mid, ref1, 1)
+
+    top = out[out["grouping_id"] == 3]
+    assert len(top) == 1
+    assert int(top["n"].iloc[0]) == len(df)
+    assert abs(top["sv"].iloc[0] - df["value"].sum()) < 1e-6
+    assert top["user_id"].isna().all() and top["event_type"].isna().all()
+
+
+def test_rollup_grouping_sets(ray_session, events_pdf):
+    """Explicit GROUPING SETS: only the requested levels, including a
+    non-prefix set (event_type alone — CUBE-style)."""
+    import ray.data as rd
+
+    from hydra_ray.stages.windows import rollup_aggregate
+
+    ds = rd.read_parquet(EVENTS, columns=["user_id", "event_type", "value"])
+    out = rollup_aggregate(
+        ds, ["user_id", "event_type"], [AggSpec("count", None, "n")],
+        sets=[["event_type"], []],
+    ).to_pandas()
+    df = events_pdf
+    assert sorted(out["grouping_id"].unique().tolist()) == [2, 3]
+    et = out[out["grouping_id"] == 2].sort_values("event_type")
+    ref = df.groupby("event_type").size()
+    assert et["event_type"].tolist() == list(ref.index)
+    assert et["n"].tolist() == ref.tolist()
+    assert et["user_id"].isna().all()
+    assert int(out[out["grouping_id"] == 3]["n"].iloc[0]) == len(df)
