@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q.q_anti_join,
         "bloom_semi_join": q.q_bloom_semi_join,
         "left_join": q.q_left_join,
+        "global_rank": q.q_global_rank,
         "replication_diff": q.q_replication_diff,
         "upsert_compaction": q.q_upsert_compaction,
         # dedup family
@@ -488,6 +489,12 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders WHERE o_totalprice > 150000
                        GROUP BY 1) o
               ON c.c_custkey = o.o_custkey
+        """,
+        "global_rank": """
+            SELECT event_id, value,
+                   CAST(row_number() OVER (ORDER BY value, event_id)
+                        AS BIGINT) AS rnk
+            FROM events
         """,
         "replication_diff": """
             WITH l AS (

@@ -35,7 +35,7 @@ QUERY_NAMES = [
     "asof_join",
     "latest_by_key", "consumer_lag", "topic_tail", "json_key_extract",
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
-    "hash_join", "anti_join", "bloom_semi_join", "left_join",
+    "hash_join", "anti_join", "bloom_semi_join", "left_join", "global_rank",
     "replication_diff", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search", "decontaminate",

@@ -873,6 +873,16 @@ def q_bloom_semi_join(sf_dir):
     return bucketed_join(li, small, "l_partkey", how="semi", bloom_fpp=0.01)
 
 
+def q_global_rank(sf_dir):
+    """Exact global row_number over events ORDER BY (value, event_id) via
+    the sample-sort range partitioner (`stages/sort.py global_rank`) —
+    no all-to-all ds.sort, ranks exact under any cutpoint sample."""
+    from ..stages.sort import global_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return global_rank(ds, "value", ["event_id"], rank_col="rnk")
+
+
 def q_left_join(sf_dir):
     """Customers left-joined with their order counts — exercises the
     null-padded outer path of bucketed_join (customers with no orders

@@ -1,0 +1,117 @@
+"""Distributed global sort / exact ranking by range partitioning.
+
+Ray Data's ``ds.sort`` is a full all-to-all exchange whose outputs are
+ordered blocks but carry no explicit position; downstream training-data
+work (curriculum ordering, percentile cuts, deterministic splits) wants
+the RANK itself.  ``global_rank`` is the classic sample-sort shape made
+rank-exact:
+
+1. **sample pass** — per-block evenly-spaced value samples (value column
+   only) merge driver-side into ``num_buckets − 1`` range cutpoints.
+   Cutpoints are deduplicated, so EVERY row with the same primary value
+   lands in the same bucket — ties never straddle a boundary, which is
+   what makes intra-bucket ranking globally exact.
+2. **count pass** — per-block ``searchsorted`` bucket counts (value
+   column only) reduce to O(buckets) rows; the driver prefix-sums them
+   into bucket rank offsets.
+3. **main pass** — ONE shuffle of the full rows by range bucket; each
+   bucket lexsorts ``(value, *tiebreak_cols)`` in a single vectorized
+   pass and emits ``rank = bucket_offset + intra_rank + 1`` — exactly
+   SQL ``row_number() OVER (ORDER BY value, tiebreaks)``.
+
+Cutpoint quality affects only balance, never correctness: any cut set
+yields identical ranks.  The input is consumed three times (twice
+column-pruned to the sort key), so pass a cheap re-readable source (a
+parquet read), not an expensive upstream pipeline — or materialize it
+first.  Skew caveat: a single value with huge multiplicity pins one
+bucket (same caveat as any range partitioner); rank semantics need the
+tie class co-located, so such keys must fit a worker.
+
+Nulls in the sort column are rejected (rank order would be
+engine-defined); filter or fill upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+__all__ = ["global_rank"]
+
+
+def global_rank(
+    ds,
+    value_col: str,
+    tiebreak_cols: list[str],
+    rank_col: str = "rnk",
+    num_buckets: int = 64,
+    sample_per_block: int = 32,
+):
+    """Add an exact ascending dense row-number ``rank_col`` (1-based) by
+    ``ORDER BY value_col, *tiebreak_cols`` without a global sort."""
+
+    vals_only = ds.select_columns([value_col])
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        if t[value_col].null_count:
+            raise ValueError(f"global_rank: NULLs in sort column {value_col!r}")
+        v = np.sort(v, kind="stable")
+        k = min(sample_per_block, len(v))
+        if k == 0:
+            return pa.table({value_col: v[:0]})
+        idx = np.linspace(0, len(v) - 1, k).astype(np.int64)
+        return pa.table({value_col: v[idx]})
+
+    sampled = vals_only.map_batches(sample, batch_format="pyarrow").take_all()
+    pool = np.sort(np.array([r[value_col] for r in sampled]))
+    if len(pool) == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(rank_col, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    q = np.linspace(0, len(pool) - 1, num_buckets + 1)[1:-1].astype(np.int64)
+    cuts = np.unique(pool[q])  # dedupe: one bucket per tied cut value
+    nb = len(cuts) + 1
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        # bucket b holds (cuts[b-1], cuts[b]]: equal values share a bucket
+        return np.searchsorted(cuts, v, side="left")
+
+    def count(t: pa.Table) -> pa.Table:
+        if t[value_col].null_count:
+            raise ValueError(f"global_rank: NULLs in sort column {value_col!r}")
+        b = bucket_of(t[value_col].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "b": np.arange(nb, dtype=np.int64),
+            "n": np.bincount(b, minlength=nb).astype(np.int64),
+        })
+
+    counts = np.zeros(nb, dtype=np.int64)
+    for r in vals_only.map_batches(count, batch_format="pyarrow").take_all():
+        counts[r["b"]] += r["n"]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[value_col].to_numpy(zero_copy_only=False))
+        return t.append_column("__bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__bucket"].iloc[0])
+        g = g.drop(columns="__bucket")
+        keys = tuple(
+            g[c].to_numpy() for c in reversed(tiebreak_cols)
+        ) + (g[value_col].to_numpy(),)
+        order = np.lexsort(keys)
+        intra = np.empty(len(g), dtype=np.int64)
+        intra[order] = np.arange(len(g), dtype=np.int64)
+        g = g.copy()
+        g[rank_col] = offsets[b] + intra + 1
+        return g
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

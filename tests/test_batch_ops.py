@@ -776,3 +776,37 @@ def test_table_diff_identical_tables_empty(rd):
     out = table_diff(rd.from_pandas(df).repartition(4),
                      rd.from_pandas(df).repartition(7), "k", ["v"])
     assert out.count() == 0
+
+
+def test_global_rank_matches_argsort(rd):
+    """Sample-sort ranks = numpy lexsort ranks: heavy ties (8 distinct
+    values over 3000 rows, so every bucket boundary hits a tie class),
+    string sort column, and two tiebreak columns."""
+    from hydra_ray.stages.sort import global_rank
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "v": rng.choice(list("abcdefgh"), n),
+        "t1": rng.integers(0, 50, n),
+        "t2": rng.permutation(n),
+    })
+    out = (
+        global_rank(rd.from_pandas(df).repartition(6), "v", ["t1", "t2"],
+                    num_buckets=16, sample_per_block=8)
+        .to_pandas().sort_values("t2").reset_index(drop=True)
+    )
+    order = np.lexsort((df["t2"].to_numpy(), df["t1"].to_numpy(),
+                        df["v"].to_numpy()))
+    ref = np.empty(n, dtype=np.int64)
+    ref[order] = np.arange(1, n + 1)
+    ref_df = df.assign(rnk=ref).sort_values("t2").reset_index(drop=True)
+    assert (out["rnk"].to_numpy() == ref_df["rnk"].to_numpy()).all()
+
+
+def test_global_rank_rejects_nulls(rd):
+    from hydra_ray.stages.sort import global_rank
+
+    df = pd.DataFrame({"v": [1.0, np.nan, 3.0], "id": [1, 2, 3]})
+    with pytest.raises(Exception, match="NULL"):
+        global_rank(rd.from_pandas(df), "v", ["id"]).count()
