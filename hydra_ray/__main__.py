@@ -49,6 +49,7 @@ def _cmd_replicate(args) -> int:
         sliding_slide_ms=args.sliding_slide_ms or args.window_ms,
         dedup=args.dedup,
         neardup=args.neardup,
+        changelog=args.changelog,
         funnel_steps=tuple(args.funnel.split(",")) if args.funnel else (),
         funnel_within_ms=args.funnel_within_ms,
         max_versions_per_epoch=args.versions_per_epoch,
@@ -119,6 +120,7 @@ def main(argv=None) -> int:
     r.add_argument("--sliding-slide-ms", type=int, default=0)
     r.add_argument("--dedup", action="store_true")
     r.add_argument("--neardup", action="store_true")
+    r.add_argument("--changelog", action="store_true")
     r.add_argument("--funnel", help="comma list: clip,update,delete")
     r.add_argument("--funnel-within-ms", type=int, default=0)
     r.add_argument("--versions-per-epoch", type=int, default=1)

@@ -105,6 +105,14 @@ class ReplicateConfig:
     # funnel_within_ms of the first step when set).  () disables.
     funnel_steps: tuple = ()
     funnel_within_ms: int = 0
+    # CDC changelog of the compacted transcript view (the reference's
+    # compacted-topic semantics made observable): every epoch, each key
+    # whose last-write-wins view entry changed emits ONE row into the
+    # `changelog` sink — op ∈ {insert, update, delete} (delete = the
+    # winning record is a tombstone), stamped with the winning (ts, rev).
+    # Emitted by the key's HOME partition only (salting fan-out safe) and
+    # exactly-once through the same staged-fragment 2PC as every sink.
+    changelog: bool = False
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -498,7 +506,7 @@ def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
 
 class ReplicatePipeline:
     SINKS = ("replicated", "payload", "windows", "sliding",
-             "sessions", "funnels", "dlq", "views")
+             "sessions", "funnels", "changelog", "dlq", "views")
     MAIN = "replicated"
 
     def __init__(
@@ -1330,3 +1338,4 @@ class _StateCfg:
             self.FUNNEL_KINDS[s] for s in (cfg.funnel_steps or ())
         )
         self.funnel_within_ms = cfg.funnel_within_ms
+        self.changelog = cfg.changelog

@@ -82,6 +82,12 @@ class PartitionState:
         self.funnel_buf: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         # DLQ rows accumulated this epoch: list[(source, reason, table)]
         self.dlq_buf: list[tuple[str, str, pa.Table]] = []
+        # CDC changelog bookkeeping: key -> view record as of the EPOCH
+        # START, recorded the first time the key's view entry is replaced
+        # within the epoch.  Lives entirely inside one ingest→close cycle
+        # (emitted and cleared at close_epoch), so it is never part of a
+        # checkpoint — a resume replays the epoch's ingests and rebuilds it.
+        self._chg_prev: dict[str, tuple | None] = {}
         # per-epoch clip-key counts (reset each close) — feeds the driver's
         # sticky hot-key detection; bounded by the report cap, not by rows
         self.key_counts: dict[str, int] = {}
@@ -328,10 +334,13 @@ class PartitionState:
             ks, t_s, r_s, x_s = keys[order], tss[order], revs[order], texts[order]
             last = np.ones(len(ks), dtype=bool)
             last[:-1] = ks[1:] != ks[:-1]
+            chg = getattr(self.cfg, "changelog", False)
             for i in np.flatnonzero(last):
                 rec = (int(t_s[i]), int(r_s[i]), x_s[i])
                 cur = self.view.get(ks[i])
                 if cur is None or (rec[0], rec[1]) >= (cur[0], cur[1]):
+                    if chg and ks[i] not in self._chg_prev:
+                        self._chg_prev[ks[i]] = cur
                     self.view[ks[i]] = rec
                     self._delta_view[ks[i]] = rec
             self.metrics["updates_in"] += int((ok & ~replica).sum())
@@ -365,6 +374,8 @@ class PartitionState:
         out["sliding"], out["hot_sliding"] = self._close_sliding(epoch, wm, hot_keys)
         out["sessions"], out["hot_sessions"] = self._close_sessions(epoch, wm, hot_keys)
         out["funnels"] = self._close_funnel(epoch, wm)
+        if getattr(self.cfg, "changelog", False):
+            out["changelog"] = self._emit_changelog(epoch)
         out["dlq"] = self._emit_dlq(epoch)
         if wm >= WATERMARK_MAX and self.view:
             # end of stream: materialize the compacted latest-value view
@@ -453,6 +464,52 @@ class PartitionState:
         for s in range(S):
             cols[f"t{s + 1}_ms"] = pa.array(t[newly, s], pa.int64())
         return _stamp(pa.table(cols), self.partition, epoch)
+
+    def _emit_changelog(self, epoch: int) -> pa.Table | None:
+        """CDC rows for view entries whose LWW winner changed this epoch.
+
+        ``_chg_prev`` holds each changed key's record as of the epoch
+        start; the op compares it to the final record: absent/tombstone →
+        live = insert, live → live = update, live → tombstone = delete.
+        A tombstone landing where nothing lived emits nothing, and a
+        duplicate row re-winning with an identical record emits nothing —
+        so the changelog replays to exactly the view.  Only the key's
+        HOME partition emits (hot-key fan-out replicas upsert view state
+        on every salt partition, but each sees the same row set for the
+        key, so home emission is complete and exactly-once)."""
+        from ..hashing import partition_for
+
+        if not self._chg_prev:
+            return None
+        keys = np.asarray(sorted(self._chg_prev), dtype=object)
+        if self.cfg.num_partitions:
+            keys = keys[partition_for(keys, self.cfg.num_partitions)
+                        == self.partition]
+        rows = []
+        for k in keys:
+            prev, new = self._chg_prev[k], self.view[k]
+            if prev == new:
+                continue
+            new_tomb = pd.isna(new[2])
+            prev_dead = prev is None or pd.isna(prev[2])
+            if new_tomb and prev_dead:
+                continue
+            op = ("delete" if new_tomb
+                  else "insert" if prev_dead else "update")
+            rows.append((k, op, new[0], new[1],
+                         None if new_tomb else new[2]))
+        self._chg_prev = {}
+        if not rows:
+            return None
+        self.metrics["changelog_out"] += len(rows)
+        tbl = pa.table({
+            "clip_id": pa.array([r[0] for r in rows], pa.string()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "ts_ms": pa.array([r[2] for r in rows], pa.int64()),
+            "revision": pa.array([r[3] for r in rows], pa.int32()),
+            "transcript": pa.array([r[4] for r in rows], pa.string()),
+        })
+        return _stamp(tbl, self.partition, epoch)
 
     def _consolidated_updates(self):
         """Update buffer as (key, ts, rev)-sorted columnar arrays; the
