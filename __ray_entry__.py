@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q.q_bloom_semi_join,
         "left_join": q.q_left_join,
         "global_rank": q.q_global_rank,
+        "value_ranks": q.q_value_ranks,
         "replication_diff": q.q_replication_diff,
         "upsert_compaction": q.q_upsert_compaction,
         # dedup family
@@ -489,6 +490,14 @@ def oracle_sql() -> dict[str, str]:
                        FROM orders WHERE o_totalprice > 150000
                        GROUP BY 1) o
               ON c.c_custkey = o.o_custkey
+        """,
+        "value_ranks": """
+            SELECT event_id, user_id, value,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dr,
+                   CAST(rank() OVER w AS BIGINT) AS rk,
+                   percent_rank() OVER w AS pr
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value)
         """,
         "global_rank": """
             SELECT event_id, value,

@@ -873,6 +873,19 @@ def q_bloom_semi_join(sf_dir):
     return bucketed_join(li, small, "l_partkey", how="semi", bloom_fpp=0.01)
 
 
+def q_value_ranks(sf_dir):
+    """Per-user rank window functions over event values: dense_rank, rank
+    and percent_rank in ONE bucket-shuffle pass (ties share rank — SQL
+    semantics; percent_rank division is bit-identical to DuckDB)."""
+    from ..stages.rollup import grouped_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return grouped_rank(
+        ds, "user_id", "value", None,
+        {"dr": "dense_rank", "rk": "rank", "pr": "percent_rank"},
+    )
+
+
 def q_global_rank(sf_dir):
     """Exact global row_number over events ORDER BY (value, event_id) via
     the sample-sort range partitioner (`stages/sort.py global_rank`) —

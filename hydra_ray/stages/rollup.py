@@ -15,7 +15,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["pivot_wider", "grouped_rolling", "grouped_shift", "grouped_cumsum",
-           "collect_sorted"]
+           "collect_sorted", "grouped_rank"]
 
 
 def _bucket_tag(key_col: str, num_buckets: int):
@@ -256,4 +256,83 @@ def grouped_rolling(ds, key_col: str, order_col: str, tie_col: str,
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(roll, batch_format="pandas")
+    )
+
+
+def grouped_rank(ds, key_col: str, order_col: str, tie_col: str | None,
+                 out: dict[str, str], num_buckets: int = 64):
+    """Per-key SQL rank window functions, all kinds in ONE pass.
+
+    ``out`` maps output column name → kind ∈ {row_number, rank,
+    dense_rank, percent_rank}, all ``OVER (PARTITION BY key ORDER BY
+    order_col)``.  Ties on ``order_col`` share rank/dense_rank/
+    percent_rank (SQL semantics); ``row_number`` additionally breaks
+    ties by ``tie_col`` (required when requested, for determinism).
+    ``percent_rank`` = (rank − 1) / (n − 1), 0.0 for single-row keys —
+    bit-identical to the SQL double division.  NULL order values are
+    rejected (engine-defined placement).
+
+    Scale shape: the module's standard ONE hash(key)-bucket shuffle;
+    each bucket lexsorts once and derives every rank kind from the same
+    run/tie masks with index-fill tricks — no per-key dispatch.
+    """
+    kinds = set(out.values())
+    bad = kinds - {"row_number", "rank", "dense_rank", "percent_rank"}
+    if bad:
+        raise ValueError(f"unknown rank kinds: {bad}")
+    if "row_number" in kinds and tie_col is None:
+        raise ValueError("row_number needs tie_col for deterministic output")
+
+    tag = _bucket_tag(key_col, num_buckets)
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            outd = g.copy()
+            for name, kind in out.items():
+                outd[name] = pd.Series(
+                    [], dtype="float64" if kind == "percent_rank" else "int64"
+                )
+            return outd
+        if g[order_col].isna().any():
+            raise ValueError(f"grouped_rank: NULLs in order column {order_col!r}")
+        pos, sc, first = _sorted_runs(
+            g, key_col, order_col, tie_col if tie_col is not None else order_col
+        )
+        n = len(sc)
+        idx = np.arange(n, dtype=np.int64)
+        # forward-fill of each run's first index → per-run positions
+        run_start = np.maximum.accumulate(np.where(first, idx, 0))
+        rn = idx - run_start + 1  # row_number
+        ov = g[order_col].to_numpy()[pos]
+        new_tie = first.copy()
+        new_tie[1:] |= ov[1:] != ov[:-1]  # new ORDER value within the run
+        tie_start = np.maximum.accumulate(np.where(new_tie, idx, 0))
+        rk = rn[tie_start]               # rank: first row number of the tie
+        dr_g = np.cumsum(new_tie)
+        dr = dr_g - (dr_g[run_start] - 1)  # dense_rank: ties seen in run
+        outd = g.iloc[pos].copy()
+        for name, kind in out.items():
+            if kind == "row_number":
+                outd[name] = rn
+            elif kind == "rank":
+                outd[name] = rk
+            elif kind == "dense_rank":
+                outd[name] = dr
+            else:
+                # run lengths broadcast per row via the next run start
+                ends = np.r_[run_start[1:][first[1:]], n]
+                cnt = np.repeat(
+                    ends - run_start[first], ends - run_start[first]
+                )
+                pr = np.zeros(n, dtype=np.float64)
+                multi = cnt > 1
+                pr[multi] = (rk[multi] - 1) / (cnt[multi] - 1)
+                outd[name] = pr
+        return outd
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(ranks, batch_format="pandas")
     )

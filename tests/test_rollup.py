@@ -200,3 +200,56 @@ def test_funnel_match_strictly_after_and_ties(rd):
     )
     assert out["user_id"].tolist() == [1, 2, 3]
     assert out["t2"].tolist() == [9, 2, 2]
+
+
+def test_grouped_rank_kinds_vs_pandas(ray_session):
+    """All four rank kinds vs pandas: heavy ties within keys, single-row
+    keys (percent_rank 0), row_number tie-broken deterministically."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.stages.rollup import grouped_rank
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame({
+        "k": np.r_[rng.integers(0, 37, n - 1), [999]],  # key 999: one row
+        "v": rng.integers(0, 9, n),                      # heavy ties
+        "tid": rng.permutation(n),
+    })
+    out = (
+        grouped_rank(rd.from_pandas(df).repartition(5), "k", "v", "tid",
+                     {"rn": "row_number", "rk": "rank",
+                      "dr": "dense_rank", "pr": "percent_rank"},
+                     num_buckets=8)
+        .to_pandas().sort_values("tid").reset_index(drop=True)
+    )
+    ref = df.sort_values("tid").reset_index(drop=True)
+    g = ref.groupby("k")["v"]
+    ref["rk"] = g.rank(method="min").astype(np.int64)
+    ref["dr"] = g.rank(method="dense").astype(np.int64)
+    cnt = ref.groupby("k")["v"].transform("size")
+    ref["pr"] = np.where(cnt > 1, (ref["rk"] - 1) / (cnt - 1), 0.0)
+    ref["rn"] = (
+        ref.sort_values(["k", "v", "tid"]).groupby("k").cumcount() + 1
+    ).sort_index()
+    for c in ("rn", "rk", "dr"):
+        assert (out[c].to_numpy() == ref[c].to_numpy()).all(), c
+    assert np.allclose(out["pr"].to_numpy(), ref["pr"].to_numpy(), atol=0)
+
+
+def test_grouped_rank_guards(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from hydra_ray.stages.rollup import grouped_rank
+
+    df = pd.DataFrame({"k": [1, 1], "v": [1.0, np.nan], "tid": [0, 1]})
+    with pytest.raises(ValueError, match="row_number needs tie_col"):
+        grouped_rank(rd.from_pandas(df), "k", "v", None, {"rn": "row_number"})
+    with pytest.raises(Exception, match="NULL"):
+        grouped_rank(rd.from_pandas(df), "k", "v", "tid",
+                     {"rk": "rank"}).count()
