@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q.q_bloom_semi_join,
         "left_join": q.q_left_join,
         "global_rank": q.q_global_rank,
+        "pagerank": q.q_pagerank,
         "value_ranks": q.q_value_ranks,
         "replication_diff": q.q_replication_diff,
         "upsert_compaction": q.q_upsert_compaction,

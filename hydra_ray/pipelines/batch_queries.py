@@ -896,6 +896,33 @@ def q_global_rank(sf_dir):
     return global_rank(ds, "value", ["event_id"], rank_col="rnk")
 
 
+def q_pagerank(sf_dir):
+    """PageRank over the supplier→part supply graph (directed multigraph
+    edges from lineitem: every line item is one l_suppkey → l_partkey
+    edge; parts are dangling sinks).  Rows-only query — the value oracle
+    is the dense power-iteration parity test (tests/test_graph.py).
+    Rank rounded to 10 dp for a stable, order-independent output."""
+    from ..stages.graph import pagerank
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        # part and supplier key spaces overlap — disambiguate node ids
+        return pa.table({
+            "src": t["l_suppkey"],
+            "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                          pa.scalar(1_000_000_000, pa.int64())),
+        })
+
+    ranks = pagerank(ds.map_batches(tag, batch_format="pyarrow"),
+                     "src", "dst", damping=0.85, iters=8)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "rank": round_f64(t["r"], 10)})
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_left_join(sf_dir):
     """Customers left-joined with their order counts — exercises the
     null-padded outer path of bucketed_join (customers with no orders

@@ -90,3 +90,44 @@ def test_neardup_clusters_resolvers_identical(rd):
     b = neardup_clusters(ds2, threshold=0.6, resolve="distributed")
     assert len(a) > 0
     pd.testing.assert_frame_equal(a.astype("int64"), b.astype("int64"))
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    """Distributed PageRank vs a dense numpy power iteration with the
+    same dangling-mass redistribution, on a random directed graph with
+    dangling nodes and multi-edges."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n, m = 120, 600
+    src = rng.integers(0, n - 15, m)         # last 15 nodes: dst-only (dangling)
+    dst = rng.integers(0, n, m)
+    edges = pd.DataFrame({"s": src, "d": dst})
+
+    iters, damp = 10, 0.85
+    nodes = np.unique(np.r_[src, dst])
+    N = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    outdeg = np.zeros(N)
+    for s in src:
+        outdeg[idx[s]] += 1
+    r = np.full(N, 1.0 / N)
+    for _ in range(iters):
+        dang = r[outdeg == 0].sum()
+        c = np.zeros(N)
+        contrib = r[[idx[s] for s in src]] / outdeg[[idx[s] for s in src]]
+        np.add.at(c, [idx[d] for d in dst], contrib)
+        r = (1 - damp) / N + damp * (c + dang / N)
+
+    got = (
+        pagerank(rd.from_pandas(edges).repartition(4), "s", "d",
+                 damping=damp, iters=iters)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert got["node"].tolist() == nodes.tolist()
+    assert abs(got["r"].sum() - 1.0) < 1e-9
+    assert np.allclose(got["r"].to_numpy(), r, rtol=1e-9, atol=1e-13)
