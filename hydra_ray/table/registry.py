@@ -28,7 +28,8 @@ from typing import Any, Callable
 
 import pyarrow as pa
 
-__all__ = ["CircuitOpenError", "SchemaRegistry", "TopicCatalog", "check_compatible"]
+__all__ = ["CircuitOpenError", "SchemaRegistry", "TagsException",
+           "TagsView", "TopicCatalog", "check_compatible"]
 
 
 class CircuitOpenError(RuntimeError):
@@ -191,3 +192,95 @@ class TopicCatalog:
     def topics(self) -> frozenset[str]:
         self._refresh_if_stale()
         return self._topics or frozenset()
+
+
+class TagsException(RuntimeError):
+    """One or more requested tags is not in the catalog; carries the
+    acceptable list (reference ``TagsAlgebra.TagsException``,
+    `ingestors/kafka/.../algebras/TagsAlgebra.scala:62-63`)."""
+
+    def __init__(self, acceptable: list[tuple[str, str]]):
+        self.acceptable = acceptable
+        listing = "\n".join(f"{n}: {d}" for n, d in acceptable)
+        super().__init__(
+            "One or more of the tags provided is invalid. "
+            f"Here is a list of acceptable tags:\n{listing}"
+        )
+
+
+class TagsView:
+    """Compacted tags view (T7, `TagsAlgebra.scala:58-141`).
+
+    The reference consumes a compacted tags topic into an in-memory
+    name → description map: a value upserts (`:82`), a null value
+    (tombstone) removes (`:84`), malformed records are skipped
+    (`consumeSafelyMessages` keeps only Rights, `:72-74`), and the map
+    seeds with the ``DVS`` tag (`TagsStorageFacade.empty:140`).  Here the
+    "topic" is a keyed lancelite table — upsert/delete_by_key are the
+    publishes, ``read_compacted`` is the consumer — and the in-memory map
+    is a TTL memo over it (same read-through convention as
+    ``TopicCatalog``; the reference's map is push-updated by a long-lived
+    stream, which a query-side view replaces with a bounded-staleness
+    read).  ``validate_tags`` raises ``TagsException`` listing the
+    acceptable tags when any requested tag is unknown (`:111-119`).
+    """
+
+    SEED = ("DVS", "Created by the DVS")
+
+    def __init__(
+        self,
+        root: str,
+        ttl_s: float = 60.0,
+        clock: Callable[[], float] = time.monotonic,
+    ):
+        from . import lancelite
+
+        schema = pa.schema(
+            [
+                pa.field("name", pa.string(), nullable=False),
+                pa.field("description", pa.string()),
+            ]
+        )
+        fresh = not lancelite.Table.exists(root)
+        self._table = lancelite.Table.create(root, schema=schema, key=["name"])
+        if fresh:
+            self._table.upsert(
+                pa.table({"name": [self.SEED[0]], "description": [self.SEED[1]]})
+            )
+        self._ttl = ttl_s
+        self._clock = clock
+        self._cache: dict[str, str] | None = None
+        self._fetched_at = -float("inf")
+
+    def _map(self) -> dict[str, str]:
+        now = self._clock()
+        if self._cache is not None and now - self._fetched_at < self._ttl:
+            return self._cache
+        t = self._table.read_compacted()
+        names = t["name"].to_pylist()
+        descs = t["description"].to_pylist()
+        # skip malformed rows (null description = undecodable value; the
+        # reference drops Left records rather than poisoning the view)
+        self._cache = {n: d for n, d in zip(names, descs) if d is not None}
+        self._fetched_at = now
+        return self._cache
+
+    def create_or_update(self, name: str, description: str) -> int:
+        version = self._table.upsert(
+            pa.table({"name": [name], "description": [description]})
+        )
+        self._cache = None
+        return version
+
+    def remove(self, name: str) -> int:
+        version = self._table.delete_by_key(pa.table({"name": [name]}))
+        self._cache = None
+        return version
+
+    def all_tags(self) -> list[tuple[str, str]]:
+        return sorted(self._map().items())
+
+    def validate_tags(self, tags: list[str]) -> None:
+        m = self._map()
+        if not all(t in m for t in tags):
+            raise TagsException(self.all_tags())

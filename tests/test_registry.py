@@ -152,3 +152,44 @@ def test_topic_catalog_ttl_stale_and_session_gate():
     s.process("-c set hydra-kafka-topic=clips")
     code, _ = s.process("-i 7 payload-bytes")
     assert code == 200 and len(seen) == 1
+
+
+def test_tags_view_compacted_semantics(tmp_path):
+    """T7 tags view (TagsAlgebra.scala:58-141): seeded DVS tag, upsert
+    overwrites, tombstone removes, validate raises with the acceptable
+    list, TTL-bounded staleness with write-through invalidation."""
+    import pytest
+
+    from hydra_ray.table.registry import TagsException, TagsView
+
+    clock = {"t": 0.0}
+    v = TagsView(str(tmp_path / "tags"), ttl_s=60, clock=lambda: clock["t"])
+
+    # facade seed (TagsStorageFacade.empty:140)
+    assert v.all_tags() == [("DVS", "Created by the DVS")]
+    v.validate_tags(["DVS"])  # no raise
+
+    v.create_or_update("gold", "curated gold set")
+    v.create_or_update("gold", "curated GOLD set")  # upsert overwrites
+    v.create_or_update("raw", "unfiltered")
+    assert dict(v.all_tags())["gold"] == "curated GOLD set"
+    v.validate_tags(["DVS", "gold", "raw"])
+    with pytest.raises(TagsException) as ei:
+        v.validate_tags(["gold", "nope"])
+    assert "acceptable tags" in str(ei.value) and "raw: unfiltered" in str(ei.value)
+
+    # tombstone removes (TagsAlgebra.scala:83-84)
+    v.remove("raw")
+    assert "raw" not in dict(v.all_tags())
+    with pytest.raises(TagsException):
+        v.validate_tags(["raw"])
+
+    # a second reader sees the same compacted state; its TTL memo serves
+    # stale until expiry, then picks up new writes
+    r = TagsView(str(tmp_path / "tags"), ttl_s=60, clock=lambda: clock["t"])
+    assert dict(r.all_tags()) == {"DVS": "Created by the DVS",
+                                  "gold": "curated GOLD set"}
+    v.create_or_update("eval", "held-out eval")
+    assert "eval" not in dict(r.all_tags())  # within TTL: memoized
+    clock["t"] = 61
+    assert dict(r.all_tags())["eval"] == "held-out eval"
