@@ -91,30 +91,6 @@ def test_fill_defaults_normalizer():
 
 
 # ----------------------------------------------------------------- tags (T7)
-def test_tags_view_upsert_delete_validate(tmp_path):
-    from hydra_ray.table.tags import TagsView, UnknownTagError
-
-    v = TagsView(str(tmp_path / "tags"))
-    v.create_or_update("Source: CDC", "change data capture")
-    v.create_or_update("DVS", "first description")
-    v.create_or_update("DVS", "updated description")  # last write wins
-    snap = v.all_tags().to_pandas().set_index("name")["description"]
-    assert dict(snap) == {
-        "Source: CDC": "change data capture",
-        "DVS": "updated description",
-    }
-    v.validate(["DVS"])  # registered → ok
-    with pytest.raises(UnknownTagError):
-        v.validate(["DVS", "nope"])
-    v.delete("DVS")
-    assert v.all_tags()["name"].to_pylist() == ["Source: CDC"]
-    with pytest.raises(UnknownTagError):
-        v.validate(["DVS"])  # deleted tag no longer validates
-    # reopen: the view is durable table state, not process memory
-    v2 = TagsView(str(tmp_path / "tags"))
-    assert v2.all_tags()["name"].to_pylist() == ["Source: CDC"]
-
-
 def test_topic_catalog_ttl_stale_and_session_gate():
     from hydra_ray.table.registry import TopicCatalog
     from hydra_ray.sources.session import IngestSession
