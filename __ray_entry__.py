@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_text": q.q_redact_text,
         "lm_quality": q.q_lm_quality,
         "top_bigrams": q.q_top_bigrams,
+        "dup_spans": q.q_dup_spans,
         "quality_scores": q.q_quality_scores,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
@@ -384,6 +385,18 @@ def oracle_sql() -> dict[str, str]:
                                              '[REDACTED]', 'g'),
                               '\b(user|order)\b')) AS BIGINT) AS n_redacted
             FROM documents
+        """,
+        "dup_spans": """
+            WITH wins AS (
+                SELECT doc_id, substr(text, CAST(i AS BIGINT), 30) AS w
+                FROM documents,
+                     unnest(generate_series(1, len(text) - 30 + 1, 1)) AS g(i)
+                WHERE len(text) >= 30
+            ),
+            dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+            FROM wins JOIN dup USING (w)
+            GROUP BY doc_id
         """,
         "top_bigrams": """
             WITH toks AS (

@@ -833,6 +833,20 @@ def q_top_bigrams(sf_dir):
     return top_ngrams(ds, "text", n=2, k=20)
 
 
+def q_dup_spans(sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022 style): per-doc count
+    of 30-byte windows whose exact content occurs ≥2 times corpus-wide
+    (oracle = substr/generate_series window join in SQL)."""
+    from ..stages.substr import duplicate_windows
+    from ..stages.windows import AggSpec, grouped_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    wins = duplicate_windows(ds, "text", "doc_id", L=30, stride=1)
+    return grouped_aggregate(
+        wins, ["doc_id"], [AggSpec("count", None, "n_dup_windows")]
+    )
+
+
 def q_anti_join(sf_dir):
     """Click counts for users with no big (value > 150) purchase —
     distributed anti join (existence filter, left columns only)."""

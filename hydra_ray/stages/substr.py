@@ -1,0 +1,144 @@
+"""Substring-level exact duplicate detection (dup windows / dup spans).
+
+Training-corpus substring dedup in the style of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499): a window of ``L`` consecutive bytes that occurs at
+least twice ANYWHERE in the corpus (another document or elsewhere in
+the same document) marks a duplicated region.  The published method
+builds a corpus-global suffix array; the Ray-Data-first shape here is
+the standard distributed equivalent at fixed match length:
+
+1. per-batch map (no shuffle): ONE rolling polynomial hash pass over
+   the batch's contiguous Arrow string buffer (`neardup._window_hashes`
+   — k vectorized passes, no Python substrings) gathered at each doc's
+   valid window offsets → ``(hash, doc, pos)`` rows;
+2. ONE hash-bucket exchange (``groupby(hash % num_buckets)``), then a
+   vectorized per-bucket run-length kernel over the sorted hashes marks
+   every member of a multi-occurrence run — the only wide step;
+3. optional per-doc span merge: a second TINY shuffle of the marked
+   windows by ``hash(doc)`` and a vectorized gap-merge (fixed ``L``
+   means window end offsets are monotone per doc, so a span break is
+   simply ``pos > prev_pos + L``).
+
+Scale notes.  Stage 2's exchange carries one row per window: at
+``stride=1`` that is one row per corpus byte, the same asymptotic cost
+as the suffix-array build it replaces; ``stride > 1`` divides the cost
+and coarsens detection granularity to ``stride`` bytes (any duplicate
+run ≥ L + stride − 1 bytes is still caught by a window at each
+alignment).  ``num_buckets`` caps per-reduce group size — size it to
+corpus_bytes / (stride · target_bucket_rows), not to the cluster.
+Equal 64-bit window hashes are treated as equal windows (for 10^12
+windows the expected collision count at 64 bits is ~0.03); the oracle
+compares against exact-substring SQL, which doubles as the collision
+check at test scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .neardup import _window_hashes
+
+__all__ = ["window_hash_rows", "duplicate_windows", "duplicate_spans"]
+
+
+def window_hash_rows(texts, ids, L: int, stride: int = 1):
+    """``(hash, id, pos)`` arrays for every L-byte window of every doc.
+
+    Windows are gathered at per-doc offsets (``pos`` 0-based, byte
+    units, ``pos % stride == 0``), so boundary-crossing windows never
+    exist; docs shorter than ``L`` emit nothing.
+    """
+    arr = pa.array(pd.Series(texts, dtype=object).fillna("").to_numpy(dtype=object),
+                   pa.string())
+    n = len(arr)
+    if n == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[: n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[: offsets[-1]]
+    lengths = np.diff(offsets)
+    counts = np.where(lengths >= L, (lengths - L) // stride + 1, 0)
+    total = int(counts.sum())
+    if total == 0 or len(data) < L:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    h = _window_hashes(data, L)
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+    run_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=run_starts[1:])
+    pos = (np.arange(total, dtype=np.int64) - run_starts[doc_rep]) * stride
+    hashes = h[offsets[doc_rep] + pos]
+    id_vals = np.asarray(ids)[doc_rep]
+    return hashes, id_vals, pos
+
+
+def duplicate_windows(ds, text_col: str = "text", id_col: str = "doc_id",
+                      L: int = 30, stride: int = 1, num_buckets: int = 64):
+    """All ``(id, pos)`` whose exact L-byte window occurs ≥ 2 times
+    corpus-wide.  One wide exchange (hash-bucketed); every kernel is
+    vectorized (see module docstring for the scale shape)."""
+
+    def emit(t: pa.Table) -> pa.Table:
+        hashes, id_vals, pos = window_hash_rows(
+            t[text_col].to_pylist(), t[id_col].to_numpy(zero_copy_only=False),
+            L, stride)
+        return pa.table({
+            "__h": hashes,
+            id_col: id_vals,
+            "pos": pos,
+            "__bucket": (hashes % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["__h"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        new_run = np.empty(len(hs), dtype=bool)
+        new_run[0] = True
+        np.not_equal(hs[1:], hs[:-1], out=new_run[1:])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        keep = order[run_len[run_id] >= 2]
+        return df.iloc[keep][[id_col, "pos"]]
+
+    rows = ds.map_batches(emit, batch_format="pyarrow")
+    return rows.groupby("__bucket").map_groups(mark, batch_format="pandas")
+
+
+def duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                    L: int = 30, stride: int = 1, num_buckets: int = 64):
+    """Merged duplicated byte ranges per doc: ``(id, start, length)``.
+
+    Overlapping / adjacent duplicated windows coalesce (these are the
+    ranges a cleaning pass would cut).  Fixed ``L`` makes window end
+    offsets monotone within a doc, so after one lexsort the span break
+    mask is pure arithmetic.
+    """
+    wins = duplicate_windows(ds, text_col, id_col, L, stride, num_buckets)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy()
+        return df.assign(__bucket=(h % num_buckets).astype("int64"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        pos = df["pos"].to_numpy()
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        brk = np.empty(len(ids), dtype=bool)
+        brk[0] = True
+        brk[1:] = (ids[1:] != ids[:-1]) | (pos[1:] > pos[:-1] + L)
+        starts = np.flatnonzero(brk)
+        span_start = pos[starts]
+        last = np.r_[starts[1:] - 1, len(pos) - 1]
+        return pd.DataFrame({
+            id_col: ids[starts],
+            "start": span_start,
+            "length": pos[last] + L - span_start,
+        })
+
+    return wins.map_batches(bucket, batch_format="pandas") \
+               .groupby("__bucket").map_groups(merge, batch_format="pandas")
