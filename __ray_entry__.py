@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": q.q_lm_quality,
         "top_bigrams": q.q_top_bigrams,
         "dup_spans": q.q_dup_spans,
+        "set_except": q.q_set_except,
+        "set_intersect": q.q_set_intersect,
         "quality_scores": q.q_quality_scores,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
@@ -385,6 +387,20 @@ def oracle_sql() -> dict[str, str]:
                                              '[REDACTED]', 'g'),
                               '\b(user|order)\b')) AS BIGINT) AS n_redacted
             FROM documents
+        """,
+        "set_except": f"""
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY}
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "set_intersect": f"""
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms
+            FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY}
+            FROM events WHERE event_type = 'purchase'
         """,
         "dup_spans": """
             WITH wins AS (

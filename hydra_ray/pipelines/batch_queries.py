@@ -833,6 +833,47 @@ def q_top_bigrams(sf_dir):
     return top_ngrams(ds, "text", n=2, k=20)
 
 
+def _setop_sides(sf_dir):
+    """Two derived relations for the set-op queries: (user, day) pairs
+    with a click vs (user, day) pairs with a purchase."""
+
+    def side(event_type):
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.equal(t["event_type"], event_type)
+            t = t.filter(m)
+            ms = ts_to_ms(t["ts"])
+            return pa.table(
+                {"user_id": t["user_id"],
+                 "day_ms": pa.array((ms // DAY) * DAY, pa.int64())}
+            )
+
+        return ds.map_batches(prep, batch_format="pyarrow")
+
+    return side("click"), side("purchase")
+
+
+def q_set_except(sf_dir):
+    """(user, day) pairs with a click but NO purchase that day —
+    distributed SQL EXCEPT (distinct semantics)."""
+    from ..stages.setops import except_distinct
+
+    clicks, buys = _setop_sides(sf_dir)
+    return except_distinct(clicks, buys, ["user_id", "day_ms"])
+
+
+def q_set_intersect(sf_dir):
+    """(user, day) pairs with BOTH a click and a purchase that day —
+    distributed SQL INTERSECT (distinct semantics)."""
+    from ..stages.setops import intersect_distinct
+
+    clicks, buys = _setop_sides(sf_dir)
+    return intersect_distinct(clicks, buys, ["user_id", "day_ms"])
+
+
 def q_dup_spans(sf_dir):
     """Substring-level exact dedup (Lee et al. 2022 style): per-doc count
     of 30-byte windows whose exact content occurs ≥2 times corpus-wide

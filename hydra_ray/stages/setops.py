@@ -1,0 +1,77 @@
+"""Distributed SQL set operations (EXCEPT / INTERSECT, distinct semantics).
+
+The reference's set semantics are keyed-topic membership (compacted
+views); the general relational forms live here.  Shape: per-batch local
+dedup with a source tag (combiner — the exchange carries one row per
+distinct value per block per side), ONE hash-bucket exchange over the
+value columns, then a vectorized per-bucket membership resolve
+(`groupby(cols).any()` per side).  Like every wide reduce in this repo
+it groups by ``hash(value) % num_buckets``, never per key, so the
+reduce stays C-side at any cardinality (CLAUDE.md ray.data pitfall).
+
+SQL ``EXCEPT`` / ``INTERSECT`` are DISTINCT by definition — output rows
+are unique; ``ALL`` variants (bag semantics) are not implemented.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+__all__ = ["except_distinct", "intersect_distinct"]
+
+
+def _canon_hash(df: pd.DataFrame, cols: list[str]):
+    """Row hash that is dtype-canonical across union-compatible sides:
+    integer/bool columns hash as float64, so ``1`` (int64, side a) and
+    ``1.0`` (float64, side b) land in the same bucket — the same value
+    coercion SQL applies to set-op branches.  The per-bucket groupby
+    then compares post-``concat`` (pandas-coerced) values exactly."""
+    view = df[cols].copy()
+    for c in cols:
+        if pd.api.types.is_integer_dtype(view[c]) or pd.api.types.is_bool_dtype(view[c]):
+            view[c] = view[c].astype("float64")
+    return pd.util.hash_pandas_object(view, index=False).to_numpy()
+
+
+def _tagged_union(a, b, cols: list[str], num_buckets: int):
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[cols].drop_duplicates()
+            h = _canon_hash(out, cols)
+            return out.assign(
+                __side=side, __bucket=(h % num_buckets).astype("int64")
+            )
+
+        return fn
+
+    return a.map_batches(tag(0), batch_format="pandas").union(
+        b.map_batches(tag(1), batch_format="pandas")
+    )
+
+
+def _membership_reduce(ds, cols: list[str], keep):
+    """Per bucket: one groupby over the value columns with per-side ANY
+    flags; ``keep(in_a, in_b)`` selects output membership."""
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.assign(__a=df["__side"] == 0, __b=df["__side"] == 1)
+            .groupby(cols, sort=False, dropna=False)[["__a", "__b"]]
+            .any()
+            .reset_index()
+        )
+        return g.loc[keep(g["__a"], g["__b"]), cols]
+
+    return ds.groupby("__bucket").map_groups(resolve, batch_format="pandas")
+
+
+def except_distinct(a, b, cols: list[str], num_buckets: int = 32):
+    """``SELECT DISTINCT cols FROM a EXCEPT SELECT DISTINCT cols FROM b``."""
+    u = _tagged_union(a, b, cols, num_buckets)
+    return _membership_reduce(u, cols, lambda in_a, in_b: in_a & ~in_b)
+
+
+def intersect_distinct(a, b, cols: list[str], num_buckets: int = 32):
+    """``SELECT DISTINCT cols FROM a INTERSECT SELECT DISTINCT cols FROM b``."""
+    u = _tagged_union(a, b, cols, num_buckets)
+    return _membership_reduce(u, cols, lambda in_a, in_b: in_a & in_b)
