@@ -610,6 +610,13 @@ class ReplicatePipeline:
 
         state = self.sink[self.MAIN].pipeline_state(self.name)
         committed = int(state.get("last_epoch", -1))
+        stored_p = int(state.get("num_partitions", 0))
+        if committed >= 0 and stored_p and stored_p != self.cfg.num_partitions:
+            raise ValueError(
+                f"committed state has num_partitions={stored_p} but config "
+                f"says {self.cfg.num_partitions}; partition count is state "
+                "layout — run hydra_ray.state.rescale.rescale_state first"
+            )
         for t in self.sink.values():
             t.gc_staged()
         self._spawn_actors()
@@ -1130,6 +1137,9 @@ class ReplicatePipeline:
                 "total_clips": self._total_clips,
                 "hot_metrics": dict(self._hot_metrics),
                 "dedup_metrics": dict(self._dedup_metrics),
+                # partition count is SEMANTIC state layout; a resume with a
+                # different count must go through state.rescale first
+                "num_partitions": cfg.num_partitions,
             },
         )
         _marks.append(("commit", _t()))

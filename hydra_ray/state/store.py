@@ -926,6 +926,35 @@ def _classify(kind: str, table: pa.Table, wm: int) -> dict:
 
 
 # --------------------------------------------------------------------- actor
+def find_restore_chain(base: str, epoch: int) -> tuple[str, list[str]] | None:
+    """Locate the restore chain for ``epoch`` under one partition's
+    checkpoint dir: the newest FULL snapshot ≤ epoch plus every delta
+    after it up to epoch.  ``None`` when no restorable chain exists
+    (missing full, or a gap in the delta sequence)."""
+    if not os.path.isdir(base):
+        return None
+    fulls, deltas = [], {}
+    for name in os.listdir(base):
+        if not name.startswith("e"):
+            continue
+        e = int(name[1:])
+        d = os.path.join(base, name)
+        if os.path.exists(os.path.join(d, "state.pkl")):
+            fulls.append(e)
+        elif os.path.exists(os.path.join(d, "delta.pkl")):
+            deltas[e] = d
+    fulls = [e for e in fulls if e <= epoch]
+    if not fulls:
+        return None
+    f = max(fulls)
+    chain = []
+    for e in range(f + 1, epoch + 1):
+        if e not in deltas:
+            return None  # broken chain
+        chain.append(deltas[e])
+    return os.path.join(base, f"e{f:06d}"), chain
+
+
 def _make_actor_cls():
     import ray
 
@@ -1023,30 +1052,10 @@ def _make_actor_cls():
             plus every delta after it up to epoch (incremental chain)."""
             base = os.path.join(self.ckpt_root, f"p{self.partition:04d}")
             self.pending.clear()  # un-closed stashed ingests replay from source
-            if not os.path.isdir(base):
+            chain = find_restore_chain(base, epoch)
+            if chain is None:
                 return False
-            fulls, deltas = [], {}
-            for name in os.listdir(base):
-                if not name.startswith("e"):
-                    continue
-                e = int(name[1:])
-                d = os.path.join(base, name)
-                if os.path.exists(os.path.join(d, "state.pkl")):
-                    fulls.append(e)
-                elif os.path.exists(os.path.join(d, "delta.pkl")):
-                    deltas[e] = d
-            fulls = [e for e in fulls if e <= epoch]
-            if not fulls:
-                return False
-            f = max(fulls)
-            chain = []
-            for e in range(f + 1, epoch + 1):
-                if e not in deltas:
-                    return False  # broken chain
-                chain.append(deltas[e])
-            self.state.restore_chain(
-                os.path.join(base, f"e{f:06d}"), chain
-            )
+            self.state.restore_chain(*chain)
             return True
 
         def view_snapshot(self) -> pa.Table:

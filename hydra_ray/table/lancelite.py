@@ -526,6 +526,17 @@ class Table:
         self._commit_fragments(moved, {"pipelines": pipelines})
         return True
 
+    def update_pipeline_state(self, pipeline: str, updates: dict[str, Any]) -> int:
+        """Merge ``updates`` into one pipeline's committed state WITHOUT
+        advancing its epoch (no fragments) — used by offline maintenance
+        that changes run parameters recorded in the state (e.g. a state
+        rescale updating ``num_partitions``)."""
+        pipelines = dict(self.properties().get("pipelines", {}))
+        state = dict(pipelines.get(pipeline, {}))
+        state.update(updates)
+        pipelines[pipeline] = state
+        return self._commit_fragments([], {"pipelines": pipelines})
+
     def compact(self, target_rows: int = 200_000,
                 reader_horizon: int | None = None) -> int | None:
         """Merge small fragments into ~``target_rows`` ones (maintenance).
