@@ -94,9 +94,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality": q.q_lm_quality,
         "top_bigrams": q.q_top_bigrams,
         "dup_spans": q.q_dup_spans,
+        "window_distinct": q.q_window_distinct,
         "set_except": q.q_set_except,
         "set_intersect": q.q_set_intersect,
         "quality_scores": q.q_quality_scores,
+        "compression_ratio": q.q_compression_ratio,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
         # similarity search
@@ -387,6 +389,13 @@ def oracle_sql() -> dict[str, str]:
                                              '[REDACTED]', 'g'),
                               '\b(user|order)\b')) AS BIGINT) AS n_redacted
             FROM documents
+        """,
+        "window_distinct": f"""
+            SELECT event_type,
+                   (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            GROUP BY 1, 2
         """,
         "set_except": f"""
             SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms

@@ -715,6 +715,24 @@ def q_token_stats(sf_dir):
     )
 
 
+def q_compression_ratio(sf_dir):
+    """Deflate-ratio repetitiveness signal per source (rows-only: DuckDB
+    exposes no deflate; the operator is pytest-exact vs direct zlib)."""
+    from ..stages.text import CompressionRatio
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    scored = ds.map_batches(CompressionRatio(), batch_format="pyarrow")
+    out = grouped_aggregate(
+        scored, ["source"],
+        [
+            AggSpec("count", None, "n_docs"),
+            AggSpec("mean", "compression_ratio", "avg_ratio"),
+            AggSpec("min", "compression_ratio", "min_ratio"),
+        ],
+    )
+    return _round_cols(out, {"avg_ratio": 4, "min_ratio": 4})
+
+
 def q_quality_scores(sf_dir):
     """Quality heuristics (rows-only check: not SQL-expressible)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
@@ -831,6 +849,32 @@ def q_top_bigrams(sf_dir):
 
     ds = _read(sf_dir, "documents", ["text"])
     return top_ngrams(ds, "text", n=2, k=20)
+
+
+def q_window_distinct(sf_dir):
+    """Exact COUNT(DISTINCT user) per (event_type, day) window — local
+    dedup combiner, one bucketed distinct exchange, tiny grouped count
+    (the exact-distinct analogue of the windowed aggregates; HLL is the
+    approximate tier)."""
+    from ..stages.dedup import bucketed_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def day(t: pa.Table) -> pa.Table:
+        ms = ts_to_ms(t["ts"])
+        return pa.table(
+            {"event_type": t["event_type"],
+             "day_ms": pa.array((ms // DAY) * DAY, pa.int64()),
+             "user_id": t["user_id"]}
+        )
+
+    triples = bucketed_distinct(
+        ds.map_batches(day, batch_format="pyarrow"),
+        ["event_type", "day_ms", "user_id"],
+    )
+    return grouped_aggregate(
+        triples, ["event_type", "day_ms"], [AggSpec("count", None, "n_users")]
+    )
 
 
 def _setop_sides(sf_dir):

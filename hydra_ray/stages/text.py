@@ -18,6 +18,7 @@ import pyarrow as pa
 __all__ = [
     "TokenStats",
     "QualityScore",
+    "CompressionRatio",
     "LangId",
     "Fingerprint",
     "Redactor",
@@ -145,6 +146,37 @@ class Fingerprint:
         norm = pd.Series(texts).fillna("").str.lower().str.replace(r"\s+", " ", regex=True)
         h = pd.util.hash_array(norm.to_numpy(dtype=object), categorize=False)
         return batch.append_column(self.out_col, pa.array(h.astype(np.int64)))
+
+
+class CompressionRatio:
+    """Deflate compression ratio as a repetitiveness quality signal.
+
+    ``compressed_bytes / utf8_bytes`` at a fixed zlib level: highly
+    templated / repetitive documents compress far below natural prose
+    (the Gopher/CCNet-family corpus filter; complements the token-level
+    ``repetition_stats``).  Empty text → null.  Per-doc ``zlib.compress``
+    is one C call per document (libz streams, no Python inner loop) —
+    the same per-row-C shape as ``Redactor``.  Deterministic for a fixed
+    zlib version+level, so the operator is pytest-exact (no SQL oracle:
+    DuckDB exposes no deflate)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "compression_ratio",
+                 level: int = 6):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.level = level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        lvl = self.level
+        out = np.full(len(texts), np.nan)
+        for i, t in enumerate(texts):
+            if t:
+                raw = t.encode("utf-8")
+                out[i] = len(zlib.compress(raw, lvl)) / len(raw)
+        return batch.append_column(self.out_col, pa.array(out, pa.float64()))
 
 
 class Redactor:

@@ -810,3 +810,27 @@ def test_global_rank_rejects_nulls(rd):
     df = pd.DataFrame({"v": [1.0, np.nan, 3.0], "id": [1, 2, 3]})
     with pytest.raises(Exception, match="NULL"):
         global_rank(rd.from_pandas(df), "v", ["id"]).count()
+
+
+def test_compression_ratio_exact_vs_zlib(rd):
+    import zlib
+
+    from hydra_ray.stages.text import CompressionRatio
+
+    texts = ["a" * 400, "the quick brown fox jumps over the lazy dog " * 5,
+             "", None, "xyz"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (
+        rd.from_pandas(df).repartition(2)
+        .map_batches(CompressionRatio(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    for t, got in zip(texts, out["compression_ratio"]):
+        if not t:
+            assert pd.isna(got)
+        else:
+            raw = t.encode("utf-8")
+            assert got == len(zlib.compress(raw, 6)) / len(raw)
+    # repetitive text compresses far below prose
+    assert out["compression_ratio"].iloc[0] < 0.1 < out["compression_ratio"].iloc[1]

@@ -68,21 +68,12 @@ def test_query_matches_oracle(name, con, ray_session):
         assert bad == 0, f"{name}.{c}: {bad} mismatches\n{ray_res[~ok].head()}\n{sql_res[~ok].head()}"
 
 
-NO_ORACLE = [
-    "minhash_neardup",
-    "neardup_clusters",
-    "simhash_neardup",
-    "ann_ivf",
-    "approx_distinct",
-    "pack_sequences",
-    "audio_features",
-    "audio_neardup",
-    "flac_roundtrip",
-    "image_features",
-    "image_neardup",
-    "video_frames",
-    "lm_quality",
-]
+# every rows-only catalog entry runs at sf0.001, minus those with their
+# own dedicated (and heavier) tests in this file or test_replicate.py
+NO_ORACLE = sorted(
+    set(entrymod.queries()) - set(entrymod.oracle_sql())
+    - {"approx_distinct", "audio_features", "replicate_stream"}
+)
 
 
 def test_hll_accuracy(ray_session):
