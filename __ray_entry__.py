@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": q.q_quantile_sketch,
         "pivot_events": q.q_pivot_events,
         "rolling_value": q.q_rolling_value,
+        "rolling_range": q.q_rolling_range,
         "lag_delta": q.q_lag_delta,
         "running_total": q.q_running_total,
         "funnel": q.q_funnel,
@@ -63,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregates / joins (§2.5, §2.6)
         "pricing_summary": q.q_pricing_summary,
         "rollup_sales": q.q_rollup_sales,
+        "cube_sales": q.q_cube_sales,
         "salted_agg": q.q_salted_agg,
         "broadcast_enrich": q.q_broadcast_enrich,
         "hash_join": q.q_hash_join,
@@ -97,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": q.q_window_distinct,
         "set_except": q.q_set_except,
         "set_intersect": q.q_set_intersect,
+        "set_union": q.q_set_union,
         "quality_scores": q.q_quality_scores,
         "compression_ratio": q.q_compression_ratio,
         "langid": q.q_langid,
@@ -306,6 +309,16 @@ def oracle_sql() -> dict[str, str]:
                        AS rolling_mean
             FROM events
         """,
+        "rolling_range": """
+            SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                   CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w
+                        AS BIGINT) AS range_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS range_cnt
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
         "quantile_sketch": """
             WITH rnk AS (
                 SELECT event_type, value,
@@ -411,6 +424,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY}
             FROM events WHERE event_type = 'purchase'
         """,
+        "set_union": f"""
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms
+            FROM events WHERE event_type = 'click'
+            UNION
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY}
+            FROM events WHERE event_type = 'purchase'
+        """,
         "dup_spans": """
             WITH wins AS (
                 SELECT doc_id, substr(text, CAST(i AS BIGINT), 30) AS w
@@ -503,6 +523,15 @@ def oracle_sql() -> dict[str, str]:
                          / 100.0, 2) AS sum_base_price
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_sales": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                       AS grouping_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "broadcast_enrich": """
             SELECT c.c_nationkey AS c_nationkey,

@@ -242,6 +242,41 @@ def q_rolling_value(sf_dir):
     return _round_cols(out, {"rolling_mean": 4, "value": 2})
 
 
+def q_rolling_range(sf_dir):
+    """Trailing ONE-HOUR sum/count of value per user — the TIME-based
+    (RANGE BETWEEN) rolling-window operator.  Sums are exact integer
+    cents on both sides: windowed float sums are summation-order-
+    dependent (CLAUDE.md money-sum rule), int-valued float64 cumsums are
+    not."""
+    from ..stages.rollup import grouped_rolling_range
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.sign(v) * np.floor(np.abs(v * 100.0) + 0.5)
+        return pa.table(
+            {"user_id": t["user_id"], "event_id": t["event_id"],
+             "ms": pa.array(ts_to_ms(t["ts"]), pa.int64()),
+             "cents": pa.array(cents, pa.float64())}
+        )
+
+    out = grouped_rolling_range(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ms", "cents", range_span=3_600_000, out_prefix="range",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"], "event_id": df["event_id"],
+             "ms": df["ms"],
+             "range_cents": df["range_sum"].astype("int64"),
+             "range_cnt": df["range_cnt"].astype("int64")}
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_lag_delta(sf_dir):
     """Per-user previous event value (SQL LAG) — the per-key ordered
     shift operator; first event per user gets NULL."""
@@ -632,6 +667,34 @@ def q_rollup_sales(sf_dir):
 
 
 
+def q_cube_sales(sf_dir):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every grouping-set
+    combination from one scan — the GROUPING SETS form of
+    `rollup_aggregate` with all subsets (finest partials re-combined,
+    never the raw data)."""
+    from ..stages.windows import rollup_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = rollup_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [AggSpec("count", None, "n_rows"), AggSpec("sum", "l_quantity", "sum_qty")],
+        sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"],
+              ["l_linestatus"], []],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "grouping_id": t["grouping_id"],
+            "n_rows": t["n_rows"],
+            "sum_qty": pc.cast(t["sum_qty"], pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def _cents_col(ds, src: str, out: str):
     """Exact integer cents of a 2-dp money column (order-independent sums
     — see q_pricing_summary)."""
@@ -916,6 +979,15 @@ def q_set_intersect(sf_dir):
 
     clicks, buys = _setop_sides(sf_dir)
     return intersect_distinct(clicks, buys, ["user_id", "day_ms"])
+
+
+def q_set_union(sf_dir):
+    """(user, day) pairs with a click OR a purchase — distributed SQL
+    UNION (distinct semantics)."""
+    from ..stages.setops import union_distinct
+
+    clicks, buys = _setop_sides(sf_dir)
+    return union_distinct(clicks, buys, ["user_id", "day_ms"])
 
 
 def q_dup_spans(sf_dir):

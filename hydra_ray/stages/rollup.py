@@ -14,8 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pivot_wider", "grouped_rolling", "grouped_shift", "grouped_cumsum",
-           "collect_sorted", "grouped_rank"]
+__all__ = ["pivot_wider", "grouped_rolling", "grouped_rolling_range",
+           "grouped_shift", "grouped_cumsum", "collect_sorted", "grouped_rank"]
 
 
 def _bucket_tag(key_col: str, num_buckets: int):
@@ -254,6 +254,62 @@ def grouped_rolling(ds, key_col: str, order_col: str, tie_col: str,
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+def grouped_rolling_range(ds, key_col: str, ts_col: str, value_col: str,
+                          range_span: int, out_prefix: str = "range",
+                          num_buckets: int = 64):
+    """Per-key TIME-based rolling aggregate — SQL ``agg(v) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN range_span PRECEDING AND
+    CURRENT ROW)``.  Emits every input row plus ``{prefix}_sum``,
+    ``{prefix}_cnt``, ``{prefix}_mean``.
+
+    SQL RANGE frame semantics: a row's frame is every same-key row with
+    ``ts ∈ [row.ts − range_span, row.ts]`` — peer rows (equal ts) share
+    one frame regardless of physical order.  Same scale shape as
+    ``grouped_rolling`` (ONE hash(key)-bucket exchange, one vectorized
+    pass per bucket); the frame bounds come from two ``searchsorted``
+    probes over a composite ``(key_code << 42) | ts`` axis, so there is
+    no per-key dispatch.  Requires ``0 ≤ ts < 2^42`` (epoch-ms until year
+    ~2109) and < 2^21 distinct keys per bucket — both asserted.
+    """
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            out = g.copy()
+            for c in ("sum", "cnt", "mean"):
+                out[f"{out_prefix}_{c}"] = pd.Series([], dtype="float64")
+            return out
+        keys = g[key_col].to_numpy(dtype=object)
+        _, codes = np.unique(keys, return_inverse=True)
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        # the +range_span headroom keeps a frame start that underflows one
+        # key's block from landing inside the previous key's rows
+        assert ts.min() >= 0 and ts.max() + range_span < (1 << 42), \
+            "ts out of composite range"
+        assert codes.max() < (1 << 21), "too many keys per bucket; raise num_buckets"
+        comp = (codes.astype(np.int64) << 42) + ts
+        pos = np.argsort(comp, kind="stable")
+        comp_s = comp[pos]
+        v = g[value_col].to_numpy(dtype=np.float64)[pos]
+        lo = np.searchsorted(comp_s, comp_s - range_span, side="left")
+        hi = np.searchsorted(comp_s, comp_s, side="right")
+        csz = np.zeros(len(v) + 1)
+        np.cumsum(v, out=csz[1:])
+        wsum = csz[hi] - csz[lo]
+        wcnt = (hi - lo).astype(np.float64)
+        out = g.iloc[pos].copy()
+        out[f"{out_prefix}_sum"] = wsum
+        out[f"{out_prefix}_cnt"] = wcnt.astype(np.int64)
+        out[f"{out_prefix}_mean"] = wsum / wcnt
+        return out
+
+    return (
+        ds.map_batches(_bucket_tag(key_col, num_buckets), batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(roll, batch_format="pandas")
     )

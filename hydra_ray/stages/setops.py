@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-__all__ = ["except_distinct", "intersect_distinct"]
+__all__ = ["except_distinct", "intersect_distinct", "union_distinct"]
 
 
 def _canon_hash(df: pd.DataFrame, cols: list[str]):
@@ -75,3 +75,10 @@ def intersect_distinct(a, b, cols: list[str], num_buckets: int = 32):
     """``SELECT DISTINCT cols FROM a INTERSECT SELECT DISTINCT cols FROM b``."""
     u = _tagged_union(a, b, cols, num_buckets)
     return _membership_reduce(u, cols, lambda in_a, in_b: in_a & in_b)
+
+
+def union_distinct(a, b, cols: list[str], num_buckets: int = 32):
+    """``SELECT cols FROM a UNION SELECT cols FROM b`` (SQL UNION is
+    distinct).  Same tagged-combiner exchange; membership keeps all."""
+    u = _tagged_union(a, b, cols, num_buckets)
+    return _membership_reduce(u, cols, lambda in_a, in_b: in_a | in_b)

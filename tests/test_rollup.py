@@ -253,3 +253,35 @@ def test_grouped_rank_guards(ray_session):
     with pytest.raises(Exception, match="NULL"):
         grouped_rank(rd.from_pandas(df), "k", "v", "tid",
                      {"rk": "rank"}).count()
+
+
+def test_grouped_rolling_range_matches_bruteforce(rd):
+    import numpy as np
+
+    from hydra_ray.stages.rollup import grouped_rolling_range
+
+    rng = np.random.default_rng(9)
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], n),
+        "ts": rng.integers(0, 5_000, n).astype("int64"),
+        "v": rng.integers(-50, 100, n).astype("float64"),
+    })
+    # force ties in (k, ts): peer rows must share one frame
+    df.loc[10:30, "ts"] = 1_000
+    R = 700
+    got = (
+        grouped_rolling_range(rd.from_pandas(df).repartition(5),
+                              "k", "ts", "v", range_span=R, num_buckets=4)
+        .to_pandas()
+    )
+    # brute force: frame = same-key rows with ts in [row.ts - R, row.ts]
+    ref_sum, ref_cnt = [], []
+    for r in got.itertuples():
+        m = (df["k"] == r.k) & (df["ts"] >= r.ts - R) & (df["ts"] <= r.ts)
+        ref_sum.append(df.loc[m, "v"].sum())
+        ref_cnt.append(int(m.sum()))
+    assert got["range_sum"].tolist() == ref_sum
+    assert got["range_cnt"].tolist() == ref_cnt
+    assert np.allclose(got["range_mean"], np.array(ref_sum) / np.array(ref_cnt))
+    assert len(got) == n
