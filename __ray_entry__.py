@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q.q_audio_features,
         "audio_curation": q.q_audio_curation,
         "vad_segments": q.q_vad_segments,
+        "trim_audio": q.q_trim_audio,
+        "transcode_flac": q.q_transcode_flac,
         "audio_neardup": q.q_audio_neardup,
         "flac_roundtrip": q.q_flac_roundtrip,
         # image / video (real ppm/pgm/bmp + rawv kernels; PIL/ffmpeg

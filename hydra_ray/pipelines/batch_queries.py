@@ -1795,6 +1795,80 @@ def q_audio_curation(sf_dir):
     return cur.map_batches(project, batch_format="pyarrow")
 
 
+def q_trim_audio(sf_dir):
+    """Decode → trim leading/trailing silence → overlapping PCM window
+    chunking (the audio analogue of text chunking; rows-only).  Returns
+    per-chunk bookkeeping, not the PCM (CLAUDE.md: never collect a PCM
+    list column)."""
+    from ..stages.audio_curation import ChunkAudio, TrimSilence
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..synth import synth_clips_batch
+
+    n = 600
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0), num_blocks=32
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
+    main, _ = split_dlq(ds)
+    chunks = (
+        main.map_batches(TrimSilence(thresh_db=-45.0), batch_format="pyarrow")
+        .map_batches(ChunkAudio("seq", win_ms=250, hop_ms=125),
+                     batch_format="pyarrow")
+    )
+
+    def book(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return pa.table({
+            "seq": t["seq"],
+            "chunk": t["chunk"],
+            "start_ms": t["start_ms"],
+            "n_samples": pc2.cast(pc2.list_value_length(t["pcm"]), pa.int64()),
+        })
+
+    return chunks.map_batches(book, batch_format="pyarrow")
+
+
+def q_transcode_flac(sf_dir):
+    """Decode pcm16/wav/… → re-encode as real FLAC bitstreams → per-codec
+    compression stats (rows-only; exercises the flaclite ENCODER
+    distributed — the decoder is covered by flac_roundtrip)."""
+    from ..stages.audio_features import _flat_and_offsets
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..synth import synth_clips_batch
+
+    n = 600
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0), num_blocks=32
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
+    main, _ = split_dlq(ds)
+
+    def encode(t: pa.Table) -> pa.Table:
+        from ..flaclite import encode_flac
+
+        flat, offsets = _flat_and_offsets(t["pcm"])
+        sr = t["sr_hz"].to_numpy(zero_copy_only=False)
+        ratios = np.empty(t.num_rows, np.float64)
+        for i in range(t.num_rows):
+            w = flat[offsets[i]:offsets[i + 1]]
+            raw = 2 * len(w)  # pcm16 bytes
+            ratios[i] = len(encode_flac(w, int(sr[i]))) / raw if raw else np.nan
+        return pa.table({
+            "codec": t["codec"],
+            "flac_ratio": pa.array(ratios, pa.float64()),
+        })
+
+    enc = main.map_batches(encode, batch_format="pyarrow")
+    out = grouped_aggregate(
+        enc, ["codec"],
+        [
+            AggSpec("count", None, "n_clips"),
+            AggSpec("mean", "flac_ratio", "avg_ratio"),
+            AggSpec("max", "flac_ratio", "max_ratio"),
+        ],
+    )
+    return _round_cols(out, {"avg_ratio": 4, "max_ratio": 4})
+
+
 def q_vad_segments(sf_dir):
     """Decode → energy-VAD segmentation: clips explode into active
     segments (speech-trim curation pass; rows-only)."""

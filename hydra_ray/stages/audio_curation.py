@@ -22,7 +22,8 @@ import pyarrow as pa
 from .audio_features import _flat_and_offsets
 
 __all__ = ["spectral_features", "SpectralFeatures", "resample_clips",
-           "Resampler", "vad_segments", "VadSegments"]
+           "Resampler", "vad_segments", "VadSegments", "trim_silence",
+           "TrimSilence", "chunk_audio", "ChunkAudio"]
 
 
 # ----------------------------------------------------------- spectral
@@ -248,6 +249,130 @@ def vad_segments(batch: pa.Table, id_col: str, pcm_col: str = "pcm",
         "start_ms": pa.array(start_ms.astype(np.int64), pa.int64()),
         "end_ms": pa.array(end_ms.astype(np.int64), pa.int64()),
     })
+
+
+def trim_silence(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
+                 frame_ms: int = 20, thresh_db: float = -35.0) -> pa.Table:
+    """Trim leading/trailing silence per clip: keep the span from the
+    first to the last frame whose RMS exceeds ``thresh_db`` dBFS (frame
+    granularity, clamped to the clip).  Fully-silent clips keep zero
+    samples.  Replaces ``pcm_col`` and appends ``trimmed_ms`` (samples
+    removed, in ms).  Same one-reduceat frame-energy pass as
+    ``vad_segments``; the kept spans gather through a single
+    arange/repeat index — no per-clip Python.
+    """
+    n = batch.num_rows
+    if n == 0:
+        return batch.append_column("trimmed_ms", pa.array([], pa.int64()))
+
+    flat, offsets = _flat_and_offsets(batch[pcm_col])
+    lens = offsets[1:] - offsets[:-1]
+    sr = batch[sr_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    flen = np.maximum(sr * frame_ms // 1000, 1)
+    nframes = np.maximum(-(-lens // flen), 0)
+    total = int(nframes.sum())
+    lo = np.zeros(n, dtype=np.int64)     # first kept sample (per clip)
+    hi = np.zeros(n, dtype=np.int64)     # one past last kept sample
+    if total:
+        clip_of = np.repeat(np.arange(n), nframes)
+        local = np.arange(total) - np.repeat(np.cumsum(nframes) - nframes, nframes)
+        fstart = offsets[:-1][clip_of] + local * flen[clip_of]
+        fcnt = np.minimum(flen[clip_of], offsets[1:][clip_of] - fstart).astype(np.float64)
+        sq = (flat.astype(np.float32)) ** 2
+        e = np.add.reduceat(sq, np.minimum(fstart, max(len(flat) - 1, 0)),
+                            dtype=np.float64)
+        rms = np.sqrt(e / np.maximum(fcnt, 1.0))
+        active = rms > 10.0 ** (thresh_db / 20.0)
+        act_clip = clip_of[active]
+        act_local = local[active]
+        if len(act_clip):
+            first = np.r_[True, act_clip[1:] != act_clip[:-1]]
+            firsts = np.flatnonzero(first)
+            lasts = np.r_[firsts[1:] - 1, len(act_clip) - 1]
+            cc = act_clip[firsts]
+            lo[cc] = act_local[firsts] * flen[cc]
+            hi[cc] = np.minimum((act_local[lasts] + 1) * flen[cc], lens[cc])
+    keep = hi - lo
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(keep, out=cum[1:])
+    pos = (np.arange(cum[-1]) - np.repeat(cum[:-1], keep)
+           + np.repeat(offsets[:-1] + lo, keep))
+    values = flat[pos] if cum[-1] else flat[:0]
+    trimmed = pa.LargeListArray.from_arrays(
+        pa.array(cum, pa.int64()), pa.array(values, pa.float32())
+    )
+    trimmed_ms = ((lens - keep) * 1000) // np.maximum(sr, 1)
+    i = batch.column_names.index(pcm_col)
+    out = batch.set_column(i, pcm_col, trimmed)
+    return out.append_column("trimmed_ms", pa.array(trimmed_ms, pa.int64()))
+
+
+class TrimSilence:
+    def __init__(self, pcm_col: str = "pcm", sr_col: str = "sr_hz",
+                 frame_ms: int = 20, thresh_db: float = -35.0):
+        self.kw = dict(pcm_col=pcm_col, sr_col=sr_col, frame_ms=frame_ms,
+                       thresh_db=thresh_db)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return trim_silence(batch, **self.kw)
+
+
+def chunk_audio(batch: pa.Table, id_col: str, pcm_col: str = "pcm",
+                sr_col: str = "sr_hz", win_ms: int = 250,
+                hop_ms: int = 125) -> pa.Table:
+    """Explode clips into overlapping fixed-duration PCM windows for
+    batched feature/embedding extraction — the audio analogue of
+    ``text.chunk_tokens``.  Output: ``(id, chunk, start_ms, pcm)`` with
+    ``win_ms`` windows every ``hop_ms`` (the tail window is truncated;
+    clips shorter than one hop emit one window).  One arange/repeat
+    index gather over the flat PCM buffer; no per-clip Python.
+    """
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().slice(0, 0),
+            "chunk": pa.array([], pa.int32()),
+            "start_ms": pa.array([], pa.int64()),
+            pcm_col: pa.array([], pa.large_list(pa.float32())),
+        })
+    flat, offsets = _flat_and_offsets(batch[pcm_col])
+    lens = offsets[1:] - offsets[:-1]
+    sr = batch[sr_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    win = np.maximum(sr * win_ms // 1000, 1)
+    hop = np.maximum(sr * hop_ms // 1000, 1)
+    nchunks = np.where(lens > 0, np.maximum(-(-(lens - win) // hop) + 1, 1), 0)
+    total = int(nchunks.sum())
+    clip_of = np.repeat(np.arange(n), nchunks)
+    local = np.arange(total) - np.repeat(np.cumsum(nchunks) - nchunks, nchunks)
+    cstart = local * hop[clip_of]
+    # hop > win can push the final start past the clip end; clamp to zero
+    clen = np.maximum(np.minimum(win[clip_of], lens[clip_of] - cstart), 0)
+    cum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(clen, out=cum[1:])
+    pos = (np.arange(cum[-1]) - np.repeat(cum[:-1], clen)
+           + np.repeat(offsets[:-1][clip_of] + cstart, clen))
+    values = flat[pos] if cum[-1] else flat[:0]
+    chunks = pa.LargeListArray.from_arrays(
+        pa.array(cum, pa.int64()), pa.array(values, pa.float32())
+    )
+    start_ms = (cstart * 1000) // np.maximum(sr[clip_of], 1)
+    return pa.table({
+        id_col: batch[id_col].take(pa.array(clip_of, pa.int64())),
+        "chunk": pa.array(local.astype(np.int32), pa.int32()),
+        "start_ms": pa.array(start_ms, pa.int64()),
+        pcm_col: chunks,
+    })
+
+
+class ChunkAudio:
+    def __init__(self, id_col: str, pcm_col: str = "pcm",
+                 sr_col: str = "sr_hz", win_ms: int = 250, hop_ms: int = 125):
+        self.id_col = id_col
+        self.kw = dict(pcm_col=pcm_col, sr_col=sr_col, win_ms=win_ms,
+                       hop_ms=hop_ms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return chunk_audio(batch, self.id_col, **self.kw)
 
 
 class VadSegments:

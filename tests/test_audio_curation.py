@@ -121,3 +121,66 @@ def test_vad_segments_on_dataset(ray_session):
         .to_pandas()
     )
     assert len(out) == 20 and set(out["seg"]) == {0}
+
+
+def test_trim_silence_removes_padding_exactly():
+    from hydra_ray.stages.audio_curation import trim_silence
+
+    sr = 16_000
+    frame = sr * 20 // 1000  # 320 samples per 20 ms frame
+    tone = _sine(440, sr, 0.5, amp=0.6)
+    pad_l, pad_r = np.zeros(5 * frame), np.zeros(3 * frame)
+    clips = [
+        np.r_[pad_l, tone, pad_r],          # padded both sides
+        tone,                                # no padding
+        np.zeros(10 * frame),                # fully silent
+        np.array([], np.float32),            # empty
+    ]
+    out = trim_silence(_tbl(clips, [sr] * 4), thresh_db=-35.0)
+    kept = out["pcm"].combine_chunks()
+    lens = [len(kept[i]) for i in range(4)]
+    # frame-granular: padding frames are silent, tone frames active
+    assert lens[0] == len(tone) + (len(tone) % frame and frame - len(tone) % frame)
+    got = np.asarray(kept[0].as_py(), dtype=np.float32)
+    assert np.array_equal(got[: len(tone)], tone.astype(np.float32))
+    assert lens[1] == len(tone) + (len(tone) % frame and frame - len(tone) % frame)
+    assert lens[2] == 0 and lens[3] == 0
+    tms = out["trimmed_ms"].to_pylist()
+    assert tms[0] == (len(clips[0]) - lens[0]) * 1000 // sr
+    assert tms[2] == 10 * frame * 1000 // sr and tms[3] == 0
+
+
+def test_chunk_audio_windows_cover_and_overlap():
+    from hydra_ray.stages.audio_curation import chunk_audio
+
+    sr = 8_000
+    win, hop = sr * 250 // 1000, sr * 125 // 1000  # 2000 / 1000 samples
+    x = np.arange(5_500, dtype=np.float32) / 5_500  # recognizable ramp
+    short = np.arange(300, dtype=np.float32)
+    out = chunk_audio(_tbl([x, short, np.array([], np.float32)], [sr] * 3),
+                      "clip_id", win_ms=250, hop_ms=125)
+    df = out.to_pandas()
+    a = df[df["clip_id"] == "c0"]
+    # ceil((5500-2000)/1000)+1 = 5 windows, starts 0,1000,...,4000
+    assert a["chunk"].tolist() == [0, 1, 2, 3, 4]
+    assert a["start_ms"].tolist() == [0, 125, 250, 375, 500]
+    assert [len(p) for p in a["pcm"]] == [2000, 2000, 2000, 2000, 1500]
+    # content: window k starts at sample k*hop
+    w2 = np.asarray(a["pcm"].iloc[2], dtype=np.float32)
+    assert np.array_equal(w2, x[2000:4000])
+    b = df[df["clip_id"] == "c1"]  # shorter than one window: one chunk
+    assert len(b) == 1 and len(b["pcm"].iloc[0]) == 300
+    assert not (df["clip_id"] == "c2").any()  # empty clip emits nothing
+
+
+def test_transcode_flac_roundtrip_ratio():
+    from hydra_ray.audio import encode_pcm16
+    from hydra_ray.flaclite import decode_flac, encode_flac
+
+    sr = 16_000
+    w = _sine(220, sr, 1.0, amp=0.4).astype(np.float32)
+    blob = encode_flac(w, sr)
+    dec, got_sr = decode_flac(blob)
+    ref = np.frombuffer(encode_pcm16(w), dtype="<i2")
+    assert got_sr == sr and np.array_equal(dec, ref)
+    assert len(blob) < 2 * len(w)  # actually compresses vs pcm16
