@@ -38,7 +38,9 @@ QUERY_NAMES = [
     "hash_join", "anti_join", "bloom_semi_join", "left_join", "global_rank",
     "replication_diff", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
-    "jaccard_search", "decontaminate",
+    "jaccard_search", "decontaminate", "dup_spans",
+    "set_except", "set_intersect", "set_union", "window_distinct",
+    "rolling_range", "cube_sales",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
     "lag_delta", "running_total", "value_ranks", "event_paths", "pack_sequences",
@@ -47,9 +49,12 @@ QUERY_NAMES = [
     "value_corr", "value_outliers", "token_budget", "lm_quality",
     "neardup_cc", "audio_curation", "vad_segments",
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
+    "compression_ratio",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
+    "kmeans_embed",
     "distinct_users", "approx_distinct", "heavy_hitters",
     "audio_features", "audio_neardup", "flac_roundtrip",
+    "trim_audio", "transcode_flac",
     "image_features", "image_neardup", "video_frames",
 ]
 

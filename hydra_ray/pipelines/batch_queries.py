@@ -1346,6 +1346,20 @@ def _load_queries(sf_dir, n=8):
     return ids, mat
 
 
+def q_kmeans_embed(sf_dir):
+    """Distributed spherical k-means over the embedding corpus (Lloyd,
+    broadcast-pull + small reduce per round; rows-only: iterative)."""
+    from ..stages.similarity import kmeans_lloyd
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, sizes, inertia = kmeans_lloyd(ds, k=16, iters=4)
+    return pd.DataFrame({
+        "cluster": np.arange(len(sizes), dtype=np.int64),
+        "n_vectors": sizes.astype("int64"),
+        "inertia": np.round(np.full(len(sizes), inertia), 4),
+    })
+
+
 def q_ann_range(sf_dir):
     ids, mat = _load_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

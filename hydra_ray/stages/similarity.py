@@ -23,6 +23,7 @@ __all__ = [
     "cosine_range_search",
     "cosine_topk",
     "train_centroids",
+    "kmeans_lloyd",
     "ivf_topk",
     "build_ivf_index",
     "ivf_search_index",
@@ -139,6 +140,87 @@ def train_centroids(ds, n_centroids, vec_col="embedding", sample=4096, iters=10,
                 if nv > 0:
                     cents[c] = v / nv
     return cents
+
+
+def kmeans_lloyd(ds, k: int, iters: int = 5, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+    """Distributed Lloyd k-means over an embedding column (cosine/unit-
+    sphere variant — vectors and centroids are L2-normalized, assignment
+    is max dot product, the spherical-k-means convention that matches
+    the IVF quantizer here).
+
+    The iterative-algorithm shape: centroids broadcast once per round
+    (``ray.put``), each batch emits ONE (k × d) partial sum + count +
+    inertia row, the driver folds the O(k·blocks) partials — the same
+    broadcast-pull / small-reduce structure as the PageRank operator.
+    Initialization is the k globally-smallest ``hash64(id)`` vectors
+    (deterministic AND partition/resume-invariant, like every sampling
+    op here).  The input is materialized once so the per-iteration pass
+    re-reads blocks from the object store, not from parquet.
+
+    Returns ``(centroids (k×d), sizes (k,), inertia float)`` where
+    inertia = Σ (1 − cos(x, nearest centroid)).
+    """
+    import ray
+    import ray.data  # noqa: F401
+
+    from ..hashing import hash64
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = _normalize(_stack(t[vec_col]))
+        h = hash64(t[id_col])
+        return pa.table({
+            "__h": pa.array(h),
+            vec_col: pa.array(list(np.asarray(m, np.float32))),
+        })
+
+    mat = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        h = t["__h"].to_numpy(zero_copy_only=False)
+        if len(h) > k:
+            idx = np.argpartition(h, k)[:k]
+            t = t.take(pa.array(np.sort(idx), pa.int64()))
+        return t
+
+    seed_rows = mat.map_batches(bottom_k, batch_format="pyarrow").to_pandas()
+    seed_rows = seed_rows.sort_values("__h").head(k)
+    cents = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table, cref=cref) -> pa.Table:
+            c = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
+            x = _stack(t[vec_col]).astype(np.float64)
+            sim = x @ c.T
+            assign = sim.argmax(axis=1)
+            kk, d = c.shape
+            sums = np.zeros((kk, d))
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            inertia = float((1.0 - sim[np.arange(len(x)), assign]).sum())
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "vsum": pa.array(list(sums.astype(np.float64))),
+                "n": pa.array(counts),
+                "inertia": pa.array(
+                    np.r_[inertia, np.zeros(kk - 1)], pa.float64()),
+            })
+
+        folded = mat.map_batches(partial, batch_format="pyarrow").to_pandas()
+        g = folded.groupby("cluster", sort=True)
+        sums = np.stack(g["vsum"].apply(lambda s: np.sum(np.stack(s), axis=0)))
+        counts = g["n"].sum().to_numpy()
+        inertia = float(folded["inertia"].sum())
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(new, axis=1)
+        pos = norms > 0
+        new[pos] = new[pos] / norms[pos, None]
+        cents = new
+    return cents, counts, inertia
 
 
 def ivf_topk(ds, queries_ids, queries_mat, k, centroids, nprobe=4, id_col="vec_id", vec_col="embedding"):

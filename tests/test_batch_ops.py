@@ -834,3 +834,48 @@ def test_compression_ratio_exact_vs_zlib(rd):
             assert got == len(zlib.compress(raw, 6)) / len(raw)
     # repetitive text compresses far below prose
     assert out["compression_ratio"].iloc[0] < 0.1 < out["compression_ratio"].iloc[1]
+
+
+def test_kmeans_lloyd_matches_reference_and_partitioning(rd):
+    import numpy as np
+
+    from hydra_ray.hashing import hash64
+    from hydra_ray.stages.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(5)
+    k, d, per = 4, 8, 60
+    centers = rng.normal(size=(k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) + 0.05 * rng.normal(size=(k * per, d))
+    ids = np.arange(k * per, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs.astype(np.float32))})
+
+    def reference(iters):
+        x = vecs.astype(np.float32)
+        x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float64)
+        order = np.argsort(hash64(ids))[:k]
+        c = x[order]  # k smallest hashes, in hash order
+        for _ in range(iters):
+            sim = x @ c.T
+            a = sim.argmax(axis=1)
+            inertia = float((1.0 - sim[np.arange(len(x)), a]).sum())
+            new = c.copy()
+            for j in range(k):
+                m = a == j
+                if m.any():
+                    v = x[m].mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        new[j] = v / n
+            c = new
+        return c, np.bincount(a, minlength=k), inertia
+
+    ref_c, ref_n, ref_i = reference(4)
+    for blocks in (1, 6):
+        cents, sizes, inertia = kmeans_lloyd(
+            rd.from_pandas(df).repartition(blocks), k=k, iters=4)
+        assert np.allclose(cents, ref_c, atol=1e-9)
+        assert sizes.tolist() == ref_n.tolist()
+        assert abs(inertia - ref_i) < 1e-6  # cross-block summation order
+    # planted clusters recovered: every cluster non-empty and tight
+    assert (sizes > 0).all() and inertia / len(vecs) < 0.05
