@@ -436,7 +436,8 @@ def embedding_neardup_lsh(
 
 
 def build_ivf_index(ds, root: str, n_centroids: int = 64, id_col="vec_id",
-                    vec_col="embedding", sample: int = 4096, seed: int = 42) -> str:
+                    vec_col="embedding", sample: int = 4096, seed: int = 42,
+                    train: str = "sample") -> str:
     """Persist an IVF-Flat index: centroids + the corpus partitioned into
     one directory per inverted list (``lists/part=<list_id>/``).
 
@@ -446,6 +447,11 @@ def build_ivf_index(ds, root: str, n_centroids: int = 64, id_col="vec_id",
     vs ``ivf_topk`` which prunes compute but still scans every block).
     Built with ``sinks.write_partitioned``, so a crashed build resumes at
     list granularity.
+
+    ``train="sample"`` fits the quantizer on a driver-side sample (fine
+    while a representative sample fits one machine); ``train="lloyd"``
+    runs the distributed ``kmeans_lloyd`` over the WHOLE corpus — the
+    scale path when the corpus distribution is too wide for a sample.
     """
     import os
 
@@ -454,7 +460,11 @@ def build_ivf_index(ds, root: str, n_centroids: int = 64, id_col="vec_id",
 
     from ..sinks import write_partitioned
 
-    cents = train_centroids(ds, n_centroids, vec_col, sample, seed=seed)
+    if train == "lloyd":
+        cents, _, _ = kmeans_lloyd(ds, n_centroids, iters=5,
+                                   vec_col=vec_col, id_col=id_col)
+    else:
+        cents = train_centroids(ds, n_centroids, vec_col, sample, seed=seed)
     os.makedirs(root, exist_ok=True)
     pq.write_table(
         pa.table({"centroid": [[float(x) for x in c] for c in cents]}),

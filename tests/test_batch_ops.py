@@ -879,3 +879,31 @@ def test_kmeans_lloyd_matches_reference_and_partitioning(rd):
         assert abs(inertia - ref_i) < 1e-6  # cross-block summation order
     # planted clusters recovered: every cluster non-empty and tight
     assert (sizes > 0).all() and inertia / len(vecs) < 0.05
+
+
+def test_ivf_index_lloyd_training_path(rd, tmp_path):
+    """train="lloyd" (distributed whole-corpus k-means) builds a working
+    index: same layout, self-recall at nprobe=4."""
+    import os
+
+    import numpy as np
+
+    from hydra_ray.pipelines.batch_queries import _read
+    from hydra_ray.stages.similarity import build_ivf_index, ivf_search_index
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ivf_lloyd")
+    build_ivf_index(_read(sf, "embeddings"), root, n_centroids=8, train="lloyd")
+    n_lists = sum(1 for d in os.listdir(os.path.join(root, "lists"))
+                  if d.startswith("part="))
+    assert n_lists == 8
+
+    import pyarrow.parquet as pq2
+
+    qt = pq2.read_table(os.path.join(sf, "embeddings.parquet")).slice(0, 6)
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    qmat = np.stack(qt["embedding"].to_numpy(zero_copy_only=False))
+    got = ivf_search_index(root, qids, qmat, k=5, nprobe=4).to_pandas()
+    for q in qids:
+        top1 = got[got["query_id"] == q].sort_values("rank").iloc[0]
+        assert top1["vec_id"] == q and top1["cosine"] > 0.999
