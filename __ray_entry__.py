@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image / video (real ppm/pgm/bmp + rawv kernels; PIL/ffmpeg
         # formats are DLQ-routed stubs)
         "image_features": q.q_image_features,
+        "image_resize": q.q_image_resize,
         "image_neardup": q.q_image_neardup,
         "video_frames": q.q_video_frames,
     }

@@ -55,7 +55,7 @@ QUERY_NAMES = [
     "distinct_users", "approx_distinct", "heavy_hitters",
     "audio_features", "audio_neardup", "flac_roundtrip",
     "trim_audio", "transcode_flac",
-    "image_features", "image_neardup", "video_frames",
+    "image_features", "image_neardup", "image_resize", "video_frames",
 ]
 
 

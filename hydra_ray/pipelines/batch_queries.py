@@ -1665,6 +1665,56 @@ def q_image_features(sf_dir):
     )
 
 
+def q_image_resize(sf_dir):
+    """Decode → block-mean resize to 32×32 → re-encode (ppm/pgm) → decode
+    again for size bookkeeping: the resize/normalize multimodal stage
+    (rows-only).  Returns per-image output format + byte size."""
+    import pyarrow.compute as pc2
+
+    from ..stages.multimodal import (
+        ImageResize,
+        encode_bmp,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    n = 400
+
+    def make(idx: np.ndarray) -> pa.Table:
+        ids, payloads, fmts = [], [], []
+        for i in idx.tolist():
+            fmt = ("ppm", "bmp", "pgm")[i % 3]
+            rgb = _synth_image(i)
+            if fmt == "ppm":
+                payloads.append(encode_ppm(rgb))
+            elif fmt == "bmp":
+                payloads.append(encode_bmp(rgb))
+            else:
+                payloads.append(encode_pgm(rgb[:, :, 0]))
+            ids.append(f"img-{i:06d}")
+            fmts.append(fmt)
+        return pa.table({
+            "image_id": pa.array(ids),
+            "bytes": pa.array(payloads, pa.large_binary()),
+            "format": pa.array(fmts),
+        })
+
+    small = _dist_synth(n, make).map_batches(
+        ImageResize(32, 32), batch_format="pyarrow", batch_size=64
+    )
+
+    def book(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": t["image_id"],
+            "out_format": t["format"],
+            "out_bytes": pc2.cast(pc2.binary_length(t["bytes"]), pa.int64()),
+            "width": t["width"],
+            "height": t["height"],
+        })
+
+    return small.map_batches(book, batch_format="pyarrow")
+
+
 def q_image_neardup(sf_dir):
     """Image near-dup by perceptual dHash + banded Hamming pairing (the
     generic hamming_near_pairs machinery; rows-only).  Every third image

@@ -36,6 +36,7 @@ __all__ = [
     "block_thumbnail",
     "dhash64",
     "ImageDecoder",
+    "ImageResize",
     "encode_rawv",
     "FrameSampler",
     "binary_stats",
@@ -251,6 +252,63 @@ class ImageDecoder:
                 "decode_error": pa.array(errors, pa.string()),
             }
         )
+
+
+class ImageResize:
+    """Actor-pool resize stage: decode → per-channel block-mean resize to
+    ``(out_h, out_w)`` → re-encode (color → ppm, gray → pgm).
+
+    Completes the decode/feature/resize/frame-sample multimodal quartet.
+    Block-mean (area) resampling is the correct downsample filter and
+    pure numpy (integral image per channel); upscaling repeats blocks
+    (nearest-area), adequate for thumbnail/normalization pipelines.
+    Per-row failures land in ``decode_error`` (DLQ semantics), and rows
+    that fail carry null bytes.
+    """
+
+    def __init__(self, out_h: int = 64, out_w: int = 64):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fmts = batch["format"].to_pylist()
+        payloads = batch["bytes"]
+        out_bytes: list[bytes | None] = [None] * n
+        out_fmt: list[str | None] = [None] * n
+        errors: list[str | None] = [None] * n
+        for i in range(n):
+            try:
+                arr = decode_image(payloads[i].as_py(), fmts[i])
+                if arr.ndim == 2:
+                    small = block_thumbnail(
+                        arr.astype(np.float32), self.out_h, self.out_w)
+                    img = np.clip(np.rint(small), 0, 255).astype(np.uint8)
+                    out_bytes[i] = encode_pgm(img)
+                    out_fmt[i] = "pgm"
+                else:
+                    chans = [
+                        block_thumbnail(arr[:, :, c].astype(np.float32),
+                                        self.out_h, self.out_w)
+                        for c in range(arr.shape[2])
+                    ]
+                    img = np.clip(np.rint(np.stack(chans, axis=2)),
+                                  0, 255).astype(np.uint8)
+                    out_bytes[i] = encode_ppm(img)
+                    out_fmt[i] = "ppm"
+            except (ImageDecodeError, ValueError, struct.error) as e:
+                errors[i] = str(e)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "bytes": pa.array(out_bytes, pa.large_binary()),
+            "format": pa.array(out_fmt, pa.string()),
+            "width": pa.array(
+                np.where([e is None for e in errors], self.out_w, 0)
+                .astype(np.int32)),
+            "height": pa.array(
+                np.where([e is None for e in errors], self.out_h, 0)
+                .astype(np.int32)),
+            "decode_error": pa.array(errors, pa.string()),
+        })
 
 
 # -------------------------------------------------------------------- video

@@ -197,3 +197,43 @@ def test_rawv_zero_fps_routed():
     )
     out = FrameSampler()(batch).to_pandas()
     assert "malformed rawv header" in out["decode_error"].iloc[0]
+
+
+def test_image_resize_block_mean_and_dlq(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hydra_ray.stages.multimodal import (
+        ImageResize,
+        decode_image,
+        encode_pgm,
+        encode_ppm,
+    )
+
+    # a 4x4 color image whose 2x2 block means are exactly representable
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    rgb[:2, :2] = 10; rgb[:2, 2:] = 20; rgb[2:, :2] = 30; rgb[2:, 2:] = 40
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    t = pa.table({
+        "image_id": pa.array(["a", "b", "c"]),
+        "bytes": pa.array([encode_ppm(rgb), encode_pgm(gray), b"PNG-stub"],
+                          pa.large_binary()),
+        "format": pa.array(["ppm", "pgm", "png"]),
+    })
+    out = (
+        rd.from_arrow(t)
+        .map_batches(ImageResize(2, 2), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("image_id")
+    )
+    a = decode_image(out.loc["a", "bytes"], "ppm")
+    assert a.shape == (2, 2, 3)
+    assert a[:, :, 0].tolist() == [[10, 20], [30, 40]]
+    b = decode_image(out.loc["b", "bytes"], "pgm")
+    assert b.shape == (2, 2)
+    # block means of the 8x8 ramp quadrants: mean of each 4x4 block
+    ref = gray.reshape(2, 4, 2, 4).mean(axis=(1, 3))
+    assert np.array_equal(b, np.rint(ref).astype(np.uint8))
+    assert out.loc["c", "decode_error"] is not None
+    assert out.loc["c", "bytes"] is None
