@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_range": q.q_ann_range,
         "kmeans_embed": q.q_kmeans_embed,
+        "semantic_dedup": q.q_semantic_dedup,
         "ann_topk": q.q_ann_topk,
         "ann_ivf": q.q_ann_ivf,
         "vector_norms": q.q_vector_norms,

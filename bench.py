@@ -51,7 +51,7 @@ QUERY_NAMES = [
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "compression_ratio",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
-    "kmeans_embed",
+    "kmeans_embed", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",
     "audio_features", "audio_neardup", "flac_roundtrip",
     "trim_audio", "transcode_flac",

@@ -1360,6 +1360,20 @@ def q_kmeans_embed(sf_dir):
     })
 
 
+def q_semantic_dedup(sf_dir):
+    """SemDeDup-style semantic dedup: k-means clusters bound the pairwise
+    search to O(n²/k); min-id keeper per near-dup set (rows-only:
+    iterative clustering)."""
+    from ..stages.similarity import semantic_dedup
+
+    # the synthetic embeddings have no true near-dups (max pairwise cosine
+    # ≈ 0.51); 0.4 exercises the clustered pair search with real output —
+    # dup SEMANTICS are pytest-proven on planted copies
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, threshold=0.4, k=8, iters=3)
+    return _round_cols(out, {"cosine": 2})
+
+
 def q_ann_range(sf_dir):
     ids, mat = _load_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])

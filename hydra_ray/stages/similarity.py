@@ -24,6 +24,7 @@ __all__ = [
     "cosine_topk",
     "train_centroids",
     "kmeans_lloyd",
+    "semantic_dedup",
     "ivf_topk",
     "build_ivf_index",
     "ivf_search_index",
@@ -221,6 +222,87 @@ def kmeans_lloyd(ds, k: int, iters: int = 5, vec_col: str = "embedding",
         new[pos] = new[pos] / norms[pos, None]
         cents = new
     return cents, counts, inertia
+
+
+def semantic_dedup(ds, threshold: float = 0.95, k: int = 16, iters: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    search for near-duplicate pairs ONLY within each cluster — the
+    pairwise cost drops from O(n²) to O(Σ cluster²) ≈ O(n²/k), and each
+    cluster's member matrix is the only thing that must fit one worker.
+
+    Emits ``(dup_id, keep_id, cosine)``: within every within-cluster
+    near-dup connected set (cosine ≥ threshold), the smallest id is the
+    canonical keeper and every other member appears once as ``dup_id``
+    (its strongest cosine to the set's members reported).  Pairs whose
+    members land in different clusters are missed — the documented
+    SemDeDup recall trade; raise ``k`` for cheaper clusters, lower it
+    for recall.  Deterministic: clustering init is hash-seeded
+    (``kmeans_lloyd``) and the keeper rule is pure min-id.
+    """
+    import ray
+
+    cents, _, _ = kmeans_lloyd(ds, k, iters=iters, vec_col=vec_col,
+                               id_col=id_col)
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from .join import _bcast_get
+
+        m = _normalize(_stack(t[vec_col]))
+        cl = (m @ _bcast_get(cref).T).argmax(axis=1).astype(np.int32)
+        return pa.table({
+            id_col: t[id_col],
+            vec_col: pa.array(list(np.asarray(m, np.float32))),
+            "__cluster": pa.array(cl),
+        })
+
+    def dedup_cluster(g):
+        import pandas as pd
+
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        sim = m @ m.T
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        hit = sim[iu, ju] >= threshold
+        pi, pj = iu[hit], ju[hit]
+        if not len(pi):
+            return pd.DataFrame({ "dup_id": ids[:0], "keep_id": ids[:0],
+                                  "cosine": np.empty(0)})
+        # union-find over the near-dup pairs (tiny: pairs ≪ cluster²)
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pi, pj):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(x) for x in range(n)])
+        dup_mask = roots != np.arange(n)  # ids sorted → root = min id
+        best = np.zeros(n)
+        np.maximum.at(best, pi, sim[pi, pj])
+        np.maximum.at(best, pj, sim[pi, pj])
+        d = np.flatnonzero(dup_mask)
+        return pd.DataFrame({
+            "dup_id": ids[d],
+            "keep_id": ids[roots[d]],
+            "cosine": best[d],
+        })
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )
 
 
 def ivf_topk(ds, queries_ids, queries_mat, k, centroids, nprobe=4, id_col="vec_id", vec_col="embedding"):

@@ -907,3 +907,45 @@ def test_ivf_index_lloyd_training_path(rd, tmp_path):
     for q in qids:
         top1 = got[got["query_id"] == q].sort_values("rank").iloc[0]
         assert top1["vec_id"] == q and top1["cosine"] > 0.999
+
+
+def test_semantic_dedup_recovers_planted_copies(rd):
+    import numpy as np
+
+    from hydra_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(13)
+    k, d, per = 4, 16, 40
+    centers = rng.normal(size=(k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    base = np.repeat(centers, per, axis=0) + 0.2 * rng.normal(size=(k * per, d))
+    ids = list(range(k * per))
+    vecs = list(base)
+    # plant near-dup sets: ids 1000+i are copies of i (tiny noise),
+    # and 2000..2002 a 3-chain copying id 7
+    planted = {}
+    for i in (3, 50, 95, 140):
+        ids.append(1000 + i)
+        vecs.append(base[i] + 1e-4 * rng.normal(size=d))
+        planted[1000 + i] = i
+    for j in range(3):
+        ids.append(2000 + j)
+        vecs.append(base[7] + 1e-4 * rng.normal(size=d))
+        planted[2000 + j] = 7
+    df = pd.DataFrame({"vec_id": np.array(ids, np.int64),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+
+    got = {}
+    for blocks in (1, 6):
+        out = semantic_dedup(rd.from_pandas(df).repartition(blocks),
+                             threshold=0.995, k=k, iters=4).to_pandas()
+        m = dict(zip(out["dup_id"], out["keep_id"]))
+        if not got:
+            got = m
+        assert m == got  # partition invariance
+    # every planted copy is flagged with its original as keeper
+    for dup, orig in planted.items():
+        assert got[dup] == orig, (dup, got.get(dup))
+    # the base corpus itself is spread-out: few spurious dups
+    spurious = {d2 for d2 in got if d2 < 1000}
+    assert len(spurious) <= 4, spurious
