@@ -72,13 +72,57 @@ def _crc8(data: bytes | np.ndarray) -> int:
     return r
 
 
-def _crc16(data: bytes | np.ndarray) -> int:
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
-    r = 0
+def _crc16_serial(arr: np.ndarray, r: int = 0) -> int:
     lut = _CRC16_LUT
     for b in arr:
         r = int(lut[((r >> 8) ^ b) & 0xFF]) ^ ((r << 8) & 0xFFFF)
     return r
+
+
+_CRC16_SHIFT_BASIS: dict[int, list[int]] = {}
+
+
+def _crc16_shift_basis(nbytes: int) -> list[int]:
+    """Images of the 16 CRC state basis bits after ``nbytes`` zero bytes.
+    The table CRC (init 0, no xor-out) is linear over GF(2), so passing
+    any state through n zero bytes is the XOR of its set bits' images."""
+    basis = _CRC16_SHIFT_BASIS.get(nbytes)
+    if basis is None:
+        z = np.zeros(nbytes, dtype=np.uint8)
+        basis = [_crc16_serial(z, 1 << k) for k in range(16)]
+        _CRC16_SHIFT_BASIS[nbytes] = basis
+    return basis
+
+
+def _crc16(data: bytes | np.ndarray) -> int:
+    """CRC-16/0x8005 — lane-parallel: split the buffer into equal lanes
+    CRC'd in lockstep (one numpy gather per byte POSITION, not per byte),
+    then fold the lane CRCs with the linear shift-through-L-zero-bytes
+    map.  This was 75 % of FLAC encode time as a per-byte Python loop."""
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    n = len(arr)
+    if n < 512:
+        return _crc16_serial(arr)
+    lanes = min(64, n // 64)
+    L = n // lanes
+    body = arr[: lanes * L].reshape(lanes, L)
+    lut = _CRC16_LUT
+    r = np.zeros(lanes, dtype=np.uint32)
+    for j in range(L):
+        r = lut[((r >> 8) ^ body[:, j]) & 0xFF] ^ ((r << 8) & 0xFFFF)
+    basis = _crc16_shift_basis(L)
+    total = 0
+    for i in range(lanes):
+        s = 0
+        t = total
+        k = 0
+        while t:
+            if t & 1:
+                s ^= basis[k]
+            t >>= 1
+            k += 1
+        total = s ^ int(r[i])
+    return _crc16_serial(arr[lanes * L:], total)
 
 
 # ------------------------------------------------------------- UTF-8 number
