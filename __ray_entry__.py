@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q.q_pivot_events,
         "rolling_value": q.q_rolling_value,
         "rolling_range": q.q_rolling_range,
+        "value_bounds": q.q_value_bounds,
         "lag_delta": q.q_lag_delta,
         "running_total": q.q_running_total,
         "funnel": q.q_funnel,
@@ -313,6 +314,17 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
                        AS rolling_mean
             FROM events
+        """,
+        "value_bounds": """
+            SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                   round(value, 2) AS value,
+                   round(first_value(value) OVER w, 2) AS first_value,
+                   round(last_value(value) OVER w, 2) AS last_value,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """,
         "rolling_range": """
             SELECT user_id, event_id, epoch_ms(ts) AS ms,

@@ -277,6 +277,19 @@ def q_rolling_range(sf_dir):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_value_bounds(sf_dir):
+    """Per-user FIRST_VALUE / LAST_VALUE over the full ordered frame plus
+    NTILE(4) — the frame-boundary window functions."""
+    from ..stages.rollup import grouped_bounds
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = grouped_bounds(
+        _ms_col(ds, "ts", "ms"),
+        "user_id", "ms", "event_id", "value", ntile=4,
+    )
+    return _round_cols(out, {"value": 2, "first_value": 2, "last_value": 2})
+
+
 def q_lag_delta(sf_dir):
     """Per-user previous event value (SQL LAG) — the per-key ordered
     shift operator; first event per user gets NULL."""

@@ -15,7 +15,8 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["pivot_wider", "grouped_rolling", "grouped_rolling_range",
-           "grouped_shift", "grouped_cumsum", "collect_sorted", "grouped_rank"]
+           "grouped_shift", "grouped_cumsum", "collect_sorted", "grouped_rank",
+           "grouped_bounds"]
 
 
 def _bucket_tag(key_col: str, num_buckets: int):
@@ -312,6 +313,62 @@ def grouped_rolling_range(ds, key_col: str, ts_col: str, value_col: str,
         ds.map_batches(_bucket_tag(key_col, num_buckets), batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(roll, batch_format="pandas")
+    )
+
+
+def grouped_bounds(ds, key_col: str, order_col: str, tie_col: str,
+                   value_col: str, ntile: int | None = None,
+                   num_buckets: int = 64):
+    """Per-key FIRST_VALUE / LAST_VALUE over the full frame (``ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING``) in
+    ``(order_col, tie_col)`` order, plus SQL ``NTILE(ntile)`` when
+    requested — emitted as ``first_value`` / ``last_value`` / ``tile``.
+
+    NTILE splits each key's rows as evenly as possible with the larger
+    buckets first (SQL semantics).  Same scale shape as every ordered
+    window here: ONE hash(key)-bucket exchange, one lexsort per bucket,
+    index-fill arithmetic — no per-key dispatch.
+    """
+    tag = _bucket_tag(key_col, num_buckets)
+
+    def bounds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            outd = g.copy()
+            outd["first_value"] = pd.Series([], dtype="float64")
+            outd["last_value"] = pd.Series([], dtype="float64")
+            if ntile:
+                outd["tile"] = pd.Series([], dtype="int64")
+            return outd
+        pos, sc, first = _sorted_runs(g, key_col, order_col, tie_col)
+        v = g[value_col].to_numpy(dtype=np.float64)[pos]
+        n = len(sc)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(first, idx, 0))
+        starts = np.flatnonzero(first)
+        ends_excl = np.r_[starts[1:], n]
+        run_end = np.repeat(ends_excl - 1, ends_excl - starts)
+        outd = g.iloc[pos].copy()
+        outd["first_value"] = v[run_start]
+        outd["last_value"] = v[run_end]
+        if ntile:
+            rn0 = idx - run_start
+            cnt = run_end - run_start + 1
+            q, r = cnt // ntile, cnt % ntile
+            big = r * (q + 1)          # rows covered by the size-(q+1) tiles
+            in_big = rn0 < big
+            tile = np.where(
+                in_big,
+                rn0 // np.maximum(q + 1, 1),
+                r + (rn0 - big) // np.maximum(q, 1),
+            )
+            outd["tile"] = tile.astype(np.int64) + 1  # SQL NTILE is 1-based
+        return outd
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bounds, batch_format="pandas")
     )
 
 

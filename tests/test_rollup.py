@@ -285,3 +285,33 @@ def test_grouped_rolling_range_matches_bruteforce(rd):
     assert got["range_cnt"].tolist() == ref_cnt
     assert np.allclose(got["range_mean"], np.array(ref_sum) / np.array(ref_cnt))
     assert len(got) == n
+
+
+def test_grouped_bounds_ntile_semantics(rd):
+    import numpy as np
+
+    from hydra_ray.stages.rollup import grouped_bounds
+
+    # one key with 10 rows -> NTILE(4) sizes 3,3,2,2; another with 3 rows
+    # (fewer rows than tiles) -> tiles 1,2,3; singleton key
+    df = pd.DataFrame({
+        "k": ["a"] * 10 + ["b"] * 3 + ["c"],
+        "ts": list(range(10)) + [5, 1, 9] + [0],
+        "tie": range(14),
+        "v": [float(x) for x in range(14)],
+    })
+    out = (
+        grouped_bounds(rd.from_pandas(df).repartition(3), "k", "ts", "tie",
+                       "v", ntile=4, num_buckets=2)
+        .to_pandas()
+    )
+    a = out[out["k"] == "a"].sort_values("ts")
+    assert a["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    assert (a["first_value"] == 0.0).all() and (a["last_value"] == 9.0).all()
+    b = out[out["k"] == "b"].sort_values("ts")   # ts order: 1, 5, 9
+    assert b["tile"].tolist() == [1, 2, 3]
+    assert (b["first_value"] == 11.0).all()       # v of ts=1
+    assert (b["last_value"] == 12.0).all()        # v of ts=9
+    c = out[out["k"] == "c"]
+    assert c["tile"].tolist() == [1]
+    assert c["first_value"].iloc[0] == c["last_value"].iloc[0] == 13.0
