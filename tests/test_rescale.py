@@ -130,3 +130,39 @@ def test_rescale_same_count_is_noop(sources):
     _run(root, "noop", 4, max_epochs=1)
     info = rescale_state(f"{root}/noop", 4, cfg(4))
     assert info.get("noop") is True
+
+
+def test_rescale_backup_restore_recovery(sources):
+    """The swap keeps a backup of the old p* dirs; restoring it (move
+    back + reset num_partitions) resumes at the OLD count with outputs
+    identical to the uninterrupted baseline — the documented mid-swap
+    crash recovery procedure."""
+    import os
+    import shutil
+
+    root = sources
+    out = f"{root}/restore"
+    _run(root, "restore", 4, max_epochs=2)
+    info = rescale_state(out, 6, cfg(4))
+    backup = info["backup"]
+    assert os.path.isdir(backup)
+
+    # recovery: put the old checkpoint layout back
+    ck = f"{out}/_checkpoints"
+    for d in sorted(os.listdir(ck)):
+        if d.startswith("p") and d[1:].isdigit():
+            shutil.rmtree(os.path.join(ck, d))
+    for d in sorted(os.listdir(backup)):
+        os.rename(os.path.join(backup, d), os.path.join(ck, d))
+    from hydra_ray.table import Table
+    Table(f"{out}/replicated").update_pipeline_state(
+        "replicate", {"num_partitions": 4})
+
+    _run(root, "restore", 4)  # resume at the old count
+    base = _sink_frames(f"{root}/base")
+    got = _sink_frames(out)
+    for sink in SINK_KEYS:
+        b, g = base[sink], got[sink]
+        assert len(b) == len(g), (sink, len(b), len(g))
+        cols = [c for c in b.columns if c in g.columns]
+        pd.testing.assert_frame_equal(g[cols], b[cols], check_dtype=False)
