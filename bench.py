@@ -48,6 +48,7 @@ QUERY_NAMES = [
     "token_stats", "token_explode", "repetition_stats", "chunk_docs",
     "value_dispersion", "rollup_sales", "funnel", "value_histogram", "mode_user",
     "value_corr", "value_outliers", "token_budget", "lm_quality",
+    "curation_e2e",
     "neardup_cc", "audio_curation", "vad_segments",
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "compression_ratio",

@@ -1003,6 +1003,21 @@ def q_set_union(sf_dir):
     return union_distinct(clicks, buys, ["user_id", "day_ms"])
 
 
+def q_curation_e2e(sf_dir):
+    """The full corpus-curation composition: dedup → lang-ID → quality /
+    repetition filters → per-language token budget → sequence packing
+    (rows-only: multi-stage heuristic pipeline; stage semantics are each
+    individually oracled/pytest-proven)."""
+    from .curate import curation_pipeline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    packs, _ = curation_pipeline(ds)
+    return packs.select_columns(
+        ["doc_id", "lang_pred", "n_tokens", "pack_id", "pack_pos",
+         "pack_tokens"]
+    )
+
+
 def q_dup_spans(sf_dir):
     """Substring-level exact dedup (Lee et al. 2022 style): per-doc count
     of 30-byte windows whose exact content occurs ≥2 times corpus-wide
