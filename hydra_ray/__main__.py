@@ -103,6 +103,25 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_rescale(args) -> int:
+    ray = _ray_init()
+    from .pipelines.replicate import ReplicateConfig
+    from .state.rescale import rescale_state
+
+    cfg = ReplicateConfig(
+        join_window_ms=args.join_window_ms,
+        allowed_lateness_ms=args.lateness_ms,
+        window_size_ms=args.window_ms,
+        session_gap_ms=args.session_gap_ms,
+        sliding_size_ms=args.sliding_ms,
+        sliding_slide_ms=args.sliding_slide_ms or args.window_ms,
+    )
+    info = rescale_state(args.out, args.new_partitions, cfg, name=args.name)
+    print(json.dumps(info))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="hydra_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -135,6 +154,20 @@ def main(argv=None) -> int:
     s.add_argument("--n-clips", type=int, default=2000)
     s.add_argument("--versions", type=int, default=4)
     s.set_defaults(fn=_cmd_synth)
+
+    rs = sub.add_parser("rescale")
+    rs.add_argument("--out", required=True,
+                    help="pipeline output root (holds _checkpoints)")
+    rs.add_argument("--new-partitions", type=int, required=True)
+    rs.add_argument("--name", default="replicate")
+    rs.add_argument("--join-window-ms", type=int, default=60_000)
+    rs.add_argument("--lateness-ms", type=int, default=30_000)
+    rs.add_argument("--window-ms", type=int, default=10_000)
+    rs.add_argument("--session-gap-ms", type=int, default=0)
+    rs.add_argument("--sliding-ms", type=int, default=0)
+    rs.add_argument("--sliding-slide-ms", type=int, default=0)
+    rs.add_argument("--address-auto", action="store_true")
+    rs.set_defaults(fn=_cmd_rescale)
 
     q = sub.add_parser("query")
     q.add_argument("name")
