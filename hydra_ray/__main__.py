@@ -49,6 +49,7 @@ def _cmd_replicate(args) -> int:
         sliding_slide_ms=args.sliding_slide_ms or args.window_ms,
         dedup=args.dedup,
         neardup=args.neardup,
+        audio_features=args.audio_features,
         changelog=args.changelog,
         funnel_steps=tuple(args.funnel.split(",")) if args.funnel else (),
         funnel_within_ms=args.funnel_within_ms,
@@ -138,6 +139,8 @@ def main(argv=None) -> int:
     r.add_argument("--sliding-ms", type=int, default=0)
     r.add_argument("--sliding-slide-ms", type=int, default=0)
     r.add_argument("--dedup", action="store_true")
+    r.add_argument("--audio-features", action="store_true",
+                   help="carry per-clip features on the payload fragments")
     r.add_argument("--neardup", action="store_true")
     r.add_argument("--changelog", action="store_true")
     r.add_argument("--funnel", help="comma list: clip,update,delete")

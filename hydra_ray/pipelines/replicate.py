@@ -113,6 +113,12 @@ class ReplicateConfig:
     # Emitted by the key's HOME partition only (salting fan-out safe) and
     # exactly-once through the same staged-fragment 2PC as every sink.
     changelog: bool = False
+    # per-clip audio features (rms/peak/zcr/clip_ratio/dom_freq_hz)
+    # computed inside the decode task and carried on the payload fragment
+    # — read_replicated surfaces them on every emitted row with zero
+    # extra object-store traffic (the feature pass reuses the PCM that
+    # is already hot in the ingest worker)
+    audio_features: bool = False
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -146,6 +152,7 @@ def _route_factory(
     flush_bytes: int = 64 << 20,
     drop: np.ndarray | None = None,
     funnel_on: bool = False,
+    features: bool = False,
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
     heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
@@ -179,7 +186,7 @@ def _route_factory(
     """
     return _Router(
         handles, kind, wm, key_col, P, decoder, payload_root, epoch, nonce,
-        hot_keys, n_salts, flush_bytes, drop, funnel_on,
+        hot_keys, n_salts, flush_bytes, drop, funnel_on, features,
     )
 
 
@@ -187,9 +194,10 @@ class _Router:
     def __init__(
         self, handles, kind, wm, key_col, P, decoder, payload_root,
         epoch, nonce, hot_keys, n_salts, flush_bytes, drop=None,
-        funnel_on=False,
+        funnel_on=False, features=False,
     ):
         self.funnel_on = funnel_on
+        self.features = features
         self.handles = handles
         self.kind = kind
         self.wm = wm
@@ -314,10 +322,28 @@ class _Router:
                 rr, rp = combo // P, combo % P
                 replica_rows = {int(p): rr[rp == p] for p in np.unique(rp)}
         light = batch.drop_columns([c for c in HEAVY_COLS if c in batch.column_names])
+        feat_cols: dict[str, np.ndarray] = {}
         if payload_root is not None:
             # same deterministic will-emit predicate the state actor applies
             ok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
             ok &= _ts_to_ms(batch["event_ts"]) >= wm
+            if self.features and ok.any():
+                # per-clip audio features computed IN the decode task (the
+                # PCM is already hot in this worker's cache) and carried on
+                # the payload fragment — read_replicated surfaces them on
+                # every emitted row, and the feature pass adds zero extra
+                # object-store traffic
+                from ..stages.audio_features import audio_features
+
+                oki = np.flatnonzero(ok)
+                f = audio_features(
+                    batch.select(["pcm", "sr_hz"]).take(pa.array(oki))
+                )
+                for name in ("rms", "peak", "zero_cross_rate",
+                             "clip_ratio", "dom_freq_hz"):
+                    full = np.full(batch.num_rows, np.nan)
+                    full[oki] = f[name].to_numpy(zero_copy_only=False)
+                    feat_cols[name] = full
         refs, sent = [], []
         all_parts = np.union1d(
             np.unique(parts), np.array(sorted(replica_rows), dtype=parts.dtype)
@@ -344,6 +370,10 @@ class _Router:
                     heavy = batch.select(
                         ["seq", "pcm", "n_samples"]
                     ).take(pa.array(keep))
+                    for name, full in feat_cols.items():
+                        heavy = heavy.append_column(
+                            name, pa.array(full[keep], pa.float64())
+                        )
                     self._pending.setdefault(int(p), []).append(heavy)
                     self._pbytes += heavy.nbytes
         if self._pbytes >= self.flush_bytes:
@@ -832,6 +862,7 @@ class ReplicatePipeline:
             n_salts=cfg.n_salts,
             drop=drop,
             funnel_on=bool(cfg.funnel_steps),
+            features=cfg.audio_features,
         )
         updates_route = _route_factory(
             self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions,

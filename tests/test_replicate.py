@@ -527,3 +527,44 @@ def test_periodic_sink_compaction_preserves_output(tmp_path, ray_session, clean_
     # compacts those sinks in place)
     compacted = len(Table(f"{root}/out/payload").fragments())
     assert compacted == cfg().num_partitions  # 16 fragments bin-packed to 4
+
+
+def test_streaming_audio_features_on_payload(ray_session, tmp_path):
+    """ReplicateConfig(audio_features=True): per-clip features computed in
+    the decode task ride the payload fragments and surface through
+    read_replicated, matching the batch audio_features kernel exactly."""
+    from hydra_ray.pipelines.replicate import read_replicated
+    from hydra_ray.stages.audio_features import audio_features
+    from hydra_ray.stages.decode import AudioDecoder
+
+    root = str(tmp_path)
+    clips = synth_clips_table(200)
+    ct = Table.create(f"{root}/clips", schema=clips.schema)
+    for v in range(2):
+        ct.append(clips.slice(v * 100, 100))
+    pipe = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out", cfg(audio_features=True))
+    metrics = pipe.run()
+    out = read_replicated(f"{root}/out")
+    for c in ("rms", "peak", "zero_cross_rate", "clip_ratio", "dom_freq_hz"):
+        assert c in out.column_names
+    # reference: decode the same source rows directly and run the kernel
+    dec = AudioDecoder()(clips)
+    import pyarrow.compute as pc
+
+    dec = dec.filter(pc.is_null(dec["decode_error"]))
+    ref = audio_features(dec.select(["seq", "pcm", "sr_hz"]))
+    ref_df = ref.to_pandas().set_index("seq")
+    got = out.select(
+        ["seq", "rms", "peak", "zero_cross_rate", "clip_ratio", "dom_freq_hz"]
+    ).to_pandas().set_index("seq")
+    joined = got.join(ref_df, rsuffix="_ref").dropna()
+    assert len(joined) == len(got)  # every emitted row has features
+    for c in ("rms", "peak", "zero_cross_rate", "clip_ratio", "dom_freq_hz"):
+        assert np.allclose(joined[c], joined[f"{c}_ref"], atol=1e-12), c
+
+    # default off: no feature columns on the payload
+    pipe2 = ReplicatePipeline(f"{root}/clips", f"{root}/out2", cfg())
+    pipe2.run()
+    out2 = read_replicated(f"{root}/out2")
+    assert "rms" not in out2.column_names
