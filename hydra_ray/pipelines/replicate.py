@@ -119,6 +119,12 @@ class ReplicateConfig:
     # extra object-store traffic (the feature pass reuses the PCM that
     # is already hot in the ingest worker)
     audio_features: bool = False
+    # payload transform hook (§2.11 extension surface): a DETERMINISTIC
+    # callable applied to each staged heavy slice (columns seq, pcm,
+    # n_samples, sr_hz) before it is written — curation at ingest
+    # (e.g. `trim_payload` = silence trimming).  Must be a pure function
+    # of the rows (replay idempotence) and preserve seq/pcm/n_samples.
+    payload_transform: object | None = None
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -153,6 +159,7 @@ def _route_factory(
     drop: np.ndarray | None = None,
     funnel_on: bool = False,
     features: bool = False,
+    payload_transform=None,
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
     heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
@@ -187,6 +194,7 @@ def _route_factory(
     return _Router(
         handles, kind, wm, key_col, P, decoder, payload_root, epoch, nonce,
         hot_keys, n_salts, flush_bytes, drop, funnel_on, features,
+        payload_transform,
     )
 
 
@@ -194,10 +202,11 @@ class _Router:
     def __init__(
         self, handles, kind, wm, key_col, P, decoder, payload_root,
         epoch, nonce, hot_keys, n_salts, flush_bytes, drop=None,
-        funnel_on=False, features=False,
+        funnel_on=False, features=False, payload_transform=None,
     ):
         self.funnel_on = funnel_on
         self.features = features
+        self.payload_transform = payload_transform
         self.handles = handles
         self.kind = kind
         self.wm = wm
@@ -367,9 +376,13 @@ class _Router:
             if payload_root is not None:
                 keep = np.flatnonzero(ok & (parts == p))
                 if len(keep):
-                    heavy = batch.select(
-                        ["seq", "pcm", "n_samples"]
-                    ).take(pa.array(keep))
+                    xform = self.payload_transform
+                    cols = ["seq", "pcm", "n_samples"] + (
+                        ["sr_hz"] if xform is not None else []
+                    )
+                    heavy = batch.select(cols).take(pa.array(keep))
+                    if xform is not None:
+                        heavy = xform(heavy)
                     for name, full in feat_cols.items():
                         heavy = heavy.append_column(
                             name, pa.array(full[keep], pa.float64())
@@ -471,6 +484,24 @@ def _empty_ack() -> pa.Table:
             "send_s": pa.array([], pa.float64()),
             "ack_wait_s": pa.array([], pa.float64()),
         }
+    )
+
+
+def trim_payload(heavy: pa.Table) -> pa.Table:
+    """Shipped ``payload_transform``: trim leading/trailing silence from
+    each staged clip (frame-RMS span, `audio_curation.trim_silence`),
+    updating ``n_samples`` and appending ``trimmed_ms`` — curation at
+    ingest.  Deterministic (pure function of the rows), so epoch replay
+    re-produces identical fragments."""
+    import pyarrow.compute as pc2
+
+    from ..stages.audio_curation import trim_silence
+
+    out = trim_silence(heavy)
+    i = out.column_names.index("n_samples")
+    return out.set_column(
+        i, "n_samples",
+        pc2.cast(pc2.list_value_length(out["pcm"]), pa.int32()),
     )
 
 
@@ -863,6 +894,7 @@ class ReplicatePipeline:
             drop=drop,
             funnel_on=bool(cfg.funnel_steps),
             features=cfg.audio_features,
+            payload_transform=cfg.payload_transform,
         )
         updates_route = _route_factory(
             self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions,

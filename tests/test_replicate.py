@@ -568,3 +568,56 @@ def test_streaming_audio_features_on_payload(ray_session, tmp_path):
     pipe2.run()
     out2 = read_replicated(f"{root}/out2")
     assert "rms" not in out2.column_names
+
+
+def test_payload_transform_trim_silence(ray_session, tmp_path):
+    """ReplicateConfig(payload_transform=trim_payload): silence-padded
+    clips stage trimmed payload fragments (curation at ingest), exactly
+    matching the batch trim_silence kernel on the decoded rows."""
+    from hydra_ray.audio import encode_pcm16
+    from hydra_ray.pipelines.replicate import read_replicated, trim_payload
+    from hydra_ray.stages.audio_curation import trim_silence
+    from hydra_ray.stages.decode import AudioDecoder
+
+    root = str(tmp_path)
+    base = synth_clips_table(60)
+    sr = 16_000
+    frame = sr * 20 // 1000
+    rng = np.random.default_rng(3)
+    cols = {n: base[n].to_pylist() for n in base.column_names}
+    tone = (0.5 * np.sin(2 * np.pi * 330 * np.arange(sr // 2) / sr)
+            ).astype(np.float32)
+    padded = set()
+    for i in range(0, 60, 3):     # every third clip: silence-padded pcm16
+        pad = np.zeros(int(rng.integers(2, 6)) * frame, np.float32)
+        wave = np.r_[pad, tone, pad]
+        cols["bytes"][i] = encode_pcm16(wave)
+        cols["codec"][i] = "pcm16"
+        cols["sr_hz"][i] = sr
+        padded.add(cols["seq"][i])
+    clips = pa.table(cols, schema=base.schema)
+    ct = Table.create(f"{root}/clips", schema=clips.schema)
+    ct.append(clips)
+
+    pipe = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out", cfg(payload_transform=trim_payload))
+    pipe.run()
+    out = read_replicated(f"{root}/out")
+    assert "trimmed_ms" in out.column_names
+    got = out.select(["seq", "n_samples", "trimmed_ms"]).to_pandas() \
+             .set_index("seq")
+
+    dec = AudioDecoder()(clips)
+    import pyarrow.compute as pc
+
+    dec = dec.filter(pc.is_null(dec["decode_error"]))
+    ref = trim_silence(dec.select(["seq", "pcm", "sr_hz"]))
+    ref_ns = dict(zip(ref["seq"].to_pylist(),
+                      pc.list_value_length(ref["pcm"]).to_pylist()))
+    ref_tms = dict(zip(ref["seq"].to_pylist(), ref["trimmed_ms"].to_pylist()))
+    assert len(got) == len(ref_ns)
+    for seq, row in got.iterrows():
+        assert row["n_samples"] == ref_ns[seq], seq
+        assert row["trimmed_ms"] == ref_tms[seq], seq
+    # padded clips actually lost their padding
+    assert all(got.loc[s, "trimmed_ms"] > 0 for s in padded)
