@@ -168,3 +168,61 @@ def test_flaclite_roundtrip_property(samples, blocksize):
     got, sr = decode_flac(raw, verify_crc=True)
     assert sr == 16000
     assert np.array_equal(got, x)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(texts, max_size=10),
+    st.integers(2, 12),
+    st.integers(1, 4),
+)
+def test_window_hash_rows_property(docs, L, stride):
+    """Every (id, pos) window emitted by the vectorized pass equals the
+    hash of the doc's exact byte window; coverage matches the stride
+    arithmetic; nothing crosses a doc boundary."""
+    from hydra_ray.stages.neardup import _window_hashes
+    from hydra_ray.stages.substr import window_hash_rows
+
+    hashes, ids, pos = window_hash_rows(docs, list(range(len(docs))), L, stride)
+    bufs = [d.encode("utf-8") if d else b"" for d in docs]
+    expect = []
+    for i, b in enumerate(bufs):
+        for p in range(0, max(0, len(b) - L + 1), stride):
+            expect.append((i, p))
+    assert sorted(zip(ids.tolist(), pos.tolist())) == expect
+    for h, i, p in zip(hashes, ids, pos):
+        w = np.frombuffer(bufs[i][p : p + L], dtype=np.uint8)
+        assert h == _window_hashes(w, L)[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+             min_size=1, max_size=60),
+    st.integers(0, 20),
+)
+def test_rolling_range_frame_property(rows, R):
+    """The composite-axis searchsorted frame equals the brute-force SQL
+    RANGE frame (peers included) on arbitrary key/ts multisets."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["k", "ts"])
+    df["v"] = np.arange(len(df), dtype=np.float64)
+
+    # the exact arithmetic grouped_rolling_range's bucket kernel runs
+    codes = df["k"].to_numpy()
+    ts = df["ts"].to_numpy()
+    comp = (pd.factorize(codes)[0].astype(np.int64) << 42) + ts
+    posi = np.argsort(comp, kind="stable")
+    comp_s = comp[posi]
+    v = df["v"].to_numpy()[posi]
+    lo = np.searchsorted(comp_s, comp_s - R, side="left")
+    hi = np.searchsorted(comp_s, comp_s, side="right")
+    csz = np.r_[0.0, np.cumsum(v)]
+    wsum, wcnt = csz[hi] - csz[lo], hi - lo
+    for out_i, orig_i in enumerate(posi):
+        m = (df["k"] == df["k"].iloc[orig_i]) & \
+            (df["ts"] >= df["ts"].iloc[orig_i] - R) & \
+            (df["ts"] <= df["ts"].iloc[orig_i])
+        assert wcnt[out_i] == m.sum()
+        assert np.isclose(wsum[out_i], df.loc[m, "v"].sum())
