@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q.q_top_bigrams,
         "dup_spans": q.q_dup_spans,
         "curation_e2e": q.q_curation_e2e,
+        "dedup_cut": q.q_dedup_cut,
         "window_distinct": q.q_window_distinct,
         "set_except": q.q_set_except,
         "set_intersect": q.q_set_intersect,

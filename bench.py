@@ -38,7 +38,7 @@ QUERY_NAMES = [
     "hash_join", "anti_join", "bloom_semi_join", "left_join", "global_rank",
     "replication_diff", "upsert_compaction", "exact_dedup",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
-    "jaccard_search", "decontaminate", "dup_spans",
+    "jaccard_search", "decontaminate", "dup_spans", "dedup_cut",
     "set_except", "set_intersect", "set_union", "window_distinct",
     "rolling_range", "cube_sales",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",

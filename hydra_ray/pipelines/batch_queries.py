@@ -1003,6 +1003,17 @@ def q_set_union(sf_dir):
     return union_distinct(clicks, buys, ["user_id", "day_ms"])
 
 
+def q_dedup_cut(sf_dir):
+    """Lee et al. substring-dedup CLEANING pass: cut every duplicated
+    30-byte span except its canonical first occurrence (rows-only:
+    keep-first greedy semantics; pytest-exact vs brute force)."""
+    from ..stages.substr import cut_duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = cut_duplicate_spans(ds, "text", "doc_id", L=30, stride=1)
+    return out.select_columns(["doc_id", "n_cut_bytes"])
+
+
 def q_curation_e2e(sf_dir):
     """The full corpus-curation composition: dedup → lang-ID → quality /
     repetition filters → per-language token budget → sequence packing

@@ -41,7 +41,8 @@ import pyarrow as pa
 
 from .neardup import _window_hashes
 
-__all__ = ["window_hash_rows", "duplicate_windows", "duplicate_spans"]
+__all__ = ["window_hash_rows", "duplicate_windows", "duplicate_spans",
+           "cut_duplicate_spans"]
 
 
 def window_hash_rows(texts, ids, L: int, stride: int = 1):
@@ -76,10 +77,15 @@ def window_hash_rows(texts, ids, L: int, stride: int = 1):
 
 
 def duplicate_windows(ds, text_col: str = "text", id_col: str = "doc_id",
-                      L: int = 30, stride: int = 1, num_buckets: int = 64):
+                      L: int = 30, stride: int = 1, num_buckets: int = 64,
+                      keep_first: bool = False):
     """All ``(id, pos)`` whose exact L-byte window occurs ≥ 2 times
     corpus-wide.  One wide exchange (hash-bucketed); every kernel is
-    vectorized (see module docstring for the scale shape)."""
+    vectorized (see module docstring for the scale shape).
+
+    With ``keep_first`` the CANONICAL occurrence of each duplicated
+    window — the globally smallest ``(id, pos)`` — is exempted, which is
+    the Lee et al. cleaning rule (cut every copy, keep one)."""
 
     def emit(t: pa.Table) -> pa.Table:
         hashes, id_vals, pos = window_hash_rows(
@@ -94,14 +100,20 @@ def duplicate_windows(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def mark(df: pd.DataFrame) -> pd.DataFrame:
         h = df["__h"].to_numpy()
-        order = np.argsort(h, kind="stable")
+        if keep_first:
+            order = np.lexsort((df["pos"].to_numpy(), df[id_col].to_numpy(), h))
+        else:
+            order = np.argsort(h, kind="stable")
         hs = h[order]
         new_run = np.empty(len(hs), dtype=bool)
         new_run[0] = True
         np.not_equal(hs[1:], hs[:-1], out=new_run[1:])
         run_id = np.cumsum(new_run) - 1
         run_len = np.bincount(run_id)
-        keep = order[run_len[run_id] >= 2]
+        dup = run_len[run_id] >= 2
+        if keep_first:
+            dup &= ~new_run  # the (id, pos)-least row of each run survives
+        keep = order[dup]
         return df.iloc[keep][[id_col, "pos"]]
 
     rows = ds.map_batches(emit, batch_format="pyarrow")
@@ -109,7 +121,8 @@ def duplicate_windows(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
-                    L: int = 30, stride: int = 1, num_buckets: int = 64):
+                    L: int = 30, stride: int = 1, num_buckets: int = 64,
+                    keep_first: bool = False):
     """Merged duplicated byte ranges per doc: ``(id, start, length)``.
 
     Overlapping / adjacent duplicated windows coalesce (these are the
@@ -117,7 +130,8 @@ def duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     offsets monotone within a doc, so after one lexsort the span break
     mask is pure arithmetic.
     """
-    wins = duplicate_windows(ds, text_col, id_col, L, stride, num_buckets)
+    wins = duplicate_windows(ds, text_col, id_col, L, stride, num_buckets,
+                             keep_first)
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy()
@@ -142,3 +156,64 @@ def duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return wins.map_batches(bucket, batch_format="pandas") \
                .groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def cut_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                        L: int = 30, stride: int = 1, num_buckets: int = 64):
+    """Lee et al. 2022 cleaning pass: REMOVE every duplicated span except
+    its canonical (globally first) occurrence and return the cleaned
+    corpus — every input row, with ``text`` rewritten and
+    ``n_cut_bytes`` recording how much was removed.
+
+    Shape: ``duplicate_spans(keep_first=True)`` (one wide exchange) →
+    ONE ``hash(id)``-bucket co-location of docs with their spans → a
+    per-bucket cutting pass.  Cutting slices strings per FLAGGED doc
+    (the minority by construction — a corpus that is mostly duplicated
+    spans should be deduplicated at document level first); unflagged
+    docs pass through untouched.
+    """
+    spans = duplicate_spans(ds, text_col, id_col, L, stride, num_buckets,
+                            keep_first=True)
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy()
+        return df[[id_col, text_col]].assign(
+            __bucket=(h % num_buckets).astype("int64"), start=-1, length=0)
+
+    def tag_spans(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy()
+        out = df.assign(__bucket=(h % num_buckets).astype("int64"))
+        out[text_col] = pd.Series([None] * len(out), dtype=object,
+                                  index=out.index)
+        return out[[id_col, text_col, "__bucket", "start", "length"]]
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["start"] < 0]
+        sp = g[g["start"] >= 0]
+        cuts: dict = {}
+        for r in sp.itertuples():
+            cuts.setdefault(getattr(r, id_col), []).append((r.start, r.length))
+        ids = docs[id_col].to_numpy()
+        texts = docs[text_col].to_numpy(dtype=object)
+        removed = np.zeros(len(ids), dtype=np.int64)
+        for i, did in enumerate(ids):
+            ranges = cuts.get(did)
+            if not ranges:
+                continue
+            b = texts[i].encode("utf-8")
+            kept, prev = [], 0
+            for s, ln in sorted(ranges):
+                kept.append(b[prev:s])
+                prev = s + ln
+            kept.append(b[prev:])
+            nb = b"".join(kept)
+            removed[i] = len(b) - len(nb)
+            texts[i] = nb.decode("utf-8", errors="replace")
+        return pd.DataFrame({
+            id_col: ids, text_col: texts, "n_cut_bytes": removed,
+        })
+
+    both = ds.map_batches(tag_docs, batch_format="pandas").union(
+        spans.map_batches(tag_spans, batch_format="pandas")
+    )
+    return both.groupby("__bucket").map_groups(cut, batch_format="pandas")

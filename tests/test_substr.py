@@ -88,3 +88,50 @@ def test_duplicate_spans_merge_and_partition_invariance(ray_session, corpus):
     assert sum(1 for d, _, _ in want if d == 63) >= 2
     # unique / empty / short docs emit nothing
     assert not any(d in (62, 64, 65) for d, _, _ in want)
+
+
+def _brute_keep_first_wins(docs, L, stride):
+    """Duplicated windows minus each window value's (id, pos)-least copy."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for i, t in docs.items():
+        for p in range(0, max(0, len(t) - L + 1), 1):
+            if p % stride == 0:
+                occ[t[p : p + L]].append((i, p))
+    out = set()
+    for copies in occ.values():
+        if len(copies) >= 2:
+            out |= set(copies) - {min(copies)}
+    return out
+
+
+def test_cut_duplicate_spans_keep_first(ray_session, corpus):
+    from hydra_ray.stages.substr import cut_duplicate_spans
+
+    L = 12
+    wins = _brute_keep_first_wins(corpus, L, 1)
+    spans = _brute_spans(wins, L) if wins else set()
+    expect = {}
+    for i, t in corpus.items():
+        b = t.encode("utf-8")
+        ranges = sorted((s, ln) for d, s, ln in spans if d == i)
+        kept, prev = [], 0
+        for s, ln in ranges:
+            kept.append(b[prev:s]); prev = s + ln
+        kept.append(b[prev:])
+        nb = b"".join(kept)
+        expect[i] = (nb.decode("utf-8"), len(b) - len(nb))
+
+    for nblocks in (1, 6):
+        got = cut_duplicate_spans(_ds(corpus, nblocks), "text", "doc_id",
+                                  L=L, stride=1, num_buckets=8).to_pandas()
+        assert len(got) == len(corpus)
+        for r in got.itertuples():
+            want_text, want_cut = expect[r.doc_id]
+            assert r.text == want_text, r.doc_id
+            assert r.n_cut_bytes == want_cut, r.doc_id
+    # the canonical copy survives: doc 3's shared run remains somewhere
+    assert sum(v[1] for v in expect.values()) > 0        # something was cut
+    kept_total = sum(len(v[0]) for v in expect.values())
+    assert kept_total < sum(len(t) for t in corpus.values())
