@@ -254,13 +254,21 @@ class Table:
             return rd.from_items([])
         return rd.read_parquet(paths, columns=columns, **read_kwargs)
 
-    def to_arrow(self, version: int | None = None, after_version: int = 0) -> pa.Table:
+    def to_arrow(self, version: int | None = None, after_version: int = 0,
+                 columns: list[str] | None = None) -> pa.Table:
         frags = self.read_fragments(after_version, version)
         paths = self.fragment_paths(frags)
         if not paths:
             schema = self.schema()
-            return schema.empty_table() if schema is not None else pa.table({})
-        return pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+            if schema is not None:
+                if columns:
+                    schema = pa.schema([schema.field(c) for c in columns])
+                return schema.empty_table()
+            return pa.table({})
+        return pa.concat_tables(
+            [pq.read_table(p, columns=columns) for p in paths],
+            promote_options="default",
+        )
 
     def count_rows(self, version: int | None = None) -> int:
         return sum(f.rows for f in self.fragments(version))
