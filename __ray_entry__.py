@@ -450,6 +450,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY}
             FROM events WHERE event_type = 'purchase'
         """,
+        "dedup_cut": """
+            WITH wins AS (
+                SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+                       substr(text, CAST(i AS BIGINT), 30) AS w
+                FROM documents,
+                     unnest(generate_series(1, len(text) - 30 + 1, 1)) AS g(i)
+                WHERE len(text) >= 30
+            ),
+            marked AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           count(*) OVER (PARTITION BY w) AS cnt,
+                           row_number() OVER (
+                               PARTITION BY w ORDER BY doc_id, pos) AS rn
+                    FROM wins)
+                WHERE cnt >= 2 AND rn > 1
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) <= 30
+                            THEN 0 ELSE 1 END AS brk
+                FROM marked
+            ),
+            grp AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS gid
+                FROM isl
+            ),
+            spans AS (
+                SELECT doc_id, max(pos) + 30 - min(pos) AS ln
+                FROM grp GROUP BY doc_id, gid
+            )
+            SELECT doc_id, CAST(sum(ln) AS BIGINT) AS n_cut_bytes
+            FROM spans GROUP BY doc_id
+        """,
         "dup_spans": """
             WITH wins AS (
                 SELECT doc_id, substr(text, CAST(i AS BIGINT), 30) AS w

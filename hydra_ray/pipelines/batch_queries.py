@@ -1004,14 +1004,16 @@ def q_set_union(sf_dir):
 
 
 def q_dedup_cut(sf_dir):
-    """Lee et al. substring-dedup CLEANING pass: cut every duplicated
-    30-byte span except its canonical first occurrence (rows-only:
-    keep-first greedy semantics; pytest-exact vs brute force)."""
+    """Lee et al. substring-dedup CLEANING pass: per-doc bytes removed by
+    cutting every duplicated 30-byte span except its canonical first
+    occurrence (oracle = keep-first window marking + gaps-and-islands
+    span merge in SQL)."""
     from ..stages.substr import cut_duplicate_spans
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = cut_duplicate_spans(ds, "text", "doc_id", L=30, stride=1)
-    return out.select_columns(["doc_id", "n_cut_bytes"])
+    return out.filter(expr="n_cut_bytes > 0") \
+              .select_columns(["doc_id", "n_cut_bytes"])
 
 
 def q_curation_e2e(sf_dir):
