@@ -84,6 +84,12 @@ class ReplicateConfig:
     dedup: bool = False
     num_dedup_shards: int = 4                # semantic, like num_partitions
     dedup_cols: tuple = ("bytes",)
+    # 0 = dedup against the WHOLE corpus history (state grows with
+    # distinct content; scale by sharding wider).  >0 bounds the seen-set
+    # for endless streams: entries first seen below watermark − retention
+    # evict, and identical content re-admits afterwards — eviction rides
+    # the committed watermark sequence, so replay is identical.
+    dedup_retention_ms: int = 0
     # cross-epoch NEAR-dup (state/neardup_index.py): a clip whose 64-bit
     # perceptual fingerprint is within neardup_max_hamming of ANY
     # retained clip (any earlier epoch, or a smaller-seq keeper of this
@@ -621,7 +627,9 @@ class ReplicatePipeline:
 
             dcls = DedupShardActor()
             self.dedup_shards = [
-                dcls.options(num_cpus=0.1).remote(d, self.ckpt_root)
+                dcls.options(num_cpus=0.1).remote(
+                    d, self.ckpt_root, cfg.dedup_retention_ms
+                )
                 for d in range(cfg.num_dedup_shards)
             ]
         if cfg.neardup:
@@ -1014,7 +1022,7 @@ class ReplicatePipeline:
             drop_parts = []
             if self.dedup_shards:
                 resolved = ray.get(
-                    [d.resolve.remote(ep, dict(self._nonces))
+                    [d.resolve.remote(ep, dict(self._nonces), wm_prev)
                      for d in self.dedup_shards]
                 )
                 drop_parts += [r[0] for r in resolved if len(r[0])]

@@ -82,55 +82,96 @@ def in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
 
 class DedupIndexState:
     """One shard's seen-set + per-epoch stash (plain object; the actor
-    wrapper adds checkpoint I/O)."""
+    wrapper adds checkpoint I/O).
 
-    def __init__(self, shard: int):
+    ``retention_ms`` bounds the state for endless streams: an entry whose
+    FIRST-SEEN event time falls below ``watermark − retention_ms`` evicts
+    at resolve, after which identical content is re-admitted as a fresh
+    first copy.  The horizon is the committed watermark sequence, so
+    eviction (like every removal in this engine) is a monotone function
+    of replayed state — crash replay re-evicts identically.  0 keeps the
+    classic whole-corpus-history semantics (state grows with distinct
+    content; the scale path is wider sharding)."""
+
+    def __init__(self, shard: int, retention_ms: int = 0):
         self.shard = shard
-        self.runs: list[np.ndarray] = []          # sorted uint64, disjoint
-        self.pending: dict[int, list] = {}        # epoch -> [(nonce, h, s)]
-        self._delta_new: list[np.ndarray] = []    # runs added since last save
-        self.metrics: dict[str, int] = {"dedup_dropped": 0, "dedup_new": 0}
+        self.retention_ms = int(retention_ms)
+        # sorted uint64 hash runs, disjoint, each with aligned FIRST-SEEN
+        # event-time ms (only consulted when retention is on)
+        self.runs: list[tuple[np.ndarray, np.ndarray]] = []
+        self.pending: dict[int, list] = {}        # epoch -> [(nonce, h, s, ts)]
+        self._delta_new: list[tuple[np.ndarray, np.ndarray]] = []
+        self.metrics: dict[str, int] = {
+            "dedup_dropped": 0, "dedup_new": 0, "dedup_evicted": 0,
+        }
 
     # ------------------------------------------------------------- queries
     def seen(self, hashes: np.ndarray) -> np.ndarray:
         mask = np.zeros(len(hashes), dtype=bool)
-        for run in self.runs:
+        for run, _ in self.runs:
             mask |= in_sorted(run, hashes)
         return mask
 
     def n_hashes(self) -> int:
-        return sum(len(r) for r in self.runs)
+        return sum(len(r) for r, _ in self.runs)
 
     # ------------------------------------------------------------ protocol
-    def submit(self, hashes: np.ndarray, seqs: np.ndarray, epoch: int, nonce: int):
+    def submit(self, hashes: np.ndarray, seqs: np.ndarray, epoch: int,
+               nonce: int, ts: np.ndarray | None = None):
+        h = np.asarray(hashes, np.uint64)
         self.pending.setdefault(epoch, []).append(
-            (nonce, np.asarray(hashes, np.uint64), np.asarray(seqs, np.int64))
+            (nonce, h, np.asarray(seqs, np.int64),
+             np.zeros(len(h), np.int64) if ts is None
+             else np.asarray(ts, np.int64))
         )
 
-    def resolve(self, epoch: int, nonces: dict | None) -> tuple[np.ndarray, dict]:
+    def _evict(self, wm: int):
+        if not self.retention_ms:
+            return
+        horizon = wm - self.retention_ms
+        kept, evicted = [], 0
+        for run, rts in self.runs:
+            m = rts >= horizon
+            if m.all():
+                kept.append((run, rts))
+            else:
+                evicted += int((~m).sum())
+                if m.any():
+                    kept.append((run[m], rts[m]))
+        self.runs = kept
+        self.metrics["dedup_evicted"] += evicted
+
+    def resolve(self, epoch: int, nonces: dict | None,
+                wm: int | None = None) -> tuple[np.ndarray, dict]:
         """Fold stashes ≤ epoch (authoritative nonce only) → (sorted seqs
         to DROP, stats).  Folds this epoch's new winner hashes into the
-        seen set (durable at the next checkpoint)."""
+        seen set (durable at the next checkpoint); with retention on,
+        entries below ``wm − retention_ms`` evict FIRST."""
+        if wm is not None:
+            self._evict(int(wm))
         parts = []
         for e in sorted(k for k in self.pending if k <= epoch):
-            for nonce, h, s in self.pending.pop(e):
+            for nonce, h, s, ts in self.pending.pop(e):
                 if nonces is not None and nonces.get(e, nonce) != nonce:
                     continue
-                parts.append((h, s))
+                parts.append((h, s, ts))
         if not parts:
             return np.empty(0, np.int64), {"dropped": 0, "new": 0}
         h = np.concatenate([p[0] for p in parts])
         s = np.concatenate([p[1] for p in parts])
+        t = np.concatenate([p[2] for p in parts])
         order = np.lexsort((s, h))                 # by hash, then seq asc
-        hs, ss = h[order], s[order]
+        hs, ss, tss = h[order], s[order], t[order]
         first = np.ones(len(hs), dtype=bool)
         first[1:] = hs[1:] != hs[:-1]              # min-seq row per hash
         already = self.seen(hs)
         drop_mask = already | ~first
-        new_hashes = hs[first & ~already]          # unique + sorted by constr.
+        win = first & ~already
+        new_hashes = hs[win]                       # unique + sorted by constr.
         if len(new_hashes):
-            self.runs.append(new_hashes)
-            self._delta_new.append(new_hashes)
+            pair = (new_hashes, tss[win])          # first-seen anchor ts
+            self.runs.append(pair)
+            self._delta_new.append(pair)
             if len(self.runs) > _MAX_RUNS:
                 self._compact()
         drop = np.sort(ss[drop_mask])
@@ -139,8 +180,12 @@ class DedupIndexState:
         return drop, {"dropped": int(drop_mask.sum()), "new": int(len(new_hashes))}
 
     def _compact(self):
-        # runs are disjoint: concat+sort, no dedup pass needed
-        self.runs = [np.sort(np.concatenate(self.runs))]
+        # runs are disjoint AT ANY TIME (an evicted hash re-admits only
+        # after its entry is gone): concat+sort, no dedup pass needed
+        hh = np.concatenate([r for r, _ in self.runs])
+        tt = np.concatenate([t for _, t in self.runs])
+        order = np.argsort(hh, kind="stable")
+        self.runs = [(hh[order], tt[order])]
 
     # ---------------------------------------------------------- checkpoint
     def save(self, directory: str, full: bool = True):
@@ -148,30 +193,34 @@ class DedupIndexState:
         meta = {"shard": self.shard, "metrics": dict(self.metrics)}
         if full:
             self._compact() if len(self.runs) > 1 else None
-            base = self.runs[0] if self.runs else np.empty(0, np.uint64)
-            np.save(os.path.join(directory, "seen.npy"), base)
+            base = (self.runs[0] if self.runs
+                    else (np.empty(0, np.uint64), np.empty(0, np.int64)))
+            np.savez(os.path.join(directory, "seen.npz"),
+                     h=base[0], ts=base[1])
             with open(os.path.join(directory, "state.pkl"), "wb") as f:
                 pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
         else:
-            delta = (
-                np.sort(np.concatenate(self._delta_new))
-                if self._delta_new
-                else np.empty(0, np.uint64)
-            )
-            np.save(os.path.join(directory, "new.npy"), delta)
+            if self._delta_new:
+                hh = np.concatenate([r for r, _ in self._delta_new])
+                tt = np.concatenate([t for _, t in self._delta_new])
+                order = np.argsort(hh, kind="stable")
+                hh, tt = hh[order], tt[order]
+            else:
+                hh, tt = np.empty(0, np.uint64), np.empty(0, np.int64)
+            np.savez(os.path.join(directory, "new.npz"), h=hh, ts=tt)
             with open(os.path.join(directory, "delta.pkl"), "wb") as f:
                 pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
         self._delta_new = []
 
     def restore_chain(self, full_dir: str, delta_dirs: list[str]):
-        base = np.load(os.path.join(full_dir, "seen.npy"))
+        z = np.load(os.path.join(full_dir, "seen.npz"))
         with open(os.path.join(full_dir, "state.pkl"), "rb") as f:
             meta = pickle.load(f)
-        self.runs = [base] if len(base) else []
+        self.runs = [(z["h"], z["ts"])] if len(z["h"]) else []
         for d in delta_dirs:
-            run = np.load(os.path.join(d, "new.npy"))
-            if len(run):
-                self.runs.append(run)
+            z = np.load(os.path.join(d, "new.npz"))
+            if len(z["h"]):
+                self.runs.append((z["h"], z["ts"]))
             with open(os.path.join(d, "delta.pkl"), "rb") as f:
                 meta = pickle.load(f)
         if len(self.runs) > _MAX_RUNS:
@@ -189,17 +238,18 @@ def _make_shard_actor():
         """Checkpoint/restore layout mirrors the partition state actors
         (``d{shard}/e{epoch}`` dirs, full snapshots + delta chain)."""
 
-        def __init__(self, shard: int, ckpt_root: str):
-            self.state = DedupIndexState(shard)
+        def __init__(self, shard: int, ckpt_root: str, retention_ms: int = 0):
+            self.state = DedupIndexState(shard, retention_ms)
             self.shard = shard
             self.ckpt_root = ckpt_root
 
-        def submit(self, hashes, seqs, epoch: int, nonce: int) -> int:
-            self.state.submit(hashes, seqs, epoch, nonce)
+        def submit(self, hashes, seqs, epoch: int, nonce: int,
+                   ts=None) -> int:
+            self.state.submit(hashes, seqs, epoch, nonce, ts)
             return len(hashes)
 
-        def resolve(self, epoch: int, nonces: dict | None):
-            return self.state.resolve(epoch, nonces)
+        def resolve(self, epoch: int, nonces: dict | None, wm=None):
+            return self.state.resolve(epoch, nonces, wm)
 
         def checkpoint(self, epoch: int, full: bool = True) -> str:
             d = os.path.join(self.ckpt_root, f"d{self.shard:04d}", f"e{epoch:06d}")
@@ -266,21 +316,27 @@ def hash_pass_task():
         import ray
 
         @ray.remote(max_retries=0)
-        def hash_fragment(paths, shards, epoch, nonce, cols, seq_col="seq"):
+        def hash_fragment(paths, shards, epoch, nonce, cols, seq_col="seq",
+                          ts_col="event_ts"):
             import pyarrow.parquet as pq
 
+            from ..stages.windows import ts_to_ms
+
             refs, n = [], 0
-            read_cols = list(dict.fromkeys([seq_col, *cols]))
+            read_cols = list(dict.fromkeys([seq_col, ts_col, *cols]))
             for path in paths:
                 t = pq.read_table(path, columns=read_cols)
                 if t.num_rows == 0:
                     continue
                 h = content_hash_of(t, cols)
                 s = t[seq_col].to_numpy()
+                ts = ts_to_ms(t[ts_col])
                 sh = (h % np.uint64(len(shards))).astype(np.int64)
                 for d in np.unique(sh):
                     m = sh == d
-                    refs.append(shards[d].submit.remote(h[m], s[m], epoch, nonce))
+                    refs.append(
+                        shards[d].submit.remote(h[m], s[m], epoch, nonce, ts[m])
+                    )
                 n += t.num_rows
             ray.get(refs)
             return n

@@ -250,3 +250,79 @@ def test_dedup_off_is_passthrough(tmp_path, ray_session):
     metrics = pipe.run()
     repl = Table(f"{root}/out/replicated").to_arrow()
     assert repl.num_rows + metrics.get("clips_late", 0) == N_CLIPS
+
+
+# ------------------------------------------------------- retention horizon
+
+
+def test_retention_evicts_and_readmits():
+    """retention_ms bounds the seen set: an entry first seen below
+    wm − retention evicts, identical content re-admits afterwards, and
+    within the horizon dedup still drops."""
+    st = DedupIndexState(0, retention_ms=1_000)
+    st.submit([10], [0], 0, 1, ts=[100])
+    drop, _ = st.resolve(0, {0: 1}, wm=0)
+    assert drop.tolist() == [] and st.n_hashes() == 1
+    # within horizon: duplicate drops
+    st.submit([10], [1], 1, 1, ts=[600])
+    drop, _ = st.resolve(1, {1: 1}, wm=500)
+    assert drop.tolist() == [1]
+    # horizon passes the first-seen anchor (ts=100 < 1300-1000): evicted,
+    # the same content re-admits as a fresh first copy
+    st.submit([10], [2], 2, 1, ts=[1400])
+    drop, stats = st.resolve(2, {2: 1}, wm=1300)
+    assert drop.tolist() == [] and stats["new"] == 1
+    assert st.n_hashes() == 1
+    assert st.metrics["dedup_evicted"] == 1
+    # anchor is FIRST-seen: the ts=600 duplicate did not refresh it
+
+
+def test_retention_checkpoint_restore_consistent(tmp_path):
+    """Full+delta checkpoints carry the first-seen timestamps; a restore
+    followed by a resolve evicts to the same horizon as the uninterrupted
+    state."""
+    st = DedupIndexState(0, retention_ms=1_000)
+    st.submit([10, 20], [0, 1], 0, 1, ts=[100, 900])
+    st.resolve(0, {0: 1}, wm=0)
+    st.save(str(tmp_path / "e0"), full=True)
+    st.submit([30], [2], 1, 1, ts=[1_200])
+    st.resolve(1, {1: 1}, wm=1_000)
+    st.save(str(tmp_path / "e1"), full=False)
+
+    st2 = DedupIndexState(0, retention_ms=1_000)
+    st2.restore_chain(str(tmp_path / "e0"), [str(tmp_path / "e1")])
+    # resolve at a horizon that evicts ts=100 but keeps 900/1200 — both
+    # the restored and the live state make identical decisions
+    for s in (st, st2):
+        s.submit([10, 20, 30], [7, 8, 9], 2, 1, ts=[1_500, 1_500, 1_500])
+        drop, _ = s.resolve(2, {2: 1}, wm=1_400)
+        assert drop.tolist() == [8, 9], drop  # 10 re-admitted, 20/30 dup
+        assert s.n_hashes() == 3
+
+
+def test_pipeline_retention_readmits_periodic_dups(tmp_path, ray_session):
+    """End-to-end: the periodic synth payloads (identical every 192 rows,
+    19 200 ms apart) are dropped with an unbounded seen set but RE-ADMITTED
+    when the retention horizon is shorter than the repeat distance."""
+    clips = synth_clips_table(576)  # 3 copies of each distinct payload
+
+    def run(tag, retention):
+        root = str(tmp_path / tag)
+        ct = Table.create(f"{root}/clips", schema=clips.schema)
+        for v in range(3):
+            ct.append(clips.slice(v * 192, 192))
+        pipe = ReplicatePipeline(
+            f"{root}/clips", f"{root}/out",
+            cfg(dedup=True, dedup_retention_ms=retention,
+                allowed_lateness_ms=1_000))
+        m = pipe.run()
+        return m.get("dedup_dropped", 0), m.get("replicated_out", 0)
+
+    dropped_inf, out_inf = run("forever", 0)
+    # horizon = wm − retention and wm lags by lateness, so an epoch's
+    # anchors clear the horizon only partially by the next epoch's
+    # resolve — re-admission is partial and exactly complementary
+    dropped_ttl, out_ttl = run("ttl", 5_000)   # ≪ 19 200 ms repeat distance
+    assert dropped_inf == 384 and out_inf == 192
+    assert 0 < dropped_ttl < dropped_inf
+    assert out_ttl == 576 - dropped_ttl and out_ttl > out_inf
