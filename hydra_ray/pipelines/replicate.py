@@ -103,6 +103,8 @@ class ReplicateConfig:
     # which 64-bit signature feeds the index: "audio_fp" (decode +
     # perceptual fingerprint) or "simhash" (transcript SimHash, no decode)
     neardup_signature: str = "audio_fp"
+    # like dedup_retention_ms, for the near-dup index (0 = keep forever)
+    neardup_retention_ms: int = 0
     # CEP funnel over the combined stream (clip lifecycle patterns): an
     # ordered tuple of event kinds from {"clip", "update", "delete"}
     # ("clip" = clip arrival, "update" = non-tombstone transcript update,
@@ -643,7 +645,8 @@ class ReplicatePipeline:
             ncls = NearDupShardActor()
             self.neardup_shards = [
                 ncls.options(num_cpus=0.1).remote(
-                    d, self.ckpt_root, cfg.neardup_max_hamming
+                    d, self.ckpt_root, cfg.neardup_max_hamming,
+                    cfg.neardup_retention_ms,
                 )
                 for d in range(cfg.num_neardup_shards)
             ]
@@ -1041,6 +1044,7 @@ class ReplicatePipeline:
                 kept, ndrop = resolve_near_epoch(
                     self.neardup_shards, ep, dict(self._nonces),
                     self.cfg.neardup_bands, self.cfg.neardup_max_hamming,
+                    wm_prev,
                 )
                 if len(ndrop):
                     drop_parts.append(ndrop)

@@ -119,19 +119,25 @@ def greedy_keep(seqs: np.ndarray, fps: np.ndarray, n_bands: int,
 class NearDupIndexState:
     """One shard's committed band index + per-epoch stash."""
 
-    def __init__(self, shard: int, max_hamming: int = 3):
+    def __init__(self, shard: int, max_hamming: int = 3,
+                 retention_ms: int = 0):
         self.shard = shard
         self.max_hamming = max_hamming
-        self.runs: list[tuple[np.ndarray, np.ndarray]] = []  # (keys↑, fps)
-        self.pending: dict[int, list] = {}     # epoch -> [(nonce, k, f, s)]
-        self._delta_new: list[tuple[np.ndarray, np.ndarray]] = []
-        self.metrics: dict[str, int] = {"neardup_new": 0}
+        # first-seen event-time horizon for endless streams (same
+        # semantics as DedupIndexState.retention_ms; 0 = keep forever)
+        self.retention_ms = int(retention_ms)
+        # (keys↑, fps, first-seen ts) — ts only consulted when retention on
+        self.runs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.pending: dict[int, list] = {}   # epoch -> [(nonce, k, f, s, t)]
+        self._delta_new: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.metrics: dict[str, int] = {"neardup_new": 0,
+                                        "neardup_evicted": 0}
 
     # ------------------------------------------------------------- queries
     def matched(self, keys: np.ndarray, fps: np.ndarray) -> np.ndarray:
         """Per entry: any committed same-key fp within max_hamming."""
         out = np.zeros(len(keys), dtype=bool)
-        for rk, rf in self.runs:
+        for rk, rf, _ in self.runs:
             lo = np.searchsorted(rk, keys, "left")
             hi = np.searchsorted(rk, keys, "right")
             counts = hi - lo
@@ -148,25 +154,48 @@ class NearDupIndexState:
         return out
 
     def n_entries(self) -> int:
-        return sum(len(k) for k, _ in self.runs)
+        return sum(len(k) for k, _, _ in self.runs)
 
     # ------------------------------------------------------------ protocol
-    def submit(self, keys, fps, seqs, epoch: int, nonce: int):
+    def submit(self, keys, fps, seqs, epoch: int, nonce: int,
+               ts=None):
+        k = np.asarray(keys, np.uint32)
         self.pending.setdefault(epoch, []).append(
-            (nonce, np.asarray(keys, np.uint32),
-             np.asarray(fps, np.uint64), np.asarray(seqs, np.int64))
+            (nonce, k, np.asarray(fps, np.uint64),
+             np.asarray(seqs, np.int64),
+             np.zeros(len(k), np.int64) if ts is None
+             else np.asarray(ts, np.int64))
         )
 
     def _authoritative(self, epoch: int, nonces: dict | None):
         for e in sorted(k for k in self.pending if k <= epoch):
-            for nonce, k, f, s in self.pending[e]:
+            for nonce, k, f, s, t in self.pending[e]:
                 if nonces is not None and nonces.get(e, nonce) != nonce:
                     continue
-                yield k, f, s
+                yield k, f, s, t
 
-    def resolve(self, epoch: int, nonces: dict | None):
+    def _evict(self, wm: int):
+        if not self.retention_ms:
+            return
+        horizon = wm - self.retention_ms
+        kept, evicted = [], 0
+        for rk, rf, rt in self.runs:
+            m = rt >= horizon
+            if m.all():
+                kept.append((rk, rf, rt))
+            else:
+                evicted += int((~m).sum())
+                if m.any():
+                    kept.append((rk[m], rf[m], rt[m]))
+        self.runs = kept
+        self.metrics["neardup_evicted"] += evicted
+
+    def resolve(self, epoch: int, nonces: dict | None, wm=None):
         """→ (seqs, fps, matched-vs-committed) over authoritative stash
-        entries (stash kept until ``commit``)."""
+        entries (stash kept until ``commit``); with retention on, index
+        entries below ``wm − retention_ms`` evict FIRST."""
+        if wm is not None:
+            self._evict(int(wm))
         parts = list(self._authoritative(epoch, nonces))
         if not parts:
             z = np.empty(0, np.int64)
@@ -182,20 +211,22 @@ class NearDupIndexState:
         from .dedup_index import in_sorted
 
         kept_seqs = np.asarray(kept_seqs, np.int64)
-        ks, fs = [], []
-        for k, f, s in self._authoritative(epoch, nonces):
+        ks, fs, tts = [], [], []
+        for k, f, s, t in self._authoritative(epoch, nonces):
             m = in_sorted(kept_seqs, s)
             if m.any():
                 ks.append(k[m])
                 fs.append(f[m])
+                tts.append(t[m])
         for e in [e for e in self.pending if e <= epoch]:
             del self.pending[e]
         if not ks:
             return 0
         k = np.concatenate(ks)
         f = np.concatenate(fs)
+        t = np.concatenate(tts)
         order = np.argsort(k, kind="stable")
-        run = (k[order], f[order])
+        run = (k[order], f[order], t[order])
         self.runs.append(run)
         self._delta_new.append(run)
         if len(self.runs) > _MAX_RUNS:
@@ -206,8 +237,9 @@ class NearDupIndexState:
     def _compact(self):
         k = np.concatenate([r[0] for r in self.runs])
         f = np.concatenate([r[1] for r in self.runs])
+        t = np.concatenate([r[2] for r in self.runs])
         order = np.argsort(k, kind="stable")
-        self.runs = [(k[order], f[order])]
+        self.runs = [(k[order], f[order], t[order])]
 
     # ---------------------------------------------------------- checkpoint
     def save(self, directory: str, full: bool = True):
@@ -216,20 +248,23 @@ class NearDupIndexState:
         if full:
             if len(self.runs) > 1:
                 self._compact()
-            k, f = self.runs[0] if self.runs else (
-                np.empty(0, np.uint32), np.empty(0, np.uint64))
-            np.savez(os.path.join(directory, "index.npz"), keys=k, fps=f)
+            k, f, t = self.runs[0] if self.runs else (
+                np.empty(0, np.uint32), np.empty(0, np.uint64),
+                np.empty(0, np.int64))
+            np.savez(os.path.join(directory, "index.npz"), keys=k, fps=f, ts=t)
             with open(os.path.join(directory, "state.pkl"), "wb") as fh:
                 pickle.dump(meta, fh, protocol=pickle.HIGHEST_PROTOCOL)
         else:
             if self._delta_new:
                 k = np.concatenate([r[0] for r in self._delta_new])
                 f = np.concatenate([r[1] for r in self._delta_new])
+                t = np.concatenate([r[2] for r in self._delta_new])
                 order = np.argsort(k, kind="stable")
-                k, f = k[order], f[order]
+                k, f, t = k[order], f[order], t[order]
             else:
-                k, f = np.empty(0, np.uint32), np.empty(0, np.uint64)
-            np.savez(os.path.join(directory, "new.npz"), keys=k, fps=f)
+                k, f, t = (np.empty(0, np.uint32), np.empty(0, np.uint64),
+                           np.empty(0, np.int64))
+            np.savez(os.path.join(directory, "new.npz"), keys=k, fps=f, ts=t)
             with open(os.path.join(directory, "delta.pkl"), "wb") as fh:
                 pickle.dump(meta, fh, protocol=pickle.HIGHEST_PROTOCOL)
         self._delta_new = []
@@ -238,11 +273,11 @@ class NearDupIndexState:
         z = np.load(os.path.join(full_dir, "index.npz"))
         with open(os.path.join(full_dir, "state.pkl"), "rb") as fh:
             meta = pickle.load(fh)
-        self.runs = [(z["keys"], z["fps"])] if len(z["keys"]) else []
+        self.runs = [(z["keys"], z["fps"], z["ts"])] if len(z["keys"]) else []
         for d in delta_dirs:
             z = np.load(os.path.join(d, "new.npz"))
             if len(z["keys"]):
-                self.runs.append((z["keys"], z["fps"]))
+                self.runs.append((z["keys"], z["fps"], z["ts"]))
             with open(os.path.join(d, "delta.pkl"), "rb") as fh:
                 meta = pickle.load(fh)
         if len(self.runs) > _MAX_RUNS:
@@ -253,7 +288,7 @@ class NearDupIndexState:
 
 
 def resolve_near_epoch(shards, epoch: int, nonces: dict | None,
-                       n_bands: int, max_hamming: int):
+                       n_bands: int, max_hamming: int, wm=None):
     """Driver-side epoch resolve: gather per-entry verdicts from every
     shard, OR them per row, run the intra-epoch greedy over the
     committed-clean survivors, commit kept rows back to the shards.
@@ -263,7 +298,7 @@ def resolve_near_epoch(shards, epoch: int, nonces: dict | None,
     """
     import ray
 
-    res = ray.get([s.resolve.remote(epoch, nonces) for s in shards])
+    res = ray.get([s.resolve.remote(epoch, nonces, wm) for s in shards])
     if not any(len(r[0]) for r in res):
         z = np.empty(0, np.int64)
         ray.get([s.commit.remote(epoch, z, nonces) for s in shards])
@@ -293,17 +328,19 @@ def _make_shard_actor():
         """Same checkpoint/restore layout as the exact dedup shards
         (``n{shard}/e{epoch}`` dirs, full snapshots + delta chain)."""
 
-        def __init__(self, shard: int, ckpt_root: str, max_hamming: int = 3):
-            self.state = NearDupIndexState(shard, max_hamming)
+        def __init__(self, shard: int, ckpt_root: str, max_hamming: int = 3,
+                     retention_ms: int = 0):
+            self.state = NearDupIndexState(shard, max_hamming, retention_ms)
             self.shard = shard
             self.ckpt_root = ckpt_root
 
-        def submit(self, keys, fps, seqs, epoch: int, nonce: int) -> int:
-            self.state.submit(keys, fps, seqs, epoch, nonce)
+        def submit(self, keys, fps, seqs, epoch: int, nonce: int,
+                   ts=None) -> int:
+            self.state.submit(keys, fps, seqs, epoch, nonce, ts)
             return len(keys)
 
-        def resolve(self, epoch: int, nonces: dict | None):
-            return self.state.resolve(epoch, nonces)
+        def resolve(self, epoch: int, nonces: dict | None, wm=None):
+            return self.state.resolve(epoch, nonces, wm)
 
         def commit(self, epoch: int, kept_seqs, nonces: dict | None) -> int:
             return self.state.commit(epoch, kept_seqs, nonces)
@@ -391,11 +428,15 @@ def fp_pass_task():
                 hasher = SimHasher(text_col="transcript", id_col=seq_col)
                 refs, n = [], 0
                 for path in paths:
-                    t = pq.read_table(path, columns=[seq_col, "transcript"])
+                    t = pq.read_table(
+                        path, columns=[seq_col, "event_ts", "transcript"])
                     if row_cnt is not None:
                         t = t.slice(row_lo, row_cnt)
                     if t.num_rows == 0:
                         continue
+                    from ..stages.windows import ts_to_ms as _tms
+
+                    row_ts = _tms(t["event_ts"])
                     out = hasher(t)
                     fps = out["simhash"].to_numpy().view(np.uint64)
                     seqs = out[seq_col].to_numpy()
@@ -403,11 +444,13 @@ def fp_pass_task():
                     sh = shard_of(keys, len(shards))
                     efps = np.repeat(fps, n_bands)
                     eseqs = np.repeat(seqs, n_bands)
+                    ets = np.repeat(row_ts, n_bands)
                     for d in np.unique(sh):
                         m = sh == d
                         refs.append(
                             shards[d].submit.remote(
-                                keys[m], efps[m], eseqs[m], epoch, nonce
+                                keys[m], efps[m], eseqs[m], epoch, nonce,
+                                ets[m]
                             )
                         )
                     n += t.num_rows
@@ -425,14 +468,17 @@ def fp_pass_task():
             refs, n = [], 0
             for path in paths:
                 t = pq.read_table(
-                    path, columns=[seq_col, "bytes", "codec", "sr_hz"]
+                    path, columns=[seq_col, "event_ts", "bytes", "codec",
+                                   "sr_hz"]
                 )
                 if row_cnt is not None:
                     # row-window fan-out: the driver splits big fragments
                     # across tasks (decode is the dominant cost; the
                     # column-pruned read it duplicates is ~0.1 s)
                     t = t.slice(row_lo, row_cnt)
-                fps_parts, seq_parts = [], []
+                from ..stages.windows import ts_to_ms as _tms
+
+                fps_parts, seq_parts, ts_parts = [], [], []
                 for lo in range(0, t.num_rows, CHUNK):
                     c = t.slice(lo, CHUNK)
                     pcm, err = decode_batch(c["bytes"], c["codec"], c["sr_hz"])
@@ -448,19 +494,22 @@ def fp_pass_task():
                         fp_t["afp"].to_numpy().astype(np.int64).view(np.uint64)
                     )
                     seq_parts.append(fp_t[seq_col].to_numpy())
+                    ts_parts.append(_tms(c["event_ts"])[ok])
                 if not fps_parts:
                     continue
                 fps = np.concatenate(fps_parts)
                 seqs = np.concatenate(seq_parts)
+                row_ts = np.concatenate(ts_parts)
                 keys = band_entries(fps, n_bands)
                 efps = np.repeat(fps, n_bands)
                 eseqs = np.repeat(seqs, n_bands)
+                ets = np.repeat(row_ts, n_bands)
                 sh = shard_of(keys, len(shards))
                 for d in np.unique(sh):
                     m = sh == d
                     refs.append(
                         shards[d].submit.remote(
-                            keys[m], efps[m], eseqs[m], epoch, nonce
+                            keys[m], efps[m], eseqs[m], epoch, nonce, ets[m]
                         )
                     )
                 n += t.num_rows

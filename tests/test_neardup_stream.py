@@ -406,3 +406,37 @@ def test_neardup_stream_simhash_signature(tmp_path, ray_session):
     assert _repl_seqs(f"{root}/out") == kept
     assert metrics["neardup_dropped"] == n - len(kept)
     assert 0 < len(kept) < n  # the fixture plants real text near-dups
+
+
+def test_neardup_retention_evicts_and_readmits():
+    """neardup_retention_ms: index entries below wm − retention evict;
+    a near-copy of evicted content re-admits as a fresh keeper."""
+    import numpy as np
+
+    from hydra_ray.state.neardup_index import NearDupIndexState, band_entries
+
+    st = NearDupIndexState(0, max_hamming=3, retention_ms=1_000)
+    fp = np.uint64(0x1234_5678_9ABC_DEF0)
+    near = fp ^ np.uint64(1)  # hamming 1
+
+    def entries(f):
+        k = band_entries(np.array([f], np.uint64), 4)
+        return k, np.repeat(np.array([f], np.uint64), 4)
+
+    k, f = entries(fp)
+    st.submit(k, f, np.full(4, 0), 0, 1, ts=np.full(4, 100))
+    s, fps, m = st.resolve(0, {0: 1}, wm=0)
+    assert not m.any()
+    st.commit(0, np.array([0]), {0: 1})
+    # within horizon: near-copy matches the committed index
+    k2, f2 = entries(int(near))
+    st.submit(k2, f2, np.full(4, 1), 1, 1, ts=np.full(4, 500))
+    s, fps, m = st.resolve(1, {1: 1}, wm=400)
+    assert m.any()
+    st.commit(1, np.empty(0, np.int64), {1: 1})  # dropped: nothing kept
+    # horizon passes the anchor (100 < 1500-1000): evicted → re-admitted
+    k3, f3 = entries(int(near))
+    st.submit(k3, f3, np.full(4, 2), 2, 1, ts=np.full(4, 1600))
+    s, fps, m = st.resolve(2, {2: 1}, wm=1500)
+    assert not m.any()
+    assert st.metrics["neardup_evicted"] == 4  # all 4 band entries
