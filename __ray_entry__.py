@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value": q.q_rolling_value,
         "rolling_range": q.q_rolling_range,
         "value_bounds": q.q_value_bounds,
+        "value_cume": q.q_value_cume,
         "lag_delta": q.q_lag_delta,
         "running_total": q.q_running_total,
         "funnel": q.q_funnel,
@@ -315,6 +316,12 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY ts, event_id
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
                        AS rolling_mean
+            FROM events
+        """,
+        "value_cume": """
+            SELECT user_id, event_id, round(value, 2) AS value,
+                   cume_dist() OVER (
+                       PARTITION BY user_id ORDER BY value) AS cume
             FROM events
         """,
         "value_bounds": """

@@ -43,7 +43,7 @@ QUERY_NAMES = [
     "rolling_range", "cube_sales",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
-    "lag_delta", "running_total", "value_ranks", "value_bounds",
+    "lag_delta", "running_total", "value_ranks", "value_bounds", "value_cume",
     "event_paths", "pack_sequences",
     "token_stats", "token_explode", "repetition_stats", "chunk_docs",
     "value_dispersion", "rollup_sales", "funnel", "value_histogram", "mode_user",

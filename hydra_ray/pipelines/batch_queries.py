@@ -277,6 +277,18 @@ def q_rolling_range(sf_dir):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_value_cume(sf_dir):
+    """Per-user CUME_DIST over value — the remaining SQL rank-window
+    kind (rows-with-order≤current / partition size; division of the
+    same integers on both sides, bit-identical)."""
+    from ..stages.rollup import grouped_rank
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    out = grouped_rank(ds, "user_id", "value", "event_id",
+                       {"cume": "cume_dist"})
+    return _round_cols(out, {"value": 2})
+
+
 def q_value_bounds(sf_dir):
     """Per-user FIRST_VALUE / LAST_VALUE over the full ordered frame plus
     NTILE(4) — the frame-boundary window functions."""

@@ -390,7 +390,8 @@ def grouped_rank(ds, key_col: str, order_col: str, tie_col: str | None,
     run/tie masks with index-fill tricks — no per-key dispatch.
     """
     kinds = set(out.values())
-    bad = kinds - {"row_number", "rank", "dense_rank", "percent_rank"}
+    bad = kinds - {"row_number", "rank", "dense_rank", "percent_rank",
+                   "cume_dist"}
     if bad:
         raise ValueError(f"unknown rank kinds: {bad}")
     if "row_number" in kinds and tie_col is None:
@@ -404,7 +405,8 @@ def grouped_rank(ds, key_col: str, order_col: str, tie_col: str | None,
             outd = g.copy()
             for name, kind in out.items():
                 outd[name] = pd.Series(
-                    [], dtype="float64" if kind == "percent_rank" else "int64"
+                    [], dtype="float64"
+                    if kind in ("percent_rank", "cume_dist") else "int64"
                 )
             return outd
         if g[order_col].isna().any():
@@ -424,6 +426,8 @@ def grouped_rank(ds, key_col: str, order_col: str, tie_col: str | None,
         rk = rn[tie_start]               # rank: first row number of the tie
         dr_g = np.cumsum(new_tie)
         dr = dr_g - (dr_g[run_start] - 1)  # dense_rank: ties seen in run
+        ends = np.r_[run_start[1:][first[1:]], n]
+        cnt = np.repeat(ends - run_start[first], ends - run_start[first])
         outd = g.iloc[pos].copy()
         for name, kind in out.items():
             if kind == "row_number":
@@ -432,12 +436,14 @@ def grouped_rank(ds, key_col: str, order_col: str, tie_col: str | None,
                 outd[name] = rk
             elif kind == "dense_rank":
                 outd[name] = dr
+            elif kind == "cume_dist":
+                # rows with order value ≤ current / run size: the row
+                # number of the LAST row of the current tie group
+                tstarts = np.flatnonzero(new_tie)
+                tends = np.r_[tstarts[1:], n]
+                tie_last_rn = np.repeat(rn[tends - 1], tends - tstarts)
+                outd[name] = tie_last_rn / cnt
             else:
-                # run lengths broadcast per row via the next run start
-                ends = np.r_[run_start[1:][first[1:]], n]
-                cnt = np.repeat(
-                    ends - run_start[first], ends - run_start[first]
-                )
                 pr = np.zeros(n, dtype=np.float64)
                 multi = cnt > 1
                 pr[multi] = (rk[multi] - 1) / (cnt[multi] - 1)
