@@ -33,7 +33,7 @@ import pyarrow.parquet as pq
 
 from .hashing import add_partition_column
 
-__all__ = ["write_partitioned", "done_partitions"]
+__all__ = ["write_partitioned", "done_partitions", "sorted_write", "read_sorted"]
 
 _PART_PREFIX = "part="
 
@@ -144,3 +144,79 @@ def _mark_done(dest: str, rows: int, run: str) -> None:
     with open(tmp, "w") as f:
         json.dump({"rows": rows, "run": run}, f)
     os.replace(tmp, os.path.join(dest, "_DONE"))
+
+
+def sorted_write(ds, value_col: str, root: str,
+                 tiebreak_cols: tuple = (),
+                 num_partitions: int = 64, sample_per_block: int = 32):
+    """Globally SORTED partitioned output without an all-to-all
+    ``ds.sort``: sample-sort range cutpoints (``stages.sort``) assign
+    each row a range id, ONE ``groupby(range)`` exchange sorts each
+    range with a single lexsort, and the resumable ``write_partitioned``
+    commit lays ranges out as ``part=<i>/`` dirs in key order.
+    ``read_sorted`` re-reads the whole tree in global order — the
+    write-side counterpart of ``global_rank`` (§2.7).
+
+    Range count is chosen from the KEY SPACE (cutpoint dedup may shrink
+    it when the value distribution is discrete); each range must fit one
+    worker's heap — the same contract as any range partitioner.
+    """
+    from .stages.sort import range_cutpoints
+
+    cuts = range_cutpoints(ds, value_col, num_partitions, sample_per_block)
+    if cuts is None:
+        return write_partitioned(ds, root, key_col=value_col,
+                                 num_partitions=1)
+    nb = len(cuts) + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(cuts, v, side="left").astype(np.int32)
+        if "partition" in t.column_names:
+            t = t.drop_columns(["partition"])
+        return t.append_column("partition", pa.array(part))
+
+    def sort_range(g):
+        keys = tuple(
+            g[c].to_numpy() for c in reversed(tuple(tiebreak_cols))
+        ) + (g[value_col].to_numpy(),)
+        order = np.lexsort(keys)
+        return g.iloc[order]
+
+    ranged = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("partition")
+        .map_groups(sort_range, batch_format="pandas")
+    )
+    return write_partitioned(ranged, root, partition_col="partition",
+                             num_partitions=nb)
+
+
+def read_sorted(root: str):
+    """Lazy Dataset over a ``sorted_write`` tree in GLOBAL order: part
+    dirs ascend by range id and each part's files/rows were written in
+    sorted order, so path-ordered read tasks yield ordered blocks.
+
+    Ray's streaming executor does NOT preserve block order by default
+    (tasks emit as they finish), so this sets
+    ``DataContext.execution_options.preserve_order`` — the documented
+    switch for order-sensitive consumption; it trades a little
+    pipelining for determinism and applies to this process's context."""
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().execution_options.preserve_order = True
+
+    paths = []
+    for name in sorted(
+        (n for n in os.listdir(root) if n.startswith(_PART_PREFIX)),
+        key=lambda n: int(n.split("=", 1)[1]),
+    ):
+        d = os.path.join(root, name)
+        paths.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    if not paths:
+        return rd.from_items([])
+    return rd.read_parquet(paths)

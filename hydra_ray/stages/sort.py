@@ -37,7 +37,34 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["global_rank"]
+__all__ = ["global_rank", "range_cutpoints"]
+
+
+def range_cutpoints(ds, value_col: str, num_buckets: int,
+                    sample_per_block: int = 32) -> np.ndarray | None:
+    """Sample-sort range cutpoints over ``value_col``: per-block evenly
+    spaced value samples pooled on the driver, deduped so equal values
+    never straddle a range boundary.  ``None`` on an empty dataset.
+    Shared by :func:`global_rank` and ``sinks.sorted_write``."""
+    vals_only = ds.select_columns([value_col])
+
+    def sample(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        if t[value_col].null_count:
+            raise ValueError(f"NULLs in sort column {value_col!r}")
+        v = np.sort(v, kind="stable")
+        k = min(sample_per_block, len(v))
+        if k == 0:
+            return pa.table({value_col: v[:0]})
+        idx = np.linspace(0, len(v) - 1, k).astype(np.int64)
+        return pa.table({value_col: v[idx]})
+
+    sampled = vals_only.map_batches(sample, batch_format="pyarrow").take_all()
+    pool = np.sort(np.array([r[value_col] for r in sampled]))
+    if len(pool) == 0:
+        return None
+    q = np.linspace(0, len(pool) - 1, num_buckets + 1)[1:-1].astype(np.int64)
+    return np.unique(pool[q])  # dedupe: one bucket per tied cut value
 
 
 def global_rank(
@@ -52,27 +79,12 @@ def global_rank(
     ``ORDER BY value_col, *tiebreak_cols`` without a global sort."""
 
     vals_only = ds.select_columns([value_col])
-
-    def sample(t: pa.Table) -> pa.Table:
-        v = t[value_col].to_numpy(zero_copy_only=False)
-        if t[value_col].null_count:
-            raise ValueError(f"global_rank: NULLs in sort column {value_col!r}")
-        v = np.sort(v, kind="stable")
-        k = min(sample_per_block, len(v))
-        if k == 0:
-            return pa.table({value_col: v[:0]})
-        idx = np.linspace(0, len(v) - 1, k).astype(np.int64)
-        return pa.table({value_col: v[idx]})
-
-    sampled = vals_only.map_batches(sample, batch_format="pyarrow").take_all()
-    pool = np.sort(np.array([r[value_col] for r in sampled]))
-    if len(pool) == 0:
+    cuts = range_cutpoints(ds, value_col, num_buckets, sample_per_block)
+    if cuts is None:
         return ds.map_batches(
             lambda t: t.append_column(rank_col, pa.array([], pa.int64())),
             batch_format="pyarrow",
         )
-    q = np.linspace(0, len(pool) - 1, num_buckets + 1)[1:-1].astype(np.int64)
-    cuts = np.unique(pool[q])  # dedupe: one bucket per tied cut value
     nb = len(cuts) + 1
 
     def bucket_of(v: np.ndarray) -> np.ndarray:

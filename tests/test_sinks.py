@@ -109,3 +109,39 @@ def test_write_partitioned_drops_preexisting_partition_column(rd, tmp_path):
                        "partition": [99, 99, 99]})
     committed = write_partitioned(rd.from_pandas(df), root, "k", num_partitions=4)
     assert sum(committed.values()) == 3
+
+
+def test_sorted_write_and_read_sorted(ray_session, tmp_path):
+    """sorted_write lays ranges out in key order with rows sorted inside
+    each part; read_sorted re-reads the tree globally sorted — no
+    all-to-all ds.sort anywhere."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.sinks import read_sorted, sorted_write
+
+    rng = np.random.default_rng(17)
+    n = 5_000
+    df = pd.DataFrame({
+        "v": rng.integers(0, 800, n),          # ties guaranteed
+        "id": np.arange(n),
+    })
+    root = str(tmp_path / "sorted")
+    committed = sorted_write(
+        rd.from_pandas(df).repartition(8), "v", root,
+        tiebreak_cols=("id",), num_partitions=16)
+    assert sum(committed.values()) == n
+
+    back = read_sorted(root).to_pandas()
+    assert len(back) == n
+    v = back["v"].to_numpy()
+    assert (v[1:] >= v[:-1]).all()             # globally sorted
+    # tiebreak applied: ids ascend within equal values
+    brk = np.r_[True, v[1:] != v[:-1]]
+    grp = np.cumsum(brk)
+    ids = back["id"].to_numpy()
+    same = grp[1:] == grp[:-1]
+    assert (ids[1:][same] > ids[:-1][same]).all()
+    # content preserved exactly
+    assert sorted(ids.tolist()) == list(range(n))
