@@ -29,7 +29,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from hydra_ray.pipelines import batch_queries as q
 
     return {
-        # CEP / streaming operator family (SURVEY.md §2.10 + north star)
+        # DRIVER WINDOW (first 50 entries are oracle-checked by the
+        # driver). Ordered oracled-first; the 25 queries that lacked a
+        # driver row in round 2 lead so every oracle eventually gets a
+        # hard driver signal (rotate across rounds).
+        # -- oracled, driver-unverified as of round 2 --
+        "jaccard_search": q.q_jaccard_search,
+        "decontaminate": q.q_decontaminate,
+        "embedding_neardup": q.q_embedding_neardup,
+        "token_stats": q.q_token_stats,
+        "token_explode": q.q_token_explode,
+        "chunk_docs": q.q_chunk_docs,
+        "repetition_stats": q.q_repetition_stats,
+        "event_paths": q.q_event_paths,
+        "tfidf_terms": q.q_tfidf_terms,
+        "redact_text": q.q_redact_text,
+        "top_bigrams": q.q_top_bigrams,
+        "dup_spans": q.q_dup_spans,
+        "dedup_cut": q.q_dedup_cut,
+        "window_distinct": q.q_window_distinct,
+        "set_except": q.q_set_except,
+        "set_intersect": q.q_set_intersect,
+        "set_union": q.q_set_union,
+        "quality_scores": q.q_quality_scores,
+        "langid": q.q_langid,
+        "fingerprint": q.q_fingerprint,
+        "ann_range": q.q_ann_range,
+        "ann_topk": q.q_ann_topk,
+        "vector_norms": q.q_vector_norms,
+        "distinct_users": q.q_distinct_users,
+        "heavy_hitters": q.q_heavy_hitters,
+        # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
         "session_window": q.q_session_window,
@@ -55,15 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": q.q_source_cap,
         "stratified_sample": q.q_stratified_sample,
         "token_budget": q.q_token_budget,
-        "pack_sequences": q.q_pack_sequences,
         "latest_by_key": q.q_latest_by_key,
         "consumer_lag": q.q_consumer_lag,
         "topic_tail": q.q_topic_tail,
-        "replicate_stream": q.q_replicate_stream,
-        # record transform / scalar functions (§2.3, §2.9)
         "json_key_extract": q.q_json_key_extract,
         "events_per_day": q.q_events_per_day,
-        # aggregates / joins (§2.5, §2.6)
         "pricing_summary": q.q_pricing_summary,
         "rollup_sales": q.q_rollup_sales,
         "cube_sales": q.q_cube_sales,
@@ -74,52 +100,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q.q_bloom_semi_join,
         "left_join": q.q_left_join,
         "global_rank": q.q_global_rank,
-        "pagerank": q.q_pagerank,
         "value_ranks": q.q_value_ranks,
         "replication_diff": q.q_replication_diff,
         "upsert_compaction": q.q_upsert_compaction,
-        # dedup family
         "exact_dedup": q.q_exact_dedup,
+        # -- rows-only (no SQL oracle; covered by dedicated pytest
+        # oracles) -- keep LAST so they never displace an oracled query
+        # from the driver window.
+        "pack_sequences": q.q_pack_sequences,
+        "replicate_stream": q.q_replicate_stream,
+        "pagerank": q.q_pagerank,
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_clusters": q.q_neardup_clusters,
         "neardup_cc": q.q_neardup_cc,
         "simhash_neardup": q.q_simhash_neardup,
-        "jaccard_search": q.q_jaccard_search,
-        "decontaminate": q.q_decontaminate,
-        "embedding_neardup": q.q_embedding_neardup,
-        # text analysis
-        "token_stats": q.q_token_stats,
-        "token_explode": q.q_token_explode,
-        "chunk_docs": q.q_chunk_docs,
-        "repetition_stats": q.q_repetition_stats,
-        "event_paths": q.q_event_paths,
-        "tfidf_terms": q.q_tfidf_terms,
-        "redact_text": q.q_redact_text,
         "lm_quality": q.q_lm_quality,
-        "top_bigrams": q.q_top_bigrams,
-        "dup_spans": q.q_dup_spans,
         "curation_e2e": q.q_curation_e2e,
-        "dedup_cut": q.q_dedup_cut,
-        "window_distinct": q.q_window_distinct,
-        "set_except": q.q_set_except,
-        "set_intersect": q.q_set_intersect,
-        "set_union": q.q_set_union,
-        "quality_scores": q.q_quality_scores,
         "compression_ratio": q.q_compression_ratio,
-        "langid": q.q_langid,
-        "fingerprint": q.q_fingerprint,
-        # similarity search
-        "ann_range": q.q_ann_range,
         "kmeans_embed": q.q_kmeans_embed,
         "semantic_dedup": q.q_semantic_dedup,
-        "ann_topk": q.q_ann_topk,
         "ann_ivf": q.q_ann_ivf,
-        "vector_norms": q.q_vector_norms,
-        # distinct / sketches
-        "distinct_users": q.q_distinct_users,
         "approx_distinct": q.q_approx_distinct,
-        "heavy_hitters": q.q_heavy_hitters,
-        # audio analysis
         "audio_features": q.q_audio_features,
         "audio_curation": q.q_audio_curation,
         "vad_segments": q.q_vad_segments,
@@ -127,8 +128,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcode_flac": q.q_transcode_flac,
         "audio_neardup": q.q_audio_neardup,
         "flac_roundtrip": q.q_flac_roundtrip,
-        # image / video (real ppm/pgm/bmp + rawv kernels; PIL/ffmpeg
-        # formats are DLQ-routed stubs)
         "image_features": q.q_image_features,
         "image_resize": q.q_image_resize,
         "image_neardup": q.q_image_neardup,

@@ -237,6 +237,20 @@ def run_queries() -> dict:
     return out
 
 
+def _emit(payload: dict, local_name: str) -> None:
+    """Print the result as ONE compact JSON line (driver tail capture is
+    size-limited — BENCH_r02 truncated mid-line) AND persist the same
+    payload to a file at the repo root so a clipped tail is recoverable."""
+    line = json.dumps(payload, separators=(",", ":"))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               local_name), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
+
+
 def main():
     if "--scaling" in sys.argv:
         # This sandbox's wall-clock noise swings several-x run to run
@@ -271,21 +285,18 @@ def main():
                 )
         med = {n: sorted(v)[len(v) // 2] for n, v in samples.items()}
         eff = (med[hi] / med[lo]) / (hi / lo)
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency",
-                    "value": round(eff, 3),
-                    "unit": "ratio",
-                    f"clips_per_sec_{lo}cpu": round(med[lo], 1),
-                    f"clips_per_sec_{hi}cpu": round(med[hi], 1),
-                    f"samples_{lo}cpu": [round(x, 1) for x in samples[lo]],
-                    f"samples_{hi}cpu": [round(x, 1) for x in samples[hi]],
-                    "reps": reps,
-                    "clips": int(scaling_clips),
-                }
-            )
-        )
+        payload = {
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            f"clips_per_sec_{lo}cpu": round(med[lo], 1),
+            f"clips_per_sec_{hi}cpu": round(med[hi], 1),
+            f"samples_{lo}cpu": [round(x, 1) for x in samples[lo]],
+            f"samples_{hi}cpu": [round(x, 1) for x in samples[hi]],
+            "reps": reps,
+            "clips": int(scaling_clips),
+        }
+        _emit(payload, "BENCH_SCALING_LOCAL.json")
         return
 
     import ray
@@ -343,7 +354,7 @@ def main():
             payload["headline_neardup"] = {
                 k: (round(v, 3) if isinstance(v, float) else v) for k, v in d.items()
             }
-        print(json.dumps(payload))
+        _emit(payload, "BENCH_LOCAL.json")
     finally:
         ray.shutdown()
 

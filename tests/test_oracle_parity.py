@@ -119,3 +119,22 @@ def test_entry_smoke(ray_session):
     res = _to_pandas(entrymod.entry())
     assert len(res) > 0
     assert "clip_id" in res.columns
+
+
+def test_bench_covers_catalog():
+    """bench.py QUERY_NAMES is hand-maintained — this pins it to the
+    catalog so a new query can't silently skip the driver bench
+    (replicate_stream is intentionally absent: it IS the headline)."""
+    import bench
+
+    assert set(bench.QUERY_NAMES) == set(entrymod.queries()) - {"replicate_stream"}
+    assert len(bench.QUERY_NAMES) == len(set(bench.QUERY_NAMES))
+
+
+def test_driver_window_all_oracled():
+    """The driver oracle-checks only the FIRST 50 queries() entries;
+    keep every one of those slots an oracled query (VERDICT r2 #1)."""
+    qkeys = list(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    head = qkeys[: min(50, len(oracled))]
+    assert all(k in oracled for k in head), [k for k in head if k not in oracled]
