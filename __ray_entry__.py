@@ -457,6 +457,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_type = 'purchase'
         """,
         "dedup_cut": """
+            -- NOTE: substr/len here are CHARACTER-based while the kernel
+            -- counts BYTES; they agree because the documents fixture is
+            -- ASCII.  A non-ASCII corpus needs octet_length arithmetic.
             WITH wins AS (
                 SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
                        substr(text, CAST(i AS BIGINT), 30) AS w
@@ -494,6 +497,8 @@ def oracle_sql() -> dict[str, str]:
             FROM spans GROUP BY doc_id
         """,
         "dup_spans": """
+            -- NOTE: character-based substr vs the kernel's byte windows —
+            -- equal only on the ASCII fixture corpus (see dedup_cut note).
             WITH wins AS (
                 SELECT doc_id, substr(text, CAST(i AS BIGINT), 30) AS w
                 FROM documents,

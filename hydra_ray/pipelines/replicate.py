@@ -344,12 +344,15 @@ class _Router:
             # same deterministic will-emit predicate the state actor applies
             ok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
             ok &= _ts_to_ms(batch["event_ts"]) >= wm
-            if self.features and ok.any():
+            if self.features and ok.any() and self.payload_transform is None:
                 # per-clip audio features computed IN the decode task (the
                 # PCM is already hot in this worker's cache) and carried on
                 # the payload fragment — read_replicated surfaces them on
                 # every emitted row, and the feature pass adds zero extra
-                # object-store traffic
+                # object-store traffic.  With a payload_transform the
+                # features must instead describe the TRANSFORMED payload
+                # (the audio actually stored), so they are computed
+                # post-transform in the partition loop below (ADVICE r2).
                 from ..stages.audio_features import audio_features
 
                 oki = np.flatnonzero(ok)
@@ -391,6 +394,30 @@ class _Router:
                     heavy = batch.select(cols).take(pa.array(keep))
                     if xform is not None:
                         heavy = xform(heavy)
+                        if self.features:
+                            # features over the TRANSFORMED PCM — they must
+                            # describe the stored payload, not the
+                            # as-decoded clip (e.g. trim_payload removes
+                            # the silence rms/dom_freq would otherwise
+                            # include)
+                            from ..stages.audio_features import (
+                                audio_features,
+                            )
+
+                            f = audio_features(
+                                heavy.select(["pcm", "sr_hz"])
+                            )
+                            for name in ("rms", "peak", "zero_cross_rate",
+                                         "clip_ratio", "dom_freq_hz"):
+                                heavy = heavy.append_column(
+                                    name,
+                                    pa.array(
+                                        f[name].to_numpy(
+                                            zero_copy_only=False
+                                        ),
+                                        pa.float64(),
+                                    ),
+                                )
                     for name, full in feat_cols.items():
                         heavy = heavy.append_column(
                             name, pa.array(full[keep], pa.float64())
@@ -682,6 +709,14 @@ class ReplicatePipeline:
 
         state = self.sink[self.MAIN].pipeline_state(self.name)
         committed = int(state.get("last_epoch", -1))
+        swap = state.get("rescale_swap")
+        if swap:
+            raise RuntimeError(
+                f"a state rescale ({swap.get('old')}→{swap.get('new')} "
+                "partitions) crashed mid-swap; re-run rescale_state, or "
+                f"restore the p* dirs from backup {swap.get('backup')!r} "
+                "and clear 'rescale_swap' via update_pipeline_state"
+            )
         stored_p = int(state.get("num_partitions", 0))
         if committed >= 0 and stored_p and stored_p != self.cfg.num_partitions:
             raise ValueError(
@@ -689,6 +724,20 @@ class ReplicatePipeline:
                 f"says {self.cfg.num_partitions}; partition count is state "
                 "layout — run hydra_ray.state.rescale.rescale_state first"
             )
+        if committed >= 0 and stored_p and os.path.isdir(self.ckpt_root):
+            # a half-swapped checkpoint layout (crash between dir moves)
+            # must be refused, never silently restored
+            actual = sum(
+                1 for d in os.listdir(self.ckpt_root)
+                if d.startswith("p") and d[1:].isdigit()
+            )
+            if actual != stored_p:
+                raise RuntimeError(
+                    f"checkpoint root has {actual} p* dirs but committed "
+                    f"state records num_partitions={stored_p} — layout is "
+                    "inconsistent (interrupted rescale?); restore the "
+                    "backup dir or re-run rescale_state"
+                )
         for t in self.sink.values():
             t.gc_staged()
         self._spawn_actors()

@@ -22,6 +22,7 @@ Layout::
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -33,7 +34,8 @@ import pyarrow.parquet as pq
 
 from .hashing import add_partition_column
 
-__all__ = ["write_partitioned", "done_partitions", "sorted_write", "read_sorted"]
+__all__ = ["write_partitioned", "done_partitions", "sorted_write",
+           "read_sorted", "ordered_execution"]
 
 _PART_PREFIX = "part="
 
@@ -192,20 +194,40 @@ def sorted_write(ds, value_col: str, root: str,
                              num_partitions=nb)
 
 
+@contextlib.contextmanager
+def ordered_execution():
+    """Scope in which Ray Data executions preserve block order.
+
+    Ray's streaming executor does NOT preserve block order by default
+    (tasks emit as they finish); ``preserve_order`` is the documented
+    switch for order-sensitive consumption.  It lives on the
+    process-global ``DataContext``, so flipping it permanently would
+    silently cost every later unrelated pipeline its out-of-order
+    pipelining — this restores the prior value on exit.  Consume any
+    order-sensitive Dataset (``read_sorted``) inside this scope."""
+    from ray.data import DataContext
+
+    opts = DataContext.get_current().execution_options
+    prev = opts.preserve_order
+    opts.preserve_order = True
+    try:
+        yield
+    finally:
+        opts.preserve_order = prev
+
+
 def read_sorted(root: str):
     """Lazy Dataset over a ``sorted_write`` tree in GLOBAL order: part
     dirs ascend by range id and each part's files/rows were written in
     sorted order, so path-ordered read tasks yield ordered blocks.
 
-    Ray's streaming executor does NOT preserve block order by default
-    (tasks emit as they finish), so this sets
-    ``DataContext.execution_options.preserve_order`` — the documented
-    switch for order-sensitive consumption; it trades a little
-    pipelining for determinism and applies to this process's context."""
-    import ray.data as rd
-    from ray.data import DataContext
+    The Dataset is lazy — order is only realized if it EXECUTES with
+    ``preserve_order`` on; consume it inside ``ordered_execution()``:
 
-    DataContext.get_current().execution_options.preserve_order = True
+        with ordered_execution():
+            df = read_sorted(root).to_pandas()
+    """
+    import ray.data as rd
 
     paths = []
     for name in sorted(

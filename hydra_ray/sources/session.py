@@ -69,14 +69,20 @@ class IngestSession:
         self,
         handler: Callable[[dict], Any] | None = None,
         catalog: Any | None = None,
+        validate_topic: bool = False,
     ):
         """``catalog`` (a ``table.registry.TopicCatalog``) gates ingest on
         topic existence like the v1 ingestor's KafkaTopicsActor lookup:
         a request targeting an unknown topic is rejected 404 before the
-        handler runs."""
+        handler runs.  ``validate_topic`` additionally enforces the topic
+        NAME GRAMMAR at SET time (the V2 metadata-request rule,
+        `TopicMetadataV2Transport.scala:113-127` — org prefix, alnum
+        segments, single hyphens, ≤ 249 chars): a malformed name is
+        rejected 400 before it ever reaches the catalog."""
         self.metadata: dict[str, str] = {}
         self.handler = handler or (lambda req: None)
         self.catalog = catalog
+        self.validate_topic = validate_topic
 
     # ------------------------------------------------------------ commands
     def process(self, line: str) -> tuple[int, str]:
@@ -93,6 +99,17 @@ class IngestSession:
                     return 200, listing
                 the_key = key.upper().strip()
                 the_value = value.strip()
+                if the_key == HYDRA_KAFKA_TOPIC and self.validate_topic:
+                    from ..table.registry import valid_topic_name
+
+                    if not valid_topic_name(the_value):
+                        return 400, (
+                            f"BAD REQUEST[{HYDRA_KAFKA_TOPIC}={the_value}] "
+                            "Invalid Topic Name. Topic Name must start "
+                            "with a valid organization prefix and may "
+                            "contain only alphanumeric characters, "
+                            "hyphens(-) and periods(.)."
+                        )
                 if the_key == HYDRA_ACK_STRATEGY:
                     try:
                         the_value = AckStrategy.parse(the_value)

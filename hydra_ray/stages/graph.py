@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "pagerank_sharded"]
 
 
 def _star_kernel(g: pd.DataFrame, large: bool) -> pd.DataFrame:
@@ -162,7 +162,7 @@ def connected_components(edges, src_col: str, dst_col: str,
 
 
 def pagerank(edges, src_col: str, dst_col: str, damping: float = 0.85,
-             iters: int = 20):
+             iters: int = 20, max_nodes: int = 1_000_000_000):
     """PageRank by broadcast-pull power iteration (fixed ``iters``).
 
     Input: a Dataset of DIRECTED int64 edges (a duplicated edge counts
@@ -179,9 +179,9 @@ def pagerank(edges, src_col: str, dst_col: str, damping: float = 0.85,
     sort+reduceat (≤ unique-dst-per-block rows leave each task), and
     reduces them with one bucketed ``grouped_aggregate`` shuffle whose
     output is ≤ N rows.  Driver/worker memory is O(nodes) — 8 bytes ×
-    N, fine to ~1e9 nodes on the target cluster; beyond that the rank
-    vector itself must be sharded (pin edge partitions + rank shards in
-    actors, GraphX-style) — out of scope here.  Two chained
+    N, fine to ~1e9 nodes on the target cluster; the ``max_nodes``
+    guard ENFORCES that bound (default 1e9) and points past it to
+    ``pagerank_sharded``, whose rank state lives in actors.  Two chained
     groupby shuffles per round (the textbook BSP formulation) deadlock
     Ray Data's aggregator pools under tight CPU budgets and pay two
     all-to-all exchanges per round; this shape pays one.
@@ -216,15 +216,22 @@ def pagerank(edges, src_col: str, dst_col: str, damping: float = 0.85,
             ),
         })
 
-    nd = grouped_aggregate(
+    nd_ds = grouped_aggregate(
         e.map_batches(deg_rows, batch_format="pyarrow"),
         ["node"], [AggSpec("sum", "outdeg", "outdeg")],
-    ).to_pandas()
+    ).materialize()
+    n = nd_ds.count()
+    if n > max_nodes:        # guard BEFORE the O(nodes) driver collect
+        raise ValueError(
+            f"pagerank's broadcast rank vector is driver/worker-resident "
+            f"O(nodes) state; {n} nodes exceeds max_nodes={max_nodes}. "
+            "Use pagerank_sharded (actor-sharded rank state) instead."
+        )
+    nd = nd_ds.to_pandas()
     node_ids = np.sort(nd["node"].to_numpy(dtype=np.int64))
     outdeg = nd["outdeg"].to_numpy(dtype=np.float64)[
         np.argsort(nd["node"].to_numpy(dtype=np.int64), kind="stable")
     ]
-    n = len(node_ids)
     ids_ref = ray.put(node_ids)
 
     def to_idx(t: pa.Table) -> pa.Table:
@@ -266,3 +273,200 @@ def pagerank(edges, src_col: str, dst_col: str, damping: float = 0.85,
 
     out = pa.table({"node": node_ids, "r": r})
     return ray.data.from_arrow(out)
+
+
+class _RankShard:
+    """One shard of GraphX-style PageRank state: the rank/outdegree
+    vectors for ``node % num_shards == shard`` plus the out-edges whose
+    SOURCE lives here (src-co-partitioned, so the gather ``w[src]`` is
+    local).  Edge routing/reduceat order is precomputed once in
+    ``build``; each iteration is one vectorized gather + reduceat and a
+    shard-to-shard exchange of pre-combined ``(dst, contribution)``
+    partials — nothing O(nodes) ever exists in one place."""
+
+    def __init__(self, shard: int, num_shards: int):
+        self.s = shard
+        self.S = num_shards
+        self._node_chunks: list = []
+        self._edge_chunks: list = []
+
+    def add_nodes(self, t: pa.Table) -> int:
+        self._node_chunks.append(
+            (t["node"].to_numpy(zero_copy_only=False).astype(np.int64),
+             t["outdeg"].to_numpy(zero_copy_only=False).astype(np.float64))
+        )
+        return t.num_rows
+
+    def add_edges(self, t: pa.Table) -> int:
+        self._edge_chunks.append(
+            (t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+             t["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+        )
+        return t.num_rows
+
+    def build(self, n_total: int) -> int:
+        nodes = (np.concatenate([c[0] for c in self._node_chunks])
+                 if self._node_chunks else np.empty(0, np.int64))
+        deg = (np.concatenate([c[1] for c in self._node_chunks])
+               if self._node_chunks else np.empty(0, np.float64))
+        order = np.argsort(nodes, kind="stable")
+        self.nodes, self.outdeg = nodes[order], deg[order]
+        self.dangling = self.outdeg == 0.0
+        self.safe_deg = np.where(self.dangling, 1.0, self.outdeg)
+        self.n_total = int(n_total)
+        self.r = np.full(len(self.nodes), 1.0 / max(n_total, 1))
+        src = (np.concatenate([c[0] for c in self._edge_chunks])
+               if self._edge_chunks else np.empty(0, np.int64))
+        dst = (np.concatenate([c[1] for c in self._edge_chunks])
+               if self._edge_chunks else np.empty(0, np.int64))
+        self._node_chunks = self._edge_chunks = None
+        # static per-iteration plan: edges sorted by dst once, per-dst
+        # reduceat starts, and the dst→target-shard routing masks
+        pos = np.argsort(dst, kind="stable")
+        self.si = np.searchsorted(self.nodes, src[pos])
+        dsts = dst[pos]
+        self.starts = np.flatnonzero(
+            np.r_[True, dsts[1:] != dsts[:-1]]) if len(dsts) else \
+            np.empty(0, np.int64)
+        self.dst_u = dsts[self.starts] if len(dsts) else dsts
+        tgt = self.dst_u % self.S
+        self.route = [np.flatnonzero(tgt == q) for q in range(self.S)]
+        return len(self.nodes)
+
+    def dangling_mass(self) -> float:
+        return float(self.r[self.dangling].sum())
+
+    def emit(self):
+        """One tuple of S pre-combined ``(dst, c)`` partial tables —
+        returned with ``num_returns=S`` so each lands in the object
+        store and ships straight to its target shard, never the driver."""
+        w = self.r / self.safe_deg
+        c = w[self.si]
+        sums = (np.add.reduceat(c, self.starts)
+                if len(self.starts) else np.empty(0, np.float64))
+        out = tuple(
+            pa.table({"dst": self.dst_u[idx], "c": sums[idx]})
+            for idx in self.route
+        )
+        return out if self.S > 1 else out[0]
+
+    def apply(self, base: float, damping: float, *parts) -> int:
+        acc = np.zeros(len(self.nodes))
+        for t in parts:
+            idx = np.searchsorted(
+                self.nodes, t["dst"].to_numpy(zero_copy_only=False))
+            acc[idx] += t["c"].to_numpy(zero_copy_only=False)
+        self.r = base + damping * acc
+        return len(self.nodes)
+
+    def result(self) -> pa.Table:
+        return pa.table({"node": self.nodes, "r": self.r})
+
+
+def pagerank_sharded(edges, src_col: str, dst_col: str,
+                     damping: float = 0.85, iters: int = 20,
+                     num_shards: int = 8):
+    """PageRank with ACTOR-SHARDED rank state — the scale path past
+    ``pagerank``'s ~1e9-node broadcast ceiling.
+
+    Same semantics as ``pagerank`` (directed multigraph edges, dangling
+    mass redistributed, ranks sum to 1); different state layout: the
+    rank/outdegree vectors are hash-sharded (``node % num_shards``)
+    across ``num_shards`` actors, and every out-edge is co-partitioned
+    with its SOURCE shard, so per-iteration work is (a) a local gather +
+    reduceat per shard pre-combining contributions per destination, (b)
+    one shard-to-shard object-store exchange of those ≤ unique-dst
+    partials (``num_returns=num_shards`` — the driver only moves refs),
+    (c) a local scatter-add per shard.  The driver holds O(num_shards)
+    scalars (the dangling-mass fold).  ``num_shards`` bounds per-actor
+    memory: size it to nodes/num_shards × ~24 bytes, independent of the
+    cluster (semantic, like every partition count here).
+    """
+    import ray
+
+    import pyarrow.compute as _pc
+
+    from .windows import AggSpec, grouped_aggregate
+
+    S = int(num_shards)
+    d = float(damping)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": _pc.cast(t[src_col], pa.int64()),
+            "dst": _pc.cast(t[dst_col], pa.int64()),
+        })
+
+    e = edges.map_batches(canon, batch_format="pyarrow").materialize()
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays(
+                [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+            ),
+            "outdeg": pa.array(
+                np.r_[np.ones(t.num_rows, np.int64),
+                      np.zeros(t.num_rows, np.int64)]
+            ),
+        })
+
+    nd = grouped_aggregate(
+        e.map_batches(deg_rows, batch_format="pyarrow"),
+        ["node"], [AggSpec("sum", "outdeg", "outdeg")],
+    ).materialize()
+    n = nd.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "r": pa.array([], pa.float64())}))
+
+    Shard = ray.remote(_RankShard)
+    actors = [Shard.remote(s, S) for s in range(S)]
+
+    def route(t: pa.Table, col: str, method: str):
+        key = t[col].to_numpy(zero_copy_only=False).astype(np.int64) % S
+        refs = []
+        for q in np.unique(key):
+            sub = t.filter(pa.array(key == q))
+            refs.append(getattr(actors[int(q)], method).remote(sub))
+        return refs
+
+    def feed_nodes(t: pa.Table) -> pa.Table:
+        import ray as _r
+        _r.get(route(t, "node", "add_nodes"))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    def feed_edges(t: pa.Table) -> pa.Table:
+        import ray as _r
+        _r.get(route(t, "src", "add_edges"))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    # drive the two routing passes (map_batches tasks deliver to actors)
+    nd.map_batches(feed_nodes, batch_format="pyarrow").count()
+    e.map_batches(feed_edges, batch_format="pyarrow").count()
+    ray.get([a.build.remote(n) for a in actors])
+
+    try:
+        for _ in range(int(iters)):
+            dm = sum(ray.get([a.dangling_mass.remote() for a in actors]))
+            base = (1.0 - d) / n + d * dm / n
+            # S×S ref matrix: parts[src_shard][dst_shard]; data moves
+            # shard→shard through the object store, refs through the driver
+            if S > 1:
+                parts = [a.emit.options(num_returns=S).remote()
+                         for a in actors]
+            else:
+                parts = [[a.emit.remote()] for a in actors]
+            ray.get([
+                actors[q].apply.remote(
+                    base, d, *[parts[p][q] for p in range(S)])
+                for q in range(S)
+            ])
+        # per-shard result tables stay in the object store — the driver
+        # holds refs only, never the O(nodes) concatenation
+        res_refs = [a.result.remote() for a in actors]
+        ray.wait(res_refs, num_returns=len(res_refs))
+    finally:
+        for a in actors:
+            ray.kill(a, no_restart=True)
+    return ray.data.from_arrow_refs(res_refs)

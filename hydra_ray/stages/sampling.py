@@ -94,13 +94,17 @@ def stratified_sample(ds, key_col: str, id_col: str, fractions: dict,
                 f"stratified_sample ids must be in [0, {(1 << 63) // _KNUTH}]"
             )
         h = (ids * _KNUTH) % _MOD
-        thr = (
-            pd.Series(t[key_col].to_pylist(), dtype=object)
-            .map(thresholds)
-            .fillna(default_thr)
-            .to_numpy(dtype=np.int64)
+        # factorize keys (C-side) + one numpy take over a small per-code
+        # threshold table — no per-row dict lookup
+        codes, uniques = pd.factorize(
+            t[key_col].to_numpy(zero_copy_only=False)
         )
-        return t.filter(pa.array(h < thr))
+        table = np.array(
+            [thresholds.get(k, default_thr) for k in uniques] + [default_thr],
+            dtype=np.int64,
+        )
+        thr = table[codes]             # factorize codes nulls as -1 →
+        return t.filter(pa.array(h < thr))  # the appended default slot
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

@@ -188,7 +188,9 @@ def kmeans_lloyd(ds, k: int, iters: int = 5, vec_col: str = "embedding",
     seed_rows = seed_rows.sort_values("__h").head(k)
     cents = np.stack(seed_rows[vec_col].to_numpy()).astype(np.float64)
 
-    for _ in range(iters):
+    def fold_pass(cents: np.ndarray):
+        """One broadcast-pull assignment pass: (k×d) partial sums, sizes
+        and inertia of assigning every vector to ``cents``."""
         cref = ray.put(cents)
 
         def partial(t: pa.Table, cref=cref) -> pa.Table:
@@ -214,6 +216,10 @@ def kmeans_lloyd(ds, k: int, iters: int = 5, vec_col: str = "embedding",
         sums = np.stack(g["vsum"].apply(lambda s: np.sum(np.stack(s), axis=0)))
         counts = g["n"].sum().to_numpy()
         inertia = float(folded["inertia"].sum())
+        return sums, counts, inertia
+
+    for _ in range(iters):
+        sums, counts, _ = fold_pass(cents)
         nz = counts > 0
         new = cents.copy()
         new[nz] = sums[nz] / counts[nz, None]
@@ -221,6 +227,10 @@ def kmeans_lloyd(ds, k: int, iters: int = 5, vec_col: str = "embedding",
         pos = norms > 0
         new[pos] = new[pos] / norms[pos, None]
         cents = new
+    # one FINAL assignment against the returned centroids: sizes/inertia
+    # must describe the returned model, not the previous iteration's
+    # (and iters=0 is then well-defined rather than a NameError)
+    _, counts, inertia = fold_pass(cents)
     return cents, counts, inertia
 
 
@@ -493,9 +503,19 @@ def embedding_neardup_lsh(
     )
 
     def _unpack(col) -> np.ndarray:
+        # straight off the Arrow buffers (the audio_features
+        # _flat_and_offsets pattern) — no per-row Python bytes
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        buf = b"".join(arr.to_pylist())
-        m = np.frombuffer(buf, dtype=np.float32).astype(np.float64)
+        if pa.types.is_fixed_size_binary(arr.type):
+            w = arr.type.byte_width
+            data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+            flat = data[arr.offset * w:(arr.offset + len(arr)) * w]
+        else:  # (large_)binary: equal-width rows are contiguous in order
+            odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+            offs = np.frombuffer(arr.buffers()[1], dtype=odt)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            flat = data[offs[arr.offset]:offs[arr.offset + len(arr)]]
+        m = flat.view(np.float32).astype(np.float64)
         return m.reshape(len(arr), -1)
 
     def verify(t: pa.Table) -> pa.Table:

@@ -203,12 +203,23 @@ def cut_duplicate_spans(ds, text_col: str = "text", id_col: str = "doc_id",
             b = texts[i].encode("utf-8")
             kept, prev = [], 0
             for s, ln in sorted(ranges):
+                e = s + ln
+                # stride-1 windows start at arbitrary BYTES; snap the cut
+                # outward to codepoint boundaries (UTF-8 continuation
+                # bytes are 0b10xxxxxx) so slicing never splits a
+                # codepoint — the cut swallows any partially-covered
+                # codepoint rather than leaving invalid bytes behind
+                while s > 0 and (b[s] & 0xC0) == 0x80:
+                    s -= 1
+                while e < len(b) and (b[e] & 0xC0) == 0x80:
+                    e += 1
+                s = max(s, prev)       # snapping may touch the prior span
                 kept.append(b[prev:s])
-                prev = s + ln
+                prev = max(prev, e)
             kept.append(b[prev:])
             nb = b"".join(kept)
             removed[i] = len(b) - len(nb)
-            texts[i] = nb.decode("utf-8", errors="replace")
+            texts[i] = nb.decode("utf-8")  # boundaries snapped: always valid
         return pd.DataFrame({
             id_col: ids, text_col: texts, "n_cut_bytes": removed,
         })

@@ -14,6 +14,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "TokenStats",
@@ -65,7 +66,6 @@ class QualityScore:
     def __init__(self, text_col: str = "text", lang_col: str | None = "lang"):
         self.text_col = text_col
         self.lang_col = lang_col
-        self.word_re = re.compile(r"[a-zA-Z']+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")
@@ -89,9 +89,32 @@ class QualityScore:
             m = lang_np == lg
             stop_hits[m] = lower[m].str.count(rx).to_numpy()
         batch["stopword_ratio"] = (stop_hits / n_words.to_numpy()).astype("float64")
-        # repetition needs per-doc unique words — the one non-C step
-        uniq = s.str.findall(self.word_re).map(lambda ws: len(set(ws)) if ws else 0)
-        batch["repetition_ratio"] = (1.0 - uniq / n_words).astype("float64")
+        # repetition needs per-doc unique words: maximal [a-zA-Z']+ runs
+        # are exactly the split on their complement, so one Arrow replace
+        # + split pass then the repetition_stats factorize/run-length
+        # kernel — no Python per row
+        arr = pa.array(s.to_numpy(dtype=object), pa.string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(arr, r"[^a-zA-Z']+", " ")
+            ),
+            r"\s+",
+        )
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndocs = len(batch)
+        parent = np.repeat(np.arange(ndocs, dtype=np.int64), np.diff(offsets))
+        nonempty = flat != ""          # an empty doc splits to one "" token
+        flat, parent = flat[nonempty], parent[nonempty]
+        codes = pd.factorize(flat)[0] if len(flat) else np.array([], np.int64)
+        key = parent * np.int64(len(flat) + 1) + codes
+        key.sort()
+        first = np.r_[True, key[1:] != key[:-1]] if len(key) else np.array([], bool)
+        run_doc = key[np.flatnonzero(first)] // np.int64(len(flat) + 1)
+        uniq = np.bincount(run_doc.astype(np.int64), minlength=ndocs)
+        batch["repetition_ratio"] = (
+            1.0 - uniq / n_words.to_numpy()
+        ).astype("float64")
         batch["quality_score"] = (
             0.4 * (1.0 - batch["repetition_ratio"])
             + 0.3 * (1.0 - batch["punct_ratio"].clip(0, 1))

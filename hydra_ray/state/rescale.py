@@ -238,6 +238,20 @@ def rescale_state(out_root: str, new_num_partitions: int, cfg,
     backup = ckpt_root + f".pre-rescale-e{committed:06d}-P{old_p}"
     shutil.rmtree(backup, ignore_errors=True)
     os.makedirs(backup)
+    # Commit the NEW count plus a swap-in-progress sentinel BEFORE any
+    # dir moves.  A crash mid-swap then cannot be silently resumed: the
+    # old count fails run()'s num_partitions guard (stored is already
+    # new_p), and the new count is refused by the sentinel until the
+    # rescale is re-run or the backup restored.  Without this ordering a
+    # mid-swap crash left stored_p at the OLD count while new-layout p*
+    # dirs were partially in place — grown partitions' state silently
+    # never restored.
+    main.update_pipeline_state(
+        name,
+        {"num_partitions": new_p,
+         "rescale_swap": {"old": old_p, "new": new_p,
+                          "backup": os.path.basename(backup)}},
+    )
     for d in sorted(os.listdir(ckpt_root)):
         if d.startswith("p") and d[1:].isdigit():
             os.rename(os.path.join(ckpt_root, d), os.path.join(backup, d))
@@ -245,5 +259,5 @@ def rescale_state(out_root: str, new_num_partitions: int, cfg,
         os.rename(os.path.join(tmp_root, f"p{q:04d}"),
                   os.path.join(ckpt_root, f"p{q:04d}"))
     shutil.rmtree(tmp_root, ignore_errors=True)
-    main.update_pipeline_state(name, {"num_partitions": new_p})
+    main.update_pipeline_state(name, {"rescale_swap": None})
     return {"epoch": committed, "old": old_p, "new": new_p, "backup": backup}

@@ -23,17 +23,58 @@ for the actor-state pattern.  Time is injected for deterministic tests.
 
 from __future__ import annotations
 
+import re
 import time
 from typing import Any, Callable
 
 import pyarrow as pa
 
-__all__ = ["CircuitOpenError", "SchemaRegistry", "TagsException",
-           "TagsView", "TopicCatalog", "check_compatible"]
+__all__ = ["CircuitOpenError", "InvalidTopicName", "SchemaRegistry",
+           "TagsException", "TagsView", "TopicCatalog", "check_compatible",
+           "valid_topic_name", "validate_topic_name"]
 
 
 class CircuitOpenError(RuntimeError):
     """Fetch rejected fast: the breaker is open after repeated failures."""
+
+
+# ----------------------------------------------------------- topic grammar
+# Reference parity (`ingestors/kafka/.../model/TopicMetadataV2Transport.scala:
+# 113-127`): topic names are `<org>.<segment>(.<segment>)*` where org is one
+# of the allowed organizations (or `_`-prefixed alphanumeric), segments are
+# alphanumeric with single internal hyphens, total length ≤ 249 (the broker
+# limit minus changelog suffix headroom), full-match semantics (refined
+# `MatchesRegex`).
+TOPIC_ORGANIZATIONS = "cloud|skills|flow|tech|fin|dvs|_[a-zA-Z0-9]+"
+_TOPIC_NAME_RE = re.compile(
+    rf"(?=^.{{0,249}}$)(?:{TOPIC_ORGANIZATIONS})"
+    r"(\.[a-zA-Z0-9]+(-[a-zA-Z0-9]+)*)+$"
+)
+
+
+class InvalidTopicName(ValueError):
+    """Topic name fails the grammar (reference ``Subject.invalidFormat``)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        super().__init__(
+            f"Invalid Topic Name {name!r}. Topic Name must start with a "
+            f"prefix matching `{TOPIC_ORGANIZATIONS}`. It may contain only "
+            "alphanumeric characters, hyphens(-) and periods(.) and must "
+            "not contain consecutive special characters anywhere within "
+            "the topic name."
+        )
+
+
+def valid_topic_name(name: str) -> bool:
+    return bool(_TOPIC_NAME_RE.match(name or ""))
+
+
+def validate_topic_name(name: str) -> str:
+    """Return ``name`` or raise ``InvalidTopicName``."""
+    if not valid_topic_name(name):
+        raise InvalidTopicName(name)
+    return name
 
 
 def check_compatible(
@@ -78,6 +119,11 @@ class SchemaRegistry:
         clock: Callable[[], float] = time.monotonic,
     ):
         self._store: dict[str, pa.Schema] = {}
+        # full version history per subject: FULL_TRANSITIVE compatibility
+        # checks every registration against ALL prior versions, not just
+        # the latest (`SchemaRegistry.scala:155-157` —
+        # FULL_TRANSITIVE_CHECKER over getAllVersions, `:253-274`)
+        self._versions: dict[str, list[pa.Schema]] = {}
         self._fetch = fetch if fetch is not None else self._store.__getitem__
         self._ttl = ttl_s
         self._cache: dict[str, tuple[float, pa.Schema]] = {}
@@ -91,7 +137,11 @@ class SchemaRegistry:
     # ------------------------------------------------------------- register
     def register(self, subject: str, schema: pa.Schema) -> pa.Schema:
         """Register/evolve a subject.  Key subjects (``*-key``) may never
-        change; value subjects follow the compatibility rules."""
+        change; value subjects must be FULL_TRANSITIVE-compatible: the
+        new schema is checked against EVERY prior version, so e.g.
+        re-adding a column that an old version held at a different type
+        is rejected even though the latest version would accept it."""
+        history = self._versions.setdefault(subject, [])
         cur = self._store.get(subject)
         if cur is not None:
             if subject.endswith("-key"):
@@ -100,9 +150,21 @@ class SchemaRegistry:
                         f"key schema for {subject!r} may not evolve"
                     )
             else:
+                for old in history:  # transitive: all versions must pass
+                    check_compatible(old, schema)
                 evolved = check_compatible(cur, schema)
-                schema = evolved if evolved is not None else cur
+                stored = evolved if evolved is not None else cur
+                # history holds AS-REGISTERED versions (the reference's
+                # getAllVersions), while the served schema is the evolved
+                # union (lancelite read-schema semantics)
+                if not any(v.equals(schema) for v in history):
+                    history.append(schema)
+                self._store[subject] = stored
+                self._cache.pop(subject, None)
+                return stored
         self._store[subject] = schema
+        if not history or not history[-1].equals(schema):
+            history.append(schema)
         self._cache.pop(subject, None)
         return schema
 

@@ -851,14 +851,16 @@ def test_kmeans_lloyd_matches_reference_and_partitioning(rd):
     df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs.astype(np.float32))})
 
     def reference(iters):
-        x = vecs.astype(np.float32)
-        x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float64)
+        # mirror the engine's dtype pipeline exactly: float64 normalize,
+        # float32 storage in the materialized prep table, float64 math
+        x = vecs.astype(np.float32).astype(np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        x = x.astype(np.float32).astype(np.float64)
         order = np.argsort(hash64(ids))[:k]
         c = x[order]  # k smallest hashes, in hash order
         for _ in range(iters):
             sim = x @ c.T
             a = sim.argmax(axis=1)
-            inertia = float((1.0 - sim[np.arange(len(x)), a]).sum())
             new = c.copy()
             for j in range(k):
                 m = a == j
@@ -868,6 +870,11 @@ def test_kmeans_lloyd_matches_reference_and_partitioning(rd):
                     if n > 0:
                         new[j] = v / n
             c = new
+        # stats from a FINAL assignment against the returned centroids
+        # (sizes/inertia describe the returned model — ADVICE r2)
+        sim = x @ c.T
+        a = sim.argmax(axis=1)
+        inertia = float((1.0 - sim[np.arange(len(x)), a]).sum())
         return c, np.bincount(a, minlength=k), inertia
 
     ref_c, ref_n, ref_i = reference(4)
@@ -879,6 +886,13 @@ def test_kmeans_lloyd_matches_reference_and_partitioning(rd):
         assert abs(inertia - ref_i) < 1e-6  # cross-block summation order
     # planted clusters recovered: every cluster non-empty and tight
     assert (sizes > 0).all() and inertia / len(vecs) < 0.05
+
+    # iters=0 is well-defined: seed centroids + stats, no NameError
+    c0, n0, i0 = kmeans_lloyd(rd.from_pandas(df), k=k, iters=0)
+    ref_c0, ref_n0, ref_i0 = reference(0)
+    assert np.allclose(c0, ref_c0, atol=1e-9)
+    assert n0.tolist() == ref_n0.tolist()
+    assert abs(i0 - ref_i0) < 1e-6
 
 
 def test_ivf_index_lloyd_training_path(rd, tmp_path):

@@ -131,3 +131,38 @@ def test_pagerank_matches_dense_power_iteration(ray_session):
     assert got["node"].tolist() == nodes.tolist()
     assert abs(got["r"].sum() - 1.0) < 1e-9
     assert np.allclose(got["r"].to_numpy(), r, rtol=1e-9, atol=1e-13)
+
+
+def test_pagerank_sharded_parity_and_guard(ray_session):
+    """pagerank_sharded (actor-sharded rank state) matches the broadcast
+    pagerank exactly on the same graph at several shard counts, and the
+    broadcast path's max_nodes bound is enforced in code."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from hydra_ray.stages.graph import pagerank, pagerank_sharded
+
+    rng = np.random.default_rng(11)
+    n, m = 150, 800
+    edges = pd.DataFrame({
+        "s": rng.integers(0, n - 20, m),   # last 20 ids dst-only (dangling)
+        "d": rng.integers(0, n, m),
+    })
+    ref = (
+        pagerank(rd.from_pandas(edges).repartition(4), "s", "d", iters=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    for S in (1, 3, 8):
+        got = (
+            pagerank_sharded(rd.from_pandas(edges).repartition(4), "s", "d",
+                             iters=8, num_shards=S)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert got["node"].tolist() == ref["node"].tolist(), S
+        assert np.allclose(got["r"], ref["r"], rtol=1e-12, atol=1e-15), S
+        assert abs(got["r"].sum() - 1.0) < 1e-9
+
+    with pytest.raises(ValueError, match="max_nodes"):
+        pagerank(rd.from_pandas(edges), "s", "d", iters=1, max_nodes=10)

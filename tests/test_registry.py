@@ -169,3 +169,109 @@ def test_tags_view_compacted_semantics(tmp_path):
     assert "eval" not in dict(r.all_tags())  # within TTL: memoized
     clock["t"] = 61
     assert dict(r.all_tags())["eval"] == "held-out eval"
+
+
+def test_topic_name_grammar():
+    """V2 topic-name grammar (TopicMetadataV2Transport.scala:113-127):
+    org prefix, alnum segments, single hyphens/periods, length cap."""
+    from hydra_ray.table.registry import (
+        InvalidTopicName,
+        valid_topic_name,
+        validate_topic_name,
+    )
+
+    good = [
+        "cloud.clips",
+        "skills.audio-ingest.raw",
+        "dvs.data-platform.v2",
+        "_exp42.sandbox",
+        "fin.a.b.c-d",
+    ]
+    for n in good:
+        assert valid_topic_name(n), n
+        assert validate_topic_name(n) == n
+    bad = [
+        "",                       # empty
+        "clips",                  # no org / no segment
+        "cloud",                  # org alone, no segment
+        "other.clips",            # unknown org
+        "cloud..clips",           # consecutive periods
+        "cloud.clips-",           # trailing hyphen in segment
+        "cloud.-clips",           # leading hyphen in segment
+        "cloud.cli--ps",          # consecutive hyphens
+        "cloud.clips!",           # illegal char
+        "Cloud.clips",            # org is case-sensitive
+        "cloud." + "x" * 250,     # over the 249 length cap
+    ]
+    for n in bad:
+        assert not valid_topic_name(n), n
+        import pytest
+
+        with pytest.raises(InvalidTopicName):
+            validate_topic_name(n)
+
+
+def test_session_topic_grammar_gate():
+    """IngestSession(validate_topic=True) rejects malformed names 400 at
+    SET time, before any catalog lookup."""
+    from hydra_ray.sources.session import IngestSession
+    from hydra_ray.table.registry import TopicCatalog
+
+    cat = TopicCatalog(lambda: ["cloud.clips"], ttl_s=60)
+    s = IngestSession(catalog=cat, validate_topic=True)
+    code, msg = s.process("-c set hydra-kafka-topic=bad..name")
+    assert code == 400 and "Invalid Topic Name" in msg
+    assert "HYDRA-KAFKA-TOPIC" not in s.metadata  # rejected before store
+    code, _ = s.process("-c set hydra-kafka-topic=cloud.clips")
+    assert code == 200
+    code, _ = s.process("-i 1 payload")
+    assert code == 200
+    # well-formed but unknown topic: the 404 existence gate still applies
+    code, _ = s.process("-c set hydra-kafka-topic=cloud.unknown")
+    assert code == 200
+    code, msg = s.process("-i 2 payload")
+    assert code == 404 and "UNKNOWN_TOPIC" in msg
+
+
+def test_full_transitive_compat():
+    """FULL_TRANSITIVE (SchemaRegistry.scala:155-157, 253-274): a change
+    compatible with the LATEST version but not an OLDER one is rejected."""
+    import pyarrow as pa
+    import pytest
+
+    from hydra_ray.table.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    v1 = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("x", pa.int64()),          # nullable → may be removed
+    ])
+    reg.register("t-value", v1)
+    v2 = pa.schema([pa.field("id", pa.int64(), nullable=False)])
+    reg.register("t-value", v2)             # nullable removal: fine
+    # re-adding "x" at a DIFFERENT type is compatible with v2 (a plain
+    # nullable add) but clashes with v1's int64 "x" — transitive check
+    # must reject it
+    v3_bad = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("x", pa.string()),
+    ])
+    with pytest.raises(ValueError, match="incompatible"):
+        reg.register("t-value", v3_bad)
+    # the transitive path is what catches it: v3_bad IS compatible with
+    # the as-registered v2 (plain nullable add) but not with v1
+    from hydra_ray.table.registry import check_compatible
+
+    assert check_compatible(v2, v3_bad) is not None      # v2 alone: fine
+    with pytest.raises(ValueError):
+        check_compatible(v1, v3_bad)                     # v1: clash
+    # history records AS-REGISTERED versions (getAllVersions semantics)
+    assert [s.names for s in reg._versions["t-value"]] == [
+        ["id", "x"], ["id"]]
+    # re-adding it at the ORIGINAL type passes every version
+    v3_ok = pa.schema([
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("x", pa.int64()),
+    ])
+    got = reg.register("t-value", v3_ok)
+    assert got.field("x").type == pa.int64()

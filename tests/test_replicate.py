@@ -621,3 +621,26 @@ def test_payload_transform_trim_silence(ray_session, tmp_path):
         assert row["trimmed_ms"] == ref_tms[seq], seq
     # padded clips actually lost their padding
     assert all(got.loc[s, "trimmed_ms"] > 0 for s in padded)
+
+    # --- features + transform compose: features must describe the
+    # TRANSFORMED (stored) payload, not the as-decoded clip (ADVICE r2)
+    pipe2 = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out2",
+        cfg(payload_transform=trim_payload, audio_features=True))
+    pipe2.run()
+    out2 = read_replicated(f"{root}/out2")
+    got2 = out2.select(["seq", "rms", "zero_cross_rate", "dom_freq_hz"]) \
+               .to_pandas().set_index("seq")
+    from hydra_ray.stages.audio_features import audio_features
+
+    ref2 = audio_features(ref.select(["seq", "pcm", "sr_hz"]))
+    ref2_df = ref2.to_pandas().set_index("seq")
+    joined = got2.join(ref2_df, rsuffix="_ref").dropna()
+    assert len(joined) == len(got2)
+    for c in ("rms", "zero_cross_rate", "dom_freq_hz"):
+        assert np.allclose(joined[c], joined[f"{c}_ref"], atol=1e-12), c
+    # the padded clips' post-trim rms differs from their pre-trim rms
+    pre = audio_features(dec.select(["seq", "pcm", "sr_hz"])) \
+        .to_pandas().set_index("seq")
+    for s in padded:
+        assert got2.loc[s, "rms"] > pre.loc[s, "rms"]

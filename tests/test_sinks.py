@@ -119,7 +119,9 @@ def test_sorted_write_and_read_sorted(ray_session, tmp_path):
     import pandas as pd
     import ray.data as rd
 
-    from hydra_ray.sinks import read_sorted, sorted_write
+    from ray.data import DataContext
+
+    from hydra_ray.sinks import ordered_execution, read_sorted, sorted_write
 
     rng = np.random.default_rng(17)
     n = 5_000
@@ -133,7 +135,12 @@ def test_sorted_write_and_read_sorted(ray_session, tmp_path):
         tiebreak_cols=("id",), num_partitions=16)
     assert sum(committed.values()) == n
 
-    back = read_sorted(root).to_pandas()
+    prev = DataContext.get_current().execution_options.preserve_order
+    with ordered_execution():
+        assert DataContext.get_current().execution_options.preserve_order
+        back = read_sorted(root).to_pandas()
+    # the scope restores the process-global flag (ADVICE r2)
+    assert DataContext.get_current().execution_options.preserve_order == prev
     assert len(back) == n
     v = back["v"].to_numpy()
     assert (v[1:] >= v[:-1]).all()             # globally sorted

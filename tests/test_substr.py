@@ -135,3 +135,30 @@ def test_cut_duplicate_spans_keep_first(ray_session, corpus):
     assert sum(v[1] for v in expect.values()) > 0        # something was cut
     kept_total = sum(len(v[0]) for v in expect.values())
     assert kept_total < sum(len(t) for t in corpus.values())
+
+
+def test_cut_spans_snap_to_codepoint_boundaries(ray_session):
+    """Stride-1 windows start at arbitrary BYTES, so span edges can land
+    mid-UTF-8-codepoint; the cutter must snap outward and never emit
+    U+FFFD or invalid slices (ADVICE r2)."""
+    from hydra_ray.stages.substr import cut_duplicate_spans
+
+    rep = "ßéüö-шар-δος-" * 4            # multibyte duplicated run
+    docs = {
+        0: "aä" + rep + "öb",            # canonical copy (kept)
+        1: "céé" + rep + "üüd",          # later copy (cut) — multibyte edges
+        2: "фон unique текст без повторов",
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    got = cut_duplicate_spans(rd.from_pandas(df).repartition(2),
+                              "text", "doc_id", L=12, stride=1,
+                              num_buckets=4).to_pandas()
+    assert len(got) == len(docs)
+    by_id = dict(zip(got["doc_id"], got["text"]))
+    for t in by_id.values():
+        assert "�" not in t         # no replacement chars injected
+        t.encode("utf-8")                # round-trips as valid UTF-8
+    # the non-canonical copy lost (at least) the duplicated run
+    cut_by_id = dict(zip(got["doc_id"], got["n_cut_bytes"]))
+    assert cut_by_id[1] >= len(rep.encode("utf-8"))
+    assert cut_by_id[2] == 0 and by_id[2] == docs[2]
