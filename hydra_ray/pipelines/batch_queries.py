@@ -1688,7 +1688,7 @@ def _synth_image(i: int, h: int = 48, w: int = 64) -> np.ndarray:
 
 
 def q_image_features(sf_dir):
-    """Real image decode (ppm/pgm/bmp, pure numpy) → brightness/contrast/
+    """Real image decode (ppm/pgm/bmp/baseline-jpeg, pure numpy) → brightness/contrast/
     edge-energy/thumbnail/dHash features via an actor-shaped map_batches
     (rows-only; no SQL image codec)."""
     import ray.data as rd
@@ -1703,14 +1703,18 @@ def q_image_features(sf_dir):
     n = 400
 
     def make(idx: np.ndarray) -> pa.Table:
+        from ..jpeglite import encode_jpeg
+
         ids, payloads, fmts = [], [], []
         for i in idx.tolist():
-            fmt = ("ppm", "bmp", "pgm")[i % 3]
+            fmt = ("ppm", "bmp", "pgm", "jpeg")[i % 4]
             rgb = _synth_image(i)
             if fmt == "ppm":
                 payloads.append(encode_ppm(rgb))
             elif fmt == "bmp":
                 payloads.append(encode_bmp(rgb))
+            elif fmt == "jpeg":
+                payloads.append(encode_jpeg(rgb, quality=88))
             else:
                 payloads.append(encode_pgm(rgb[:, :, 0]))
             ids.append(f"img-{i:06d}")
@@ -1733,7 +1737,7 @@ def q_image_features(sf_dir):
 
 
 def q_image_resize(sf_dir):
-    """Decode → block-mean resize to 32×32 → re-encode (ppm/pgm) → decode
+    """Decode → block-mean resize to 32×32 → re-encode (jpeg/ppm/pgm) → decode
     again for size bookkeeping: the resize/normalize multimodal stage
     (rows-only).  Returns per-image output format + byte size."""
     import pyarrow.compute as pc2
@@ -1748,14 +1752,18 @@ def q_image_resize(sf_dir):
     n = 400
 
     def make(idx: np.ndarray) -> pa.Table:
+        from ..jpeglite import encode_jpeg
+
         ids, payloads, fmts = [], [], []
         for i in idx.tolist():
-            fmt = ("ppm", "bmp", "pgm")[i % 3]
+            fmt = ("ppm", "bmp", "pgm", "jpeg")[i % 4]
             rgb = _synth_image(i)
             if fmt == "ppm":
                 payloads.append(encode_ppm(rgb))
             elif fmt == "bmp":
                 payloads.append(encode_bmp(rgb))
+            elif fmt == "jpeg":
+                payloads.append(encode_jpeg(rgb, quality=88))
             else:
                 payloads.append(encode_pgm(rgb[:, :, 0]))
             ids.append(f"img-{i:06d}")

@@ -1,15 +1,16 @@
 """Multimodal column operators: image / video / generic binary payloads.
 
 Audio is fully implemented (`hydra_ray.audio`).  For images and video
-this build implements REAL pure-numpy codecs for the uncompressed
-container formats — PPM (P6) / PGM (P5), 24-bit uncompressed BMP, and a
-raw grayscale video container — plus real feature kernels (brightness /
-contrast / edge energy, 8×8 block-average thumbnails, dHash perceptual
-hashing, frame sampling with motion energy).  Compressed codecs that
-need PIL/ffmpeg (png/jpeg/mp4/…) are explicit STUBS routed to the error
-column — the dispatch, schema, batch-sizing and DLQ plumbing treat them
-exactly like the real formats, so swapping in a library decoder is a
-one-function change.
+this build implements REAL pure-numpy codecs — PPM (P6) / PGM (P5),
+24-bit uncompressed BMP, BASELINE JPEG (`hydra_ray.jpeglite`, full
+encode+decode from the public T.81 spec) and a raw grayscale video
+container — plus real feature kernels (brightness / contrast / edge
+energy, 8×8 block-average thumbnails, dHash perceptual hashing, frame
+sampling with motion energy).  Codecs that genuinely need PIL/ffmpeg
+(png/webp/mp4/…) are explicit STUBS routed to the error column — the
+dispatch, schema, batch-sizing and DLQ plumbing treat them exactly like
+the real formats, so swapping in a library decoder is a one-function
+change; progressive/12-bit/arithmetic JPEG likewise DLQ-routes.
 
 Design rules for opaque binary columns at scale (same as audio):
 - batch size capped by BYTES not rows (a 4K frame ≈ 24 MB raw); callers
@@ -140,7 +141,7 @@ def _decode_bmp(raw: bytes) -> np.ndarray:
     return a[:, :, ::-1]  # BGR → RGB
 
 
-_STUB_IMAGE_FORMATS = ("png", "jpeg", "jpg", "webp")
+_STUB_IMAGE_FORMATS = ("png", "webp")
 
 
 def decode_image(raw: bytes, fmt: str) -> np.ndarray:
@@ -151,6 +152,15 @@ def decode_image(raw: bytes, fmt: str) -> np.ndarray:
         return _decode_pnm(raw, b"P5")
     if fmt == "bmp":
         return _decode_bmp(raw)
+    if fmt in ("jpeg", "jpg"):
+        # REAL baseline decoder (jpeglite, pure numpy); progressive /
+        # 12-bit / arithmetic streams raise UnsupportedJpeg → DLQ
+        from ..jpeglite import JpegError, decode_jpeg
+
+        try:
+            return decode_jpeg(raw)
+        except JpegError as e:
+            raise ImageDecodeError(str(e))
     if fmt in _STUB_IMAGE_FORMATS:
         # STUB: compressed codecs need PIL, not present in this build
         raise ImageDecodeError(
@@ -195,12 +205,13 @@ def dhash64(luma: np.ndarray) -> int:
 
 
 class ImageDecoder:
-    """Actor-pool image decode + feature stage (REAL for ppm/pgm/bmp).
+    """Actor-pool image decode + feature stage (REAL for
+    ppm/pgm/bmp/baseline-jpeg).
 
     Emits per image: dimensions, brightness/contrast, edge energy
     (mean gradient magnitude), an 8×8 block-average thumbnail (the
     standard embedding-ish small feature) and a 64-bit dHash for
-    perceptual near-dup.  Stub formats (png/jpeg/…) and malformed
+    perceptual near-dup.  Stub formats (png/webp), non-baseline jpeg and malformed
     payloads land in ``decode_error`` — DLQ semantics, never raises.
     """
 
@@ -256,7 +267,8 @@ class ImageDecoder:
 
 class ImageResize:
     """Actor-pool resize stage: decode → per-channel block-mean resize to
-    ``(out_h, out_w)`` → re-encode (color → ppm, gray → pgm).
+    ``(out_h, out_w)`` → re-encode (jpeg → jpeg q85, other color → ppm,
+    gray → pgm).
 
     Completes the decode/feature/resize/frame-sample multimodal quartet.
     Block-mean (area) resampling is the correct downsample filter and
@@ -283,8 +295,6 @@ class ImageResize:
                     small = block_thumbnail(
                         arr.astype(np.float32), self.out_h, self.out_w)
                     img = np.clip(np.rint(small), 0, 255).astype(np.uint8)
-                    out_bytes[i] = encode_pgm(img)
-                    out_fmt[i] = "pgm"
                 else:
                     chans = [
                         block_thumbnail(arr[:, :, c].astype(np.float32),
@@ -293,6 +303,15 @@ class ImageResize:
                     ]
                     img = np.clip(np.rint(np.stack(chans, axis=2)),
                                   0, 255).astype(np.uint8)
+                if fmts[i] in ("jpeg", "jpg"):  # jpeg stays jpeg
+                    from ..jpeglite import encode_jpeg
+
+                    out_bytes[i] = encode_jpeg(img, quality=85)
+                    out_fmt[i] = "jpeg"
+                elif img.ndim == 2:
+                    out_bytes[i] = encode_pgm(img)
+                    out_fmt[i] = "pgm"
+                else:
                     out_bytes[i] = encode_ppm(img)
                     out_fmt[i] = "ppm"
             except (ImageDecodeError, ValueError, struct.error) as e:
