@@ -101,8 +101,14 @@ class ReplicateConfig:
     neardup_bands: int = 4                   # 16-bit bands of the 64-bit fp
     neardup_max_hamming: int = 3             # must stay < neardup_bands
     # which 64-bit signature feeds the index: "audio_fp" (decode +
-    # perceptual fingerprint) or "simhash" (transcript SimHash, no decode)
+    # perceptual fingerprint), "simhash" (transcript SimHash, no decode)
+    # or "minhash" (banded transcript minhash — fuzzier token-level
+    # matching; the index probes under the LANE metric and
+    # neardup_max_hamming is ignored in favor of min_band_matches)
     neardup_signature: str = "audio_fp"
+    # minhash mode: a row near-dups a keeper iff ≥ this many of the
+    # neardup_bands 16-bit minhash lanes agree (P(lane) = J^rows_per_band)
+    neardup_min_band_matches: int = 2
     # like dedup_retention_ms, for the near-dup index (0 = keep forever)
     neardup_retention_ms: int = 0
     # CEP funnel over the combined stream (clip lifecycle patterns): an
@@ -664,7 +670,14 @@ class ReplicatePipeline:
         if cfg.neardup:
             from ..state.neardup_index import NearDupShardActor
 
-            if cfg.neardup_max_hamming >= cfg.neardup_bands:
+            if cfg.neardup_signature == "minhash":
+                if not 1 <= cfg.neardup_min_band_matches <= cfg.neardup_bands:
+                    raise ValueError(
+                        "neardup_min_band_matches must be in "
+                        "[1, neardup_bands] (≥1 shared lane is what the "
+                        "band buckets can find)"
+                    )
+            elif cfg.neardup_max_hamming >= cfg.neardup_bands:
                 raise ValueError(
                     "neardup_max_hamming must be < neardup_bands "
                     "(pigeonhole recall guarantee)"
@@ -672,11 +685,23 @@ class ReplicatePipeline:
             ncls = NearDupShardActor()
             self.neardup_shards = [
                 ncls.options(num_cpus=0.1).remote(
-                    d, self.ckpt_root, cfg.neardup_max_hamming,
-                    cfg.neardup_retention_ms,
+                    d, self.ckpt_root, self._neardup_threshold(),
+                    cfg.neardup_retention_ms, self._neardup_metric(),
                 )
                 for d in range(cfg.num_neardup_shards)
             ]
+
+    def _neardup_metric(self) -> str:
+        return "lanes" if self.cfg.neardup_signature == "minhash" else "bits"
+
+    def _neardup_threshold(self) -> int:
+        """Max distance in the active metric's units: bit-Hamming for
+        audio_fp/simhash, unequal lanes (= bands − min matches) for the
+        banded-minhash mode."""
+        cfg = self.cfg
+        if cfg.neardup_signature == "minhash":
+            return cfg.neardup_bands - cfg.neardup_min_band_matches
+        return cfg.neardup_max_hamming
 
     def _shutdown_actors(self):
         import ray
@@ -1092,8 +1117,8 @@ class ReplicatePipeline:
 
                 kept, ndrop = resolve_near_epoch(
                     self.neardup_shards, ep, dict(self._nonces),
-                    self.cfg.neardup_bands, self.cfg.neardup_max_hamming,
-                    wm_prev,
+                    self.cfg.neardup_bands, self._neardup_threshold(),
+                    wm_prev, self._neardup_metric(),
                 )
                 if len(ndrop):
                     drop_parts.append(ndrop)

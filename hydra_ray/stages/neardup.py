@@ -21,6 +21,7 @@ import pyarrow as pa
 
 __all__ = [
     "MinHasher",
+    "minhash_band_signature",
     "minhash_lsh_candidates",
     "ngram_jaccard",
     "jaccard_range_search",
@@ -157,6 +158,46 @@ class MinHasher:
             pa.array(sigs.reshape(-1), pa.uint64()), self.n_perm
         )
         return pa.table({self.id_col: batch[self.id_col], "signature": sig_col})
+
+
+def minhash_band_signature(texts, k: int = 6, n_bands: int = 4,
+                           rows_per_band: int = 2,
+                           seed: int = 42) -> np.ndarray:
+    """64-bit BANDED minhash signature: 16-bit lane ``b`` is a hash of
+    ``rows_per_band`` independent minhashes (band ``b``'s rows), so two
+    texts agree on lane ``b`` iff (modulo the 16-bit hash) their
+    minhash rows for that band all agree — P(lane match) = J^r per the
+    standard banding analysis (Broder; Leskovec et al. MMDS ch.3).
+
+    This packs a minhash LSH scheme into the streaming near-dup tier's
+    existing 64-bit signature slot (`state/neardup_index.py`): band
+    buckets index lanes exactly as for SimHash/audio fingerprints, and
+    the match predicate becomes "≥ min_band_matches equal lanes"
+    (lane-distance metric) instead of bit-Hamming.  One vectorized
+    `_batch_shingles` pass + ``n_bands·rows_per_band`` reduceat minima —
+    no per-doc Python."""
+    rng = np.random.default_rng(seed)
+    m = n_bands * rows_per_band
+    a = rng.integers(1, _MERSENNE, m, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, m, dtype=np.uint64)
+    flat, starts = _batch_shingles(list(texts), k)
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    mins = np.empty((m, n), dtype=np.uint64)
+    for j in range(m):
+        hj = (a[j] * flat + b[j]) % np.uint64(_MERSENNE)
+        mins[j] = np.minimum.reduceat(hj, starts) if len(flat) else 0
+    sig = np.zeros(n, dtype=np.uint64)
+    for band in range(n_bands):
+        acc = np.zeros(n, dtype=np.uint64)
+        for r in range(rows_per_band):
+            acc = acc * np.uint64(1_099_511_628_211) ^ mins[
+                band * rows_per_band + r]
+        acc *= np.uint64(0x9E3779B97F4A7C15)
+        acc ^= acc >> np.uint64(31)
+        sig |= (acc & np.uint64(0xFFFF)) << np.uint64(16 * band)
+    return sig
 
 
 def minhash_signatures(ds, text_col="text", id_col="doc_id", n_perm=64, k=5,

@@ -75,6 +75,18 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
 
 
+def lane_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Number of UNEQUAL 16-bit lanes between aligned uint64 arrays —
+    the distance for banded-minhash signatures, where "k lanes equal"
+    means "k bands' minhash rows agree" (``minhash_band_signature``)."""
+    x = (np.ascontiguousarray(a, np.uint64) ^ np.ascontiguousarray(b, np.uint64))
+    lanes = x.view(np.uint16).reshape(-1, 4)
+    return (lanes != 0).sum(axis=1).astype(np.int64)
+
+
+_METRICS = {"bits": hamming64, "lanes": lane_distance64}
+
+
 def band_entries(fps: np.ndarray, n_bands: int) -> np.ndarray:
     """(n·n_bands,) uint32 band keys ``band << 16 | band_value`` for each
     fingerprint, row-major (entry ``i*n_bands + b`` belongs to row i)."""
@@ -93,10 +105,12 @@ def shard_of(keys: np.ndarray, num_shards: int) -> np.ndarray:
 
 
 def greedy_keep(seqs: np.ndarray, fps: np.ndarray, n_bands: int,
-                max_hamming: int) -> np.ndarray:
+                max_hamming: int, metric: str = "bits") -> np.ndarray:
     """Sorted seqs of rows RETAINED by the sequential greedy pass: a row
-    is kept iff no kept row with smaller seq is within ``max_hamming``.
-    Pure function of the (seq, fp) set — the intra-epoch resolve."""
+    is kept iff no kept row with smaller seq is within ``max_hamming``
+    (in ``metric`` units — bits or lanes).  Pure function of the
+    (seq, fp) set — the intra-epoch resolve."""
+    dist = _METRICS[metric]
     order = np.argsort(seqs, kind="stable")
     keys = band_entries(fps, n_bands).reshape(len(fps), n_bands)
     buckets: dict[int, list] = {}
@@ -106,8 +120,8 @@ def greedy_keep(seqs: np.ndarray, fps: np.ndarray, n_bands: int,
         cand: list = []
         for k in keys[i]:
             cand.extend(buckets.get(int(k), ()))
-        if cand and (hamming64(np.array(cand, np.uint64),
-                               np.full(len(cand), fp, np.uint64))
+        if cand and (dist(np.array(cand, np.uint64),
+                          np.full(len(cand), fp, np.uint64))
                      <= max_hamming).any():
             continue
         kept.append(seqs[i])
@@ -120,9 +134,13 @@ class NearDupIndexState:
     """One shard's committed band index + per-epoch stash."""
 
     def __init__(self, shard: int, max_hamming: int = 3,
-                 retention_ms: int = 0):
+                 retention_ms: int = 0, metric: str = "bits"):
         self.shard = shard
         self.max_hamming = max_hamming
+        # "bits" (bit-Hamming ≤ max_hamming: audio_fp / simhash) or
+        # "lanes" (unequal 16-bit lanes ≤ max_hamming: banded minhash —
+        # max_hamming = n_bands − min_band_matches there)
+        self.dist = _METRICS[metric]
         # first-seen event-time horizon for endless streams (same
         # semantics as DedupIndexState.retention_ms; 0 = keep forever)
         self.retention_ms = int(retention_ms)
@@ -149,7 +167,7 @@ class NearDupIndexState:
                 np.cumsum(counts) - counts, counts
             )
             row = np.repeat(np.arange(len(keys)), counts)
-            ham = hamming64(rf[base + steps], fps[row])
+            ham = self.dist(rf[base + steps], fps[row])
             out[row[ham <= self.max_hamming]] = True
         return out
 
@@ -288,7 +306,8 @@ class NearDupIndexState:
 
 
 def resolve_near_epoch(shards, epoch: int, nonces: dict | None,
-                       n_bands: int, max_hamming: int, wm=None):
+                       n_bands: int, max_hamming: int, wm=None,
+                       metric: str = "bits"):
     """Driver-side epoch resolve: gather per-entry verdicts from every
     shard, OR them per row, run the intra-epoch greedy over the
     committed-clean survivors, commit kept rows back to the shards.
@@ -314,7 +333,7 @@ def resolve_near_epoch(shards, epoch: int, nonces: dict | None,
     row_matched = np.logical_or.reduceat(m, starts)
     gs, gf = s[first], f[first]               # unique rows, seq-sorted
     clean = ~row_matched
-    kept = greedy_keep(gs[clean], gf[clean], n_bands, max_hamming)
+    kept = greedy_keep(gs[clean], gf[clean], n_bands, max_hamming, metric)
     drop = np.setdiff1d(gs, kept, assume_unique=True)
     ray.get([sh.commit.remote(epoch, kept, nonces) for sh in shards])
     return kept, drop
@@ -329,8 +348,9 @@ def _make_shard_actor():
         (``n{shard}/e{epoch}`` dirs, full snapshots + delta chain)."""
 
         def __init__(self, shard: int, ckpt_root: str, max_hamming: int = 3,
-                     retention_ms: int = 0):
-            self.state = NearDupIndexState(shard, max_hamming, retention_ms)
+                     retention_ms: int = 0, metric: str = "bits"):
+            self.state = NearDupIndexState(shard, max_hamming, retention_ms,
+                                           metric)
             self.shard = shard
             self.ckpt_root = ckpt_root
 
@@ -418,14 +438,20 @@ def fp_pass_task():
             from ..audio import decode_batch
             from ..stages.audio_features import audio_fingerprint
 
-            if signature == "simhash":
-                # text mode: SimHash of the transcript column — one
-                # column-pruned read, no decode (hamming semantics are
-                # signature-agnostic downstream; the int64→uint64 view
-                # flips only the sign bit, which preserves distances)
-                from ..stages.neardup import SimHasher
+            if signature in ("simhash", "minhash"):
+                # text modes over the transcript column — one
+                # column-pruned read, no decode.  "simhash": bit-Hamming
+                # fingerprint (the int64→uint64 view flips only the sign
+                # bit, which preserves distances).  "minhash": banded
+                # minhash lanes (`minhash_band_signature`) probed under
+                # the lane-distance metric — fuzzier token-level match.
+                from ..stages.neardup import (
+                    SimHasher,
+                    minhash_band_signature,
+                )
 
-                hasher = SimHasher(text_col="transcript", id_col=seq_col)
+                hasher = (SimHasher(text_col="transcript", id_col=seq_col)
+                          if signature == "simhash" else None)
                 refs, n = [], 0
                 for path in paths:
                     t = pq.read_table(
@@ -437,9 +463,14 @@ def fp_pass_task():
                     from ..stages.windows import ts_to_ms as _tms
 
                     row_ts = _tms(t["event_ts"])
-                    out = hasher(t)
-                    fps = out["simhash"].to_numpy().view(np.uint64)
-                    seqs = out[seq_col].to_numpy()
+                    if hasher is not None:
+                        out = hasher(t)
+                        fps = out["simhash"].to_numpy().view(np.uint64)
+                        seqs = out[seq_col].to_numpy()
+                    else:
+                        fps = minhash_band_signature(
+                            t["transcript"].to_pylist(), n_bands=n_bands)
+                        seqs = t[seq_col].to_numpy()
                     keys = band_entries(fps, n_bands)
                     sh = shard_of(keys, len(shards))
                     efps = np.repeat(fps, n_bands)

@@ -408,6 +408,74 @@ def test_neardup_stream_simhash_signature(tmp_path, ray_session):
     assert 0 < len(kept) < n  # the fixture plants real text near-dups
 
 
+def test_neardup_stream_minhash_signature(tmp_path, ray_session):
+    """Signature mode 'minhash' (banded transcript minhash, lane-distance
+    metric): token-level near-copies drop when ≥ min_band_matches lanes
+    agree; oracle = O(n²) greedy over batch-side minhash_band_signature
+    values under the same lane predicate."""
+    import pyarrow as pa
+
+    from hydra_ray.audio import encode
+    from hydra_ray.pipelines.replicate import ReplicatePipeline
+    from hydra_ray.stages.neardup import minhash_band_signature
+    from hydra_ray.synth import CLIP_SCHEMA
+    from hydra_ray.table import Table
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = []
+    n = 90
+    for i in range(n):
+        if i % 3 == 1:
+            words = texts[i - 1].split()
+            words[11] = "EDITED"             # one-token edit: high Jaccard
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=40)))
+    base_ms = 1_700_000_000_000
+    pcm = _wave(0, 800)
+    root = str(tmp_path)
+    clips = pa.table(
+        {
+            "clip_id": pa.array([f"c{i:05d}" for i in range(n)]),
+            "bytes": pa.array([encode(pcm, "pcm16", SR)] * n, pa.large_binary()),
+            "sr_hz": pa.array([SR] * n, pa.int32()),
+            "dur_ms": pa.array([50] * n, pa.int32()),
+            "codec": pa.array(["pcm16"] * n),
+            "transcript": pa.array(texts),
+            "event_ts": pa.array(np.arange(n) * 50 + base_ms, pa.timestamp("ms")),
+            "seq": pa.array(np.arange(n, dtype=np.int64)),
+        },
+        schema=CLIP_SCHEMA,
+    )
+    ct = Table.create(f"{root}/clips", schema=clips.schema)
+    for v in range(3):
+        ct.append(clips.slice(v * 30, 30))
+    min_matches = 2
+    pipe = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out",
+        _near_cfg(neardup_signature="minhash",
+                  neardup_min_band_matches=min_matches),
+    )
+    metrics = pipe.run()
+    fps = minhash_band_signature(texts, n_bands=4)
+
+    def lanes_equal(a, b):
+        x = int(a) ^ int(b)
+        return sum((x >> (16 * l)) & 0xFFFF == 0 for l in range(4))
+
+    kept = []
+    for i in range(n):
+        if all(lanes_equal(fps[i], fps[j]) < min_matches for j in kept):
+            kept.append(i)
+    assert _repl_seqs(f"{root}/out") == kept
+    assert metrics["neardup_dropped"] == n - len(kept)
+    assert 0 < len(kept) < n  # planted token-level near-dups really match
+    # the planted pairs are what gets dropped (token-level recall)
+    dropped = set(range(n)) - set(kept)
+    assert dropped and all(i % 3 == 1 for i in dropped)
+
+
 def test_neardup_retention_evicts_and_readmits():
     """neardup_retention_ms: index entries below wm − retention evict;
     a near-copy of evicted content re-admits as a fresh keeper."""
