@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_norms": q.q_vector_norms,
         "distinct_users": q.q_distinct_users,
         "heavy_hitters": q.q_heavy_hitters,
+        # -- NEW oracled in round 3 (inside the window for a driver row) --
+        "value_moments": q.q_value_moments,
+        "value_regression": q.q_value_regression,
+        "flag_aggregates": q.q_flag_aggregates,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -281,6 +285,31 @@ def oracle_sql() -> dict[str, str]:
                        stddev_samp(value) OVER (PARTITION BY event_type) AS s
                 FROM events
             ) WHERE abs(value - m) > 3 * s
+        """,
+        "value_moments": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(skewness(value), 4) AS skew_value,
+                   round(kurtosis(value), 4) AS kurt_value
+            FROM events GROUP BY event_type
+        """,
+        "value_regression": """
+            WITH d AS (
+                SELECT event_type, value,
+                       CAST((epoch_ms(ts) // 3600000) % 24 AS DOUBLE) AS hod
+                FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(regr_slope(value, hod), 4) AS slope,
+                   round(regr_intercept(value, hod), 4) AS intercept,
+                   round(corr(value, hod), 4) AS corr_hod,
+                   round(covar_samp(value, hod), 4) AS covar_hod
+            FROM d GROUP BY event_type
+        """,
+        "flag_aggregates": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   bool_and(value > 10.0) AS all_over_floor,
+                   bool_or(value > 900.0) AS any_over_cap
+            FROM events GROUP BY event_type
         """,
         "value_dispersion": """
             SELECT event_type,

@@ -40,7 +40,8 @@ QUERY_NAMES = [
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search", "decontaminate", "dup_spans", "dedup_cut",
     "set_except", "set_intersect", "set_union", "window_distinct",
-    "rolling_range", "cube_sales",
+    "rolling_range", "cube_sales", "value_moments", "value_regression",
+    "flag_aggregates",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
     "lag_delta", "running_total", "value_ranks", "value_bounds", "value_cume",

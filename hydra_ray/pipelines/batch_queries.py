@@ -188,6 +188,79 @@ def q_value_dispersion(sf_dir):
     return _round_cols(out, {"mean_value": 4, "var_value": 4, "std_value": 4})
 
 
+def q_value_moments(sf_dir):
+    """Per-event-type skewness/kurtosis — DuckDB bias-corrected sample
+    semantics, combined exactly from power-sum partials (sum..sum⁴ +
+    count), so the higher moments survive rollup re-combination too."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = grouped_aggregate(
+        ds, ["event_type"],
+        [
+            AggSpec("count", None, "n"),
+            AggSpec("skew", "value", "skew_value"),
+            AggSpec("kurt", "value", "kurt_value"),
+        ],
+    )
+    return _round_cols(out, {"skew_value": 4, "kurt_value": 4})
+
+
+def q_value_regression(sf_dir):
+    """Per-event-type least-squares fit of value against hour-of-day:
+    regr_slope/regr_intercept/corr/covar_samp from cross-moment partials
+    (sums of x, y, xy, x², y² — one partial pass, one bucketed reduce).
+    Hour-of-day keeps the regressor's power sums well inside float64's
+    exact range (epoch-ms itself squared would not be)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    HOUR = 3_600_000
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        ms = ts_to_ms(t["ts"])
+        hour = ((ms // HOUR) % 24).astype(np.float64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "value": t["value"],
+            "hod": pa.array(hour),
+        })
+
+    out = grouped_aggregate(
+        ds.map_batches(add_hour, batch_format="pyarrow"), ["event_type"],
+        [
+            AggSpec("count", None, "n"),
+            AggSpec("regr_slope", "value", "slope", col2="hod"),
+            AggSpec("regr_intercept", "value", "intercept", col2="hod"),
+            AggSpec("corr", "value", "corr_hod", col2="hod"),
+            AggSpec("covar", "value", "covar_hod", col2="hod"),
+        ],
+    )
+    return _round_cols(out, {"slope": 4, "intercept": 4,
+                             "corr_hod": 4, "covar_hod": 4})
+
+
+def q_flag_aggregates(sf_dir):
+    """Per-event-type boolean fold: did EVERY event clear the floor
+    (bool_and) / did ANY clear the cap (bool_or) — the flag-aggregate
+    pair, reduced via min/max partials on the flag columns."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        return pa.table({
+            "event_type": t["event_type"],
+            "over_floor": pc.greater(v, pa.scalar(10.0)),
+            "over_cap": pc.greater(v, pa.scalar(900.0)),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow"), ["event_type"],
+        [
+            AggSpec("count", None, "n"),
+            AggSpec("bool_and", "over_floor", "all_over_floor"),
+            AggSpec("bool_or", "over_cap", "any_over_cap"),
+        ],
+    )
+
+
 def q_value_quantiles_cont(sf_dir):
     """Interpolated per-event-type quantiles (quantile_cont / numpy
     linear convention), rounded on both sides."""

@@ -47,22 +47,35 @@ __all__ = [
 
 
 # --------------------------------------------------------------------- specs
+_UNARY_FNS = ("count", "sum", "min", "max", "mean", "var", "std",
+              "skew", "kurt", "bool_and", "bool_or", "product")
+_PAIR_FNS = ("covar", "corr", "regr_slope", "regr_intercept")
+
+
 @dataclass(frozen=True)
 class AggSpec:
-    """One output aggregate: ``fn`` ∈ {count, sum, min, max, mean, var,
-    std} over ``col`` (var/std are SAMPLE variance/stddev — DuckDB
-    var_samp/stddev_samp semantics, NULL when n ≤ 1; combined exactly
-    from (sum, sum-of-squares, count) partials)."""
+    """One output aggregate over ``col`` (plus ``col2`` for pairwise fns).
+
+    Unary: count, sum, min, max, mean, var, std, skew, kurt, bool_and,
+    bool_or, product.  Pairwise (``col`` = y, ``col2`` = x): covar,
+    corr, regr_slope, regr_intercept.  All DuckDB sample semantics
+    (var_samp/stddev_samp/covar_samp; skewness/kurtosis with the
+    bias-corrected n-adjustments, NULL below their minimum n), and every
+    one combines EXACTLY from power-sum/count partials — so each
+    survives the rollup path's re-combination at coarser key levels."""
 
     fn: str
     col: str | None
     alias: str
+    col2: str | None = None
 
     def __post_init__(self):
-        if self.fn not in ("count", "sum", "min", "max", "mean", "var", "std"):
+        if self.fn not in _UNARY_FNS + _PAIR_FNS:
             raise ValueError(f"unsupported agg fn {self.fn!r}")
         if self.fn != "count" and self.col is None:
             raise ValueError(f"{self.fn} needs a column")
+        if self.fn in _PAIR_FNS and self.col2 is None:
+            raise ValueError(f"{self.fn} needs col2 (the x column)")
 
 
 # ------------------------------------------------------------------- kernels
@@ -133,6 +146,28 @@ def _partial_columns(aggs: list[AggSpec]) -> list[tuple[str, str, str]]:
             cols.append((a.col, "sum", f"__{a.alias}__sum"))
             cols.append((a.col, "sumsq", f"__{a.alias}__sumsq"))
             cols.append((None, "count", f"__{a.alias}__cnt"))
+        elif a.fn in ("skew", "kurt"):
+            cols.append((a.col, "sum", f"__{a.alias}__sum"))
+            cols.append((a.col, "sumsq", f"__{a.alias}__sumsq"))
+            cols.append((a.col, "sumcube", f"__{a.alias}__sum3"))
+            if a.fn == "kurt":
+                cols.append((a.col, "sumquad", f"__{a.alias}__sum4"))
+            cols.append((None, "count", f"__{a.alias}__cnt"))
+        elif a.fn == "bool_and":
+            cols.append((a.col, "min", f"__{a.alias}__min"))
+        elif a.fn == "bool_or":
+            cols.append((a.col, "max", f"__{a.alias}__max"))
+        elif a.fn == "product":
+            cols.append((a.col, "product", f"__{a.alias}__prod"))
+        elif a.fn in _PAIR_FNS:
+            # y = col, x = col2; power sums for the cross moments
+            cols.append((a.col, "sum", f"__{a.alias}__sumy"))
+            cols.append((a.col2, "sum", f"__{a.alias}__sumx"))
+            cols.append(((a.col, a.col2), "sumxy", f"__{a.alias}__sumxy"))
+            cols.append((a.col2, "sumsq", f"__{a.alias}__sumx2"))
+            if a.fn == "corr":
+                cols.append((a.col, "sumsq", f"__{a.alias}__sumy2"))
+            cols.append((None, "count", f"__{a.alias}__cnt"))
         else:
             cols.append((a.col, a.fn, f"__{a.alias}__{a.fn}"))
     # dedupe (mean+count share a count partial only if aliases differ — keep per-alias)
@@ -148,12 +183,26 @@ def _partial_agg_batch(
         if fn == "count":
             # count rows: use count of the first group col (non-null keys)
             plan.append((group_cols[0], "count"))
-        elif fn == "sumsq":
-            sq = f"__sq_{src}"
-            if sq not in batch.column_names:
+        elif fn in ("sumsq", "sumcube", "sumquad"):
+            p = {"sumsq": 2, "sumcube": 3, "sumquad": 4}[fn]
+            pw = f"__p{p}_{src}"
+            if pw not in batch.column_names:
                 x = pc.cast(batch[src], pa.float64())
-                batch = batch.append_column(sq, pc.multiply(x, x))
-            plan.append((sq, "sum"))
+                acc = x
+                for _ in range(p - 1):
+                    acc = pc.multiply(acc, x)
+                batch = batch.append_column(pw, acc)
+            plan.append((pw, "sum"))
+        elif fn == "sumxy":
+            ycol, xcol = src
+            xy = f"__xy_{ycol}_{xcol}"
+            if xy not in batch.column_names:
+                batch = batch.append_column(
+                    xy,
+                    pc.multiply(pc.cast(batch[ycol], pa.float64()),
+                                pc.cast(batch[xcol], pa.float64())),
+                )
+            plan.append((xy, "sum"))
         else:
             plan.append((src, fn))
         names.append(pname)
@@ -188,8 +237,9 @@ def _combine_partials(ds, group_cols: list[str], aggs: list[AggSpec],
     from ..hashing import hash64
 
     plan, names = [], []
+    _sums = ("count", "sum", "sumsq", "sumcube", "sumquad", "sumxy")
     for src, fn, pname in _partial_columns(aggs):
-        plan.append((pname, "sum" if fn in ("count", "sum", "sumsq") else fn))
+        plan.append((pname, "sum" if fn in _sums else fn))
         names.append(pname)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -243,6 +293,78 @@ def _finalize_partials(combined, group_cols: list[str], aggs: list[AggSpec]):
                 var = pc.if_else(pc.greater(n, 1.0),
                                  pc.max_element_wise(var, 0.0), pa.scalar(None, pa.float64()))
                 out[a.alias] = pc.sqrt(var) if a.fn == "std" else var
+            elif a.fn in ("skew", "kurt"):
+                n = t[f"__{a.alias}__cnt"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                s1 = t[f"__{a.alias}__sum"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                s2 = t[f"__{a.alias}__sumsq"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                s3 = t[f"__{a.alias}__sum3"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mean = s1 / n
+                    m2 = s2 / n - mean * mean
+                    m3 = s3 / n - 3 * mean * s2 / n + 2 * mean**3
+                    if a.fn == "skew":
+                        # DuckDB skewness: bias-corrected sample skewness
+                        # G1 = g1·√(n(n−1))/(n−2); NULL for n<3 or zero m2
+                        g1 = m3 / np.where(m2 > 0, m2, np.nan) ** 1.5
+                        val = g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0)
+                        bad = (n < 3) | ~(m2 > 0)
+                    else:
+                        s4 = t[f"__{a.alias}__sum4"] \
+                            .to_numpy(zero_copy_only=False).astype(np.float64)
+                        m4 = (s4 / n - 4 * mean * s3 / n
+                              + 6 * mean**2 * s2 / n - 3 * mean**4)
+                        g2 = m4 / np.where(m2 > 0, m2, np.nan) ** 2 - 3.0
+                        val = (((n + 1.0) * g2 + 6.0)
+                               * (n - 1.0) / ((n - 2.0) * (n - 3.0)))
+                        bad = (n < 4) | ~(m2 > 0)
+                out[a.alias] = pa.array(
+                    np.where(bad, np.nan, val), pa.float64(),
+                    mask=np.asarray(bad))
+            elif a.fn == "bool_and":
+                out[a.alias] = pc.cast(t[f"__{a.alias}__min"], pa.bool_())
+            elif a.fn == "bool_or":
+                out[a.alias] = pc.cast(t[f"__{a.alias}__max"], pa.bool_())
+            elif a.fn == "product":
+                out[a.alias] = pc.cast(t[f"__{a.alias}__prod"], pa.float64())
+            elif a.fn in _PAIR_FNS:
+                n = t[f"__{a.alias}__cnt"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                sx = t[f"__{a.alias}__sumx"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                sy = t[f"__{a.alias}__sumy"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                sxy = t[f"__{a.alias}__sumxy"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                sx2 = t[f"__{a.alias}__sumx2"].to_numpy(zero_copy_only=False) \
+                    .astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cxy = sxy - sx * sy / n          # n·covar_pop
+                    vx = sx2 - sx * sx / n           # n·var_pop(x)
+                    if a.fn == "covar":
+                        val = cxy / (n - 1.0)
+                        bad = n < 2
+                    elif a.fn == "corr":
+                        sy2 = t[f"__{a.alias}__sumy2"] \
+                            .to_numpy(zero_copy_only=False).astype(np.float64)
+                        vy = sy2 - sy * sy / n
+                        den = np.sqrt(np.maximum(vx, 0.0)
+                                      * np.maximum(vy, 0.0))
+                        val = cxy / np.where(den > 0, den, np.nan)
+                        bad = (n < 2) | ~(den > 0)
+                    elif a.fn == "regr_slope":
+                        val = cxy / np.where(vx > 0, vx, np.nan)
+                        bad = ~(vx > 0)
+                    else:  # regr_intercept
+                        slope = cxy / np.where(vx > 0, vx, np.nan)
+                        val = (sy - slope * sx) / n
+                        bad = ~(vx > 0)
+                out[a.alias] = pa.array(
+                    np.where(bad, np.nan, val), pa.float64(),
+                    mask=np.asarray(bad))
             else:
                 out[a.alias] = t[f"__{a.alias}__{a.fn}"]
         return pa.table(out)

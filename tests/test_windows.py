@@ -273,3 +273,53 @@ def test_rollup_grouping_sets(ray_session, events_pdf):
     assert et["n"].tolist() == ref.tolist()
     assert et["user_id"].isna().all()
     assert int(out[out["grouping_id"] == 3]["n"].iloc[0]) == len(df)
+
+
+def test_new_aggspecs_rollup_recombination(ray_session):
+    """skew/kurt/pairwise/bool/product AggSpecs survive the rollup
+    path's partial RE-combination at coarser key levels — exact DuckDB
+    GROUPING SETS parity from one data pass."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.stages.windows import AggSpec, rollup_aggregate
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    df = pd.DataFrame({
+        "a": rng.integers(0, 4, n).astype(str),
+        "b": rng.integers(0, 3, n),
+        "x": rng.normal(0, 2, n),
+        "flag": rng.random(n) < 0.9,
+    })
+    df["y"] = 1.7 * df["x"] + rng.normal(0, 1, n) + df["b"]
+    got = rollup_aggregate(
+        rd.from_pandas(df).repartition(6), ["a", "b"],
+        [
+            AggSpec("count", None, "n"),
+            AggSpec("skew", "y", "sk"),
+            AggSpec("kurt", "y", "ku"),
+            AggSpec("corr", "y", "cr", col2="x"),
+            AggSpec("regr_slope", "y", "rs", col2="x"),
+            AggSpec("bool_and", "flag", "ba"),
+            AggSpec("bool_or", "flag", "bo"),
+        ],
+    ).to_pandas()
+    ref = duckdb.sql("""
+        SELECT a, b, count(*) AS n, skewness(y) sk, kurtosis(y) ku,
+               corr(y, x) cr, regr_slope(y, x) rs,
+               bool_and(flag) ba, bool_or(flag) bo,
+               GROUPING(a, b) AS grouping_id
+        FROM df GROUP BY ROLLUP(a, b)
+    """).df()
+    key = ["a", "b", "grouping_id"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    ref = ref.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert got["n"].tolist() == ref["n"].tolist()
+    for c in ("sk", "ku", "cr", "rs"):
+        assert np.allclose(got[c], ref[c], atol=1e-9, equal_nan=True), c
+    assert got["ba"].tolist() == ref["ba"].tolist()
+    assert got["bo"].tolist() == ref["bo"].tolist()
