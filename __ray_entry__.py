@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moments": q.q_value_moments,
         "value_regression": q.q_value_regression,
         "flag_aggregates": q.q_flag_aggregates,
+        "first_last_event": q.q_first_last_event,
+        "type_entropy": q.q_type_entropy,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -114,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "replicate_stream": q.q_replicate_stream,
         "pagerank": q.q_pagerank,
+        "pagerank_sharded": q.q_pagerank_sharded,
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_clusters": q.q_neardup_clusters,
         "neardup_cc": q.q_neardup_cc,
@@ -309,6 +312,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    bool_and(value > 10.0) AS all_over_floor,
                    bool_or(value > 900.0) AS any_over_cap
+            FROM events GROUP BY event_type
+        """,
+        "first_last_event": """
+            WITH o AS (
+                SELECT user_id, event_type, epoch_ms(ts) AS ms,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) rn_a,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) rn_d
+                FROM events
+            )
+            SELECT f.user_id, f.event_type AS first_type,
+                   f.ms AS first_ts,
+                   l.event_type AS last_type, l.ms AS last_ts
+            FROM o f JOIN o l USING (user_id)
+            WHERE f.rn_a = 1 AND l.rn_d = 1
+        """,
+        "type_entropy": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(entropy(user_id), 4) AS entropy
             FROM events GROUP BY event_type
         """,
         "value_dispersion": """

@@ -41,7 +41,7 @@ QUERY_NAMES = [
     "jaccard_search", "decontaminate", "dup_spans", "dedup_cut",
     "set_except", "set_intersect", "set_union", "window_distinct",
     "rolling_range", "cube_sales", "value_moments", "value_regression",
-    "flag_aggregates",
+    "flag_aggregates", "first_last_event", "type_entropy",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
     "lag_delta", "running_total", "value_ranks", "value_bounds", "value_cume",
@@ -50,7 +50,7 @@ QUERY_NAMES = [
     "value_dispersion", "rollup_sales", "funnel", "value_histogram", "mode_user",
     "value_corr", "value_outliers", "token_budget", "lm_quality",
     "curation_e2e",
-    "neardup_cc", "pagerank", "audio_curation", "vad_segments",
+    "neardup_cc", "pagerank", "pagerank_sharded", "audio_curation", "vad_segments",
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "compression_ratio",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",

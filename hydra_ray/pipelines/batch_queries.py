@@ -261,6 +261,66 @@ def q_flag_aggregates(sf_dir):
     )
 
 
+def q_first_last_event(sf_dir):
+    """Per-user arg_min/arg_max: the event type at each user's earliest
+    and latest event (ties broken by event_id) — one `arg_extremes` pass
+    (≤2 candidate rows per key leave each batch, one keyed exchange)."""
+    from ..stages.dedup import arg_extremes
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    ds = _ms_col(ds, "ts", "ts_ms")
+    out = arg_extremes(ds, ["user_id"], ["ts_ms", "event_id"],
+                       ["event_type"])
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "first_type": t["event_type_first"],
+            "first_ts": pc.cast(t["ts_ms_first"], pa.int64()),
+            "last_type": t["event_type_last"],
+            "last_ts": pc.cast(t["ts_ms_last"], pa.int64()),
+        })
+
+    return out.map_batches(tidy, batch_format="pyarrow")
+
+
+def q_type_entropy(sf_dir):
+    """Per-event-type Shannon entropy (base 2) of its user distribution —
+    the corpus-diversity signal.  Two bucketed reduces, both C-side:
+    counts per (event_type, user), then per type
+    ``log2(N) − Σ c·log2 c / N`` from (Σ c·log2 c, N) sum partials."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    counts = grouped_aggregate(
+        ds, ["event_type", "user_id"], [AggSpec("count", None, "c")]
+    )
+
+    def clog(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "c": t["c"],
+            "clog": pa.array(c * np.log2(c)),
+        })
+
+    agg = grouped_aggregate(
+        counts.map_batches(clog, batch_format="pyarrow"), ["event_type"],
+        [AggSpec("sum", "c", "n"), AggSpec("sum", "clog", "sclog")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sclog = t["sclog"].to_numpy(zero_copy_only=False)
+        ent = np.where(n > 0, np.log2(np.maximum(n, 1.0)) - sclog / n, 0.0)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "entropy": pa.array(ent),
+        })
+
+    return _round_cols(agg.map_batches(finalize, batch_format="pyarrow"),
+                       {"entropy": 4})
+
+
 def q_value_quantiles_cont(sf_dir):
     """Interpolated per-event-type quantiles (quantile_cont / numpy
     linear convention), rounded on both sides."""
@@ -1213,6 +1273,32 @@ def q_pagerank(sf_dir):
 
     ranks = pagerank(ds.map_batches(tag, batch_format="pyarrow"),
                      "src", "dst", damping=0.85, iters=8)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "rank": round_f64(t["r"], 10)})
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_pagerank_sharded(sf_dir):
+    """Same supply graph as q_pagerank through the ACTOR-SHARDED rank
+    tier (`stages/graph.py pagerank_sharded`) — the past-1e9-node scale
+    path.  Rows-only; the value oracle is the shard-count parity test
+    against the broadcast implementation (tests/test_graph.py)."""
+    from ..stages.graph import pagerank_sharded
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["l_suppkey"],
+            "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                          pa.scalar(1_000_000_000, pa.int64())),
+        })
+
+    ranks = pagerank_sharded(ds.map_batches(tag, batch_format="pyarrow"),
+                             "src", "dst", damping=0.85, iters=8,
+                             num_shards=8)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"], "rank": round_f64(t["r"], 10)})

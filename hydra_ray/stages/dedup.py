@@ -19,7 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["latest_by_key", "exact_dedup", "add_content_hash", "bucketed_distinct"]
+__all__ = ["latest_by_key", "exact_dedup", "add_content_hash",
+           "arg_extremes", "bucketed_distinct"]
 
 
 def bucketed_distinct(ds, cols: list[str], num_buckets: int = 64):
@@ -75,6 +76,44 @@ def latest_by_key(ds, key_cols: list[str], order_cols: list[str], drop_nulls_in:
         if drop_nulls_in is not None:
             out = out[out[drop_nulls_in].notna()]
         return out.drop(columns=["__bucket"])
+
+    reduced = ds.map_batches(partial, batch_format="pandas")
+    return reduced.groupby("__bucket").map_groups(final, batch_format="pandas")
+
+
+def arg_extremes(ds, key_cols: list[str], order_cols: list[str],
+                 value_cols: list[str], num_buckets: int = 32):
+    """SQL arg_min/arg_max in one pass: per key, the ``value_cols`` (and
+    ``order_cols``) of the row with the SMALLEST and the LARGEST
+    ``order_cols`` tuple — deterministic tiebreak by the full tuple.
+
+    Same two-phase shape as ``latest_by_key``: each batch keeps ≤ 2 rows
+    per key (its local min and max — both are candidates for the global
+    extremes), one keyed bucket exchange, and a vectorized per-bucket
+    final that self-merges the two winners into one
+    ``{col}_first`` / ``{col}_last`` row per key.
+    """
+
+    carry = list(dict.fromkeys(key_cols + order_cols + value_cols))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[carry]
+        out = pd.concat([
+            _keep_extreme(df, key_cols, order_cols, keep_max=False),
+            _keep_extreme(df, key_cols, order_cols, keep_max=True),
+        ])
+        h = pd.util.hash_pandas_object(out[key_cols], index=False).to_numpy()
+        return out.assign(__bucket=(h % num_buckets).astype("int64"))
+
+    val_out = list(dict.fromkeys(order_cols + value_cols))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        lo = _keep_extreme(g, key_cols, order_cols, keep_max=False)
+        hi = _keep_extreme(g, key_cols, order_cols, keep_max=True)
+        lo = lo.rename(columns={c: f"{c}_first" for c in val_out})
+        hi = hi.rename(columns={c: f"{c}_last" for c in val_out})
+        return lo.merge(hi, on=key_cols)
 
     reduced = ds.map_batches(partial, batch_format="pandas")
     return reduced.groupby("__bucket").map_groups(final, batch_format="pandas")
