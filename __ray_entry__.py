@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.q_ann_ivf,
         "approx_distinct": q.q_approx_distinct,
         "audio_features": q.q_audio_features,
+        "audio_fbank": q.q_audio_fbank,
         "audio_curation": q.q_audio_curation,
         "vad_segments": q.q_vad_segments,
         "trim_audio": q.q_trim_audio,

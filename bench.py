@@ -56,7 +56,7 @@ QUERY_NAMES = [
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "vector_norms",
     "kmeans_embed", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",
-    "audio_features", "audio_neardup", "flac_roundtrip",
+    "audio_features", "audio_fbank", "audio_neardup", "flac_roundtrip",
     "trim_audio", "transcode_flac",
     "image_features", "image_neardup", "image_resize", "video_frames",
 ]

@@ -12,7 +12,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["audio_features", "AudioFeatures", "audio_fingerprint", "AudioFingerprint"]
+__all__ = ["audio_features", "AudioFeatures", "audio_fingerprint",
+           "AudioFingerprint", "audio_fbank", "FbankFeatures"]
 
 
 # Per-worker-process scratch buffers, keyed by dtype.  Every fresh numpy
@@ -210,3 +211,111 @@ class AudioFingerprint:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return audio_fingerprint(batch, self.pcm_col, self.out_col)
+
+
+# ------------------------------------------------------------- mel filterbank
+def _mel_filters(n_mels: int, n_fft: int, sr: float) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular mel filterbank (HTK mel scale,
+    the standard public construction — Davis & Mermelstein 1980)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), n_mels + 2)
+    freqs = mel_to_hz(mels)
+    bins = np.floor((n_fft + 1) * freqs / sr).astype(np.int64)
+    fb = np.zeros((n_mels, n_bins))
+    for m in range(n_mels):
+        lo, c, hi = bins[m], bins[m + 1], bins[m + 2]
+        if c > lo:
+            fb[m, lo:c] = (np.arange(lo, c) - lo) / (c - lo)
+        if hi > c:
+            fb[m, c:hi] = (hi - np.arange(c, hi)) / (hi - c)
+    return fb
+
+
+def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
+                n_mels: int = 16, win: int = 400, hop: int = 160) -> pa.Table:
+    """Per-clip pooled log-mel filterbank features — the front-end of
+    every speech model, pooled (mean + std per band over frames) so the
+    output is a fixed-width row regardless of clip length.
+
+    Vectorized over the WHOLE batch: one global frame-index gather pulls
+    every clip's (win)-sample Hann-windowed frames out of the flat PCM
+    buffer into a single (total_frames, win) matrix, one ``rfft`` over
+    that matrix, one matmul against the (n_mels, bins) filterbank, then
+    per-clip ``reduceat`` pooling — no per-clip Python.  Emits
+    ``fbank_mean`` / ``fbank_std`` (fixed_size_list<f32>[n_mels]) and
+    ``n_frames``; clips shorter than one window emit zero frames and
+    all-zero pools.  Assumes one sample rate per batch for the filterbank
+    (uses the batch's first row's rate — resample upstream if mixed).
+    """
+    n = batch.num_rows
+    zeros = np.zeros(n * n_mels, np.float32)
+    if n == 0:
+        empty = pa.FixedSizeListArray.from_arrays(
+            pa.array(zeros, pa.float32()), n_mels)
+        return (batch.append_column("fbank_mean", empty)
+                     .append_column("fbank_std", empty)
+                     .append_column("n_frames", pa.array([], pa.int64())))
+    flat, offsets = _flat_and_offsets(batch[pcm_col])
+    lengths = np.diff(offsets)
+    n_frames = np.where(lengths >= win, (lengths - win) // hop + 1, 0)
+    total = int(n_frames.sum())
+    sr = float(batch[sr_col][0].as_py())
+    if total == 0:
+        empty = pa.FixedSizeListArray.from_arrays(
+            pa.array(zeros, pa.float32()), n_mels)
+        return (batch.append_column("fbank_mean", empty)
+                     .append_column("fbank_std", empty)
+                     .append_column("n_frames", pa.array(n_frames, pa.int64())))
+
+    frame_clip = np.repeat(np.arange(n, dtype=np.int64), n_frames)
+    run_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_frames[:-1], out=run_starts[1:])
+    frame_pos = (np.arange(total, dtype=np.int64)
+                 - run_starts[frame_clip]) * hop + offsets[frame_clip]
+    frames = flat[frame_pos[:, None] + np.arange(win)]
+    frames = frames * np.hanning(win).astype(np.float32)[None, :]
+    spec = np.fft.rfft(frames, axis=1)
+    power = (spec.real * spec.real + spec.imag * spec.imag)
+    fb = _mel_filters(n_mels, win, sr)
+    mel = np.log(power @ fb.T + 1e-10)           # (total, n_mels)
+
+    # pool over NON-EMPTY clips only: their run starts are strictly
+    # increasing and < total, which is exactly what reduceat needs
+    # (clamping empty clips' starts instead would split a neighbor's run)
+    nz = np.flatnonzero(n_frames > 0)
+    starts_nz = run_starts[nz]
+    sums_nz = np.add.reduceat(mel, starts_nz, axis=0)
+    sq_nz = np.add.reduceat(mel * mel, starts_nz, axis=0)
+    cnt_nz = n_frames[nz].astype(np.float64)[:, None]
+    mean = np.zeros((n, n_mels))
+    var = np.zeros((n, n_mels))
+    mean[nz] = sums_nz / cnt_nz
+    var[nz] = np.maximum(sq_nz / cnt_nz - mean[nz] * mean[nz], 0.0)
+    std = np.sqrt(var)
+    mean_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(mean.astype(np.float32).reshape(-1), pa.float32()), n_mels)
+    std_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(std.astype(np.float32).reshape(-1), pa.float32()), n_mels)
+    return (batch.append_column("fbank_mean", mean_col)
+                 .append_column("fbank_std", std_col)
+                 .append_column("n_frames", pa.array(n_frames, pa.int64())))
+
+
+class FbankFeatures:
+    """Callable form for ``map_batches`` actor pools (filterbank matrix
+    cached per (sr, win, n_mels) in the worker)."""
+
+    def __init__(self, pcm_col: str = "pcm", sr_col: str = "sr_hz",
+                 n_mels: int = 16, win: int = 400, hop: int = 160):
+        self.pcm_col, self.sr_col = pcm_col, sr_col
+        self.n_mels, self.win, self.hop = n_mels, win, hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return audio_fbank(batch, self.pcm_col, self.sr_col,
+                           self.n_mels, self.win, self.hop)

@@ -184,3 +184,54 @@ def test_transcode_flac_roundtrip_ratio():
     ref = np.frombuffer(encode_pcm16(w), dtype="<i2")
     assert got_sr == sr and np.array_equal(dec, ref)
     assert len(blob) < 2 * len(w)  # actually compresses vs pcm16
+
+
+def test_audio_fbank_matches_per_clip_reference(ray_session):
+    """audio_fbank: batched gather/rfft/matmul/reduceat pooling equals a
+    plain per-clip numpy reference; short clips emit zero frames and
+    zero pools; batch-composition independent."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hydra_ray.stages.audio_features import _mel_filters, audio_fbank
+
+    rng = np.random.default_rng(4)
+    sr, win, hop, n_mels = 16_000, 400, 160, 16
+    clips = [
+        (0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / sr)).astype(np.float32),
+        (rng.standard_normal(5200) * 0.1).astype(np.float32),
+        np.zeros(win - 1, np.float32),               # < one window
+        (0.3 * np.sin(2 * np.pi * 3000 * np.arange(6000) / sr)).astype(np.float32),
+        np.zeros(0, np.float32),                     # empty
+    ]
+    batch = pa.table({
+        "seq": pa.array(range(len(clips)), pa.int64()),
+        "pcm": pa.array([c.tolist() for c in clips], pa.list_(pa.float32())),
+        "sr_hz": pa.array([sr] * len(clips), pa.int32()),
+    })
+    out = audio_fbank(batch)
+    mean = np.asarray(out["fbank_mean"].combine_chunks().flatten()) \
+        .reshape(len(clips), n_mels)
+    std = np.asarray(out["fbank_std"].combine_chunks().flatten()) \
+        .reshape(len(clips), n_mels)
+    nf = out["n_frames"].to_pylist()
+
+    fb = _mel_filters(n_mels, win, sr)
+    for i, x in enumerate(clips):
+        if len(x) < win:
+            assert nf[i] == 0 and not mean[i].any() and not std[i].any()
+            continue
+        k = (len(x) - win) // hop + 1
+        frames = np.stack([x[j * hop:j * hop + win] for j in range(k)])
+        frames = frames * np.hanning(win).astype(np.float32)
+        p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        mel = np.log(p @ fb.T + 1e-10)
+        assert nf[i] == k
+        assert np.allclose(mean[i], mel.mean(axis=0), atol=1e-4), i
+        assert np.allclose(std[i], mel.std(axis=0), atol=1e-4), i
+    # tonal clips peak in the right bands (440 Hz below 3 kHz)
+    assert mean[0].argmax() < mean[3].argmax()
+    # composition independence: single-row run equals batched row
+    one = audio_fbank(batch.slice(1, 1))
+    om = np.asarray(one["fbank_mean"].combine_chunks().flatten())
+    assert np.allclose(om, mean[1], atol=1e-6)

@@ -166,3 +166,41 @@ def test_rescale_backup_restore_recovery(sources):
         assert len(b) == len(g), (sink, len(b), len(g))
         cols = [c for c in b.columns if c in g.columns]
         pd.testing.assert_frame_equal(g[cols], b[cols], check_dtype=False)
+
+
+def test_half_swapped_layout_refused(sources):
+    """A crash mid-swap (ADVICE r2) must be refused on resume, not
+    silently restored: (a) the swap sentinel blocks a resume at the new
+    count; (b) a p*-dir count that disagrees with the committed
+    num_partitions blocks even after the sentinel is cleared."""
+    import os
+    import shutil
+
+    from hydra_ray.table import Table
+
+    root = sources
+    out = f"{root}/halfswap"
+    _run(root, "halfswap", 4, max_epochs=2)
+    main = Table(f"{out}/replicated")
+
+    # simulate the crash window: sentinel + new count recorded, dirs
+    # only partially moved (one old partition dir deleted)
+    main.update_pipeline_state(
+        "replicate",
+        {"num_partitions": 6,
+         "rescale_swap": {"old": 4, "new": 6, "backup": "bk"}})
+    shutil.rmtree(f"{out}/_checkpoints/p0003")
+
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        _run(root, "halfswap", 6)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        _run(root, "halfswap", 4)
+
+    # operator clears the sentinel but the layout is still inconsistent
+    # (3 p* dirs vs a recorded count of 6, or of 4): both refuse
+    main.update_pipeline_state("replicate", {"rescale_swap": None})
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        _run(root, "halfswap", 6)
+    main.update_pipeline_state("replicate", {"num_partitions": 4})
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        _run(root, "halfswap", 4)
