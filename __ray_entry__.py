@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cc": q.q_neardup_cc,
         "simhash_neardup": q.q_simhash_neardup,
         "lm_quality": q.q_lm_quality,
+        "bpe_tokens": q.q_bpe_tokens,
         "curation_e2e": q.q_curation_e2e,
         "compression_ratio": q.q_compression_ratio,
         "kmeans_embed": q.q_kmeans_embed,

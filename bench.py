@@ -48,7 +48,7 @@ QUERY_NAMES = [
     "event_paths", "pack_sequences",
     "token_stats", "token_explode", "repetition_stats", "chunk_docs",
     "value_dispersion", "rollup_sales", "funnel", "value_histogram", "mode_user",
-    "value_corr", "value_outliers", "token_budget", "lm_quality",
+    "value_corr", "value_outliers", "token_budget", "lm_quality", "bpe_tokens",
     "curation_e2e",
     "neardup_cc", "pagerank", "pagerank_sharded", "audio_curation", "vad_segments",
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",

@@ -2061,6 +2061,18 @@ def q_audio_features(sf_dir):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_bpe_tokens(sf_dir):
+    """Train a BPE tokenizer on the documents corpus (distributed word
+    count → bounded driver merge loop), then count TRUE tokens per doc
+    with the cached actor-pool encoder.  Rows-only; the value oracle is
+    the naive-reference parity test (tests/test_bpe.py)."""
+    from ..stages.bpe import bpe_token_counts, train_bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = train_bpe(ds, "text", n_merges=150)
+    return bpe_token_counts(ds, merges, "text", "doc_id")
+
+
 def q_audio_fbank(sf_dir):
     """Decode → resample to 16 kHz → pooled log-mel filterbank features
     (the speech-model front-end; one batched rfft + filterbank matmul +
