@@ -112,8 +112,9 @@ def test_salted_router_batch():
 
 def test_image_stub_routing():
     """PIL-dependent formats are honest stubs routed to the error column;
-    malformed payloads of real formats error the same way (DLQ contract).
-    Real-format decode is covered in tests/test_multimodal.py."""
+    malformed payloads of real formats (jpeg is REAL since jpeglite)
+    error the same way (DLQ contract).  Real-format decode is covered in
+    tests/test_multimodal.py and tests/test_jpeglite.py."""
     batch = pa.table(
         {
             "image_id": ["a", "b", "c"],
@@ -123,8 +124,10 @@ def test_image_stub_routing():
     )
     out = ImageDecoder()(batch)
     errs = out["decode_error"].to_pylist()
-    assert "requires PIL" in errs[0] and "requires PIL" in errs[1]
-    assert errs[2] is not None  # malformed bmp
+    assert "requires PIL" in errs[0]       # png stays a declared stub
+    assert errs[1] is not None             # truncated jpeg → real decode error
+    assert "PIL" not in errs[1]
+    assert errs[2] is not None             # malformed bmp
     assert len(out["thumbnail"][0].as_py()) == 64
 
 
