@@ -355,7 +355,10 @@ def main():
             payload["headline_neardup"] = {
                 k: (round(v, 3) if isinstance(v, float) else v) for k, v in d.items()
             }
-        _emit(payload, "BENCH_LOCAL.json")
+        # headline-only children (the --scaling subprocesses) must not
+        # clobber the full-bench record
+        _emit(payload,
+              "BENCH_CHILD_LOCAL.json" if headline_only else "BENCH_LOCAL.json")
     finally:
         ray.shutdown()
 
