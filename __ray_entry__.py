@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flag_aggregates": q.q_flag_aggregates,
         "first_last_event": q.q_first_last_event,
         "type_entropy": q.q_type_entropy,
+        "value_mad": q.q_value_mad,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -337,6 +338,10 @@ def oracle_sql() -> dict[str, str]:
         "type_entropy": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    round(entropy(user_id), 4) AS entropy
+            FROM events GROUP BY event_type
+        """,
+        "value_mad": """
+            SELECT event_type, round(mad(value), 4) AS mad
             FROM events GROUP BY event_type
         """,
         "value_dispersion": """

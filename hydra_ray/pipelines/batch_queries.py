@@ -261,6 +261,17 @@ def q_flag_aggregates(sf_dir):
     )
 
 
+def q_value_mad(sf_dir):
+    """Per-event-type median absolute deviation of value (DuckDB mad):
+    two grouped-quantile shuffles with the O(groups) medians broadcast
+    between them — the robust-dispersion companion to value_dispersion."""
+    from ..stages.profile import grouped_mad
+
+    out = grouped_mad(_read(sf_dir, "events", ["event_type", "value"]),
+                      ["event_type"], "value")
+    return _round_cols(out, {"mad": 4})
+
+
 def q_first_last_event(sf_dir):
     """Per-user arg_min/arg_max: the event type at each user's earliest
     and latest event (ties broken by event_id) — one `arg_extremes` pass

@@ -20,8 +20,8 @@ import pyarrow.compute as pc
 
 from .windows import AggSpec, grouped_aggregate
 
-__all__ = ["grouped_histogram", "grouped_mode", "grouped_corr",
-           "grouped_outliers"]
+__all__ = ["grouped_histogram", "grouped_mad", "grouped_mode",
+           "grouped_corr", "grouped_outliers"]
 
 
 def grouped_histogram(ds, group_cols: list[str], value_col: str,
@@ -174,3 +174,39 @@ def grouped_outliers(ds, group_cols: list[str], value_col: str,
         return t.filter(pa.array(np.asarray(mask, dtype=bool)))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def grouped_mad(ds, group_cols: list[str], value_col: str,
+                out_col: str = "mad"):
+    """Median absolute deviation per group (DuckDB ``mad`` semantics:
+    median of |x − median(x)|, both medians quantile_cont-interpolated).
+
+    Two grouped-quantile shuffles with an O(groups) median broadcast
+    between them (``ray.put``, the grouped_outliers pattern) — never a
+    second shuffle of the raw data for the join."""
+    import ray
+
+    from .windows import grouped_quantile
+
+    cols = list(dict.fromkeys(group_cols + [value_col]))
+    ds = ds.select_columns(cols)
+    med = grouped_quantile(ds, group_cols, value_col, {"__med": 0.5},
+                           interpolation="linear").to_pandas()
+    med_ref = ray.put(med)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        st = ray.get(med_ref)
+        df = pd.DataFrame(
+            {c: t[c].to_numpy(zero_copy_only=False) for c in group_cols}
+        )
+        m = df.merge(st, on=group_cols, how="left")["__med"] \
+            .to_numpy(dtype=np.float64)
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        out = {c: t[c] for c in group_cols}
+        out["__adev"] = pa.array(np.abs(v - m))
+        return pa.table(out)
+
+    return grouped_quantile(
+        ds.map_batches(absdev, batch_format="pyarrow"), group_cols,
+        "__adev", {out_col: 0.5}, interpolation="linear",
+    )
