@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_event": q.q_first_last_event,
         "type_entropy": q.q_type_entropy,
         "value_mad": q.q_value_mad,
+        "fuzzy_match": q.q_fuzzy_match,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -343,6 +344,15 @@ def oracle_sql() -> dict[str, str]:
         "value_mad": """
             SELECT event_type, round(mad(value), 4) AS mad
             FROM events GROUP BY event_type
+        """,
+        "fuzzy_match": """
+            -- char-based substr == the kernel's prefix on ASCII fixtures
+            SELECT doc_id,
+                   CAST(levenshtein(
+                       substr(coalesce(text, ''), 1, 40),
+                       'the data pipeline processes streaming'
+                   ) AS BIGINT) AS dist
+            FROM documents
         """,
         "value_dispersion": """
             SELECT event_type,

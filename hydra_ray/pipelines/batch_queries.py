@@ -261,6 +261,29 @@ def q_flag_aggregates(sf_dir):
     )
 
 
+def q_fuzzy_match(sf_dir):
+    """Edit distance of every document's 40-char prefix to a fixed probe
+    phrase — the fuzzy-match / decontamination-by-edit-distance probe,
+    batch-vectorized DP (`text.levenshtein_probe`: the (L×m) cell loop
+    runs once, each cell a numpy op across all rows).  NOTE: DuckDB
+    substr is character-based; equal to the kernel's prefix on the
+    ASCII fixture corpus."""
+    from ..stages.text import levenshtein_probe
+
+    probe = "the data pipeline processes streaming"
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        d = levenshtein_probe(
+            t["text"].to_numpy(zero_copy_only=False), probe, prefix_chars=40)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "dist": pa.array(d, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_value_mad(sf_dir):
     """Per-event-type median absolute deviation of value (DuckDB mad):
     two grouped-quantile shuffles with the O(groups) medians broadcast

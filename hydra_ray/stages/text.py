@@ -28,6 +28,7 @@ __all__ = [
     "repetition_stats",
     "tfidf_top_terms",
     "top_ngrams",
+    "levenshtein_probe",
 ]
 
 _STOPWORDS = {
@@ -630,3 +631,57 @@ class LmScore:
             sums = np.add.reduceat(logp[pairs], doc_starts[has])
             bits[has] = -sums / n_pairs[has]
         return t.append_column(self.out_col, pa.array(bits, from_pandas=True))
+
+
+def levenshtein_probe(texts, probe: str, prefix_chars: int = 0) -> np.ndarray:
+    """Levenshtein distance of every text (optionally its first
+    ``prefix_chars`` characters) to ONE probe string, vectorized ACROSS
+    the batch: the classic DP runs its (text_len × probe_len) cell loop
+    once, with every cell update a numpy op over ALL rows at that cell —
+    the per-doc Python loop becomes an O(L·m) loop of O(n) vector ops.
+
+    The fuzzy-match verification kernel for candidate pairs (edit
+    distance is what LSH candidates get verified WITH); as a corpus
+    probe it is the streaming analogue of ``ngram_overlap_probe``.
+    DuckDB ``levenshtein`` parity (character-level, case-sensitive)."""
+    s = pd.Series(texts, dtype=object).fillna("")
+    if prefix_chars:
+        s = s.str.slice(0, prefix_chars)
+    n = len(s)
+    m = len(probe)
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if m == 0:
+        return lens.copy()
+    L = int(lens.max()) if n else 0
+    # (n, L) code-point matrix via the utf-32 encoding, padded with -1
+    # (never equals a probe char)
+    enc = s.str.ljust(L, "\x00").to_numpy(dtype=object)
+    mat = np.frombuffer("".join(enc).encode("utf-32-le"), dtype=np.uint32)
+    mat = mat.reshape(n, L).astype(np.int64)
+    mat[np.arange(L)[None, :] >= lens[:, None]] = -1
+    pr = np.array([ord(c) for c in probe], dtype=np.int64)
+
+    # dp over probe dimension, advanced one text char at a time
+    dp = np.broadcast_to(np.arange(m + 1, dtype=np.int64),
+                         (n, m + 1)).copy()
+    out = np.where(lens == 0, m, 0).astype(np.int64)
+    done0 = lens == 0
+    for i in range(L):
+        prev = dp
+        dp = np.empty_like(prev)
+        dp[:, 0] = i + 1
+        ci = mat[:, i]
+        # substitution/match and deletion terms vectorize over j; the
+        # insertion term (left neighbor) is the sequential part — one
+        # O(n) op per probe position
+        sub = prev[:, :-1] + (ci[:, None] != pr[None, :])
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        for j in range(1, m + 1):
+            np.minimum(best[:, j - 1], dp[:, j - 1] + 1, out=dp[:, j])
+        fin = lens == i + 1
+        if fin.any():
+            out[fin] = dp[fin, m]
+    return np.where(done0, m, out)

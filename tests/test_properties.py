@@ -226,3 +226,30 @@ def test_rolling_range_frame_property(rows, R):
             (df["ts"] <= df["ts"].iloc[orig_i])
         assert wcnt[out_i] == m.sum()
         assert np.isclose(wsum[out_i], df.loc[m, "v"].sum())
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg μλπ", min_size=0, max_size=25),
+        min_size=1, max_size=30,
+    ),
+    st.text(alphabet="abcdefg μλπ", min_size=0, max_size=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_levenshtein_probe_matches_dp(texts, probe):
+    """Batch-vectorized edit distance == the classic per-string DP, for
+    arbitrary unicode inputs including empty strings/probes."""
+    from hydra_ray.stages.text import levenshtein_probe
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev = dp[:]
+            dp[0] = i
+            for j in range(1, len(b) + 1):
+                dp[j] = min(prev[j] + 1, dp[j - 1] + 1,
+                            prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return dp[len(b)]
+
+    got = levenshtein_probe(texts, probe)
+    assert got.tolist() == [ref(t, probe) for t in texts]
