@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_entropy": q.q_type_entropy,
         "value_mad": q.q_value_mad,
         "fuzzy_match": q.q_fuzzy_match,
+        "order_revenue": q.q_order_revenue,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -353,6 +354,16 @@ def oracle_sql() -> dict[str, str]:
                        'the data pipeline processes streaming'
                    ) AS BIGINT) AS dist
             FROM documents
+        """,
+        "order_revenue": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         "value_dispersion": """
             SELECT event_type,

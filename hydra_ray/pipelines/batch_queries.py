@@ -261,6 +261,60 @@ def q_flag_aggregates(sf_dir):
     )
 
 
+def q_order_revenue(sf_dir):
+    """TPC-H-Q5-lite multi-join pipeline: lineitem ⋈ orders via ONE
+    bucketed hash exchange, then the small customer side broadcast
+    (ray.put, no second shuffle), then revenue per market segment with
+    EXACT integer-cents×(100−disc) sums (the pricing_summary money rule
+    — float sums are order-dependent at big-group scale)."""
+    from ..stages.join import broadcast_join, bucketed_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment"]).to_pandas()
+
+    def prep(t: pa.Table) -> pa.Table:
+        extc = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64())
+        discc = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pa.int64())
+        return pa.table({
+            "okey": t["l_orderkey"],
+            "rev_e4": pc.multiply(
+                extc, pc.subtract(pa.scalar(100, pa.int64()), discc)),
+        })
+
+    left = li.map_batches(prep, batch_format="pyarrow")
+    right = orders.map_batches(
+        lambda t: pa.table({"okey": t["o_orderkey"],
+                            "o_custkey": t["o_custkey"]}),
+        batch_format="pyarrow")
+    joined = bucketed_join(left, right, key="okey")
+    seg = broadcast_join(
+        joined, cust.rename(columns={"c_custkey": "o_custkey"}),
+        on="o_custkey")
+    agg = grouped_aggregate(
+        seg, ["c_mktsegment"],
+        [AggSpec("count", None, "n_items"),
+         AggSpec("sum", "rev_e4", "rev_e4")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "revenue": round_f64(
+                pc.divide(pc.cast(t["rev_e4"], pa.float64()),
+                          pa.scalar(10_000.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_fuzzy_match(sf_dir):
     """Edit distance of every document's 40-char prefix to a fixed probe
     phrase — the fuzzy-match / decontamination-by-edit-distance probe,
