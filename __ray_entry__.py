@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": q.q_value_mad,
         "fuzzy_match": q.q_fuzzy_match,
         "order_revenue": q.q_order_revenue,
+        "avro_roundtrip": q.q_avro_roundtrip,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -354,6 +355,11 @@ def oracle_sql() -> dict[str, str]:
                        'the data pipeline processes streaming'
                    ) AS BIGINT) AS dist
             FROM documents
+        """,
+        "avro_roundtrip": """
+            -- identity: the Ray side round-trips through Avro OCF bytes
+            SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms
+            FROM events
         """,
         "order_revenue": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_items,

@@ -261,6 +261,28 @@ def q_flag_aggregates(sf_dir):
     )
 
 
+def q_avro_roundtrip(sf_dir):
+    """Events → Avro object-container files (one OCF per batch task,
+    deflate blocks) → read back: the reference's Avro interchange edge
+    on this engine (`hydra_ray/avrolite.py`, pure-spec codec).  The SQL
+    oracle is the IDENTITY projection — a hash match proves the binary
+    round trip is lossless through the driver gate."""
+    import shutil
+    import uuid
+
+    from ..avrolite import read_avro, write_avro
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value", "ts"])
+    ds = _ms_col(ds, "ts", "ts_ms")
+    out = f"/tmp/hydra_avro/{uuid.uuid4().hex}"
+    try:
+        write_avro(ds, out)
+        back = read_avro(out).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
 def q_order_revenue(sf_dir):
     """TPC-H-Q5-lite multi-join pipeline: lineitem ⋈ orders via ONE
     bucketed hash exchange, then the small customer side broadcast
