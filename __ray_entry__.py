@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match": q.q_fuzzy_match,
         "order_revenue": q.q_order_revenue,
         "avro_roundtrip": q.q_avro_roundtrip,
+        "window_quantiles": q.q_window_quantiles,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -360,6 +361,13 @@ def oracle_sql() -> dict[str, str]:
             -- identity: the Ray side round-trips through Avro OCF bytes
             SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms
             FROM events
+        """,
+        "window_quantiles": f"""
+            SELECT event_type,
+                   (epoch_ms(ts) // {DAY}) * {DAY} AS window_start,
+                   round(quantile_cont(value, 0.5), 4) AS median,
+                   round(quantile_cont(value, 0.9), 4) AS p90
+            FROM events GROUP BY 1, 2
         """,
         "order_revenue": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_items,

@@ -41,7 +41,7 @@ QUERY_NAMES = [
     "jaccard_search", "decontaminate", "dup_spans", "dedup_cut",
     "set_except", "set_intersect", "set_union", "window_distinct",
     "rolling_range", "cube_sales", "value_moments", "value_regression",
-    "flag_aggregates", "first_last_event", "type_entropy", "value_mad", "fuzzy_match", "order_revenue", "avro_roundtrip",
+    "flag_aggregates", "first_last_event", "type_entropy", "value_mad", "fuzzy_match", "order_revenue", "avro_roundtrip", "window_quantiles",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
     "lag_delta", "running_total", "value_ranks", "value_bounds", "value_cume",

@@ -28,13 +28,11 @@ exactly the reference's split.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
 import zlib
 
-import numpy as np
 import pyarrow as pa
 
 __all__ = [

@@ -261,6 +261,30 @@ def q_flag_aggregates(sf_dir):
     )
 
 
+def q_window_quantiles(sf_dir):
+    """Per-(event_type, day-window) exact median + p90 — the windowed
+    quantile composition: tumbling window assignment is a pure per-batch
+    map, then ONE grouped-quantile shuffle over the composite key."""
+    from ..stages.windows import grouped_quantile
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ms = ts_to_ms(t["ts"])
+        return pa.table({
+            "event_type": t["event_type"],
+            "window_start": pa.array((ms // DAY) * DAY, pa.int64()),
+            "value": t["value"],
+        })
+
+    out = grouped_quantile(
+        ds.map_batches(assign, batch_format="pyarrow"),
+        ["event_type", "window_start"], "value",
+        {"median": 0.5, "p90": 0.9}, interpolation="linear",
+    )
+    return _round_cols(out, {"median": 4, "p90": 4})
+
+
 def q_avro_roundtrip(sf_dir):
     """Events → Avro object-container files (one OCF per batch task,
     deflate blocks) → read back: the reference's Avro interchange edge

@@ -213,3 +213,27 @@ def _block_mean(plane, th, tw):
     from hydra_ray.stages.multimodal import block_thumbnail
 
     return block_thumbnail(plane, th, tw)
+
+
+def test_fuzz_roundtrip_random_sizes():
+    """Round-trip never crashes and keeps reasonable fidelity across odd
+    sizes, both subsamplings, gray/color, extreme qualities."""
+    rng = np.random.default_rng(42)
+    for _ in range(12):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        gray = bool(rng.integers(0, 2))
+        q = int(rng.choice([5, 45, 85, 100]))
+        sub = str(rng.choice(["444", "420"]))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = 128 + 60 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+        if gray:
+            img = base.astype(np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, quality=q))
+        else:
+            img = np.stack([base, 255 - base, np.full_like(base, 90)],
+                           axis=-1).astype(np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        assert dec.shape == img.shape, (h, w, gray, q, sub)
+        # even at q=5 a smooth image stays recognizable
+        assert _psnr(img, dec) > 15.0, (h, w, gray, q, sub)
