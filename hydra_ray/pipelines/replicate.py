@@ -133,6 +133,12 @@ class ReplicateConfig:
     # extra object-store traffic (the feature pass reuses the PCM that
     # is already hot in the ingest worker)
     audio_features: bool = False
+    # pooled log-mel filterbank features (fbank_mean/fbank_std 16-band
+    # fixed-size lists + n_frames) on the payload fragments — the
+    # streaming form of `stages/audio_features.audio_fbank`; composes
+    # with audio_features and follows the same transform rule (computed
+    # on the TRANSFORMED payload when payload_transform is set)
+    audio_fbank: bool = False
     # payload transform hook (§2.11 extension surface): a DETERMINISTIC
     # callable applied to each staged heavy slice (columns seq, pcm,
     # n_samples, sr_hz) before it is written — curation at ingest
@@ -173,6 +179,7 @@ def _route_factory(
     drop: np.ndarray | None = None,
     funnel_on: bool = False,
     features: bool = False,
+    fbank: bool = False,
     payload_transform=None,
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
@@ -208,7 +215,7 @@ def _route_factory(
     return _Router(
         handles, kind, wm, key_col, P, decoder, payload_root, epoch, nonce,
         hot_keys, n_salts, flush_bytes, drop, funnel_on, features,
-        payload_transform,
+        payload_transform, fbank,
     )
 
 
@@ -217,9 +224,11 @@ class _Router:
         self, handles, kind, wm, key_col, P, decoder, payload_root,
         epoch, nonce, hot_keys, n_salts, flush_bytes, drop=None,
         funnel_on=False, features=False, payload_transform=None,
+        fbank=False,
     ):
         self.funnel_on = funnel_on
         self.features = features
+        self.fbank = fbank
         self.payload_transform = payload_transform
         self.handles = handles
         self.kind = kind
@@ -346,6 +355,7 @@ class _Router:
                 replica_rows = {int(p): rr[rp == p] for p in np.unique(rp)}
         light = batch.drop_columns([c for c in HEAVY_COLS if c in batch.column_names])
         feat_cols: dict[str, np.ndarray] = {}
+        fb_mean = fb_std = fb_nf = None
         if payload_root is not None:
             # same deterministic will-emit predicate the state actor applies
             ok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
@@ -370,6 +380,24 @@ class _Router:
                     full = np.full(batch.num_rows, np.nan)
                     full[oki] = f[name].to_numpy(zero_copy_only=False)
                     feat_cols[name] = full
+            if self.fbank and ok.any() and self.payload_transform is None:
+                from ..stages.audio_features import audio_fbank
+
+                oki = np.flatnonzero(ok)
+                fbt = audio_fbank(
+                    batch.select(["pcm", "sr_hz"]).take(pa.array(oki))
+                )
+                n_mels = 16
+                fb_mean = np.zeros((batch.num_rows, n_mels), np.float32)
+                fb_std = np.zeros((batch.num_rows, n_mels), np.float32)
+                fb_nf = np.zeros(batch.num_rows, np.int64)
+                fb_mean[oki] = np.asarray(
+                    fbt["fbank_mean"].combine_chunks().flatten()
+                ).reshape(-1, n_mels)
+                fb_std[oki] = np.asarray(
+                    fbt["fbank_std"].combine_chunks().flatten()
+                ).reshape(-1, n_mels)
+                fb_nf[oki] = fbt["n_frames"].to_numpy(zero_copy_only=False)
         refs, sent = [], []
         all_parts = np.union1d(
             np.unique(parts), np.array(sorted(replica_rows), dtype=parts.dtype)
@@ -424,10 +452,34 @@ class _Router:
                                         pa.float64(),
                                     ),
                                 )
+                        if self.fbank:
+                            from ..stages.audio_features import audio_fbank
+
+                            fbt = audio_fbank(
+                                heavy.select(["pcm", "sr_hz"])
+                            )
+                            for name in ("fbank_mean", "fbank_std",
+                                         "n_frames"):
+                                heavy = heavy.append_column(
+                                    name, fbt[name]
+                                )
                     for name, full in feat_cols.items():
                         heavy = heavy.append_column(
                             name, pa.array(full[keep], pa.float64())
                         )
+                    if fb_mean is not None:
+                        heavy = heavy.append_column(
+                            "fbank_mean",
+                            pa.FixedSizeListArray.from_arrays(
+                                pa.array(fb_mean[keep].reshape(-1),
+                                         pa.float32()), 16))
+                        heavy = heavy.append_column(
+                            "fbank_std",
+                            pa.FixedSizeListArray.from_arrays(
+                                pa.array(fb_std[keep].reshape(-1),
+                                         pa.float32()), 16))
+                        heavy = heavy.append_column(
+                            "n_frames", pa.array(fb_nf[keep], pa.int64()))
                     self._pending.setdefault(int(p), []).append(heavy)
                     self._pbytes += heavy.nbytes
         if self._pbytes >= self.flush_bytes:
@@ -979,6 +1031,7 @@ class ReplicatePipeline:
             drop=drop,
             funnel_on=bool(cfg.funnel_steps),
             features=cfg.audio_features,
+            fbank=cfg.audio_fbank,
             payload_transform=cfg.payload_transform,
         )
         updates_route = _route_factory(

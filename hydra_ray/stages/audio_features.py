@@ -250,8 +250,10 @@ def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
     per-clip ``reduceat`` pooling — no per-clip Python.  Emits
     ``fbank_mean`` / ``fbank_std`` (fixed_size_list<f32>[n_mels]) and
     ``n_frames``; clips shorter than one window emit zero frames and
-    all-zero pools.  Assumes one sample rate per batch for the filterbank
-    (uses the batch's first row's rate — resample upstream if mixed).
+    all-zero pools.  Mixed sample rates in one batch are handled by
+    processing each rate's row subset with its own filterbank and
+    scattering results back in row order (per-clip results are a pure
+    function of the clip — batch-composition independent).
     """
     n = batch.num_rows
     zeros = np.zeros(n * n_mels, np.float32)
@@ -261,6 +263,32 @@ def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
         return (batch.append_column("fbank_mean", empty)
                      .append_column("fbank_std", empty)
                      .append_column("n_frames", pa.array([], pa.int64())))
+    srs = batch[sr_col].to_numpy(zero_copy_only=False)
+    if len(np.unique(srs)) > 1:
+        mean = np.zeros((n, n_mels), np.float32)
+        std = np.zeros((n, n_mels), np.float32)
+        nf = np.zeros(n, np.int64)
+        sub = batch.select([pcm_col, sr_col])
+        for sr_v in np.unique(srs):
+            idx = np.flatnonzero(srs == sr_v)
+            out = audio_fbank(sub.take(pa.array(idx)), pcm_col, sr_col,
+                              n_mels, win, hop)
+            mean[idx] = np.asarray(
+                out["fbank_mean"].combine_chunks().flatten()
+            ).reshape(-1, n_mels)
+            std[idx] = np.asarray(
+                out["fbank_std"].combine_chunks().flatten()
+            ).reshape(-1, n_mels)
+            nf[idx] = out["n_frames"].to_numpy(zero_copy_only=False)
+        return (
+            batch.append_column(
+                "fbank_mean", pa.FixedSizeListArray.from_arrays(
+                    pa.array(mean.reshape(-1), pa.float32()), n_mels))
+            .append_column(
+                "fbank_std", pa.FixedSizeListArray.from_arrays(
+                    pa.array(std.reshape(-1), pa.float32()), n_mels))
+            .append_column("n_frames", pa.array(nf, pa.int64()))
+        )
     flat, offsets = _flat_and_offsets(batch[pcm_col])
     lengths = np.diff(offsets)
     n_frames = np.where(lengths >= win, (lengths - win) // hop + 1, 0)

@@ -644,3 +644,62 @@ def test_payload_transform_trim_silence(ray_session, tmp_path):
         .to_pandas().set_index("seq")
     for s in padded:
         assert got2.loc[s, "rms"] > pre.loc[s, "rms"]
+
+
+def test_streaming_fbank_on_payload(ray_session, tmp_path):
+    """ReplicateConfig(audio_fbank=True): pooled log-mel features ride
+    the payload fragments (mixed native sample rates handled per-rate),
+    matching the batch audio_fbank kernel exactly; composes with the
+    payload transform (features describe the TRANSFORMED audio)."""
+    from hydra_ray.pipelines.replicate import read_replicated, trim_payload
+    from hydra_ray.stages.audio_curation import trim_silence
+    from hydra_ray.stages.audio_features import audio_fbank
+    from hydra_ray.stages.decode import AudioDecoder
+
+    root = str(tmp_path)
+    clips = synth_clips_table(150)
+    ct = Table.create(f"{root}/clips", schema=clips.schema)
+    for v in range(2):
+        ct.append(clips.slice(v * 75, 75))
+    pipe = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out", cfg(audio_fbank=True))
+    pipe.run()
+    out = read_replicated(f"{root}/out")
+    for c in ("fbank_mean", "fbank_std", "n_frames"):
+        assert c in out.column_names
+
+    import pyarrow.compute as pc
+
+    dec = AudioDecoder()(clips)
+    dec = dec.filter(pc.is_null(dec["decode_error"]))
+    ref = audio_fbank(dec.select(["seq", "pcm", "sr_hz"]))
+    ref_mean = np.asarray(
+        ref["fbank_mean"].combine_chunks().flatten()).reshape(-1, 16)
+    ref_by_seq = dict(zip(ref["seq"].to_pylist(), ref_mean))
+    ref_nf = dict(zip(ref["seq"].to_pylist(), ref["n_frames"].to_pylist()))
+
+    got_seq = out["seq"].to_pylist()
+    got_mean = np.asarray(
+        out["fbank_mean"].combine_chunks().flatten()).reshape(-1, 16)
+    got_nf = out["n_frames"].to_pylist()
+    assert len(got_seq) == len(ref_by_seq)
+    for s, m, k in zip(got_seq, got_mean, got_nf):
+        assert k == ref_nf[s], s
+        assert np.allclose(m, ref_by_seq[s], atol=1e-5), s
+
+    # composes with a payload transform: fbank over the TRIMMED pcm
+    pipe2 = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out2",
+        cfg(audio_fbank=True, payload_transform=trim_payload))
+    pipe2.run()
+    out2 = read_replicated(f"{root}/out2")
+    trimmed = trim_silence(dec.select(["seq", "pcm", "sr_hz"]))
+    ref2 = audio_fbank(trimmed.select(["seq", "pcm", "sr_hz"]))
+    r2_mean = np.asarray(
+        ref2["fbank_mean"].combine_chunks().flatten()).reshape(-1, 16)
+    r2_by_seq = dict(zip(ref2["seq"].to_pylist(), r2_mean))
+    g2_seq = out2["seq"].to_pylist()
+    g2_mean = np.asarray(
+        out2["fbank_mean"].combine_chunks().flatten()).reshape(-1, 16)
+    for s, m in zip(g2_seq, g2_mean):
+        assert np.allclose(m, r2_by_seq[s], atol=1e-5), s
