@@ -26,7 +26,9 @@ from ..stages.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
+    pq_topk,
     train_centroids,
+    train_pq,
 )
 from ..stages.text import Fingerprint, LangId, QualityScore, TokenStats
 from ..stages.windows import (
@@ -1742,6 +1744,17 @@ def q_ann_ivf(sf_dir):
     cents = train_centroids(ds, n_centroids=16)
     out = ivf_topk(ds, ids, mat, k=5, centroids=cents, nprobe=4)
     return _round_cols(out, {"cosine": 2})
+
+
+def q_ann_pq(sf_dir):
+    """Product-quantization approximate top-k (rows-only): 8-subspace
+    uint8 codes (32× smaller than float32 at d=64) scored via per-query
+    lookup tables — the memory-bound scale path past IVF."""
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = train_pq(ds, m=16, ksub=64, iters=6)
+    out = pq_topk(ds, ids, mat, k=5, books=books, refine=4)
+    return _round_cols(out, {"score": 2})
 
 
 def q_embedding_neardup(sf_dir):

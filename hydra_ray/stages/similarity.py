@@ -30,6 +30,9 @@ __all__ = [
     "ivf_search_index",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
+    "train_pq",
+    "pq_encode_codes",
+    "pq_topk",
 ]
 
 
@@ -676,3 +679,125 @@ def ivf_search_index(root: str, queries_ids, queries_mat, k: int,
         return out
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# --------------------------------------------------------- product quantization
+def train_pq(ds, m: int = 8, ksub: int = 256, vec_col: str = "embedding",
+             sample: int = 4096, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public paper): split the
+    (unit-normalized) vector into ``m`` subspaces and k-means each
+    subspace to ``ksub`` centroids on a driver-side sample (the
+    codebook is the MODEL — bounded at m·ksub·(d/m) floats regardless
+    of corpus size, same training contract as ``train_centroids``).
+
+    Returns ``(m, ksub, d//m)`` float32 codebooks."""
+    rng = np.random.default_rng(seed)
+    samp = ds.limit(sample).to_pandas()
+    x = _normalize(np.stack(samp[vec_col].to_numpy()).astype(np.float64))
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ksub = min(ksub, n)
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        c = sub[rng.choice(n, ksub, replace=False)]
+        for _ in range(iters):
+            a = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for q in range(ksub):
+                sel = a == q
+                if sel.any():
+                    c[q] = sub[sel].mean(axis=0)
+        books[j] = c
+    return books.astype(np.float32)
+
+
+def pq_encode_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) → (n, m) uint8 nearest-subcentroid codes (vectorized per
+    subspace: one (n, ksub) distance matrix each)."""
+    m, ksub, dsub = books.shape
+    n = mat.shape[0]
+    codes = np.empty((n, m), np.uint8)
+    b = books.astype(np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        # argmin ||x - c||² = argmax (x·c − ½||c||²)
+        scores = sub @ b[j].T - 0.5 * (b[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = scores.argmax(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_topk(ds, queries_ids, queries_mat, k, books: np.ndarray,
+            refine: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate cosine top-k via asymmetric-distance PQ: each batch
+    encodes its vectors to (n, m) uint8 codes — 32× smaller than
+    float32 at d=64/m=8, the memory story that makes 100 TB of
+    embeddings searchable — and scores EVERY query against them with
+    one (m, ksub) inner-product lookup table per query
+    (``score = Σ_j T[j, code_j]``, a pure take+sum, no matmul against
+    the corpus).  ``refine`` > 0 re-ranks each query's ``refine·k``
+    PQ shortlist with exact cosines (the standard ADC + refinement
+    deployment; the shortlist matmul is refine·k·nq dots, not n·nq —
+    the batch already holds the float vectors so refinement costs no
+    extra I/O).  Same partial-top-k → per-query merge shape as
+    ``cosine_topk``; returns (query_id, id, score, rank)."""
+    import ray
+
+    qmat = _normalize(np.asarray(queries_mat, np.float64))
+    m, ksub, dsub = books.shape
+    # per-query subspace lookup tables: T[q, j, code] = q_j · c_{j,code}
+    tables = np.einsum(
+        "qjd,jkd->qjk",
+        qmat.reshape(len(qmat), m, dsub), books.astype(np.float64),
+    )
+    qref = ray.put({"ids": np.asarray(queries_ids), "tables": tables,
+                    "books": books, "qmat": qmat})
+
+    def partial(t: pa.Table) -> pa.Table:
+        from .join import _bcast_get
+
+        q = _bcast_get(qref)
+        mat = _normalize(_stack(t[vec_col]))
+        codes = pq_encode_codes(mat, q["books"])          # (n, m) uint8
+        tabs = q["tables"]                                # (nq, m, ksub)
+        n = len(codes)
+        # gather per subspace: scores[n, nq] = Σ_j tabs[:, j, codes[:, j]]
+        s = np.zeros((n, len(tabs)))
+        for j in range(tabs.shape[1]):
+            s += tabs[:, j, :][:, codes[:, j]].T          # (n, nq)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        nq = s.shape[1]
+        kk = min(max(k, k * refine), n) if refine else min(k, n)
+        top = np.argpartition(-s, kk - 1, axis=0)[:kk]    # (kk, nq)
+        if refine:
+            # exact cosines for the shortlist only: (kk, nq) dots
+            exact = np.einsum("kqd,qd->kq", mat[top], q["qmat"])
+            kk2 = min(k, kk)
+            order = np.argpartition(-exact, kk2 - 1, axis=0)[:kk2]
+            qi = np.repeat(np.arange(nq), kk2)
+            ci = order.T.reshape(-1)
+            ri = top[ci, qi]
+            sc = exact[ci, qi]
+        else:
+            qi = np.repeat(np.arange(nq), kk)
+            ri = top.T.reshape(-1)
+            sc = s[ri, qi]
+        return pa.table({
+            "query_id": pa.array(np.asarray(q["ids"])[qi]),
+            id_col: pa.array(ids[ri]),
+            "score": pa.array(sc, pa.float64()),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort")
+        out = g.head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return part.groupby("query_id").map_groups(merge, batch_format="pandas")
