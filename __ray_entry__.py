@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q.q_semantic_dedup,
         "ann_ivf": q.q_ann_ivf,
         "ann_pq": q.q_ann_pq,
+        "ann_ivfpq": q.q_ann_ivfpq,
         "approx_distinct": q.q_approx_distinct,
         "audio_features": q.q_audio_features,
         "audio_fbank": q.q_audio_fbank,

@@ -1757,6 +1757,29 @@ def q_ann_pq(sf_dir):
     return _round_cols(out, {"score": 2})
 
 
+def q_ann_ivfpq(sf_dir):
+    """IVF-PQ persistent-index search (rows-only): residual PQ codes in
+    the inverted lists (16 B/vector vs 256 B float32 at d=64), search
+    reads ONLY the probed lists' code files — the index whose hot set
+    fits in page cache at 100 TB."""
+    import shutil
+    import tempfile
+
+    from ..stages.similarity import build_ivfpq_index, ivfpq_search_index
+
+    ids, mat = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    root = tempfile.mkdtemp(prefix="ivfpq_", dir="/tmp")
+    try:
+        build_ivfpq_index(ds, root, n_centroids=16, m=16, ksub=256, iters=6)
+        out = ivfpq_search_index(root, ids, mat, k=5, nprobe=4)
+        # materialize before the index dir is removed (the search Dataset
+        # reads the list files lazily)
+        return _round_cols(out, {"score": 2}).materialize()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_embedding_neardup(sf_dir):
     """Embedding-cosine near-duplicate pairs (exact form, SQL oracle).
 

@@ -1043,3 +1043,58 @@ def test_pq_dim_not_divisible_raises(rd):
                        "embedding": [np.zeros(10, np.float32)] * 2})
     with pytest.raises(ValueError, match="not divisible"):
         train_pq(rdm.from_pandas(df), m=3)
+
+
+def test_ivfpq_index_build_search(rd, tmp_path):
+    """IVF-PQ persistent index: list files hold only id + m-byte residual
+    codes (16x smaller than the float32 vectors they encode), ADC search
+    over 4/16 probed lists reaches >=0.5 recall@10 of the exact top-k
+    (measured 0.65 at m=16/ksub=256) and always finds the query's own
+    vector in its top-3."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from hydra_ray.pipelines.batch_queries import _load_queries, _read
+    from hydra_ray.stages.similarity import (
+        build_ivfpq_index,
+        cosine_topk,
+        ivfpq_search_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "ivfpq")
+    build_ivfpq_index(_read(sf, "embeddings"), root,
+                      n_centroids=16, m=16, ksub=256, iters=6)
+    assert os.path.exists(os.path.join(root, "centroids.parquet"))
+    assert os.path.exists(os.path.join(root, "codebooks.parquet"))
+
+    # the lists store codes, not vectors: 16 B + id per row
+    files = glob.glob(os.path.join(root, "lists", "**", "*.parquet"),
+                      recursive=True)
+    total_rows, code_bytes = 0, 0
+    for f in files:
+        t = pq2.read_table(f)
+        assert set(t.column_names) == {"vec_id", "code", "list_id"}
+        total_rows += t.num_rows
+        if t.num_rows:
+            lens = {len(v) for v in t["code"].to_pylist()}
+            assert lens == {16}, lens
+            code_bytes += 16 * t.num_rows
+    assert total_rows == 500
+    assert code_bytes == 500 * 16  # vs 500 * 64 * 4 B float32 = 16x larger
+
+    ids, mat = _load_queries(sf)
+    ap = ivfpq_search_index(root, ids, mat, k=10, nprobe=4).to_pandas()
+    exact = cosine_topk(_read(sf, "embeddings"), ids, mat, 10).to_pandas()
+    recalls = []
+    for q in ids:
+        a = set(ap[ap["query_id"] == q]["vec_id"])
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+    for q in ids:
+        top3 = set(ap[ap["query_id"] == q].sort_values("rank").head(3)["vec_id"])
+        assert q in top3, (q, top3)
