@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.q_ann_ivf,
         "ann_pq": q.q_ann_pq,
         "ann_ivfpq": q.q_ann_ivfpq,
+        "embed_pca": q.q_embed_pca,
         "approx_distinct": q.q_approx_distinct,
         "audio_features": q.q_audio_features,
         "audio_fbank": q.q_audio_fbank,

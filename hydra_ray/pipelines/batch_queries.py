@@ -1780,6 +1780,39 @@ def q_ann_ivfpq(sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_embed_pca(sf_dir):
+    """Distributed PCA (rows-only): one moment-partials pass fits the
+    d×d covariance on the driver, projections stream; output = per-label
+    mean/std of the first component + that component's explained ratio."""
+    from ..stages.similarity import pca_fit, pca_project
+    from ..stages.windows import AggSpec, grouped_aggregate
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    mean, comps, ratio = pca_fit(ds, n_components=4)
+    proj = pca_project(ds, mean, comps, id_col="label")
+
+    def first_pc(t: pa.Table) -> pa.Table:
+        pc1 = np.stack(t["pc"].to_numpy(zero_copy_only=False))[:, 0]
+        return pa.table({"label": t["label"], "pc1": pa.array(pc1)})
+
+    out = grouped_aggregate(
+        proj.map_batches(first_pc, batch_format="pyarrow"),
+        ["label"],
+        [AggSpec("count", None, "n"), AggSpec("mean", "pc1", "mean_pc1"),
+         AggSpec("std", "pc1", "std_pc1")],
+    )
+
+    r1 = float(ratio[0])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pc1_explained"] = np.round(r1, 4)
+        return df
+
+    return _round_cols(out.map_batches(attach, batch_format="pandas"),
+                       {"mean_pc1": 4, "std_pc1": 4})
+
+
 def q_embedding_neardup(sf_dir):
     """Embedding-cosine near-duplicate pairs (exact form, SQL oracle).
 

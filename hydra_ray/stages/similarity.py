@@ -35,6 +35,8 @@ __all__ = [
     "pq_topk",
     "build_ivfpq_index",
     "ivfpq_search_index",
+    "pca_fit",
+    "pca_project",
 ]
 
 
@@ -1005,3 +1007,70 @@ def ivfpq_search_index(root: str, queries_ids, queries_mat, k: int,
         return out
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------------------------------ PCA
+def pca_fit(ds, n_components: int, vec_col: str = "embedding"):
+    """Distributed PCA over an embedding column: ONE streaming pass emits
+    per-block moment partials (n, Σx, Σxxᵀ — each one row of d + d²
+    floats), the driver folds O(blocks) partials and eigendecomposes the
+    d×d covariance.  The corpus never materializes and nothing scales
+    with row count except the single map pass — the covariance trick
+    that makes PCA a 100 TB-safe reduction (d is the embedding dim,
+    64 here; d² floats per block is tiny).
+
+    Components are sign-canonicalized (largest-|entry| coordinate made
+    positive) so the result is deterministic up to float fold order.
+
+    Returns ``(mean (d,), components (n_components, d),
+    explained_variance_ratio (n_components,))``.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        x = _stack(t[vec_col])
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "s": pa.array([x.sum(axis=0)]),
+            "ss": pa.array([(x.T @ x).reshape(-1)]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    d = len(s)
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(-evals)[:n_components]
+    comps = evecs[:, order].T                   # (n_components, d)
+    flip = np.sign(comps[np.arange(len(comps)),
+                         np.abs(comps).argmax(axis=1)])
+    comps *= flip[:, None]
+    ratio = np.maximum(evals[order], 0.0) / max(evals.sum(), 1e-300)
+    return mean, comps, ratio
+
+
+def pca_project(ds, mean: np.ndarray, components: np.ndarray,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                out_col: str = "pc"):
+    """Project each vector onto the fitted components: one matmul per
+    batch against the broadcast (n_components, d) matrix; emits
+    (id, list<double> of component scores)."""
+    import ray
+
+    ref = ray.put({"mean": np.asarray(mean, np.float64),
+                   "comps": np.asarray(components, np.float64)})
+
+    def project(t: pa.Table) -> pa.Table:
+        from .join import _bcast_get
+
+        p = _bcast_get(ref)
+        x = _stack(t[vec_col]) - p["mean"]
+        return pa.table({
+            id_col: t[id_col],
+            out_col: pa.array(list((x @ p["comps"].T))),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

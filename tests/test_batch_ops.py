@@ -1098,3 +1098,74 @@ def test_ivfpq_index_build_search(rd, tmp_path):
     for q in ids:
         top3 = set(ap[ap["query_id"] == q].sort_values("rank").head(3)["vec_id"])
         assert q in top3, (q, top3)
+
+
+# ------------------------------------------------------------------------ PCA
+
+
+def test_pca_matches_numpy_and_partitioning(rd):
+    """Distributed moment-partial PCA equals numpy cov+eigh on the full
+    matrix (up to float fold order), is partition-count invariant at
+    1e-8, and projections reproduce X @ comps.T after centering."""
+    import numpy as np
+    import pandas as pd
+
+    from hydra_ray.stages.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    d = 16
+    # anisotropic cloud: a dominant direction PCA must find
+    base = rng.normal(size=(400, d))
+    base[:, 0] *= 6.0
+    base[:, 1] *= 3.0
+    mix = rng.normal(size=(d, d)) * 0.05 + np.eye(d)
+    x = base @ mix + rng.normal(size=d)  # shifted
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": [r.astype(np.float32) for r in x]})
+    xf = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+    got = {}
+    for blocks in (1, 7):
+        mean, comps, ratio = pca_fit(rd.from_pandas(df).repartition(blocks),
+                                     n_components=3)
+        if not got:
+            got = {"mean": mean, "comps": comps, "ratio": ratio}
+        np.testing.assert_allclose(mean, got["mean"], atol=1e-8)
+        np.testing.assert_allclose(comps, got["comps"], atol=1e-7)
+        np.testing.assert_allclose(ratio, got["ratio"], atol=1e-10)
+
+    # numpy reference on the float32-rounded matrix
+    ref_cov = np.cov(xf, rowvar=False)
+    evals, evecs = np.linalg.eigh(ref_cov)
+    order = np.argsort(-evals)[:3]
+    ref = evecs[:, order].T
+    flip = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref *= flip[:, None]
+    np.testing.assert_allclose(got["mean"], xf.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(got["comps"], ref, atol=1e-7)
+    np.testing.assert_allclose(got["ratio"],
+                               np.sort(evals)[::-1][:3] / evals.sum(),
+                               atol=1e-9)
+    # the planted dominant axis explains the most variance
+    assert got["ratio"][0] > got["ratio"][1] > got["ratio"][2]
+    assert np.abs(got["comps"][0]).argmax() == 0
+
+    proj = pca_project(rd.from_pandas(df), got["mean"], got["comps"]
+                       ).to_pandas().sort_values("vec_id")
+    p = np.stack(proj["pc"].to_numpy())
+    np.testing.assert_allclose(
+        p, (xf - got["mean"]) @ got["comps"].T, atol=1e-8)
+
+
+def test_pca_too_few_rows_raises(rd):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    import ray.data as rdm
+    from hydra_ray.stages.similarity import pca_fit
+
+    df = pd.DataFrame({"vec_id": [0],
+                       "embedding": [np.zeros(4, np.float32)]})
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_fit(rdm.from_pandas(df), 2)
