@@ -699,13 +699,16 @@ def _train_pq_mat(x: np.ndarray, m: int, ksub: int, iters: int,
     books = np.empty((m, ksub, dsub), np.float64)
     for j in range(m):
         sub = x[:, j * dsub:(j + 1) * dsub]
-        c = sub[rng.choice(n, ksub, replace=False)]
+        c = sub[rng.choice(n, ksub, replace=False)].copy()
         for _ in range(iters):
-            a = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-            for q in range(ksub):
-                sel = a == q
-                if sel.any():
-                    c[q] = sub[sel].mean(axis=0)
+            # argmin ||x - c||² = argmax (x·c − ½||c||²): one (n, ksub)
+            # matmul instead of an (n, ksub, dsub) distance tensor
+            a = (sub @ c.T - 0.5 * (c ** 2).sum(axis=1)[None, :]).argmax(axis=1)
+            cnt = np.bincount(a, minlength=ksub)
+            sums = np.zeros((ksub, dsub))
+            np.add.at(sums, a, sub)
+            nz = cnt > 0
+            c[nz] = sums[nz] / cnt[nz, None]
         books[j] = c
     return books.astype(np.float32)
 
