@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue": q.q_order_revenue,
         "avro_roundtrip": q.q_avro_roundtrip,
         "window_quantiles": q.q_window_quantiles,
+        "weighted_sample": q.q_weighted_sample,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -490,6 +491,11 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY tf.doc_id
                 ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC,
                          tf.term) <= 3
+        """,
+        "weighted_sample": """
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) < length(text) * 4194304
         """,
         "train_split": """
             SELECT doc_id,

@@ -1780,6 +1780,26 @@ def q_ann_ivfpq(sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_weighted_sample(sf_dir):
+    """Length-weighted Bernoulli document sample: keep with probability
+    ~len(text)/1024 via one integer hash comparison per row (no shuffle,
+    no RNG state; the SQL oracle reproduces membership bit-exactly)."""
+    from ..stages.sampling import weighted_bernoulli
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_len(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    return weighted_bernoulli(
+        ds.map_batches(with_len, batch_format="pyarrow"),
+        "doc_id", "n_chars", num=1 << 22,
+    )
+
+
 def q_embed_pca(sf_dir):
     """Distributed PCA (rows-only): one moment-partials pass fits the
     d×d covariance on the driver, projections stream; output = per-label

@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 __all__ = ["bottom_k_sample", "budget_cap", "hash_split", "pack_sequences",
-           "per_key_topn", "stratified_sample"]
+           "per_key_topn", "stratified_sample", "weighted_bernoulli"]
 
 _KNUTH = 2654435761  # Knuth multiplicative constant, fits int64 products
 _MOD = 1 << 32
@@ -61,6 +61,44 @@ def hash_split(ds, id_col: str, splits=(("train", 0.8), ("val", 0.2)),
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_bernoulli(ds, id_col: str, weight_col: str, num: int,
+                       den: int = 1):
+    """Weighted Bernoulli (Poisson) sample: keep a row with probability
+    ``min(1, weight·num / (den·2^32))`` — decided by the pure-integer
+    comparison ``h(id)·den < weight·num`` with the same Knuth hash
+    lattice as ``hash_split``.
+
+    The importance-sampling step of corpus shaping (sample long/high-
+    quality documents proportionally harder) as a stateless per-batch
+    filter: no shuffle, no RNG state, stable under repartitioning, and
+    the cross-multiplied integer comparison is bit-identical in SQL
+    (no transcendentals to diverge at the ulp level), so membership is
+    exactly oracle-checkable.
+
+    Weights must be non-negative integers; ``den ≤ 2^30`` and
+    ``max(weight) ≤ 2^62/num`` keep both products inside int64.
+    """
+    if not (1 <= den <= 1 << 30):
+        raise ValueError(f"den must be in [1, 2^30], got {den}")
+    if num < 1:
+        raise ValueError(f"num must be >= 1, got {num}")
+    wmax = (1 << 62) // num
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() > (1 << 63) // _KNUTH):
+            raise ValueError(
+                f"weighted_bernoulli ids must be in [0, {(1 << 63) // _KNUTH}]"
+            )
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and (w.min() < 0 or w.max() > wmax):
+            raise ValueError(f"weights must be in [0, {wmax}]")
+        h = (ids * _KNUTH) % _MOD
+        return t.filter(pa.array(h * den < w * num))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def sample_threshold(fraction: float) -> int:

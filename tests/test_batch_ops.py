@@ -1169,3 +1169,50 @@ def test_pca_too_few_rows_raises(rd):
                        "embedding": [np.zeros(4, np.float32)]})
     with pytest.raises(ValueError, match="at least 2"):
         pca_fit(rdm.from_pandas(df), 2)
+
+
+def test_weighted_bernoulli_membership_and_guards(rd):
+    """Membership equals the integer formula exactly, is monotone in
+    weight (w=0 never kept, huge w always kept), partition-invariant,
+    and out-of-range ids/weights raise."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from hydra_ray.stages.sampling import weighted_bernoulli
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    w = (ids % 700).astype(np.int64)  # includes zeros
+    df = pd.DataFrame({"id": ids, "w": w})
+    num = 1 << 22
+    expect = ((ids * 2654435761) % (1 << 32)) < w * num
+
+    got = None
+    for blocks in (1, 5):
+        out = weighted_bernoulli(rd.from_pandas(df).repartition(blocks),
+                                 "id", "w", num=num).to_pandas()
+        kept = np.zeros(n, bool)
+        kept[out["id"].to_numpy()] = True
+        if got is None:
+            got = kept
+        np.testing.assert_array_equal(kept, got)
+    np.testing.assert_array_equal(got, expect)
+    assert not got[w == 0].any()          # zero weight never sampled
+    assert 0 < got.sum() < n
+
+    # saturated probability: every row kept
+    big = df.assign(w=np.int64(1 << 30))
+    out = weighted_bernoulli(rd.from_pandas(big), "id", "w", num=num)
+    assert out.count() == n
+
+    with pytest.raises(Exception, match="ids must be"):
+        weighted_bernoulli(
+            rd.from_pandas(pd.DataFrame({"id": [-1], "w": [5]})),
+            "id", "w", num=num).to_pandas()
+    with pytest.raises(Exception, match="weights must be"):
+        weighted_bernoulli(
+            rd.from_pandas(pd.DataFrame({"id": [1], "w": [1 << 62]})),
+            "id", "w", num=num).to_pandas()
+    with pytest.raises(ValueError, match="den must be"):
+        weighted_bernoulli(rd.from_pandas(df), "id", "w", num=num, den=0)
