@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_roundtrip": q.q_avro_roundtrip,
         "window_quantiles": q.q_window_quantiles,
         "weighted_sample": q.q_weighted_sample,
+        "triangle_count": q.q_triangle_count,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -496,6 +497,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars
             FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) < length(text) * 4194304
+        """,
+        "triangle_count": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+                FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            )
+            SELECT count(*) AS triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
         """,
         "train_split": """
             SELECT doc_id,

@@ -54,7 +54,8 @@ QUERY_NAMES = [
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "compression_ratio",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "ann_pq",
-    "ann_ivfpq", "embed_pca", "weighted_sample", "vector_norms",
+    "ann_ivfpq", "embed_pca", "weighted_sample", "triangle_count",
+    "vector_norms",
     "kmeans_embed", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",
     "audio_features", "audio_fbank", "audio_neardup", "flac_roundtrip",

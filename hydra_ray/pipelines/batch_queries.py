@@ -1780,6 +1780,19 @@ def q_ann_ivfpq(sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_triangle_count(sf_dir):
+    """Exact triangle count of the part co-purchase graph (parts sharing
+    an order) — triple-partitioned GP scheme: edges replicate rho× to
+    bucket-triple tasks, wedges never leave the task (SQL oracle = the
+    3-way self-join)."""
+    from ..stages.graph import cooccurrence_edges, triangle_count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    # cooccurrence_edges output is canonical+unique — skip the re-dedup
+    return triangle_count(edges, "u", "v", rho=8, assume_canonical=True)
+
+
 def q_weighted_sample(sf_dir):
     """Length-weighted Bernoulli document sample: keep with probability
     ~len(text)/1024 via one integer hash comparison per row (no shuffle,

@@ -27,7 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["connected_components", "pagerank", "pagerank_sharded"]
+__all__ = ["connected_components", "cooccurrence_edges", "pagerank",
+           "pagerank_sharded", "triangle_count"]
 
 
 def _star_kernel(g: pd.DataFrame, large: bool) -> pd.DataFrame:
@@ -470,3 +471,163 @@ def pagerank_sharded(edges, src_col: str, dst_col: str,
         for a in actors:
             ray.kill(a, no_restart=True)
     return ray.data.from_arrow_refs(res_refs)
+
+
+def _intra_run_pairs(sorted_keys: np.ndarray, values: np.ndarray):
+    """All (values[i], values[j]) pairs with i < j inside each equal-key
+    run of the key-sorted arrays — pure arange/repeat index math, no
+    Python loop (the combination-generation kernel shared by wedge
+    enumeration and co-occurrence edge building)."""
+    n = len(sorted_keys)
+    if n == 0:
+        return values[:0], values[:0]
+    new = np.r_[True, sorted_keys[1:] != sorted_keys[:-1]]
+    run_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+    local = np.arange(n) - run_start
+    total = int(local.sum())
+    if total == 0:
+        return values[:0], values[:0]
+    sec = np.repeat(np.arange(n), local)
+    block = np.concatenate(([0], np.cumsum(local)))[:-1]
+    within = np.arange(total) - np.repeat(block, local)
+    first = np.repeat(run_start, local) + within
+    return values[first], values[sec]
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       num_buckets: int = 64):
+    """Canonical unique undirected edges between items sharing a group
+    (the market-basket co-occurrence graph): per-batch distinct
+    (group, item) → ONE hash(group) bucket exchange → per-bucket
+    vectorized intra-group pair generation → global pair dedup.
+
+    Pair count per group is C(size, 2): bounded group sizes (order
+    baskets, sessions) keep the blow-up linear; unbounded hot groups
+    should be capped upstream (``per_key_topn``)."""
+    from .dedup import bucketed_distinct
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, item_col]].drop_duplicates()
+        h = pd.util.hash_pandas_object(out[group_col], index=False).to_numpy()
+        return out.assign(__bucket=(h % num_buckets).astype("int64"))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g[[group_col, item_col]].drop_duplicates()
+        k = gg[group_col].to_numpy()
+        it = gg[item_col].to_numpy()
+        pos = np.lexsort((it, k))
+        a, b = _intra_run_pairs(k[pos], it[pos])  # ascending in each run → a < b
+        return pd.DataFrame({"u": a, "v": b}).drop_duplicates()
+
+    pe = ds.map_batches(local, batch_format="pandas").groupby(
+        "__bucket").map_groups(pairs, batch_format="pandas")
+    return bucketed_distinct(pe, ["u", "v"], num_buckets=num_buckets)
+
+
+def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
+                   rho: int = 8, assume_canonical: bool = False):
+    """Exact global triangle count via triple partitioning (the GP
+    scheme of Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer", WWW 2011 — public paper): nodes hash into
+    ``rho`` buckets, each edge is replicated to the C(rho+2,3) sorted
+    bucket TRIPLES containing both endpoints (exactly ``rho`` copies),
+    and each triple task counts its local triangles with the ownership
+    rule "sorted node-bucket triple == task triple" so every triangle
+    is counted exactly once.
+
+    Why this shape: the textbook wedge-join MapReduce shuffles every
+    wedge (Σ C(out-degree, 2) rows — 41 M at sf0.1 here); triple
+    partitioning shuffles only ``rho``× the EDGES (9.6 M rows) and the
+    wedges are generated and probed inside one numpy kernel per task,
+    never touching the object store.  Inside each task the adjacency
+    is degree-oriented ((deg, node) order), which bounds the per-node
+    wedge fan-out at O(√m) — the "last reducer" fix.
+
+    Self-loops are dropped; duplicate/undirected input is fine (edges
+    are canonicalized and deduped first).  ``assume_canonical=True``
+    skips that exchange when the input is already unique with
+    ``src_col < dst_col`` per row (e.g. straight from
+    ``cooccurrence_edges``).  Returns a 1-row pandas DataFrame
+    ``{"triangles": int64}``.
+    """
+    from ..hashing import hash64
+    from .dedup import bucketed_distinct
+
+    if rho < 1 or rho > 64:
+        raise ValueError(f"rho must be in [1, 64], got {rho}")
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d)),
+                         "v": pa.array(np.maximum(s, d))})
+
+    if assume_canonical:
+        ce = edges.map_batches(
+            lambda t: pa.table({"u": t[src_col].cast(pa.int64()),
+                                "v": t[dst_col].cast(pa.int64())}),
+            batch_format="pyarrow")
+    else:
+        ce = bucketed_distinct(
+            edges.map_batches(canon, batch_format="pyarrow"), ["u", "v"])
+
+    # triple ids: tid = (i*rho + j)*rho + k for i <= j <= k
+    def replicate(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        pu = (hash64(t["u"]) % np.uint64(rho)).astype(np.int64)
+        pv = (hash64(t["v"]) % np.uint64(rho)).astype(np.int64)
+        n = len(u)
+        ur = np.repeat(u, rho)
+        vr = np.repeat(v, rho)
+        a = np.repeat(pu, rho)
+        b = np.repeat(pv, rho)
+        c = np.tile(np.arange(rho, dtype=np.int64), n)
+        tri = np.sort(np.stack([a, b, c], axis=1), axis=1)
+        tid = (tri[:, 0] * rho + tri[:, 1]) * rho + tri[:, 2]
+        return pa.table({"u": pa.array(ur), "v": pa.array(vr),
+                         "__tid": pa.array(tid)})
+
+    rep = ce.map_batches(replicate, batch_format="pyarrow")
+
+    def count_task(g: pd.DataFrame) -> pd.DataFrame:
+        tid = int(g["__tid"].iloc[0])
+        i, jk = divmod(tid, rho * rho)
+        j, kk = divmod(jk, rho)
+        task = np.array([i, j, kk], np.int64)
+        u = g["u"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[:len(u)], inv[len(u):]
+        nn = len(nodes)
+        deg = np.bincount(ui, minlength=nn) + np.bincount(vi, minlength=nn)
+        # sorted canonical edge keys (by node-id order: ui < vi holds
+        # because node ids are sorted by np.unique and u < v)
+        ekeys = np.sort(ui * nn + vi)
+        # degree orientation lo -> hi by (deg, node)
+        swap = (deg[vi] < deg[ui]) | ((deg[vi] == deg[ui]) & (vi < ui))
+        lo = np.where(swap, vi, ui)
+        hi = np.where(swap, ui, vi)
+        pos = np.lexsort((hi, lo))
+        los, his = lo[pos], hi[pos]
+        fidx, sidx = _intra_run_pairs(los, np.arange(len(pos)))
+        a, b = his[fidx], his[sidx]  # wedge endpoints
+        wk = np.minimum(a, b) * nn + np.maximum(a, b)
+        hit = ekeys[np.searchsorted(ekeys, wk, side="left").clip(0, len(ekeys) - 1)] == wk
+        if not hit.any():
+            return pd.DataFrame({"n": np.array([0], np.int64)})
+        # ownership: count only triangles whose sorted node-bucket
+        # triple IS this task's triple (mono/dual-bucket triangles
+        # appear in several tasks otherwise)
+        cidx = los[sidx][hit]
+        ta, tb = a[hit], b[hit]
+        nb = (hash64(nodes) % np.uint64(rho)).astype(np.int64)
+        tri = np.sort(np.stack([nb[cidx], nb[ta], nb[tb]], axis=1), axis=1)
+        own = (tri == task[None, :]).all(axis=1)
+        return pd.DataFrame({"n": np.array([int(own.sum())], np.int64)})
+
+    parts = rep.groupby("__tid").map_groups(count_task, batch_format="pandas")
+    total = int(parts.to_pandas()["n"].sum())
+    return pd.DataFrame({"triangles": np.array([total], np.int64)})

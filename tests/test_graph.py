@@ -166,3 +166,62 @@ def test_pagerank_sharded_parity_and_guard(ray_session):
 
     with pytest.raises(ValueError, match="max_nodes"):
         pagerank(rd.from_pandas(edges), "s", "d", iters=1, max_nodes=10)
+
+
+# -------------------------------------------------------- triangle counting
+
+
+def test_triangle_count_brute_force_and_rho_invariance(rd):
+    """Triple-partitioned count equals O(n^3) brute force on a random
+    multigraph (self-loops + duplicate/reversed edges in the input) and
+    is invariant to the partition parameter rho."""
+    import numpy as np
+    import pandas as pd
+
+    from hydra_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(3)
+    n, m = 60, 400
+    e = rng.integers(0, n, size=(m, 2))
+    # add noise: exact duplicates and reversed copies
+    e = np.concatenate([e, e[:50], e[:30, ::-1]])
+    df = pd.DataFrame({"s": e[:, 0], "d": e[:, 1]})
+
+    adj = np.zeros((n, n), bool)
+    for s, d in e:
+        if s != d:
+            adj[min(s, d), max(s, d)] = True
+    brute = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if adj[i, j]:
+                brute += int((adj[i, j + 1:] & adj[j, j + 1:]).sum())
+
+    for rho in (1, 3, 8):
+        out = triangle_count(rd.from_pandas(df).repartition(4),
+                             "s", "d", rho=rho)
+        assert int(out["triangles"].iloc[0]) == brute, rho
+    assert list(out.columns) == ["triangles"]
+
+
+def test_cooccurrence_edges_canonical_unique(rd):
+    """Co-occurrence edges: one canonical (u<v) row per item pair that
+    shares any group, regardless of duplicates or partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from hydra_ray.stages.graph import cooccurrence_edges
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3, 3, 3, 3],
+        "i": [10, 20, 30, 20, 10, 7, 7, 8, 10],
+    })
+    # duplicate rows too
+    df = pd.concat([df, df.iloc[:4]], ignore_index=True)
+    expect = {(10, 20), (10, 30), (20, 30), (7, 8), (7, 10), (8, 10)}
+    for blocks in (1, 3):
+        out = cooccurrence_edges(rd.from_pandas(df).repartition(blocks),
+                                 "g", "i").to_pandas()
+        got = set(zip(out["u"], out["v"]))
+        assert got == expect, got
+        assert (out["u"] < out["v"]).all()
