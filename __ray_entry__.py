@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_quantiles": q.q_window_quantiles,
         "weighted_sample": q.q_weighted_sample,
         "triangle_count": q.q_triangle_count,
+        "pair_support": q.q_pair_support,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -497,6 +498,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars
             FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) < length(text) * 4194304
+        """,
+        "pair_support": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            )
+            SELECT a.p AS u, b.p AS v, count(*) AS pair_count
+            FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            GROUP BY u, v
+            HAVING count(*) >= 2
         """,
         "triangle_count": """
             WITH pp AS (

@@ -1793,6 +1793,24 @@ def q_triangle_count(sf_dir):
     return triangle_count(edges, "u", "v", rho=8, assume_canonical=True)
 
 
+def q_pair_support(sf_dir):
+    """Frequent co-purchased part pairs (market-basket support ≥ 2):
+    the counting tier of the co-occurrence builder — one row per
+    (group, pair) instead of the distinct set, reduced by the
+    combiner-partial grouped_aggregate (SQL oracle = the conditional
+    self-join GROUP BY)."""
+    from ..stages.graph import cooccurrence_edges
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    out = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                             with_counts=True)
+
+    def frequent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["pair_count"], 2))
+
+    return out.map_batches(frequent, batch_format="pyarrow")
+
+
 def q_weighted_sample(sf_dir):
     """Length-weighted Bernoulli document sample: keep with probability
     ~len(text)/1024 via one integer hash comparison per row (no shuffle,

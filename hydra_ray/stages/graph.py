@@ -495,11 +495,16 @@ def _intra_run_pairs(sorted_keys: np.ndarray, values: np.ndarray):
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,
-                       num_buckets: int = 64):
-    """Canonical unique undirected edges between items sharing a group
-    (the market-basket co-occurrence graph): per-batch distinct
+                       num_buckets: int = 64, with_counts: bool = False):
+    """Canonical undirected edges between items sharing a group (the
+    market-basket co-occurrence graph): per-batch distinct
     (group, item) → ONE hash(group) bucket exchange → per-bucket
     vectorized intra-group pair generation → global pair dedup.
+
+    ``with_counts=True`` returns (u, v, pair_count) instead — the
+    SUPPORT of each pair (number of distinct groups containing both),
+    reduced by the combiner-partial ``grouped_aggregate`` so the second
+    exchange carries one row per distinct pair per block.
 
     Pair count per group is C(size, 2): bounded group sizes (order
     baskets, sessions) keep the blow-up linear; unbounded hot groups
@@ -517,10 +522,18 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
         it = gg[item_col].to_numpy()
         pos = np.lexsort((it, k))
         a, b = _intra_run_pairs(k[pos], it[pos])  # ascending in each run → a < b
-        return pd.DataFrame({"u": a, "v": b}).drop_duplicates()
+        out = pd.DataFrame({"u": a, "v": b})
+        # one row per (group, pair): duplicates across groups ARE the
+        # support signal when counting, noise when not
+        return out if with_counts else out.drop_duplicates()
 
     pe = ds.map_batches(local, batch_format="pandas").groupby(
         "__bucket").map_groups(pairs, batch_format="pandas")
+    if with_counts:
+        from .windows import AggSpec, grouped_aggregate
+
+        return grouped_aggregate(
+            pe, ["u", "v"], [AggSpec("count", None, "pair_count")])
     return bucketed_distinct(pe, ["u", "v"], num_buckets=num_buckets)
 
 

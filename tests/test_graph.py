@@ -225,3 +225,30 @@ def test_cooccurrence_edges_canonical_unique(rd):
         got = set(zip(out["u"], out["v"]))
         assert got == expect, got
         assert (out["u"] < out["v"]).all()
+
+
+def test_cooccurrence_edges_with_counts(rd):
+    """with_counts=True returns exact pair support (number of distinct
+    groups containing both items), invariant to duplicate rows and
+    partitioning."""
+    import pandas as pd
+
+    from hydra_ray.stages.graph import cooccurrence_edges
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3, 3, 3, 3, 4, 4],
+        "i": [10, 20, 30, 20, 10, 7, 7, 8, 10, 10, 20],
+    })
+    df = pd.concat([df, df.iloc[:5]], ignore_index=True)  # dup rows
+    # pandas reference: distinct (g,i) → self-join i<j → group count
+    pp = df.drop_duplicates()
+    m = pp.merge(pp, on="g")
+    m = m[m["i_x"] < m["i_y"]]
+    expect = (m.groupby(["i_x", "i_y"]).size()
+               .rename("pair_count").reset_index())
+    expect = {(r.i_x, r.i_y): r.pair_count for r in expect.itertuples()}
+    for blocks in (1, 4):
+        out = cooccurrence_edges(rd.from_pandas(df).repartition(blocks),
+                                 "g", "i", with_counts=True).to_pandas()
+        got = {(r.u, r.v): r.pair_count for r in out.itertuples()}
+        assert got == expect, (got, expect)
