@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q.q_weighted_sample,
         "triangle_count": q.q_triangle_count,
         "pair_support": q.q_pair_support,
+        "k_hop": q.q_k_hop,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -498,6 +499,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars
             FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) < length(text) * 4194304
+        """,
+        "k_hop": """
+            WITH RECURSIVE pp AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+                FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            ), adj AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL
+                SELECT v AS node, u AS nbr FROM e
+            ), bfs AS (
+                SELECT CAST(s.node AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+                FROM (VALUES (1), (2), (3)) AS s(node)
+                UNION
+                SELECT adj.nbr AS node, bfs.d + 1 AS d
+                FROM bfs JOIN adj ON adj.node = bfs.node
+                WHERE bfs.d < 3
+            )
+            SELECT node, min(d) AS dist FROM bfs GROUP BY node
         """,
         "pair_support": """
             WITH pp AS (

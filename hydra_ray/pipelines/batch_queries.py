@@ -1793,6 +1793,18 @@ def q_triangle_count(sf_dir):
     return triangle_count(edges, "u", "v", rho=8, assume_canonical=True)
 
 
+def q_k_hop(sf_dir):
+    """Multi-source BFS (3 hops from parts {1,2,3}) over the co-purchase
+    graph — Pregel-style frontier expansion, two bucket exchanges per
+    hop, no driver-resident visited set (SQL oracle = depth-bounded
+    recursive CTE reduced by min(dist))."""
+    from ..stages.graph import cooccurrence_edges, k_hop
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    return k_hop(edges, seeds=[1, 2, 3], k=3)
+
+
 def q_pair_support(sf_dir):
     """Frequent co-purchased part pairs (market-basket support ≥ 2):
     the counting tier of the co-occurrence builder — one row per

@@ -26,9 +26,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["connected_components", "cooccurrence_edges", "pagerank",
-           "pagerank_sharded", "triangle_count"]
+__all__ = ["connected_components", "cooccurrence_edges", "k_hop",
+           "pagerank", "pagerank_sharded", "triangle_count"]
 
 
 def _star_kernel(g: pd.DataFrame, large: bool) -> pd.DataFrame:
@@ -535,6 +536,116 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
         return grouped_aggregate(
             pe, ["u", "v"], [AggSpec("count", None, "pair_count")])
     return bucketed_distinct(pe, ["u", "v"], num_buckets=num_buckets)
+
+
+def k_hop(edges, seeds, k: int, src_col: str = "u", dst_col: str = "v",
+          num_buckets: int = 32):
+    """Multi-source BFS over an undirected edge Dataset: returns
+    ``(node:int64, dist:int64)`` with dist = min #hops (<= k) from any
+    seed, seeds included at dist 0.
+
+    Pregel-style frontier expansion, TWO hash-bucket exchanges per hop:
+      1. (adjacency ∪ frontier) grouped by hash(node) — every neighbor
+         of a frontier node is emitted as a dist=h+1 candidate;
+      2. (dist ∪ candidates) grouped by hash(node) — min dist per node.
+    Neither the frontier nor the visited set ever lands on the driver
+    (hub-dominated graphs can reach most of the corpus in 2-3 hops);
+    the per-hop convergence probe is a count of new-frontier rows.
+
+    The adjacency rides exchange 1 every hop (same cost shape as the
+    connected_components rounds).  For deep traversals (k >> log n) a
+    shard-actor design holding resident CSR shards (pagerank_sharded)
+    amortizes that; k-hop neighborhood queries (k <= ~6) don't need it.
+    """
+    import ray.data as rd
+
+    from ..hashing import hash64
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[src_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t[dst_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"node": np.concatenate([a, b]),
+                         "nbr": np.concatenate([b, a]),
+                         "__f": np.zeros(2 * len(a), dtype=np.int8)})
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def tag(t: pa.Table) -> pa.Table:
+        bkt = (hash64(t["node"]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(bkt))
+
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    dist = rd.from_arrow(pa.table({
+        "node": seed_arr,
+        "dist": np.zeros(len(seed_arr), dtype=np.int64)}))
+
+    def frontier_rows(h: int):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.filter(pc.equal(t["dist"], h))["node"]
+            z = np.zeros(len(n), dtype=np.int64)
+            return pa.table({"node": n, "nbr": pa.array(z),
+                             "__f": np.ones(len(n), dtype=np.int8)})
+        return _f
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        f = np.unique(g.loc[g["__f"] == 1, "node"].to_numpy(dtype=np.int64))
+        empty = pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        if len(f) == 0:
+            return empty
+        a = g.loc[g["__f"] == 0, ["node", "nbr"]]
+        an = a["node"].to_numpy(dtype=np.int64)
+        i = np.searchsorted(f, an)
+        hit = (i < len(f)) & (f[np.minimum(i, len(f) - 1)] == an)
+        out = np.unique(a["nbr"].to_numpy(dtype=np.int64)[hit])
+        return pd.DataFrame({"node": out}) if len(out) else empty
+
+    def with_dist(h: int):
+        def _d(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "dist": np.full(t.num_rows, h, dtype=np.int64)})
+        return _d
+
+    def min_dist(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["node"].to_numpy(dtype=np.int64)
+        d = g["dist"].to_numpy(dtype=np.int64)
+        pos = np.lexsort((d, n))
+        n, d = n[pos], d[pos]
+        starts = np.flatnonzero(np.r_[True, n[1:] != n[:-1]])
+        return pd.DataFrame({"node": n[starts], "dist": d[starts]})
+
+    def new_count(h: int):
+        def _c(t: pa.Table) -> pa.Table:
+            m = pc.sum(pc.cast(
+                pc.equal(t["dist"], h), pa.int64())).as_py()
+            return pa.table({"n": pa.array([int(m or 0)], pa.int64())})
+        return _c
+
+    for h in range(int(k)):
+        frontier = dist.map_batches(frontier_rows(h), batch_format="pyarrow")
+        cand = (
+            adj.union(frontier)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(expand, batch_format="pandas")
+            .map_batches(with_dist(h + 1), batch_format="pyarrow")
+        )
+        dist = (
+            dist.union(cand)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(min_dist, batch_format="pandas")
+            .materialize()
+        )
+        if h + 1 == int(k):
+            break  # last hop: no next frontier to probe for
+        fresh = sum(r["n"] for r in dist.map_batches(
+            new_count(h + 1), batch_format="pyarrow").take_all())
+        if fresh == 0:
+            break
+    return dist
 
 
 def triangle_count(edges, src_col: str = "u", dst_col: str = "v",

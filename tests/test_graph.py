@@ -227,6 +227,50 @@ def test_cooccurrence_edges_canonical_unique(rd):
         assert (out["u"] < out["v"]).all()
 
 
+def test_k_hop_matches_bfs_reference(rd):
+    """k_hop = min hop distance <= k from any seed, vs a dict-BFS
+    reference; invariant to partitioning and bucket count; seeds outside
+    the graph still appear at dist 0."""
+    import collections
+
+    import numpy as np
+    import pandas as pd
+
+    from hydra_ray.stages.graph import k_hop
+
+    rng = np.random.default_rng(7)
+    u = rng.integers(0, 60, size=150)
+    v = rng.integers(0, 60, size=150)
+    df = pd.DataFrame({"u": u, "v": v})
+
+    def ref_bfs(edges, seeds, k):
+        g = collections.defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                g[a].add(b)
+                g[b].add(a)
+        dist = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for h in range(1, k + 1):
+            frontier = {n for f in frontier for n in g[f] if n not in dist}
+            for n in frontier:
+                dist[n] = h
+        return dist
+
+    seeds = [0, 999]  # 999 not in the graph: isolated seed, dist 0
+    expect = ref_bfs(zip(df["u"], df["v"]), seeds, 2)
+    for blocks, buckets in ((1, 4), (5, 3)):
+        out = k_hop(rd.from_pandas(df).repartition(blocks), seeds, 2,
+                    num_buckets=buckets).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == expect, (got, expect)
+
+    # k larger than the graph diameter: early exit, full reach
+    full = ref_bfs(zip(df["u"], df["v"]), [0], 100)
+    out = k_hop(rd.from_pandas(df), [0], 50).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == full
+
+
 def test_cooccurrence_edges_with_counts(rd):
     """with_counts=True returns exact pair support (number of distinct
     groups containing both items), invariant to duplicate rows and
