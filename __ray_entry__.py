@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q.q_triangle_count,
         "pair_support": q.q_pair_support,
         "k_hop": q.q_k_hop,
+        "bm25_search": q.q_bm25_search,
+        "degree_stats": q.q_degree_stats,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -499,6 +501,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars
             FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) < length(text) * 4194304
+        """,
+        "degree_stats": """
+            WITH pp AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+            ), e AS (
+                SELECT DISTINCT least(a.p, b.p) AS u, greatest(a.p, b.p) AS v
+                FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            ), deg AS (
+                SELECT node, count(*) AS degree
+                FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                GROUP BY node
+            )
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        # BM25 bit-exactness: the expression tree below is mirrored
+        # op-for-op by stages/text.py bm25_score — composite constants
+        # stay unfolded ((1.2 + 1.0), (1.0 - 0.75)) and the per-term
+        # contributions are added left-to-right in query order.
+        "bm25_search": """
+            WITH tok AS (
+                SELECT doc_id, t AS term
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+                WHERE t <> ''
+            ), dl AS (
+                SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+            ), stats AS (
+                SELECT (SELECT count(*) FROM documents) AS n,
+                       (SELECT CAST(sum(len) AS DOUBLE) FROM dl)
+                       / (SELECT count(*) FROM documents) AS avgdl
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok
+                WHERE term IN ('hash', 'join', 'stream', 'vector')
+                GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tok
+                WHERE term IN ('hash', 'join', 'stream', 'vector')
+                GROUP BY term
+            ), c AS (
+                SELECT tf.doc_id, tf.term,
+                       ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                         + 0.75 * dl.len / stats.avgdl)) AS w
+                FROM tf
+                JOIN df USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats
+            ), p AS (
+                SELECT doc_id,
+                       max(CASE WHEN term = 'hash' THEN w END) AS w1,
+                       max(CASE WHEN term = 'join' THEN w END) AS w2,
+                       max(CASE WHEN term = 'stream' THEN w END) AS w3,
+                       max(CASE WHEN term = 'vector' THEN w END) AS w4
+                FROM c GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(coalesce(w1, 0) + coalesce(w2, 0)
+                         + coalesce(w3, 0) + coalesce(w4, 0), 4) AS score
+            FROM p
         """,
         "k_hop": """
             WITH RECURSIVE pp AS (

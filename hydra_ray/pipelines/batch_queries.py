@@ -1793,6 +1793,41 @@ def q_triangle_count(sf_dir):
     return triangle_count(edges, "u", "v", rho=8, assume_canonical=True)
 
 
+def q_degree_stats(sf_dir):
+    """Degree distribution of the part co-purchase graph: symmetrize the
+    canonical edge set, ONE combiner-partial reduce per node, then a
+    tiny second reduce over degrees (SQL oracle = the two-level GROUP
+    BY over the unioned endpoint stream)."""
+    from ..stages.graph import cooccurrence_edges
+    from ..stages.windows import AggSpec, grouped_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": np.concatenate([u, v])})
+
+    deg = grouped_aggregate(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        ["node"], [AggSpec("count", None, "degree")])
+    return grouped_aggregate(
+        deg, ["degree"], [AggSpec("count", None, "n_nodes")])
+
+
+def q_bm25_search(sf_dir):
+    """BM25 relevance search over documents for a fixed 4-term query —
+    zero-shuffle: per-doc tf/len partials in one pass, scalar stats
+    fold, broadcast-scalar scoring (SQL oracle = explicit ordered-sum
+    BM25 over the unnested token stream)."""
+    from ..stages.text import bm25_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_score(ds, ["hash", "join", "stream", "vector"])
+    return _round_cols(out, {"score": 4})
+
+
 def q_k_hop(sf_dir):
     """Multi-source BFS (3 hops from parts {1,2,3}) over the co-purchase
     graph — Pregel-style frontier expansion, two bucket exchanges per

@@ -529,6 +529,85 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def bm25_score(ds, query_terms, text_col: str = "text",
+               id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """BM25 relevance of every document against a fixed term set
+    (Robertson/Okapi, the +1 idf variant): returns ``(doc_id, score)``
+    for documents matching at least one query term.
+
+    score(d) = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1−b + b·len(d)/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1); tokens are lower(text)
+    split on ``[^a-z]+`` (the tfidf/oracle convention).
+
+    Shape: a document lives in ONE row, so there is NO shuffle anywhere —
+    (1) one tokenize-and-count pass emits the narrow per-doc partials
+    (len, tf per query term); (2) a scalar fold over per-block summaries
+    yields N / total-length / per-term df; (3) scoring is a stateless
+    map with the scalars closed over.  Query terms are a handful, so tf
+    counting uses one compiled zero-width-boundary regex per term.
+
+    Bit-exactness contract with the SQL oracle: every float op mirrors
+    the SQL expression's parse tree — (idf·tf)·(k1+1) / (tf + k1·((1−b)
+    + (b·len)/avgdl)), per-term contributions added left-to-right in
+    query_terms order, and composite constants are computed (k1 + 1.0),
+    never folded literals (1.2 + 1.0 and the literal 2.2 differ at the
+    final ulp).
+    """
+    import math
+    import re as _re
+
+    terms = [str(t) for t in query_terms]
+    pats = [rf"(?<![a-z]){_re.escape(t)}(?![a-z])" for t in terms]
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[text_col].to_pylist(), dtype=object).fillna("").str.lower()
+        cols = {"doc_id": t[id_col].to_numpy(zero_copy_only=False),
+                "len": s.str.count(r"[a-z]+").to_numpy(np.int64)}
+        for j, p in enumerate(pats):
+            cols[f"tf{j}"] = s.str.count(p).to_numpy(np.int64)
+        return pa.table(cols)
+
+    pdoc = ds.map_batches(per_doc, batch_format="pyarrow").materialize()
+
+    def summary(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _c
+        out = {"n": pa.array([t.num_rows], pa.int64()),
+               "tot": pa.array([int(_c.sum(t["len"]).as_py() or 0)], pa.int64())}
+        for j in range(len(terms)):
+            nz = _c.sum(_c.cast(_c.greater(t[f"tf{j}"], 0), pa.int64())).as_py()
+            out[f"df{j}"] = pa.array([int(nz or 0)], pa.int64())
+        return pa.table(out)
+
+    rows = pdoc.map_batches(summary, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    if n == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.float64())}))
+    tot = sum(r["tot"] for r in rows)
+    dfs = [sum(r[f"df{j}"] for r in rows) for j in range(len(terms))]
+    avgdl = float(tot) / float(n)
+    idf = [math.log(((n - df) + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+    k1 = float(k1)
+    bb = float(b)
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - bb
+
+    def score(t: pa.Table) -> pa.Table:
+        lenf = t["len"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dnorm = k1 * (one_minus_b + (bb * lenf) / avgdl)
+        total = np.zeros(t.num_rows, dtype=np.float64)
+        any_hit = np.zeros(t.num_rows, dtype=bool)
+        for j in range(len(terms)):
+            tf = t[f"tf{j}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            total = total + ((idf[j] * tf) * k1p1) / (tf + dnorm)
+            any_hit |= tf > 0.0
+        return pa.table({"doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[any_hit],
+                         "score": total[any_hit]})
+
+    return pdoc.map_batches(score, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- char-bigram LM
 def _byte_pairs(texts):
     """Flat byte-pair ids for a batch: encode the column to ONE UTF-8
