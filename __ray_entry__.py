@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_hop": q.q_k_hop,
         "bm25_search": q.q_bm25_search,
         "degree_stats": q.q_degree_stats,
+        "full_outer": q.q_full_outer,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -501,6 +502,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS n_chars
             FROM documents
             WHERE ((doc_id * 2654435761) % 4294967296) < length(text) * 4194304
+        """,
+        "full_outer": """
+            WITH l AS (
+                SELECT o_custkey AS custkey, count(*) AS n_big
+                FROM orders WHERE o_totalprice > 250000 GROUP BY 1
+            ), r AS (
+                SELECT o_custkey AS custkey, count(*) AS n_pending
+                FROM orders WHERE o_orderstatus = 'P' GROUP BY 1
+            )
+            SELECT coalesce(l.custkey, r.custkey) AS custkey,
+                   l.n_big, r.n_pending
+            FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
         """,
         "degree_stats": """
             WITH pp AS (

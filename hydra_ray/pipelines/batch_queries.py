@@ -1793,6 +1793,34 @@ def q_triangle_count(sf_dir):
     return triangle_count(edges, "u", "v", rho=8, assume_canonical=True)
 
 
+def q_full_outer(sf_dir):
+    """FULL OUTER join of two per-customer aggregates (big-ticket order
+    count ⟗ pending order count) — the remaining join kind through
+    bucketed_join's union-schema null-padding path; unmatched sides
+    surface as NULL counts on both wings."""
+    from ..stages.join import bucketed_join
+    from ..stages.windows import AggSpec, grouped_aggregate
+
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_totalprice", "o_orderstatus"])
+
+    def big(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["o_totalprice"], 250000.0))
+        return pa.table({"custkey": f["o_custkey"]})
+
+    def pending(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["o_orderstatus"], "P"))
+        return pa.table({"custkey": f["o_custkey"]})
+
+    left = grouped_aggregate(
+        ds.map_batches(big, batch_format="pyarrow"),
+        ["custkey"], [AggSpec("count", None, "n_big")])
+    right = grouped_aggregate(
+        ds.map_batches(pending, batch_format="pyarrow"),
+        ["custkey"], [AggSpec("count", None, "n_pending")])
+    return bucketed_join(left, right, "custkey", how="outer")
+
+
 def q_degree_stats(sf_dir):
     """Degree distribution of the part co-purchase graph: symmetrize the
     canonical edge set, ONE combiner-partial reduce per node, then a
