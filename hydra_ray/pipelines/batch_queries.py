@@ -2192,10 +2192,11 @@ def q_image_features(sf_dir):
 
     def make(idx: np.ndarray) -> pa.Table:
         from ..jpeglite import encode_jpeg
+        from ..pnglite import encode_png
 
         ids, payloads, fmts = [], [], []
         for i in idx.tolist():
-            fmt = ("ppm", "bmp", "pgm", "jpeg")[i % 4]
+            fmt = ("ppm", "bmp", "pgm", "jpeg", "png")[i % 5]
             rgb = _synth_image(i)
             if fmt == "ppm":
                 payloads.append(encode_ppm(rgb))
@@ -2203,6 +2204,8 @@ def q_image_features(sf_dir):
                 payloads.append(encode_bmp(rgb))
             elif fmt == "jpeg":
                 payloads.append(encode_jpeg(rgb, quality=88))
+            elif fmt == "png":
+                payloads.append(encode_png(rgb))
             else:
                 payloads.append(encode_pgm(rgb[:, :, 0]))
             ids.append(f"img-{i:06d}")
@@ -2241,10 +2244,11 @@ def q_image_resize(sf_dir):
 
     def make(idx: np.ndarray) -> pa.Table:
         from ..jpeglite import encode_jpeg
+        from ..pnglite import encode_png
 
         ids, payloads, fmts = [], [], []
         for i in idx.tolist():
-            fmt = ("ppm", "bmp", "pgm", "jpeg")[i % 4]
+            fmt = ("ppm", "bmp", "pgm", "jpeg", "png")[i % 5]
             rgb = _synth_image(i)
             if fmt == "ppm":
                 payloads.append(encode_ppm(rgb))
@@ -2252,6 +2256,8 @@ def q_image_resize(sf_dir):
                 payloads.append(encode_bmp(rgb))
             elif fmt == "jpeg":
                 payloads.append(encode_jpeg(rgb, quality=88))
+            elif fmt == "png":
+                payloads.append(encode_png(rgb))
             else:
                 payloads.append(encode_pgm(rgb[:, :, 0]))
             ids.append(f"img-{i:06d}")

@@ -3,11 +3,13 @@
 Audio is fully implemented (`hydra_ray.audio`).  For images and video
 this build implements REAL pure-numpy codecs — PPM (P6) / PGM (P5),
 24-bit uncompressed BMP, BASELINE JPEG (`hydra_ray.jpeglite`, full
-encode+decode from the public T.81 spec) and a raw grayscale video
-container — plus real feature kernels (brightness / contrast / edge
-energy, 8×8 block-average thumbnails, dHash perceptual hashing, frame
-sampling with motion energy).  Codecs that genuinely need PIL/ffmpeg
-(png/webp/mp4/…) are explicit STUBS routed to the error column — the
+encode+decode from the public T.81 spec), PNG (`hydra_ray.pnglite`,
+full spec decode incl. all five scanline filters + palette, filter-0
+encode; stdlib zlib) and a raw grayscale video container — plus real
+feature kernels (brightness / contrast / edge energy, 8×8 block-average
+thumbnails, dHash perceptual hashing, frame sampling with motion
+energy).  Codecs that genuinely need PIL/ffmpeg
+(webp/mp4/…) are explicit STUBS routed to the error column — the
 dispatch, schema, batch-sizing and DLQ plumbing treat them exactly like
 the real formats, so swapping in a library decoder is a one-function
 change; progressive/12-bit/arithmetic JPEG likewise DLQ-routes.
@@ -141,7 +143,7 @@ def _decode_bmp(raw: bytes) -> np.ndarray:
     return a[:, :, ::-1]  # BGR → RGB
 
 
-_STUB_IMAGE_FORMATS = ("png", "webp")
+_STUB_IMAGE_FORMATS = ("webp",)
 
 
 def decode_image(raw: bytes, fmt: str) -> np.ndarray:
@@ -160,6 +162,15 @@ def decode_image(raw: bytes, fmt: str) -> np.ndarray:
         try:
             return decode_jpeg(raw)
         except JpegError as e:
+            raise ImageDecodeError(str(e))
+    if fmt == "png":
+        # REAL spec decoder (pnglite, stdlib zlib + numpy); interlaced /
+        # non-8-bit streams raise UnsupportedPng → DLQ
+        from ..pnglite import PngError, decode_png
+
+        try:
+            return decode_png(raw)
+        except PngError as e:
             raise ImageDecodeError(str(e))
     if fmt in _STUB_IMAGE_FORMATS:
         # STUB: compressed codecs need PIL, not present in this build
@@ -206,13 +217,14 @@ def dhash64(luma: np.ndarray) -> int:
 
 class ImageDecoder:
     """Actor-pool image decode + feature stage (REAL for
-    ppm/pgm/bmp/baseline-jpeg).
+    ppm/pgm/bmp/baseline-jpeg/png).
 
     Emits per image: dimensions, brightness/contrast, edge energy
     (mean gradient magnitude), an 8×8 block-average thumbnail (the
     standard embedding-ish small feature) and a 64-bit dHash for
-    perceptual near-dup.  Stub formats (png/webp), non-baseline jpeg and malformed
-    payloads land in ``decode_error`` — DLQ semantics, never raises.
+    perceptual near-dup.  Stub formats (webp), non-baseline jpeg,
+    interlaced/16-bit png and malformed payloads land in
+    ``decode_error`` — DLQ semantics, never raises.
     """
 
     def __init__(self, thumb: int = 8):
@@ -308,6 +320,11 @@ class ImageResize:
 
                     out_bytes[i] = encode_jpeg(img, quality=85)
                     out_fmt[i] = "jpeg"
+                elif fmts[i] == "png":  # png stays png (lossless)
+                    from ..pnglite import encode_png
+
+                    out_bytes[i] = encode_png(img)
+                    out_fmt[i] = "png"
                 elif img.ndim == 2:
                     out_bytes[i] = encode_pgm(img)
                     out_fmt[i] = "pgm"

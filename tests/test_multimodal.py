@@ -6,6 +6,7 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+from hydra_ray.pnglite import encode_png
 from hydra_ray.stages.multimodal import (
     FrameSampler,
     ImageDecoder,
@@ -40,7 +41,7 @@ def test_image_decoder_stage_features_and_errors():
         ("a", encode_ppm(_synth_rgb(0)), "ppm"),
         ("b", encode_bmp(_synth_rgb(1)), "bmp"),
         ("c", encode_pgm(_synth_rgb(2)[:, :, 0]), "pgm"),
-        ("d", b"\x89PNG....", "png"),          # stub format
+        ("d", encode_png(_synth_rgb(3)), "png"),  # real since pnglite
         ("e", b"garbage", "ppm"),              # malformed
     ]
     batch = pa.table(
@@ -52,10 +53,10 @@ def test_image_decoder_stage_features_and_errors():
     )
     out = ImageDecoder()(batch)
     errs = out["decode_error"].to_pylist()
-    assert errs[:3] == [None, None, None]
-    assert "requires PIL" in errs[3] and errs[4] is not None
-    assert out["width"].to_pylist()[:3] == [64, 64, 64]
-    assert out["height"].to_pylist()[:3] == [48, 48, 48]
+    assert errs[:4] == [None, None, None, None]
+    assert errs[4] is not None
+    assert out["width"].to_pylist()[:4] == [64, 64, 64, 64]
+    assert out["height"].to_pylist()[:4] == [48, 48, 48, 48]
     # brightness of the gradient image is mid-range
     b = out["brightness"].to_pylist()[0]
     assert 100 < b < 160

@@ -118,13 +118,13 @@ def test_image_stub_routing():
     batch = pa.table(
         {
             "image_id": ["a", "b", "c"],
-            "bytes": pa.array([b"\x89PNG1234", b"\xff\xd89", b"??"], pa.large_binary()),
-            "format": ["png", "jpeg", "bmp"],
+            "bytes": pa.array([b"RIFF????WEBP", b"\xff\xd89", b"??"], pa.large_binary()),
+            "format": ["webp", "jpeg", "bmp"],
         }
     )
     out = ImageDecoder()(batch)
     errs = out["decode_error"].to_pylist()
-    assert "requires PIL" in errs[0]       # png stays a declared stub
+    assert "requires PIL" in errs[0]       # webp stays a declared stub
     assert errs[1] is not None             # truncated jpeg → real decode error
     assert "PIL" not in errs[1]
     assert errs[2] is not None             # malformed bmp
