@@ -539,27 +539,42 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
 
 
 def k_hop(edges, seeds, k: int, src_col: str = "u", dst_col: str = "v",
-          num_buckets: int = 32):
+          num_buckets: int = 32, broadcast_threshold: int = 4_000_000):
     """Multi-source BFS over an undirected edge Dataset: returns
     ``(node:int64, dist:int64)`` with dist = min #hops (<= k) from any
     seed, seeds included at dist 0.
 
-    Pregel-style frontier expansion, TWO hash-bucket exchanges per hop:
-      1. (adjacency ∪ frontier) grouped by hash(node) — every neighbor
-         of a frontier node is emitted as a dist=h+1 candidate;
-      2. (dist ∪ candidates) grouped by hash(node) — min dist per node.
-    Neither the frontier nor the visited set ever lands on the driver
-    (hub-dominated graphs can reach most of the corpus in 2-3 hops);
-    the per-hop convergence probe is a count of new-frontier rows.
+    Two regimes, chosen per hop from the (known, materialized) size of
+    the reached set:
 
-    The adjacency rides exchange 1 every hop (same cost shape as the
-    connected_components rounds).  For deep traversals (k >> log n) a
-    shard-actor design holding resident CSR shards (pagerank_sharded)
-    amortizes that; k-hop neighborhood queries (k <= ~6) don't need it.
+    - **Broadcast regime** (reach ≤ ``broadcast_threshold``, the common
+      k-hop-neighborhood case): the sorted frontier + visited node
+      arrays ship once via ``ray.put`` and expansion is a SHUFFLE-FREE
+      ``map_batches`` over the resident adjacency — membership probe,
+      visited anti-probe, per-block dedup — followed by one small
+      bucketed distinct over only the NEW nodes.  The adjacency itself
+      never re-sorts (the measured cost of the exchange regime: two
+      full-adjacency sorts per hop).
+
+    - **Exchange regime** (reach too big to broadcast — hub-dominated
+      graphs reach most of the corpus in 2-3 hops): Pregel-style, TWO
+      hash-bucket exchanges per hop — (adjacency ∪ frontier) grouped by
+      hash(node) emits dist=h+1 candidates; (dist ∪ candidates) grouped
+      by hash(node) keeps min dist per node.  Nothing lands on the
+      driver; the convergence probe is a per-block count.
+
+    Both regimes produce identical results (the broadcast-regime test
+    pins parity).  For deep traversals (k >> log n) in the exchange
+    regime, a shard-actor design holding resident CSR shards
+    (pagerank_sharded) would amortize the per-hop adjacency ride; k-hop
+    neighborhood queries (k <= ~6) don't need it.
     """
+    import ray
     import ray.data as rd
 
     from ..hashing import hash64
+    from .dedup import bucketed_distinct
+    from .join import _bcast_get
 
     def sym(t: pa.Table) -> pa.Table:
         a = t[src_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -623,7 +638,44 @@ def k_hop(edges, seeds, k: int, src_col: str = "u", dst_col: str = "v",
             return pa.table({"n": pa.array([int(m or 0)], pa.int64())})
         return _c
 
+    def bcast_expand(fref, vref):
+        def _e(t: pa.Table) -> pa.Table:
+            f = _bcast_get(fref)
+            vis = _bcast_get(vref)
+            an = t["node"].to_numpy(zero_copy_only=False)
+            i = np.searchsorted(f, an)
+            hit = (i < len(f)) & (f[np.minimum(i, len(f) - 1)] == an)
+            nbr = np.unique(t["nbr"].to_numpy(zero_copy_only=False)[hit])
+            j = np.searchsorted(vis, nbr)
+            new = nbr[(j >= len(vis))
+                      | (vis[np.minimum(j, len(vis) - 1)] != nbr)]
+            return pa.table({"node": new})
+        return _e
+
+    reach = len(seed_arr)
     for h in range(int(k)):
+        if reach <= broadcast_threshold:
+            # ---- broadcast regime: collect the (small) reached set
+            cur = dist.to_pandas()  # bounded by broadcast_threshold
+            nodes = cur["node"].to_numpy(dtype=np.int64)
+            dists = cur["dist"].to_numpy(dtype=np.int64)
+            frontier_nodes = np.sort(nodes[dists == h])
+            if len(frontier_nodes) == 0:
+                break
+            fref = ray.put(frontier_nodes)
+            vref = ray.put(np.sort(nodes))
+            cand = bucketed_distinct(
+                adj.map_batches(bcast_expand(fref, vref),
+                                batch_format="pyarrow"),
+                ["node"], num_buckets=num_buckets,
+            ).map_batches(with_dist(h + 1), batch_format="pyarrow")
+            dist = dist.union(cand).materialize()
+            new_reach = dist.count()
+            if new_reach == reach:
+                break
+            reach = new_reach
+            continue
+        # ---- exchange regime: nothing lands on the driver
         frontier = dist.map_batches(frontier_rows(h), batch_format="pyarrow")
         cand = (
             adj.union(frontier)
@@ -639,6 +691,7 @@ def k_hop(edges, seeds, k: int, src_col: str = "u", dst_col: str = "v",
             .map_groups(min_dist, batch_format="pandas")
             .materialize()
         )
+        reach = dist.count()
         if h + 1 == int(k):
             break  # last hop: no next frontier to probe for
         fresh = sum(r["n"] for r in dist.map_batches(

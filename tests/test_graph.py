@@ -259,16 +259,22 @@ def test_k_hop_matches_bfs_reference(rd):
 
     seeds = [0, 999]  # 999 not in the graph: isolated seed, dist 0
     expect = ref_bfs(zip(df["u"], df["v"]), seeds, 2)
-    for blocks, buckets in ((1, 4), (5, 3)):
+    # threshold ∞ → broadcast regime; 0 → exchange regime; 30 → flips
+    # mid-traversal once the reach outgrows it.  All must agree.
+    for blocks, buckets, thresh in ((1, 4, 10**9), (5, 3, 10**9),
+                                    (4, 4, 0), (4, 4, 30)):
         out = k_hop(rd.from_pandas(df).repartition(blocks), seeds, 2,
-                    num_buckets=buckets).to_pandas()
+                    num_buckets=buckets,
+                    broadcast_threshold=thresh).to_pandas()
         got = dict(zip(out["node"], out["dist"]))
-        assert got == expect, (got, expect)
+        assert got == expect, (thresh, got, expect)
 
-    # k larger than the graph diameter: early exit, full reach
+    # k larger than the graph diameter: early exit, full reach (both regimes)
     full = ref_bfs(zip(df["u"], df["v"]), [0], 100)
-    out = k_hop(rd.from_pandas(df), [0], 50).to_pandas()
-    assert dict(zip(out["node"], out["dist"])) == full
+    for thresh in (10**9, 0):
+        out = k_hop(rd.from_pandas(df), [0], 50,
+                    broadcast_threshold=thresh).to_pandas()
+        assert dict(zip(out["node"], out["dist"])) == full
 
 
 def test_cooccurrence_edges_with_counts(rd):
