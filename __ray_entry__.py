@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q.q_bm25_search,
         "degree_stats": q.q_degree_stats,
         "full_outer": q.q_full_outer,
+        "transition_counts": q.q_transition_counts,
+        "time_resample": q.q_time_resample,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -163,6 +165,41 @@ def oracle_sql() -> dict[str, str]:
     HOUR = 3_600_000
     DAY = 86_400_000
     return {
+        "time_resample": f"""
+            WITH b AS (
+                SELECT user_id, epoch_ms(ts) AS ms, value, event_id
+                FROM events
+            ), b2 AS (
+                SELECT user_id, ms, arg_max(value, event_id) AS v
+                FROM b GROUP BY user_id, ms
+            ), r AS (
+                SELECT user_id,
+                       ((min(ms) + {HOUR - 1}) // {HOUR}) * {HOUR} AS lo,
+                       (max(ms) // {HOUR}) * {HOUR} AS hi
+                FROM b GROUP BY user_id
+            ), g AS (
+                SELECT user_id, unnest(range(lo, hi + 1, {HOUR})) AS grid_ms
+                FROM r WHERE lo <= hi
+            )
+            SELECT g.user_id, g.grid_ms, round(b2.v, 2) AS value
+            FROM g ASOF JOIN b2
+              ON g.user_id = b2.user_id AND g.grid_ms >= b2.ms
+        """,
+        "transition_counts": """
+            WITH s AS (
+                SELECT user_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_ms(ts), event_id
+                       ) AS prev_type,
+                       event_type AS next_type
+                FROM events
+            )
+            SELECT prev_type, next_type, count(*) AS cnt
+            FROM s
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
         "tumbling_window": f"""
             SELECT user_id,
                    (epoch_ms(ts) // {HOUR}) * {HOUR} AS window_start,

@@ -654,6 +654,33 @@ def q_funnel(sf_dir):
     )
 
 
+def q_transition_counts(sf_dir):
+    """Markov transition matrix over per-user event sequences: counts of
+    each adjacent (prev event type, next event type) pair in (ts,
+    event_id) order — LAG + GROUP BY pair, one bucket shuffle."""
+    from ..stages.cep import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    return transition_counts(
+        _ms_col(ds, "ts", "ms"),
+        "user_id", "ms", "event_id", "event_type",
+    )
+
+
+def q_time_resample(sf_dir):
+    """Per-user forward-fill resampling onto an hourly grid (time-series
+    gap filling: generate_series + ASOF JOIN) — one bucket shuffle, one
+    searchsorted probe per bucket."""
+    from ..stages.rollup import grouped_resample
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = grouped_resample(
+        _ms_col(ds, "ts", "ms"),
+        "user_id", "ms", "event_id", "value", step=HOUR,
+    )
+    return _round_cols(out, {"value": 2})
+
+
 def q_token_explode(sf_dir):
     """Unnest each document into one row per token (the relational
     explode/flatten primitive; pure per-batch map, no shuffle)."""

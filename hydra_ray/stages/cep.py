@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["funnel_match"]
+__all__ = ["funnel_match", "transition_counts"]
 
 _I64MAX = np.iinfo(np.int64).max
 _I64MIN = np.iinfo(np.int64).min
@@ -96,4 +96,69 @@ def funnel_match(ds, key_col: str, order_col: str, type_col: str,
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(match, batch_format="pandas")
+    )
+
+
+def transition_counts(ds, key_col: str, order_col: str, tie_col: str,
+                      type_col: str, prev_col: str = "prev_type",
+                      next_col: str = "next_type", count_col: str = "cnt",
+                      num_buckets: int = 64):
+    """Markov transition matrix over per-key ordered event sequences:
+    for every key, walk its events in ``(order, tie)`` order and count
+    each adjacent ``(prev type, next type)`` pair — SQL ``LAG(type)
+    OVER (PARTITION BY key ORDER BY order, tie)`` + GROUP BY pair.
+
+    Reference analogue: its consumer-group state machine folds ordered
+    per-key event streams (`ingestors/kafka/src/main/scala/hydra/kafka/
+    algebras/ConsumerGroupsAlgebra.scala`); this generalizes the fold
+    into the sequence-mining primitive (session-path bigram counts).
+
+    Scale shape: ONE hash(key)-bucket shuffle (a key's rows must meet to
+    be ordered), then each bucket resolves ALL keys in one lexsort +
+    factorize pass and emits at most ``n_types²`` partial-count rows, so
+    the final combine is a tiny grouped sum — output size is independent
+    of row count.
+    """
+    from .windows import AggSpec, grouped_aggregate
+    from ..hashing import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(b))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            prev_col: pd.Series([], dtype=object),
+            next_col: pd.Series([], dtype=object),
+            count_col: pd.Series([], dtype=np.int64),
+        })
+        if g.empty:
+            return empty
+        keys = g[key_col].to_numpy(dtype=object)
+        _, codes = np.unique(keys, return_inverse=True)
+        pos = np.lexsort((g[tie_col].to_numpy(), g[order_col].to_numpy(),
+                          codes))
+        sc = codes[pos]
+        tcodes, tvals = pd.factorize(g[type_col].to_numpy(dtype=object)[pos])
+        within = sc[1:] == sc[:-1]          # adjacent rows of the SAME key
+        if not within.any():
+            return empty
+        nt = len(tvals)
+        pair = tcodes[:-1][within] * nt + tcodes[1:][within]
+        cnt = np.bincount(pair, minlength=nt * nt)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            prev_col: tvals[nz // nt],
+            next_col: tvals[nz % nt],
+            count_col: cnt[nz].astype(np.int64),
+        })
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return grouped_aggregate(
+        partials, [prev_col, next_col],
+        [AggSpec("sum", count_col, count_col)],
     )

@@ -16,7 +16,7 @@ import pyarrow as pa
 
 __all__ = ["pivot_wider", "grouped_rolling", "grouped_rolling_range",
            "grouped_shift", "grouped_cumsum", "collect_sorted", "grouped_rank",
-           "grouped_bounds"]
+           "grouped_bounds", "grouped_resample"]
 
 
 def _bucket_tag(key_col: str, num_buckets: int):
@@ -454,4 +454,78 @@ def grouped_rank(ds, key_col: str, order_col: str, tie_col: str | None,
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(ranks, batch_format="pandas")
+    )
+
+
+def grouped_resample(ds, key_col: str, ts_col: str, tie_col: str,
+                     value_col: str, step: int,
+                     grid_col: str = "grid_ms", out_col: str = "value",
+                     num_buckets: int = 64):
+    """Per-key forward-fill resampling onto a regular time grid — the
+    time-series gap-filling reshape (SQL ``generate_series`` + ``ASOF
+    JOIN``, which is exactly what the DuckDB oracle runs).
+
+    Grid points for a key are every multiple of ``step`` in
+    ``[ceil(min_ts/step)·step, floor(max_ts/step)·step]`` (so every grid
+    point has at least one event at-or-before it; keys spanning less
+    than one step emit nothing).  The filled value is the key's LAST
+    event at or before the grid point, ties on ``ts`` broken by the
+    highest ``tie_col``.
+
+    Reference analogue: its compacted views forward-fill per-key state
+    between updates (`ConsumerGroupsAlgebra.scala`); this materializes
+    that fill onto a regular clock.  Scale shape: ONE hash(key)-bucket
+    shuffle, then each bucket resolves ALL keys with one lexsort, an
+    arange/repeat grid expansion and a single ``searchsorted`` probe
+    over a composite ``(key_code << 42) | ts`` axis — no per-key
+    dispatch.  Requires ``0 ≤ ts < 2^42`` and < 2^21 distinct keys per
+    bucket (asserted), same contract as ``grouped_rolling_range``.
+    """
+
+    def resample(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                key_col: g[key_col],
+                grid_col: pd.Series([], dtype="int64"),
+                out_col: pd.Series([], dtype="float64"),
+            })
+        keys = g[key_col].to_numpy()
+        _, codes = np.unique(keys, return_inverse=True)
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        assert ts.min() >= 0 and ts.max() < (1 << 42), "ts out of composite range"
+        assert codes.max() < (1 << 21), "too many keys per bucket; raise num_buckets"
+        pos = np.lexsort((g[tie_col].to_numpy(), ts, codes))
+        sc = codes[pos]
+        ts_s = ts[pos]
+        v_s = g[value_col].to_numpy(dtype=np.float64)[pos]
+        first = np.r_[True, sc[1:] != sc[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(sc)] - 1
+        lo = -(-ts_s[starts] // step) * step          # ceil to grid
+        hi = (ts_s[ends] // step) * step              # floor to grid
+        cnt = np.maximum((hi - lo) // step + 1, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({
+                key_col: keys[:0],
+                grid_col: pd.Series([], dtype="int64"),
+                out_col: pd.Series([], dtype="float64"),
+            })
+        run = np.repeat(np.arange(len(starts)), cnt)
+        offs = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=offs[1:])
+        grid = lo[run] + (np.arange(total) - offs[run]) * step
+        comp_ev = (sc.astype(np.int64) << 42) + ts_s
+        comp_g = (sc[starts][run].astype(np.int64) << 42) + grid
+        idx = np.searchsorted(comp_ev, comp_g, side="right") - 1
+        return pd.DataFrame({
+            key_col: keys[pos][starts][run],
+            grid_col: grid,
+            out_col: v_s[idx],
+        })
+
+    return (
+        ds.map_batches(_bucket_tag(key_col, num_buckets), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(resample, batch_format="pandas")
     )

@@ -7,6 +7,7 @@ import pytest
 
 from hydra_ray.stages.rollup import (
     grouped_cumsum,
+    grouped_resample,
     grouped_rolling,
     grouped_shift,
     pivot_wider,
@@ -315,3 +316,77 @@ def test_grouped_bounds_ntile_semantics(rd):
     c = out[out["k"] == "c"]
     assert c["tile"].tolist() == [1]
     assert c["first_value"].iloc[0] == c["last_value"].iloc[0] == 13.0
+
+
+def test_grouped_resample_matches_pandas(rd):
+    df = _events(n=3000)
+    step = 500
+    out = (
+        grouped_resample(
+            rd.from_pandas(df).repartition(5),
+            "user_id", "ts", "event_id", "value", step=step,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "grid_ms"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        lo = -(-g["ts"].min() // step) * step
+        hi = (g["ts"].max() // step) * step
+        for gp in range(lo, hi + 1, step):
+            at_or_before = g[g["ts"] <= gp]
+            rows.append((uid, gp, at_or_before["value"].iloc[-1]))
+    ref = pd.DataFrame(rows, columns=["user_id", "grid_ms", "value"])
+    ref = ref.sort_values(["user_id", "grid_ms"]).reset_index(drop=True)
+    assert len(out) == len(ref)
+    assert out["user_id"].dtype == ref["user_id"].dtype
+    np.testing.assert_array_equal(out["user_id"].to_numpy(), ref["user_id"].to_numpy())
+    np.testing.assert_array_equal(out["grid_ms"].to_numpy(), ref["grid_ms"].to_numpy())
+    np.testing.assert_allclose(out["value"].to_numpy(), ref["value"].to_numpy(), rtol=0)
+
+
+def test_grouped_resample_bucket_invariance(rd):
+    df = _events(n=1200, seed=9)
+    outs = []
+    for nb in (1, 8):
+        outs.append(
+            grouped_resample(
+                rd.from_pandas(df).repartition(4),
+                "user_id", "ts", "event_id", "value", step=700, num_buckets=nb,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "grid_ms"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_transition_counts_matches_pandas(rd):
+    from hydra_ray.stages.cep import transition_counts
+
+    df = _events(n=3000, seed=5)
+    out = (
+        transition_counts(
+            rd.from_pandas(df).repartition(5),
+            "user_id", "ts", "event_id", "event_type",
+        )
+        .to_pandas()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    prev = s.groupby("user_id")["event_type"].shift(1)
+    ref = (
+        pd.DataFrame({"prev_type": prev, "next_type": s["event_type"]})
+        .dropna()
+        .value_counts()
+        .rename("cnt")
+        .reset_index()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out, ref[["prev_type", "next_type", "cnt"]], check_dtype=False
+    )
+    assert out["cnt"].sum() == len(df) - df["user_id"].nunique()
