@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer": q.q_full_outer,
         "transition_counts": q.q_transition_counts,
         "time_resample": q.q_time_resample,
+        "interval_overlap": q.q_interval_overlap,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -165,6 +166,18 @@ def oracle_sql() -> dict[str, str]:
     HOUR = 3_600_000
     DAY = 86_400_000
     return {
+        "interval_overlap": f"""
+            WITH b AS (
+                SELECT user_id, event_id, epoch_ms(ts) AS s,
+                       epoch_ms(ts) + (event_id % 7 + 1) * {HOUR} AS e
+                FROM events
+            )
+            SELECT a.user_id, a.event_id AS event_a, c.event_id AS event_b,
+                   least(a.e, c.e) - greatest(a.s, c.s) AS overlap_ms
+            FROM b a JOIN b c
+              ON a.user_id = c.user_id AND a.event_id < c.event_id
+                 AND a.s < c.e AND c.s < a.e
+        """,
         "time_resample": f"""
             WITH b AS (
                 SELECT user_id, epoch_ms(ts) AS ms, value, event_id

@@ -681,6 +681,43 @@ def q_time_resample(sf_dir):
     return _round_cols(out, {"value": 2})
 
 
+def q_interval_overlap(sf_dir):
+    """Overlapping activity-interval pairs per user (general range join:
+    variable-length half-open intervals, pairs with a.id < b.id) — ONE
+    key-hash shuffle, searchsorted-bounded candidate runs per bucket."""
+    from ..stages.join import interval_overlap_join
+
+    def mk(t: pa.Table) -> pa.Table:
+        ms = t["ms"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        e = ms + (eid % 7 + 1) * HOUR
+        return t.append_column("e", pa.array(e))
+
+    ds = (
+        _ms_col(_read(sf_dir, "events", ["user_id", "event_id", "ts"]), "ts", "ms")
+        .map_batches(mk, batch_format="pyarrow")
+    )
+    joined = interval_overlap_join(
+        ds, ds, "user_id", "ms", "e", "ms", "e",
+        left_cols=["event_id"], right_cols=["event_id"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["event_id"].to_numpy()
+        b = t["event_id_r"].to_numpy()
+        keep = a < b
+        s = np.maximum(t["ms"].to_numpy(), t["ms_r"].to_numpy())
+        e = np.minimum(t["e"].to_numpy(), t["e_r"].to_numpy())
+        return pa.table({
+            "user_id": t["user_id"].to_numpy()[keep],
+            "event_a": a[keep],
+            "event_b": b[keep],
+            "overlap_ms": (e - s)[keep],
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_token_explode(sf_dir):
     """Unnest each document into one row per token (the relational
     explode/flatten primitive; pure per-batch map, no shuffle)."""

@@ -30,6 +30,7 @@ __all__ = [
     "bucketed_join",
     "interval_join",
     "asof_join",
+    "interval_overlap_join",
 ]
 
 
@@ -318,6 +319,102 @@ def interval_join(
             ri = np.empty(0, np.int64)
         out_l = gl.iloc[li][[key, left_ts] + left_cols].reset_index(drop=True)
         out_r = gr.iloc[ri][[right_ts] + right_cols].reset_index(drop=True)
+        out_r.columns = [
+            c + suffix if c in out_l.columns else c for c in out_r.columns
+        ]
+        return pd.concat([out_l, out_r], axis=1)
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def interval_overlap_join(
+    left,
+    right,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_buckets: int = 32,
+):
+    """General interval-overlap join: keys equal and the half-open
+    intervals ``[l.start, l.end)`` and ``[r.start, r.end)`` overlap
+    (``l.start < r.end AND r.start < l.end``) — SQL's classic range join.
+
+    Start/end columns are int64 (same units both sides); intervals may
+    have ANY per-row length.  Beyond-reference family: `interval_join`
+    covers the fixed-window stream-enrichment case, this is the general
+    two-sided form (validity-interval joins, overlapping-session pairs).
+
+    Scale shape: ONE key-hash shuffle of both sides, then each bucket
+    resolves ALL keys in one pass — right rows sorted once by a
+    composite ``(key_code, r.start)`` axis, each left row's candidate
+    run bounded by two ``searchsorted`` probes (``r.start ∈ (l.start −
+    L, l.end)`` where ``L`` = the bucket's max right-interval length),
+    then the exact ``r.end > l.start`` mask filters the expansion.
+    Partitioning assumption: a key's rows fit one bucket group; a few
+    giant right intervals inflate L and hence the candidate fan-out —
+    pre-split pathological intervals upstream if that bites.
+    """
+
+    from ..hashing import hash64
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            b = (hash64(t[key]) % np.uint64(num_buckets)).astype(np.int64)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array([side] * t.num_rows, pa.int8()))
+
+        return f
+
+    lsel = left.select_columns(
+        list(dict.fromkeys([key, left_start, left_end] + left_cols)))
+    rsel = right.select_columns(
+        list(dict.fromkeys([key, right_start, right_end] + right_cols)))
+    both = lsel.map_batches(tag(0), batch_format="pyarrow").union(
+        rsel.map_batches(tag(1), batch_format="pyarrow")
+    )
+    lout = list(dict.fromkeys([key, left_start, left_end] + left_cols))
+    rout = list(dict.fromkeys([right_start, right_end] + right_cols))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gl = g[g["__side"] == 0]
+        gr = g[g["__side"] == 1]
+        if gl.empty or gr.empty:
+            return pd.DataFrame()
+        ls = gl[left_start].to_numpy(dtype=np.int64)
+        le = gl[left_end].to_numpy(dtype=np.int64)
+        rs = gr[right_start].to_numpy(dtype=np.int64)
+        re_ = gr[right_end].to_numpy(dtype=np.int64)
+        keys_all = np.concatenate(
+            [gl[key].to_numpy(dtype=object), gr[key].to_numpy(dtype=object)]
+        )
+        _, codes = np.unique(keys_all, return_inverse=True)
+        cl, cr = codes[: len(gl)].astype(np.int64), codes[len(gl):].astype(np.int64)
+        L = max(int((re_ - rs).max()), 0)
+        lo_all = ls - L                      # candidate run: r.start > l.start − L
+        tmin = min(int(rs.min()), int(lo_all.min()))
+        span = max(int(rs.max()), int(le.max())) - tmin + 2
+        r_comp = cr * span + (rs - tmin)
+        r_order = np.argsort(r_comp, kind="stable")
+        r_sorted = r_comp[r_order]
+        starts = np.searchsorted(r_sorted, cl * span + (lo_all - tmin), side="right")
+        ends = np.searchsorted(r_sorted, cl * span + (le - tmin), side="left")
+        counts = np.maximum(ends - starts, 0)
+        total = int(counts.sum())
+        if not total:
+            return pd.DataFrame()
+        li = np.repeat(np.arange(len(gl)), counts)
+        run = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.arange(total, dtype=np.int64) - run + np.repeat(starts, counts)
+        ri = r_order[pos]
+        keep = re_[ri] > ls[li]              # exact overlap check
+        li, ri = li[keep], ri[keep]
+        out_l = gl.iloc[li][lout].reset_index(drop=True)
+        out_r = gr.iloc[ri][rout].reset_index(drop=True)
         out_r.columns = [
             c + suffix if c in out_l.columns else c for c in out_r.columns
         ]

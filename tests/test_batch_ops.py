@@ -1216,3 +1216,42 @@ def test_weighted_bernoulli_membership_and_guards(rd):
             "id", "w", num=num).to_pandas()
     with pytest.raises(ValueError, match="den must be"):
         weighted_bernoulli(rd.from_pandas(df), "id", "w", num=num, den=0)
+
+
+def test_interval_overlap_join_matches_bruteforce(rd):
+    from hydra_ray.stages.join import interval_overlap_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 800, 700
+    left = pd.DataFrame({
+        "k": rng.integers(0, 25, size=n_l),
+        "lid": np.arange(n_l),
+        "s": rng.integers(0, 5000, size=n_l).astype(np.int64),
+    })
+    left["e"] = left["s"] + rng.integers(0, 400, size=n_l)  # incl. zero-length
+    right = pd.DataFrame({
+        "k": rng.integers(0, 25, size=n_r),
+        "rid": np.arange(n_r),
+        "s": rng.integers(0, 5000, size=n_r).astype(np.int64),
+    })
+    right["e"] = right["s"] + rng.integers(0, 900, size=n_r)  # longer, nested
+
+    out = (
+        interval_overlap_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(4),
+            "k", "s", "e", "s", "e",
+            left_cols=["lid"], right_cols=["rid"], num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    m = left.merge(right, on="k", suffixes=("_l", "_r"))
+    m = m[(m["s_l"] < m["e_r"]) & (m["s_r"] < m["e_l"])]
+    ref = m[["lid", "rid"]].sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert len(out) == len(ref)
+    np.testing.assert_array_equal(out["lid"].to_numpy(), ref["lid"].to_numpy())
+    np.testing.assert_array_equal(out["rid"].to_numpy(), ref["rid"].to_numpy())
+    # joined start/end columns carry through for overlap arithmetic
+    assert {"k", "s", "e", "s_r", "e_r"} <= set(out.columns)
