@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcode_flac": q.q_transcode_flac,
         "audio_neardup": q.q_audio_neardup,
         "flac_roundtrip": q.q_flac_roundtrip,
+        "adpcm_roundtrip": q.q_adpcm_roundtrip,
         "image_features": q.q_image_features,
         "image_resize": q.q_image_resize,
         "image_neardup": q.q_image_neardup,

@@ -231,6 +231,10 @@ def encode(wave: np.ndarray, codec: str, sr_hz: int) -> bytes:
         from .flaclite import encode_flac
 
         return encode_flac(wave, sr_hz)
+    if codec == "adpcm":
+        from .adpcmlite import encode_adpcm
+
+        return encode_adpcm(wave, sr_hz)
     raise UnsupportedCodecError(f"no encoder for codec {codec!r}")
 
 
@@ -387,6 +391,30 @@ def decode_batch(
             except FlacError as e:
                 errors[i] = str(e)
 
+    # --- adpcm (adpcmlite, IMA 4-bit in WAV tag 0x0011) --------------------
+    is_adpcm = codec_np == "adpcm"
+    adpcm_pcm: dict[int, np.ndarray] = {}
+    if is_adpcm.any():
+        from .adpcmlite import AdpcmError, decode_adpcm
+
+        # one lockstep pass would need equal block counts per clip; the
+        # per-clip call is already block-parallel inside, which is the
+        # axis that scales (samples per clip), so per-row dispatch here
+        # costs only the container parse
+        for i in np.flatnonzero(is_adpcm):
+            try:
+                x16, sr = decode_adpcm(mv[offsets[i] : offsets[i + 1]])
+                if declared_sr is not None and int(declared_sr[i]) != sr:
+                    raise AdpcmError(
+                        f"adpcm sample rate {sr} != declared sr_hz {int(declared_sr[i])}"
+                    )
+                adpcm_pcm[i] = x16
+                span_count[i] = len(x16)
+                fam[i] = 6
+                ok[i] = True
+            except AdpcmError as e:
+                errors[i] = str(e)
+
     # --- raw float32 ------------------------------------------------------
     is_f32 = codec_np == "f32"
     bad_f32 = is_f32 & (lengths % 4 != 0)
@@ -399,7 +427,7 @@ def decode_batch(
         errors[i] = "f32 payload length not a multiple of 4"
 
     # --- unknown codecs ----------------------------------------------------
-    known = is_pcm | is_wav | (fam > 0) | is_f32 | is_flac
+    known = is_pcm | is_wav | (fam > 0) | is_f32 | is_flac | is_adpcm
     for i in np.flatnonzero(~known):
         errors[i] = f"unknown codec {codec_np[i]!r}"
 
@@ -430,6 +458,8 @@ def decode_batch(
                 flat[o0:o1] = np.frombuffer(bytes(mv[s : s + 4 * c]), dtype="<f4")
         elif f == 5:
             np.multiply(flac_pcm[i], inv, out=flat[o0:o1])
+        elif f == 6:
+            np.multiply(adpcm_pcm[i], inv, out=flat[o0:o1])
         else:
             flat[o0:o1] = luts[int(f)][data[s : s + c]]
 

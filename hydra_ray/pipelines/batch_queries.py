@@ -1678,6 +1678,59 @@ def q_flac_roundtrip(sf_dir):
     })
 
 
+def q_adpcm_roundtrip(sf_dir):
+    """adpcmlite under distributed load: every wave encodes to 4-bit IMA
+    ADPCM and decodes back through the Dataset path; ADPCM is LOSSY, so
+    the per-clip gate is SNR ≥ 25 dB vs the source wave (plus exact
+    sample count).  Output: one row {n_clips, n_ok} — equal counts mean
+    every clip survived the codec within tolerance."""
+    from ..audio import encode, snr_db, synth_wave
+    from ..stages.decode import AudioDecoder, split_dlq
+
+    n = 300
+    sr = 16_000
+
+    def make(idx: np.ndarray) -> pa.Table:
+        ids = idx.tolist()
+        payloads = [
+            encode(synth_wave(i, sr, 400 + (i % 7) * 100), "adpcm", sr)
+            for i in ids
+        ]
+        return pa.table({
+            "clip_id": pa.array([f"clip-{i:06d}" for i in ids]),
+            "seq": pa.array(ids, pa.int64()),
+            "bytes": pa.array(payloads, pa.large_binary()),
+            "codec": pa.array(["adpcm"] * len(ids)),
+            "sr_hz": pa.array([sr] * len(ids), pa.int32()),
+        })
+
+    ds = _dist_synth(n, make, num_blocks=16).map_batches(
+        AudioDecoder(), batch_format="pyarrow"
+    )
+    main, _ = split_dlq(ds)
+
+    def gate(t: pa.Table) -> pa.Table:
+        pcm = t["pcm"].combine_chunks()
+        flat = pcm.values.to_numpy(zero_copy_only=False).astype(np.float32)
+        offs = pcm.offsets.to_numpy(zero_copy_only=False)
+        seqs = t["seq"].to_numpy()
+        ok = np.zeros(len(seqs), dtype=np.int64)
+        for j, i in enumerate(seqs.tolist()):
+            w = synth_wave(i, sr, 400 + (i % 7) * 100)
+            got = flat[offs[j]:offs[j + 1]]
+            ok[j] = int(len(got) == len(w) and snr_db(w, got) >= 25.0)
+        return pa.table({
+            "n_clips": pa.array([len(seqs)], pa.int64()),
+            "n_ok": pa.array([int(ok.sum())], pa.int64()),
+        })
+
+    agg = main.map_batches(gate, batch_format="pyarrow").to_pandas()
+    return pa.table({
+        "n_clips": pa.array([int(agg["n_clips"].sum())], pa.int64()),
+        "n_ok": pa.array([int(agg["n_ok"].sum())], pa.int64()),
+    })
+
+
 def q_langid(sf_dir):
     """n-gram language-ID heuristic vs labeled lang (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
