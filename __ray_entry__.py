@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q.q_approx_distinct,
         "audio_features": q.q_audio_features,
         "audio_fbank": q.q_audio_fbank,
+        "audio_mfcc": q.q_audio_mfcc,
         "audio_curation": q.q_audio_curation,
         "vad_segments": q.q_vad_segments,
         "trim_audio": q.q_trim_audio,

@@ -60,7 +60,7 @@ QUERY_NAMES = [
     "vector_norms",
     "kmeans_embed", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",
-    "audio_features", "audio_fbank", "audio_neardup", "flac_roundtrip",
+    "audio_features", "audio_fbank", "audio_mfcc", "audio_neardup", "flac_roundtrip",
     "adpcm_roundtrip",
     "trim_audio", "transcode_flac",
     "image_features", "image_neardup", "image_resize", "video_frames",

@@ -2553,6 +2553,34 @@ def q_audio_fbank(sf_dir):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_audio_mfcc(sf_dir):
+    """Decode → resample to 16 kHz → pooled MFCCs (orthonormal DCT-II
+    cepstra over the log-mel frames — one extra matmul on the shared
+    fbank path).  Rows-only; value oracle is the per-clip numpy
+    reference in tests/test_audio_curation.py."""
+    from ..stages.audio_curation import Resampler
+    from ..stages.audio_features import FbankFeatures
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..synth import synth_clips_batch
+
+    n = 600
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0),
+        num_blocks=32,
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
+    main, _ = split_dlq(ds)
+    feats = (
+        main.map_batches(Resampler(16_000), batch_format="pyarrow")
+        .map_batches(FbankFeatures(n_mels=24, n_mfcc=13), batch_format="pyarrow")
+    )
+
+    def project(t2: pa.Table) -> pa.Table:
+        return t2.select(["seq", "clip_id", "n_frames",
+                          "mfcc_mean", "mfcc_std"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_audio_curation(sf_dir):
     """Decode → resample every clip to 16 kHz → FFT spectral features
     (centroid/bandwidth/rolloff/flatness) — the sample-rate-normalize +

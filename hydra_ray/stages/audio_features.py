@@ -237,11 +237,28 @@ def _mel_filters(n_mels: int, n_fft: int, sr: float) -> np.ndarray:
     return fb
 
 
+def _dct2_ortho(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_mfcc, n_mels) — the standard
+    cepstral transform (type-2, 'ortho' norm, as in every speech
+    front-end)."""
+    k = np.arange(n_mfcc)[:, None]
+    m = np.arange(n_mels)[None, :]
+    d = np.cos(np.pi * k * (2 * m + 1) / (2 * n_mels)) * np.sqrt(2.0 / n_mels)
+    d[0] /= np.sqrt(2.0)
+    return d.astype(np.float32)
+
+
 def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
-                n_mels: int = 16, win: int = 400, hop: int = 160) -> pa.Table:
+                n_mels: int = 16, win: int = 400, hop: int = 160,
+                n_mfcc: int | None = None) -> pa.Table:
     """Per-clip pooled log-mel filterbank features — the front-end of
     every speech model, pooled (mean + std per band over frames) so the
     output is a fixed-width row regardless of clip length.
+
+    With ``n_mfcc`` set, each frame's log-mel vector additionally passes
+    through the orthonormal DCT-II (one matmul over the whole batch's
+    frame matrix) and the pooled outputs are cepstra —
+    ``mfcc_mean`` / ``mfcc_std`` (fixed_size_list<f32>[n_mfcc]).
 
     Vectorized over the WHOLE batch: one global frame-index gather pulls
     every clip's (win)-sample Hann-windowed frames out of the flat PCM
@@ -256,37 +273,39 @@ def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
     function of the clip — batch-composition independent).
     """
     n = batch.num_rows
-    zeros = np.zeros(n * n_mels, np.float32)
+    dim = n_mfcc if n_mfcc else n_mels
+    pre = "mfcc" if n_mfcc else "fbank"
+    zeros = np.zeros(n * dim, np.float32)
     if n == 0:
         empty = pa.FixedSizeListArray.from_arrays(
-            pa.array(zeros, pa.float32()), n_mels)
-        return (batch.append_column("fbank_mean", empty)
-                     .append_column("fbank_std", empty)
+            pa.array(zeros, pa.float32()), dim)
+        return (batch.append_column(f"{pre}_mean", empty)
+                     .append_column(f"{pre}_std", empty)
                      .append_column("n_frames", pa.array([], pa.int64())))
     srs = batch[sr_col].to_numpy(zero_copy_only=False)
     if len(np.unique(srs)) > 1:
-        mean = np.zeros((n, n_mels), np.float32)
-        std = np.zeros((n, n_mels), np.float32)
+        mean = np.zeros((n, dim), np.float32)
+        std = np.zeros((n, dim), np.float32)
         nf = np.zeros(n, np.int64)
         sub = batch.select([pcm_col, sr_col])
         for sr_v in np.unique(srs):
             idx = np.flatnonzero(srs == sr_v)
             out = audio_fbank(sub.take(pa.array(idx)), pcm_col, sr_col,
-                              n_mels, win, hop)
+                              n_mels, win, hop, n_mfcc)
             mean[idx] = np.asarray(
-                out["fbank_mean"].combine_chunks().flatten()
-            ).reshape(-1, n_mels)
+                out[f"{pre}_mean"].combine_chunks().flatten()
+            ).reshape(-1, dim)
             std[idx] = np.asarray(
-                out["fbank_std"].combine_chunks().flatten()
-            ).reshape(-1, n_mels)
+                out[f"{pre}_std"].combine_chunks().flatten()
+            ).reshape(-1, dim)
             nf[idx] = out["n_frames"].to_numpy(zero_copy_only=False)
         return (
             batch.append_column(
-                "fbank_mean", pa.FixedSizeListArray.from_arrays(
-                    pa.array(mean.reshape(-1), pa.float32()), n_mels))
+                f"{pre}_mean", pa.FixedSizeListArray.from_arrays(
+                    pa.array(mean.reshape(-1), pa.float32()), dim))
             .append_column(
-                "fbank_std", pa.FixedSizeListArray.from_arrays(
-                    pa.array(std.reshape(-1), pa.float32()), n_mels))
+                f"{pre}_std", pa.FixedSizeListArray.from_arrays(
+                    pa.array(std.reshape(-1), pa.float32()), dim))
             .append_column("n_frames", pa.array(nf, pa.int64()))
         )
     flat, offsets = _flat_and_offsets(batch[pcm_col])
@@ -296,9 +315,9 @@ def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
     sr = float(batch[sr_col][0].as_py())
     if total == 0:
         empty = pa.FixedSizeListArray.from_arrays(
-            pa.array(zeros, pa.float32()), n_mels)
-        return (batch.append_column("fbank_mean", empty)
-                     .append_column("fbank_std", empty)
+            pa.array(zeros, pa.float32()), dim)
+        return (batch.append_column(f"{pre}_mean", empty)
+                     .append_column(f"{pre}_std", empty)
                      .append_column("n_frames", pa.array(n_frames, pa.int64())))
 
     frame_clip = np.repeat(np.arange(n, dtype=np.int64), n_frames)
@@ -312,6 +331,8 @@ def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
     power = (spec.real * spec.real + spec.imag * spec.imag)
     fb = _mel_filters(n_mels, win, sr)
     mel = np.log(power @ fb.T + 1e-10)           # (total, n_mels)
+    if n_mfcc:
+        mel = mel @ _dct2_ortho(n_mfcc, n_mels).T.astype(mel.dtype)
 
     # pool over NON-EMPTY clips only: their run starts are strictly
     # increasing and < total, which is exactly what reduceat needs
@@ -321,17 +342,17 @@ def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
     sums_nz = np.add.reduceat(mel, starts_nz, axis=0)
     sq_nz = np.add.reduceat(mel * mel, starts_nz, axis=0)
     cnt_nz = n_frames[nz].astype(np.float64)[:, None]
-    mean = np.zeros((n, n_mels))
-    var = np.zeros((n, n_mels))
+    mean = np.zeros((n, dim))
+    var = np.zeros((n, dim))
     mean[nz] = sums_nz / cnt_nz
     var[nz] = np.maximum(sq_nz / cnt_nz - mean[nz] * mean[nz], 0.0)
     std = np.sqrt(var)
     mean_col = pa.FixedSizeListArray.from_arrays(
-        pa.array(mean.astype(np.float32).reshape(-1), pa.float32()), n_mels)
+        pa.array(mean.astype(np.float32).reshape(-1), pa.float32()), dim)
     std_col = pa.FixedSizeListArray.from_arrays(
-        pa.array(std.astype(np.float32).reshape(-1), pa.float32()), n_mels)
-    return (batch.append_column("fbank_mean", mean_col)
-                 .append_column("fbank_std", std_col)
+        pa.array(std.astype(np.float32).reshape(-1), pa.float32()), dim)
+    return (batch.append_column(f"{pre}_mean", mean_col)
+                 .append_column(f"{pre}_std", std_col)
                  .append_column("n_frames", pa.array(n_frames, pa.int64())))
 
 
@@ -340,10 +361,12 @@ class FbankFeatures:
     cached per (sr, win, n_mels) in the worker)."""
 
     def __init__(self, pcm_col: str = "pcm", sr_col: str = "sr_hz",
-                 n_mels: int = 16, win: int = 400, hop: int = 160):
+                 n_mels: int = 16, win: int = 400, hop: int = 160,
+                 n_mfcc: int | None = None):
         self.pcm_col, self.sr_col = pcm_col, sr_col
         self.n_mels, self.win, self.hop = n_mels, win, hop
+        self.n_mfcc = n_mfcc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return audio_fbank(batch, self.pcm_col, self.sr_col,
-                           self.n_mels, self.win, self.hop)
+                           self.n_mels, self.win, self.hop, self.n_mfcc)

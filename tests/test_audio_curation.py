@@ -235,3 +235,51 @@ def test_audio_fbank_matches_per_clip_reference(ray_session):
     one = audio_fbank(batch.slice(1, 1))
     om = np.asarray(one["fbank_mean"].combine_chunks().flatten())
     assert np.allclose(om, mean[1], atol=1e-6)
+
+
+def test_audio_mfcc_matches_per_clip_reference(ray_session):
+    """n_mfcc path: frame log-mels pass through the orthonormal DCT-II
+    before pooling; equals a per-clip numpy reference (incl. scipy-free
+    DCT built from the definition)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hydra_ray.stages.audio_features import (
+        _dct2_ortho,
+        _mel_filters,
+        audio_fbank,
+    )
+
+    rng = np.random.default_rng(8)
+    sr, win, hop, n_mels, n_mfcc = 16_000, 400, 160, 24, 13
+    clips = [
+        (0.4 * np.sin(2 * np.pi * 700 * np.arange(7000) / sr)).astype(np.float32),
+        (rng.standard_normal(4800) * 0.2).astype(np.float32),
+        np.zeros(win - 1, np.float32),
+    ]
+    batch = pa.table({
+        "pcm": pa.array([c.tolist() for c in clips], pa.list_(pa.float32())),
+        "sr_hz": pa.array([sr] * len(clips), pa.int32()),
+    })
+    out = audio_fbank(batch, n_mels=n_mels, n_mfcc=n_mfcc)
+    assert "mfcc_mean" in out.column_names and "fbank_mean" not in out.column_names
+    mean = np.asarray(out["mfcc_mean"].combine_chunks().flatten()) \
+        .reshape(len(clips), n_mfcc)
+    std = np.asarray(out["mfcc_std"].combine_chunks().flatten()) \
+        .reshape(len(clips), n_mfcc)
+
+    fb = _mel_filters(n_mels, win, sr)
+    D = _dct2_ortho(n_mfcc, n_mels)
+    # DCT matrix is orthonormal: D @ D.T == I on the kept rows
+    np.testing.assert_allclose(D @ D.T, np.eye(n_mfcc), atol=1e-6)
+    for i, x in enumerate(clips):
+        if len(x) < win:
+            assert not mean[i].any() and not std[i].any()
+            continue
+        k = (len(x) - win) // hop + 1
+        frames = np.stack([x[j * hop:j * hop + win] for j in range(k)])
+        frames = frames * np.hanning(win).astype(np.float32)
+        p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        cep = np.log(p @ fb.T + 1e-10) @ D.T
+        assert np.allclose(mean[i], cep.mean(axis=0), atol=1e-3), i
+        assert np.allclose(std[i], cep.std(axis=0), atol=1e-3), i
