@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_counts": q.q_transition_counts,
         "time_resample": q.q_time_resample,
         "interval_overlap": q.q_interval_overlap,
+        "sessionize": q.q_sessionize,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -168,6 +169,24 @@ def oracle_sql() -> dict[str, str]:
     HOUR = 3_600_000
     DAY = 86_400_000
     return {
+        "sessionize": f"""
+            WITH s AS (
+                SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                       CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                                 > {30 * 60_000}
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_ms(ts), event_id)
+            )
+            SELECT user_id, event_id, ms,
+                   CAST(sum(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ms, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_id
+            FROM s
+        """,
         "interval_overlap": f"""
             WITH b AS (
                 SELECT user_id, event_id, epoch_ms(ts) AS s,

@@ -56,7 +56,7 @@ QUERY_NAMES = [
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "ann_pq",
     "ann_ivfpq", "embed_pca", "weighted_sample", "triangle_count",
     "pair_support", "k_hop", "bm25_search", "degree_stats", "full_outer",
-    "transition_counts", "time_resample", "interval_overlap",
+    "transition_counts", "time_resample", "interval_overlap", "sessionize",
     "vector_norms",
     "kmeans_embed", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",

@@ -718,6 +718,19 @@ def q_interval_overlap(sf_dir):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def q_sessionize(sf_dir):
+    """Per-user session-ID labels on every event row (gaps-and-islands,
+    30-min inactivity gap) — the row-keeping companion of
+    session_window; one bucket shuffle, two cumsum passes."""
+    from ..stages.rollup import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return sessionize(
+        _ms_col(ds, "ts", "ms"),
+        "user_id", "ms", "event_id", gap=30 * 60_000,
+    )
+
+
 def q_token_explode(sf_dir):
     """Unnest each document into one row per token (the relational
     explode/flatten primitive; pure per-batch map, no shuffle)."""

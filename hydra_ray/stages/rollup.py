@@ -16,7 +16,7 @@ import pyarrow as pa
 
 __all__ = ["pivot_wider", "grouped_rolling", "grouped_rolling_range",
            "grouped_shift", "grouped_cumsum", "collect_sorted", "grouped_rank",
-           "grouped_bounds", "grouped_resample"]
+           "grouped_bounds", "grouped_resample", "sessionize"]
 
 
 def _bucket_tag(key_col: str, num_buckets: int):
@@ -528,4 +528,44 @@ def grouped_resample(ds, key_col: str, ts_col: str, tie_col: str,
         ds.map_batches(_bucket_tag(key_col, num_buckets), batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(resample, batch_format="pandas")
+    )
+
+
+def sessionize(ds, key_col: str, order_col: str, tie_col: str,
+               gap: int, out_col: str = "session_id",
+               num_buckets: int = 64):
+    """Assign a per-key session ordinal to EVERY row (gaps-and-islands):
+    a new session starts at a key's first row and whenever the gap from
+    the previous row exceeds ``gap`` — SQL ``SUM(CASE WHEN gap > g THEN
+    1 ELSE 0 END) OVER (PARTITION BY key ORDER BY order, tie)``.
+
+    The row-level companion of ``session_window`` (which aggregates per
+    session; `hydra_ray/stages/windows.py`): this one KEEPS the rows,
+    labelling them for downstream joins.  Scale shape: ONE
+    hash(key)-bucket shuffle, per-bucket lexsort + two cumsum passes
+    resolve all keys at once.
+    """
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        pos, sc, first = _sorted_runs(g, key_col, order_col, tie_col)
+        ts_s = g[order_col].to_numpy()[pos].astype(np.int64)
+        start = first.copy()
+        if len(ts_s) > 1:
+            start[1:] |= (ts_s[1:] - ts_s[:-1] > gap) & ~first[1:]
+        sid = np.cumsum(start)
+        run_id = np.cumsum(first) - 1
+        base = sid[np.flatnonzero(first)]
+        out = g.iloc[pos].copy()
+        out[out_col] = sid - base[run_id] + 1
+        return out
+
+    return (
+        ds.map_batches(_bucket_tag(key_col, num_buckets), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(label, batch_format="pandas")
     )

@@ -390,3 +390,25 @@ def test_transition_counts_matches_pandas(rd):
         out, ref[["prev_type", "next_type", "cnt"]], check_dtype=False
     )
     assert out["cnt"].sum() == len(df) - df["user_id"].nunique()
+
+
+def test_sessionize_matches_pandas(rd):
+    from hydra_ray.stages.rollup import sessionize
+
+    df = _events(n=2500, seed=13)
+    out = (
+        sessionize(
+            rd.from_pandas(df).repartition(5),
+            "user_id", "ts", "event_id", gap=300,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    s = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    prev = s.groupby("user_id")["ts"].shift(1)
+    start = prev.isna() | (s["ts"] - prev > 300)
+    ref = start.groupby(s["user_id"]).cumsum().astype("int64")
+    np.testing.assert_array_equal(out["session_id"].to_numpy(), ref.to_numpy())
+    # every key's sessions start at 1 and are non-decreasing
+    assert out.groupby("user_id")["session_id"].first().eq(1).all()
