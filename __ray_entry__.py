@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_resample": q.q_time_resample,
         "interval_overlap": q.q_interval_overlap,
         "sessionize": q.q_sessionize,
+        "csv_roundtrip": q.q_csv_roundtrip,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -169,6 +170,10 @@ def oracle_sql() -> dict[str, str]:
     HOUR = 3_600_000
     DAY = 86_400_000
     return {
+        "csv_roundtrip": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer
+        """,
         "sessionize": f"""
             WITH s AS (
                 SELECT user_id, event_id, epoch_ms(ts) AS ms,

@@ -309,6 +309,48 @@ def q_avro_roundtrip(sf_dir):
     return back
 
 
+def q_csv_roundtrip(sf_dir):
+    """Customer → CSV shards (one file per batch task, quoted fields) →
+    read back through the DLQ-routing CSV source (`sources/csvlite.py`).
+    The SQL oracle is the IDENTITY projection — a hash match proves the
+    text round trip is lossless (pandas shortest-repr floats parse back
+    bit-exact) through the driver gate."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.csvlite import read_csv_records
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ds = _read(sf_dir, "customer", cols)
+    out = f"/tmp/hydra_csv/{uuid.uuid4().hex}"
+    os.makedirs(out, exist_ok=True)
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n": pd.Series([], dtype="int64")})
+        p = os.path.join(out, f"part-{int(df['c_custkey'].iloc[0]):09d}.csv")
+        df.to_csv(p, index=False)
+        return pd.DataFrame({"n": [len(df)]})
+
+    schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ])
+    try:
+        ds.map_batches(write_shard, batch_format="pandas").materialize()
+        back = (
+            read_csv_records(out, schema)
+            .map_batches(lambda t: t.drop_columns(["error"]),
+                         batch_format="pyarrow")
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
 def q_order_revenue(sf_dir):
     """TPC-H-Q5-lite multi-join pipeline: lineitem ⋈ orders via ONE
     bucketed hash exchange, then the small customer side broadcast
