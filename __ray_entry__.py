@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replicate_stream": q.q_replicate_stream,
         "pagerank": q.q_pagerank,
         "pagerank_sharded": q.q_pagerank_sharded,
+        "communities": q.q_communities,
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_clusters": q.q_neardup_clusters,
         "neardup_cc": q.q_neardup_cc,

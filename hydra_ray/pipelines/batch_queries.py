@@ -1952,6 +1952,29 @@ def q_ann_ivfpq(sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_communities(sf_dir):
+    """Community-size histogram of the part co-purchase graph via
+    deterministic synchronous label propagation (rows-only: iterative
+    fixed point is not SQL-expressible; the value oracle is the naive
+    LPA reference in tests/test_graph.py)."""
+    from ..stages.graph import cooccurrence_edges, label_propagation
+    from ..stages.windows import AggSpec, grouped_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    # support ≥ 2 sparsifies the basket graph (the raw distinct-pair
+    # graph is near-complete and LPA degenerates to one community)
+    counted = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                 with_counts=True)
+    edges = counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["pair_count"], 2)),
+        batch_format="pyarrow",
+    )
+    labs = label_propagation(edges, "u", "v", max_rounds=3)
+    sizes = grouped_aggregate(labs, ["label"], [AggSpec("count", None, "size")])
+    return grouped_aggregate(sizes, ["size"],
+                             [AggSpec("count", None, "n_communities")])
+
+
 def q_triangle_count(sf_dir):
     """Exact triangle count of the part co-purchase graph (parts sharing
     an order) — triple-partitioned GP scheme: edges replicate rho× to

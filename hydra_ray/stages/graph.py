@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["connected_components", "cooccurrence_edges", "k_hop",
+           "label_propagation",
            "pagerank", "pagerank_sharded", "triangle_count"]
 
 
@@ -808,3 +809,131 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
     parts = rep.groupby("__tid").map_groups(count_task, batch_format="pandas")
     total = int(parts.to_pandas()["n"].sum())
     return pd.DataFrame({"triangles": np.array([total], np.int64)})
+
+
+def label_propagation(edges, src_col: str, dst_col: str,
+                      max_rounds: int = 10, num_buckets: int = 64):
+    """Community detection by synchronous label propagation (Raghavan
+    2007): labels start as node ids; each round every node adopts the
+    most frequent label among its NEIGHBORS, ties to the smallest label.
+    Deterministic and partition-invariant (the classic async/random-order
+    LPA is neither — the synchronous+smallest-tie variant is the
+    published determinization).  Returns ``(node:int64, label:int64)``.
+
+    Synchronous LPA can oscillate on bipartite structures, so rounds are
+    bounded by ``max_rounds`` and the loop exits early on a fixed point
+    (checksum probe, no driver label collect).
+
+    Scale shape per round: ONE hash(src)-bucket exchange joins labels to
+    edges (searchsorted map, no Python per node), then ONE hash(dst)-
+    bucket exchange resolves every node's mode with two lexsorts +
+    run-length reduces.  Label state lives in the Dataset, never on the
+    driver — unlike `pagerank`, there is no O(nodes) driver vector.
+    """
+    from ..hashing import hash64
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t[dst_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"u": np.concatenate([a, b]),
+                         "v": np.concatenate([b, a])})
+
+    ed = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    if ed.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "label": pa.array([], pa.int64())}))
+
+    def tag_u(t: pa.Table) -> pa.Table:
+        b = (hash64(t["u"]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def tag_node(t: pa.Table) -> pa.Table:
+        b = (hash64(t["node"]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["u"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"node": u, "label": u})
+
+    labels = (
+        ed.map_batches(tag_u, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+
+    def emit_msgs(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["__side"] == 1]
+        eg = g[g["__side"] == 0]
+        if eg.empty or lab.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        ln = lab["node"].to_numpy(dtype=np.int64)
+        ll = lab["label"].to_numpy(dtype=np.int64)
+        order = np.argsort(ln)
+        ln, ll = ln[order], ll[order]
+        u = eg["u"].to_numpy(dtype=np.int64)
+        v = eg["v"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(ln, u)
+        return pd.DataFrame({"node": v, "label": ll[idx]})
+
+    def mode_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["node"].to_numpy(dtype=np.int64)
+        l = g["label"].to_numpy(dtype=np.int64)
+        pos = np.lexsort((l, n))
+        n, l = n[pos], l[pos]
+        first = np.r_[True, (n[1:] != n[:-1]) | (l[1:] != l[:-1])]
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(n)))
+        gn, gl = n[starts], l[starts]
+        # per node: max count, ties to smallest label — lexsort puts the
+        # winner first in (node, -count, label) order
+        p2 = np.lexsort((gl, -cnt, gn))
+        gn2, gl2 = gn[p2], gl[p2]
+        keep = np.r_[True, gn2[1:] != gn2[:-1]]
+        return pd.DataFrame({"node": gn2[keep], "label": gl2[keep]})
+
+    def summary(t: pa.Table) -> pa.Table:
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        l = t["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (n * np.uint64(0x9E3779B97F4A7C15)) ^ l
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
+                         "x": pa.array([int(x)], pa.uint64())})
+
+    def probe(d):
+        rows = d.map_batches(summary, batch_format="pyarrow").take_all()
+        return (sum(r["n"] for r in rows),
+                int(np.bitwise_xor.reduce(
+                    np.array([r["x"] for r in rows], np.uint64))) if rows else 0)
+
+    def side(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__side", pa.array([v] * t.num_rows, pa.int8()))
+        return f
+
+    prev = probe(labels)
+    for _ in range(max_rounds):
+        lab_tagged = labels.map_batches(
+            lambda t: t.append_column("u", t["node"]), batch_format="pyarrow"
+        ).map_batches(side(1), batch_format="pyarrow")
+        both = ed.map_batches(side(0), batch_format="pyarrow").union(lab_tagged)
+        labels = (
+            both.map_batches(tag_u, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(emit_msgs, batch_format="pandas")
+            .map_batches(tag_node, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(mode_kernel, batch_format="pandas")
+            .materialize()
+        )
+        cur = probe(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels

@@ -302,3 +302,57 @@ def test_cooccurrence_edges_with_counts(rd):
                                  "g", "i", with_counts=True).to_pandas()
         got = {(r.u, r.v): r.pair_count for r in out.itertuples()}
         assert got == expect, (got, expect)
+
+
+def _naive_lpa(edges, max_rounds):
+    """Synchronous LPA with smallest-label ties — multiset neighbor
+    counts, per-round simultaneous update, early stop at fixed point."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    for a, b in edges:
+        if a != b:
+            adj[a].append(b)
+            adj[b].append(a)
+    labels = {n: n for n in adj}
+    for _ in range(max_rounds):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = collections.Counter(labels[m] for m in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+@pytest.mark.parametrize("num_buckets", [1, 8])
+def test_label_propagation_matches_naive(ray_session, num_buckets):
+    import ray.data as rd
+
+    from hydra_ray.stages.graph import label_propagation
+
+    rng = np.random.default_rng(23)
+    # two planted cliques + random noise edges between them
+    edges = []
+    for base in (0, 50):
+        nodes = range(base, base + 20)
+        edges += [(a, b) for a in nodes for b in nodes if a < b]
+    edges += [(int(rng.integers(0, 20)), int(rng.integers(50, 70)))
+              for _ in range(10)]
+    edges += [(100 + int(rng.integers(0, 30)), 100 + int(rng.integers(0, 30)))
+              for _ in range(80)]
+    df = pd.DataFrame(edges, columns=["u", "v"])
+    out = (
+        label_propagation(rd.from_pandas(df).repartition(4), "u", "v",
+                          max_rounds=6, num_buckets=num_buckets)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    ref = _naive_lpa(edges, max_rounds=6)
+    assert out["node"].tolist() == sorted(ref)
+    got = dict(zip(out["node"], out["label"]))
+    assert got == ref
+    # the two planted cliques resolve to single communities
+    assert len({got[n] for n in range(0, 20)}) == 1
+    assert len({got[n] for n in range(50, 70)}) == 1
