@@ -111,6 +111,14 @@ class ReplicateConfig:
     neardup_min_band_matches: int = 2
     # like dedup_retention_ms, for the near-dup index (0 = keep forever)
     neardup_retention_ms: int = 0
+    # streaming per-window quantiles: keep a deterministic bottom-k-by-
+    # hash(seq) sample of dur_ms per (clip_id, window) in the window
+    # state and emit p50_dur_ms/p90_dur_ms/sample_n at close.  The
+    # sample is a mergeable monoid (union → k smallest hashes, dedup by
+    # hash), so it is salting/routing-independent, delta-checkpointable
+    # and N→M-rescale-safe like the count/sum partials; k ≥ the window's
+    # row count makes the quantiles EXACT.  0 disables (schema unchanged).
+    window_sample_k: int = 0
     # CEP funnel over the combined stream (clip lifecycle patterns): an
     # ordered tuple of event kinds from {"clip", "update", "delete"}
     # ("clip" = clip arrival, "update" = non-tombstone transcript update,
@@ -1398,6 +1406,49 @@ class ReplicatePipeline:
             if not tbls:
                 continue
             cat = pa.concat_tables(tbls, promote_options="default")
+            if "sample_h" in cat.column_names:
+                # window_sample_k partials: re-union each key's bottom-k
+                # sample across salt partitions, then compute the same
+                # final quantile columns the cold path emits
+                from ..state.store import _bottomk_union, _sample_quantiles
+
+                k = cfg.window_sample_k
+                df = cat.to_pandas()
+                cells: dict = {}
+                for r in df.itertuples(index=False):
+                    kw = (r.clip_id, int(r.window_start))
+                    hs = np.asarray(r.sample_h, dtype=np.uint64)
+                    vs = np.asarray(r.sample_v, dtype=np.int64)
+                    cur = cells.get(kw)
+                    if cur is None:
+                        cells[kw] = [int(r.window_end), int(r.n_clips),
+                                     int(r.sum_dur_ms), hs, vs]
+                    else:
+                        cur[0] = max(cur[0], int(r.window_end))
+                        cur[1] += int(r.n_clips)
+                        cur[2] += int(r.sum_dur_ms)
+                        cur[3], cur[4] = _bottomk_union(cur[3], cur[4], hs, vs, k)
+                kws = sorted(cells)
+                qs = [_sample_quantiles(cells[kw][4]) for kw in kws]
+                merged = pa.table(
+                    {
+                        "clip_id": pa.array([kw[0] for kw in kws], pa.string()),
+                        "window_start": pa.array([kw[1] for kw in kws], pa.int64()),
+                        "window_end": pa.array([cells[kw][0] for kw in kws], pa.int64()),
+                        "n_clips": pa.array([cells[kw][1] for kw in kws], pa.int64()),
+                        "sum_dur_ms": pa.array([cells[kw][2] for kw in kws], pa.int64()),
+                        "p50_dur_ms": pa.array([q[0] for q in qs], pa.int64()),
+                        "p90_dur_ms": pa.array([q[1] for q in qs], pa.int64()),
+                        "sample_n": pa.array(
+                            [len(cells[kw][4]) for kw in kws], pa.int64()),
+                    }
+                )
+                merged = _stamp(merged, -1, epoch)
+                frag = self.sink[sink_key].stage_fragment(merged, epoch, -1)
+                staged.append((sink_key, frag))
+                m = "windows_closed" if sink_key == "windows" else "sliding_closed"
+                self._hot_metrics[m] = self._hot_metrics.get(m, 0) + merged.num_rows
+                continue
             gb = cat.group_by(["clip_id", "window_start"], use_threads=False).aggregate(
                 [("window_end", "max"), ("n_clips", "sum"), ("sum_dur_ms", "sum")]
             )
@@ -1551,3 +1602,4 @@ class _StateCfg:
         )
         self.funnel_within_ms = cfg.funnel_within_ms
         self.changelog = cfg.changelog
+        self.window_sample_k = getattr(cfg, "window_sample_k", 0)

@@ -51,7 +51,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..hashing import partition_for
-from .store import PartitionState, find_restore_chain
+from .store import PartitionState, _fold_window_cell, find_restore_chain
 
 __all__ = ["rescale_state"]
 
@@ -142,14 +142,12 @@ def _merge_one(q: int, tmp_root: str, epoch: int, cfg, max_ts: int,
     for name in sorted(os.listdir(qdir)) if os.path.isdir(qdir) else []:
         with open(os.path.join(qdir, name), "rb") as f:
             d = pickle.load(f)
+        # salted hot key: partials from several old partitions fold with
+        # the one shared cell rule (handles the window_sample_k cells too)
+        sample_k = getattr(cfg, "window_sample_k", 0)
         for target, delta in ((st.win, d["win"]), (st.swin, d["swin"])):
             for kw, acc in delta.items():
-                cur = target.get(kw)
-                if cur is None:
-                    target[kw] = list(acc)
-                else:  # salted hot key: partials from several old partitions
-                    cur[0] += acc[0]
-                    cur[1] += acc[1]
+                _fold_window_cell(target, kw, acc, sample_k)
         for k, lst in d["sessions"].items():
             for s in lst:
                 st._merge_session_range(k, s[0], s[1], s[2], s[3], gap)

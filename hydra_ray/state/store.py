@@ -56,6 +56,51 @@ _I64MAX = np.iinfo(np.int64).max  # funnel chain: "step not reached"
 __all__ = ["PartitionState", "PartitionStateActor", "WATERMARK_MAX"]
 
 
+def _bottomk_union(h1, v1, h2, v2, k: int):
+    """Merge two bottom-k-by-hash samples: union, dedup by hash (makes
+    ingest replay idempotent — hashes are unique per record), keep the k
+    smallest.  Associative + commutative + idempotent ⇒ the sample is
+    identical under any routing (salting), any epoch split (deltas) and
+    any N→M rescale fold."""
+    h = np.concatenate([h1, h2])
+    v = np.concatenate([v1, v2])
+    hh, ui = np.unique(h, return_index=True)       # sorted ascending
+    return hh[:k], v[ui][:k]
+
+
+def _fold_window_cell(target: dict, kw, acc, k: int):
+    """Fold one (key, window) partial into a state dict — the ONE merge
+    rule shared by live ingest, delta-checkpoint replay and rescale
+    (cells are [cnt, sum] or, with window_sample_k, [cnt, sum, hs, vs])."""
+    cur = target.get(kw)
+    if cur is None:
+        target[kw] = (
+            [acc[0], acc[1], acc[2].copy(), acc[3].copy()]
+            if len(acc) > 2 else [acc[0], acc[1]]
+        )
+        return
+    cur[0] += acc[0]
+    cur[1] += acc[1]
+    if len(acc) > 2:
+        if len(cur) > 2:
+            cur[2], cur[3] = _bottomk_union(cur[2], cur[3], acc[2], acc[3], k)
+        else:
+            cur.append(acc[2].copy())
+            cur.append(acc[3].copy())
+
+
+def _sample_quantiles(vs: np.ndarray) -> tuple[int, int]:
+    """(p50, p90) by the discrete nearest-rank rule quantile_disc uses:
+    index = ceil(p·n) − 1 over the ascending values."""
+    v = np.sort(np.asarray(vs, dtype=np.int64))
+    n = len(v)
+    if n == 0:
+        return 0, 0
+    i50 = min(n - 1, max(0, -(-n // 2) - 1))       # ceil(0.5 n) − 1
+    i90 = min(n - 1, max(0, -(-(9 * n) // 10) - 1))
+    return int(v[i50]), int(v[i90])
+
+
 class PartitionState:
     """Pure-python state container (actor-agnostic; unit-testable)."""
 
@@ -191,7 +236,8 @@ class PartitionState:
 
     @staticmethod
     def _merge_window_partials(
-        targets: list[dict], keys_np: np.ndarray, starts: np.ndarray, durs: np.ndarray
+        targets: list[dict], keys_np: np.ndarray, starts: np.ndarray,
+        durs: np.ndarray, hs: np.ndarray | None = None, sample_k: int = 0,
     ):
         """Fold per-batch (key, window) partials into the given state dicts
         (live dict + checkpoint-delta dict).
@@ -199,7 +245,38 @@ class PartitionState:
         One C-side ``pa.Table.group_by`` collapses the batch first, so the
         Python merge loop runs once per DISTINCT (key, window) of the
         batch — O(keys·windows), not O(rows); hot keys collapse hardest.
+        With ``sample_k`` set the collapse also keeps each group's k
+        smallest-``hs`` rows (one lexsort + arange gather), extending the
+        cells to [cnt, sum, hs, vs].
         """
+        if sample_k and hs is not None:
+            _, kcodes = np.unique(keys_np, return_inverse=True)
+            order = np.lexsort((hs, starts, kcodes))
+            kc = kcodes[order]
+            ws = starts[order]
+            ds = durs[order]
+            h2 = hs[order]
+            first = np.r_[True, (kc[1:] != kc[:-1]) | (ws[1:] != ws[:-1])]
+            si = np.flatnonzero(first)
+            cnt = np.diff(np.append(si, len(kc)))
+            dsum = np.add.reduceat(ds, si)
+            take = np.minimum(cnt, sample_k)
+            rep = np.repeat(np.arange(len(si)), take)
+            offs = (np.arange(int(take.sum()))
+                    - np.repeat(np.cumsum(take) - take, take))
+            sel = si[rep] + offs
+            ksel = keys_np[order][si]
+            bounds = np.zeros(len(si) + 1, dtype=np.int64)
+            np.cumsum(take, out=bounds[1:])
+            h_sel, v_sel = h2[sel], ds[sel]
+            for j in range(len(si)):
+                acc = (int(cnt[j]), int(dsum[j]),
+                       h_sel[bounds[j]:bounds[j + 1]],
+                       v_sel[bounds[j]:bounds[j + 1]])
+                kw = (ksel[j], int(ws[si[j]]))
+                for target in targets:
+                    _fold_window_cell(target, kw, acc, sample_k)
+            return
         t = pa.table(
             {
                 "k": pa.array(keys_np, pa.string()),
@@ -228,17 +305,28 @@ class PartitionState:
             sub["clip_id"].to_numpy(zero_copy_only=False), dtype=object
         )
         durs = sub["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sample_k = getattr(cfg, "window_sample_k", 0)
+        hs = None
+        if sample_k:
+            from ..hashing import hash64
+
+            # per-record hash (seq is globally unique): the deterministic
+            # bottom-k sample key — identical whichever partition/salt
+            # the row lands on, and dedup-idempotent under replay
+            hs = hash64(sub["seq"])
         if cfg.window_size_ms:
             starts = assign_tumbling(ts, cfg.window_size_ms)
             self._merge_window_partials(
-                [self.win, self._delta_win], keys_np, starts, durs
+                [self.win, self._delta_win], keys_np, starts, durs,
+                hs, sample_k,
             )
         if getattr(cfg, "sliding_size_ms", 0):
             from ..stages.windows import explode_sliding
 
             rows, starts = explode_sliding(ts, cfg.sliding_size_ms, cfg.sliding_slide_ms)
             self._merge_window_partials(
-                [self.swin, self._delta_swin], keys_np[rows], starts, durs[rows]
+                [self.swin, self._delta_swin], keys_np[rows], starts, durs[rows],
+                hs[rows] if hs is not None else None, sample_k,
             )
         if cfg.session_gap_ms:
             gap = cfg.session_gap_ms
@@ -598,8 +686,9 @@ class PartitionState:
         return tbl
 
     @staticmethod
-    def _window_rows_table(rows: list, size: int) -> pa.Table:
-        return pa.table(
+    def _window_rows_table(rows: list, size: int,
+                           partial: bool = False) -> pa.Table:
+        t = pa.table(
             {
                 "clip_id": pa.array([r[0] for r in rows], pa.string()),
                 "window_start": pa.array([r[1] for r in rows], pa.int64()),
@@ -608,6 +697,29 @@ class PartitionState:
                 "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
             }
         )
+        if rows and len(rows[0]) > 4:          # window_sample_k cells
+            if partial:
+                # hot-key partials carry the RAW sample so the driver
+                # merge can re-union before computing quantiles
+                t = t.append_column(
+                    "sample_h",
+                    pa.array([r[4].tolist() for r in rows],
+                             pa.list_(pa.uint64())),
+                ).append_column(
+                    "sample_v",
+                    pa.array([r[5].tolist() for r in rows],
+                             pa.list_(pa.int64())),
+                )
+            else:
+                qs = [_sample_quantiles(r[5]) for r in rows]
+                t = t.append_column(
+                    "p50_dur_ms", pa.array([q[0] for q in qs], pa.int64())
+                ).append_column(
+                    "p90_dur_ms", pa.array([q[1] for q in qs], pa.int64())
+                ).append_column(
+                    "sample_n", pa.array([len(r[5]) for r in rows], pa.int64())
+                )
+        return t
 
     def _close_window_dict(
         self, target: dict, size: int, epoch: int, wm: int, hot_keys: frozenset,
@@ -627,7 +739,7 @@ class PartitionState:
         if cold:
             tbl = _stamp(self._window_rows_table(cold, size), self.partition, epoch)
             self.metrics[metric] += tbl.num_rows
-        hot_tbl = self._window_rows_table(hot, size) if hot else None
+        hot_tbl = self._window_rows_table(hot, size, partial=True) if hot else None
         return tbl, hot_tbl
 
     def _close_windows(self, epoch: int, wm: int, hot_keys: frozenset = frozenset()):
@@ -834,14 +946,10 @@ class PartitionState:
 
         with open(os.path.join(directory, "delta.pkl"), "rb") as f:
             d = pickle.load(f)
+        sample_k = getattr(self.cfg, "window_sample_k", 0)
         for target, delta in ((self.win, d["win_delta"]), (self.swin, d["swin_delta"])):
             for kw, acc in delta.items():
-                cur = target.get(kw)
-                if cur is None:
-                    target[kw] = list(acc)
-                else:
-                    cur[0] += acc[0]
-                    cur[1] += acc[1]
+                _fold_window_cell(target, kw, acc, sample_k)
         self.upd_chunks.extend(d["upd_delta"])
         self.view.update(d["view_delta"])
         self.funnel.update(d.get("funnel_delta", {}))
