@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap": q.q_interval_overlap,
         "sessionize": q.q_sessionize,
         "csv_roundtrip": q.q_csv_roundtrip,
+        "token_entropy": q.q_token_entropy,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -1019,6 +1020,21 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[(i - 1) * 16 + 1 : (i - 1) * 16 + 24], ' ')
                        AS chunk
             FROM g
+        """,
+        "token_entropy": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS cnt
+                FROM toks GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 4)
+                       AS token_entropy
+            FROM c GROUP BY doc_id
         """,
         "repetition_stats": r"""
             WITH toks AS (

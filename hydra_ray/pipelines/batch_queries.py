@@ -790,6 +790,15 @@ def q_repetition_stats(sf_dir):
     return _round_cols(out, {"dup_token_frac": 4, "top_token_frac": 4})
 
 
+def q_token_entropy(sf_dir):
+    """Per-doc unigram Shannon entropy — the vocabulary-diversity
+    quality signal (pairs with repetition_stats in corpus filtering)."""
+    from ..stages.text import token_entropy
+
+    out = token_entropy(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return _round_cols(out, {"token_entropy": 4})
+
+
 def q_chunk_docs(sf_dir):
     """Overlapping 24-token windows (stride 16) per document — the
     chunking reshape before embedding / retrieval indexing."""

@@ -369,6 +369,49 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon entropy (base 2) of the unigram token
+    distribution — the vocabulary-diversity quality signal (low entropy
+    flags degenerate/boilerplate docs; pairs with ``repetition_stats``).
+
+    Pure per-batch map, no shuffle (a doc's tokens are local to its
+    batch): one Arrow regex split, one ``pd.factorize``, then run-length
+    math over the lexsorted ``(doc, token_code)`` pairs and
+    ``H = log2(n) − Σ c·log2(c) / n`` from bincount partials — the same
+    order-stable form the ``type_entropy`` oracle uses.
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.coalesce(t[text_col].combine_chunks(), "")),
+            r"\s+",
+        )
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = np.diff(offsets)
+        ndocs = len(n_tok)
+        codes = pd.factorize(flat)[0] if len(flat) else np.array([], np.int64)
+        parent = np.repeat(np.arange(ndocs, dtype=np.int64), n_tok)
+        key = parent * np.int64(len(flat) + 1) + codes
+        key.sort()
+        first = np.r_[True, key[1:] != key[:-1]] if len(key) else np.array([], bool)
+        run_start = np.flatnonzero(first)
+        run_len = np.diff(np.append(run_start, len(key))).astype(np.float64)
+        run_doc = (key[run_start] // np.int64(len(flat) + 1)) if len(key) else run_start
+        sclog = np.zeros(ndocs, dtype=np.float64)
+        np.add.at(sclog, run_doc, run_len * np.log2(run_len))
+        n = np.maximum(n_tok, 1).astype(np.float64)
+        ent = np.log2(n) - sclog / n
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "token_entropy": pa.array(ent),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20,
                sep: str = " ", num_buckets: int = 32):
     """Exact corpus-wide top-``k`` token ``n``-grams by count (ties
