@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "csv_roundtrip": q.q_csv_roundtrip,
         "token_entropy": q.q_token_entropy,
+        "normalize_text": q.q_normalize_text,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -1020,6 +1021,16 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[(i - 1) * 16 + 1 : (i - 1) * 16 + 24], ' ')
                        AS chunk
             FROM g
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       lower(strip_accents(nfc_normalize(coalesce(text, '')))),
+                       '\s+', ' ', 'g')) AS text,
+                   CAST(len(trim(regexp_replace(
+                       lower(strip_accents(nfc_normalize(coalesce(text, '')))),
+                       '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+            FROM documents
         """,
         "token_entropy": r"""
             WITH toks AS (

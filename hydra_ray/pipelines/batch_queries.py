@@ -799,6 +799,23 @@ def q_token_entropy(sf_dir):
     return _round_cols(out, {"token_entropy": 4})
 
 
+def q_normalize_text(sf_dir):
+    """Unicode-canonical text normalization (NFC + strip accents +
+    lower + whitespace collapse) — the dedup-priming transform.  The
+    ASCII fixture makes the SQL oracle exact; the non-ASCII semantics
+    (utf8proc parity with DuckDB strip_accents) are pinned by a
+    dedicated pytest."""
+    from ..stages.text import normalize_text
+
+    out = normalize_text(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def n_chars(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_chars", pc.cast(pc.utf8_length(t["text"]), pa.int64()))
+
+    return out.map_batches(n_chars, batch_format="pyarrow")
+
+
 def q_chunk_docs(sf_dir):
     """Overlapping 24-token windows (stride 16) per document — the
     chunking reshape before embedding / retrieval indexing."""

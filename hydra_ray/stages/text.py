@@ -412,6 +412,41 @@ def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def normalize_text(ds, text_col: str = "text", out_col: str = "text",
+                   strip_marks: bool = True, lower: bool = True,
+                   collapse_ws: bool = True):
+    """Canonical text normalization for corpus preparation: Unicode NFC,
+    accent/diacritic stripping (canonical decompose → drop combining
+    marks → recompose, matching DuckDB/utf8proc ``strip_accents``
+    semantics: ``ß`` and the ``ﬁ`` ligature survive, ``é``/``ï`` fold),
+    lowercasing, and whitespace collapse — the dedup-priming transform
+    run before fingerprinting / MinHash.
+
+    Entirely Arrow kernels (``utf8_normalize`` / ``replace_substring_
+    regex`` / ``utf8_lower``), zero Python per row, no shuffle.
+    """
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        s = pc.coalesce(t[text_col].combine_chunks(), "")
+        s = pc.utf8_normalize(s, form="NFC")
+        if strip_marks:
+            nfd = pc.utf8_normalize(s, form="NFD")
+            s = pc.utf8_normalize(
+                pc.replace_substring_regex(nfd, r"\p{Mn}", ""), form="NFC")
+        if lower:
+            s = pc.utf8_lower(s)
+        if collapse_ws:
+            s = pc.utf8_trim_whitespace(
+                pc.replace_substring_regex(s, r"\s+", " "))
+        i = t.schema.get_field_index(out_col)
+        if i >= 0:
+            return t.set_column(i, out_col, s)
+        return t.append_column(out_col, s)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 20,
                sep: str = " ", num_buckets: int = 32):
     """Exact corpus-wide top-``k`` token ``n``-grams by count (ties

@@ -1255,3 +1255,38 @@ def test_interval_overlap_join_matches_bruteforce(rd):
     np.testing.assert_array_equal(out["rid"].to_numpy(), ref["rid"].to_numpy())
     # joined start/end columns carry through for overlap arithmetic
     assert {"k", "s", "e", "s_r", "e_r"} <= set(out.columns)
+
+
+def test_normalize_text_matches_duckdb_on_unicode(rd):
+    """normalize_text must reproduce DuckDB's
+    lower(strip_accents(nfc_normalize(...))) + whitespace collapse on
+    NON-ASCII input (the catalog oracle's fixture corpus is ASCII, so
+    the unicode semantics are pinned here): ß and the ﬁ ligature
+    survive (canonical, not compatibility, decomposition), é/ï/ç fold,
+    precomposed vs combining-mark inputs agree."""
+    import duckdb
+
+    from hydra_ray.stages.text import normalize_text
+
+    docs = [
+        "Café au lait", "ÄÖÜ  groß", "naïve  façade", "ß ﬁne ½",
+        "éclair",          # combining acute: NFC first, then strip
+        "ø é́ x",     # stacked marks, non-decomposable ø
+        "Ａｂｃ İstanbul",        # fullwidth survives, dotted-İ lowers
+        "  tabs\tand\nnewlines  ", "", None,
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    got = normalize_text(ds).to_pandas().sort_values("doc_id")["text"].tolist()
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            "select trim(regexp_replace(lower(strip_accents(nfc_normalize("
+            "coalesce(?, '')))), '\\s+', ' ', 'g'))",
+            params=[s],
+        ).fetchone()[0]
+        for s in docs
+    ]
+    assert got == want
