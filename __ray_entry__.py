@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": q.q_csv_roundtrip,
         "token_entropy": q.q_token_entropy,
         "normalize_text": q.q_normalize_text,
+        "winsorize": q.q_winsorize,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -1021,6 +1022,18 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[(i - 1) * 16 + 1 : (i - 1) * 16 + 24], ' ')
                        AS chunk
             FROM g
+        """,
+        "winsorize": """
+            WITH t AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.05) AS lo,
+                       quantile_disc(value, 0.95) AS hi
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   round(least(greatest(e.value, t.lo), t.hi), 2)
+                       AS winsorized
+            FROM events e JOIN t ON e.event_type = t.event_type
         """,
         "normalize_text": r"""
             SELECT doc_id,

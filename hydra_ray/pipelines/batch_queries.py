@@ -512,6 +512,27 @@ def q_value_quantiles_cont(sf_dir):
     return _round_cols(out, {"q25": 4, "median": 4, "q90": 4})
 
 
+def q_winsorize(sf_dir):
+    """Per-event-type winsorization at [p05, p95] (robust clipping
+    before feature aggregation).  Thresholds are quantile_disc data
+    values, so the clamp is bit-exact vs the SQL least/greatest."""
+    from ..stages.windows import winsorize
+
+    out = winsorize(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        ["event_type"], "value", 0.05, 0.95,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "winsorized": round_f64(t["winsorized"], 2),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_pivot_events(sf_dir):
     """Long → wide reshape: per-user spend by event type (explicit
     category list — the output schema must be known pre-execution)."""

@@ -546,6 +546,42 @@ def grouped_quantile(ds, group_cols: list[str], value_col: str,
     )
 
 
+def winsorize(ds, group_cols: list[str], value_col: str,
+              lo_q: float = 0.05, hi_q: float = 0.95,
+              out_col: str = "winsorized", num_buckets: int = 64):
+    """Per-group quantile clipping (winsorization) — the robust-stats
+    outlier tamer run before training-feature aggregation: every value
+    is clamped into ``[quantile(lo_q), quantile(hi_q)]`` of its group.
+
+    Thresholds come from one exact ``grouped_quantile`` pass
+    (``disc`` convention, so they are actual data values and the clamp
+    is bit-exact against a SQL ``least/greatest`` oracle).  The
+    per-group threshold table is tiny (one row per group); it is
+    broadcast once via the object store and applied per batch with a
+    pandas merge — the row stream itself never shuffles.
+    """
+    from .join import broadcast_join
+
+    th = grouped_quantile(
+        ds, group_cols, value_col, {"__w_lo": lo_q, "__w_hi": hi_q},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    joined = broadcast_join(ds, th, on=list(group_cols), how="left")
+
+    def clip(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(t[value_col], pa.float64())
+        clamped = pc.min_element_wise(
+            pc.max_element_wise(v, pc.cast(t["__w_lo"], pa.float64())),
+            pc.cast(t["__w_hi"], pa.float64()),
+        )
+        return t.drop_columns(["__w_lo", "__w_hi"]).append_column(
+            out_col, clamped)
+
+    return joined.map_batches(clip, batch_format="pyarrow")
+
+
 def tumbling_window(
     ds,
     key_cols: list[str],
