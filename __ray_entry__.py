@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q.q_token_entropy,
         "normalize_text": q.q_normalize_text,
         "winsorize": q.q_winsorize,
+        "shipping_priority": q.q_shipping_priority,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -1022,6 +1023,26 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[(i - 1) * 16 + 1 : (i - 1) * 16 + 24], ' ')
                        AS chunk
             FROM g
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS revenue,
+                   epoch_ms(o_orderdate) AS o_orderdate_ms,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         DESC,
+                     o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "winsorize": """
             WITH t AS (

@@ -405,6 +405,98 @@ def q_order_revenue(sf_dir):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_shipping_priority(sf_dir):
+    """TPC-H-Q3-shaped composition: segment-filtered customers broadcast
+    into a date-filtered orders scan, ONE bucketed lineitem⋈orders
+    exchange, exact integer-cents revenue per order, then global top-10
+    via per-block partial top-k + a driver merge of the tiny partials
+    (no global sort).  Filters are applied at the scan so only
+    qualifying rows enter the exchange."""
+    from ..stages.join import broadcast_join, bucketed_join
+
+    CUT_MS = 896_659_200_000  # 1998-06-01 UTC
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        ms = np.asarray(ts_to_ms(t["o_orderdate"]))
+        keep = np.flatnonzero(ms < CUT_MS)
+        top = t.take(pa.array(keep))
+        return pa.table({
+            "okey": top["o_orderkey"],
+            "o_custkey": top["o_custkey"],
+            "o_orderdate_ms": pa.array(ms[keep], pa.int64()),
+            "o_orderpriority": top["o_orderpriority"],
+        })
+
+    right = broadcast_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        cust, on="o_custkey",
+    ).map_batches(lambda t: t.drop(columns=["o_custkey"]),
+                  batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        ms = np.asarray(ts_to_ms(t["l_shipdate"]))
+        top = t.take(pa.array(np.flatnonzero(ms > CUT_MS)))
+        extc = pc.cast(
+            pc.round(pc.multiply(top["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64())
+        discc = pc.cast(
+            pc.round(pc.multiply(top["l_discount"], pa.scalar(100.0))),
+            pa.int64())
+        return pa.table({
+            "okey": top["l_orderkey"],
+            "rev_e4": pc.multiply(
+                extc, pc.subtract(pa.scalar(100, pa.int64()), discc)),
+        })
+
+    joined = bucketed_join(li.map_batches(prep_li, batch_format="pyarrow"),
+                           right, key="okey")
+    agg = grouped_aggregate(
+        joined, ["okey", "o_orderdate_ms", "o_orderpriority"],
+        [AggSpec("sum", "rev_e4", "rev_e4")],
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        okey = t["okey"].to_numpy(zero_copy_only=False)
+        oms = t["o_orderdate_ms"].to_numpy(zero_copy_only=False)
+        # top-10 by (rev desc, date asc, okey asc)
+        order = np.lexsort((okey, oms, -rev))[:10]
+        return t.take(pa.array(order))
+
+    import ray
+
+    parts = agg.map_batches(partial_top, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    order = np.lexsort((
+        merged["okey"].to_numpy(zero_copy_only=False),
+        merged["o_orderdate_ms"].to_numpy(zero_copy_only=False),
+        -merged["rev_e4"].to_numpy(zero_copy_only=False),
+    ))[:10]
+    top = merged.take(pa.array(order))
+    return pa.table({
+        "l_orderkey": top["okey"],
+        "revenue": round_f64(
+            pc.divide(pc.cast(top["rev_e4"], pa.float64()),
+                      pa.scalar(10_000.0)), 2),
+        "o_orderdate_ms": top["o_orderdate_ms"],
+        "o_orderpriority": top["o_orderpriority"],
+    })
+
+
 def q_fuzzy_match(sf_dir):
     """Edit distance of every document's 40-char prefix to a fixed probe
     phrase — the fuzzy-match / decontamination-by-edit-distance probe,
