@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
+        "ewma_value": q.q_ewma_value,
         "pack_sequences": q.q_pack_sequences,
         "replicate_stream": q.q_replicate_stream,
         "pagerank": q.q_pagerank,

@@ -739,6 +739,19 @@ def q_lag_delta(sf_dir):
     return _round_cols(out, {"value": 2, "prev_value": 2})
 
 
+def q_ewma_value(sf_dir):
+    """Per-user EWMA smoothing of the value series (α = 0.25) — the
+    time-series denoising signal.  Rows-only: the EWMA recurrence needs
+    recursion SQL lacks; the exact fold is pinned by a pytest oracle."""
+    from ..stages.rollup import grouped_ewma
+
+    ds = _ms_col(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]),
+        "ts", "ms")
+    out = grouped_ewma(ds, "user_id", "ms", "event_id", "value", alpha=0.25)
+    return _round_cols(out, {"value": 2, "ewma": 4})
+
+
 def q_running_total(sf_dir):
     """Per-user running sum of value in (ts, event_id) order (SQL SUM
     OVER ROWS UNBOUNDED PRECEDING) — cumsum-kernel ordered window."""

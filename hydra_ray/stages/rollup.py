@@ -176,6 +176,48 @@ def grouped_cumsum(ds, key_col: str, order_col: str, tie_col: str,
     )
 
 
+def grouped_ewma(ds, key_col: str, order_col: str, tie_col: str,
+                 value_col: str, alpha: float, out_col: str = "ewma",
+                 num_buckets: int = 64):
+    """Per-key exponentially-weighted moving average (the standard
+    time-series smoothing signal): ``y_0 = x_0``,
+    ``y_i = (1−α)·y_{i−1} + α·x_i`` in ``(order, tie)`` order — the
+    pandas ``ewm(adjust=False)`` recurrence.
+
+    Same single hash(key)-bucket exchange as :func:`grouped_shift`;
+    each bucket lexsorts once and then runs pandas' cython grouped-EWM
+    kernel over the key runs (no per-row Python).  Not SQL-expressible
+    without recursion, so the catalog query is rows-only; the exact
+    recurrence is pinned by a naive-fold pytest oracle.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    tag = _bucket_tag(key_col, num_buckets)
+
+    def ewm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        if g.empty:
+            out = g.copy()
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        pos, _, _ = _sorted_runs(g, key_col, order_col, tie_col)
+        out = g.iloc[pos].copy()
+        # rows are sorted by (key, order, tie): groupby(sort=False) emits
+        # groups in first-appearance order, so the flattened EWM series
+        # aligns positionally with the sorted frame
+        out[out_col] = (
+            out.groupby(key_col, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        )
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(ewm, batch_format="pandas")
+    )
+
+
 def pivot_wider(ds, group_cols: list[str], name_col: str, value_col: str,
                 names: list[str], prefix: str = ""):
     """Pivot long → wide: one output row per group, one SUM column per

@@ -412,3 +412,42 @@ def test_sessionize_matches_pandas(rd):
     np.testing.assert_array_equal(out["session_id"].to_numpy(), ref.to_numpy())
     # every key's sessions start at 1 and are non-decreasing
     assert out.groupby("user_id")["session_id"].first().eq(1).all()
+
+
+@pytest.mark.parametrize("alpha", [0.25, 0.9])
+def test_grouped_ewma_matches_naive_fold(rd, alpha):
+    """grouped_ewma == the literal per-key recurrence
+    y_0 = x_0, y_i = (1-a)·y_{i-1} + a·x_i in (order, tie) order,
+    invariant in bucket count (the routing exchange must not change
+    the fold)."""
+    from hydra_ray.stages.rollup import grouped_ewma
+
+    df = _events(n=3000, seed=11)
+
+    # naive reference fold
+    want = {}
+    for _, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        y = None
+        for eid, x in zip(g["event_id"], g["value"]):
+            y = x if y is None else (1 - alpha) * y + alpha * x
+            want[eid] = y
+
+    for nb in (1, 8):
+        out = grouped_ewma(
+            rd.from_pandas(df).repartition(6), "user_id", "ts", "event_id",
+            "value", alpha=alpha, num_buckets=nb,
+        ).to_pandas()
+        assert len(out) == len(df)
+        got = dict(zip(out["event_id"], out["ewma"]))
+        err = max(abs(got[e] - want[e]) for e in want)
+        assert err < 1e-9, (nb, err)
+
+
+def test_grouped_ewma_rejects_bad_alpha(rd):
+    from hydra_ray.stages.rollup import grouped_ewma
+
+    ds = rd.from_pandas(_events(n=10))
+    with pytest.raises(ValueError):
+        grouped_ewma(ds, "user_id", "ts", "event_id", "value", alpha=0.0)
+    with pytest.raises(ValueError):
+        grouped_ewma(ds, "user_id", "ts", "event_id", "value", alpha=1.5)
