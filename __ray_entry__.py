@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q.q_normalize_text,
         "winsorize": q.q_winsorize,
         "shipping_priority": q.q_shipping_priority,
+        "ipc_roundtrip": q.q_ipc_roundtrip,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -1024,6 +1025,15 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(t[(i - 1) * 16 + 1 : (i - 1) * 16 + 24], ' ')
                        AS chunk
             FROM g
+        """,
+        "ipc_roundtrip": """
+            -- identity + norm: the Ray side round-trips the nested
+            -- list<float> column through Arrow IPC files first
+            SELECT vec_id, label,
+                   round(sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+                       AS l2
+            FROM embeddings
         """,
         "shipping_priority": """
             SELECT l_orderkey,

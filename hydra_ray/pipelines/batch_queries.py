@@ -309,6 +309,41 @@ def q_avro_roundtrip(sf_dir):
     return back
 
 
+def q_ipc_roundtrip(sf_dir):
+    """Embeddings → Arrow IPC files (zstd body buffers, one file per
+    batch task) → read back: the columnar interchange edge
+    (`sources/ipc.py`), exercised on a NESTED list<float> column the
+    Avro/CSV edges don't cover.  The oracle compares vec_id/label plus
+    each round-tripped vector's L2 norm — a hash match proves the
+    nested payload survived bit-exactly."""
+    import shutil
+    import uuid
+
+    from ..sources.ipc import read_ipc, write_ipc
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = f"/tmp/hydra_ipc/{uuid.uuid4().hex}"
+    try:
+        write_ipc(ds, out)
+        back = read_ipc(out)
+
+        def norms(t: pa.Table) -> pa.Table:
+            emb = t["embedding"].combine_chunks()
+            flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            sq = np.add.reduceat(flat * flat, offs[:-1])
+            sq[np.diff(offs) == 0] = 0.0
+            return pa.table({
+                "vec_id": t["vec_id"],
+                "label": t["label"],
+                "l2": round_f64(pa.array(np.sqrt(sq)), 4),
+            })
+
+        return back.map_batches(norms, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_csv_roundtrip(sf_dir):
     """Customer → CSV shards (one file per batch task, quoted fields) →
     read back through the DLQ-routing CSV source (`sources/csvlite.py`).

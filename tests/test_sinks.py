@@ -152,3 +152,37 @@ def test_sorted_write_and_read_sorted(ray_session, tmp_path):
     assert (ids[1:][same] > ids[:-1][same]).all()
     # content preserved exactly
     assert sorted(ids.tolist()) == list(range(n))
+
+
+def test_ipc_roundtrip_nested_and_pruned(rd, tmp_path):
+    """Arrow IPC edge: nested list<float> + timestamp columns survive
+    bit-exactly through write_ipc/read_ipc; column pruning on read;
+    empty input dir raises."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from hydra_ray.sources.ipc import read_ipc, write_ipc
+
+    t = pa.table({
+        "id": pa.array(range(100), pa.int64()),
+        "vec": pa.array([[float(i), i + 0.5] for i in range(100)],
+                        pa.list_(pa.float32())),
+        "ts": pa.array(
+            pd.date_range("2024-01-01", periods=100, freq="h")),
+    })
+    out = tmp_path / "ipc"
+    n = write_ipc(rd.from_arrow(t).repartition(4), str(out))
+    assert n == 100
+    assert len(list(out.glob("*.arrow"))) >= 2  # one file per batch task
+
+    back = read_ipc(str(out)).to_pandas().sort_values("id").reset_index(drop=True)
+    want = t.to_pandas()
+    assert back["ts"].equals(want["ts"])
+    assert all(np.array_equal(a, b) for a, b in zip(back["vec"], want["vec"]))
+
+    pruned = read_ipc(str(out), columns=["id"]).schema().names
+    assert pruned == ["id"]
+
+    with pytest.raises(ValueError):
+        read_ipc(str(tmp_path / "nothing_here"))
