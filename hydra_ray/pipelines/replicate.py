@@ -119,6 +119,16 @@ class ReplicateConfig:
     # and N→M-rescale-safe like the count/sum partials; k ≥ the window's
     # row count makes the quantiles EXACT.  0 disables (schema unchanged).
     window_sample_k: int = 0
+    # streaming per-window APPROXIMATE DISTINCT-CONTENT count: each
+    # (clip_id, window) cell keeps a KMV sketch (the k smallest DISTINCT
+    # hash64 values over ``dedup_cols`` content, hashed in the routing
+    # task) and close emits ``distinct_content`` — exact while a cell
+    # has < k distinct payloads, (k−1)/v_k beyond.  The sketch is a
+    # dedup-idempotent union monoid like window_sample_k, so it is
+    # salting/routing-independent, delta-checkpoint- and rescale-safe.
+    # Composes with the dedup tier (tier-dropped duplicates never reach
+    # the window, so counts are over SURVIVING rows).  0 disables.
+    window_distinct_k: int = 0
     # CEP funnel over the combined stream (clip lifecycle patterns): an
     # ordered tuple of event kinds from {"clip", "update", "delete"}
     # ("clip" = clip arrival, "update" = non-tombstone transcript update,
@@ -189,6 +199,8 @@ def _route_factory(
     features: bool = False,
     fbank: bool = False,
     payload_transform=None,
+    distinct_k: int = 0,
+    content_cols: tuple = ("bytes",),
 ):
     """Build the map_batches ingest fn: (decode →) partition slices →
     heavy payload STAGED STRAIGHT TO THE SINK, light rows → state actors.
@@ -223,7 +235,7 @@ def _route_factory(
     return _Router(
         handles, kind, wm, key_col, P, decoder, payload_root, epoch, nonce,
         hot_keys, n_salts, flush_bytes, drop, funnel_on, features,
-        payload_transform, fbank,
+        payload_transform, fbank, distinct_k, content_cols,
     )
 
 
@@ -232,8 +244,10 @@ class _Router:
         self, handles, kind, wm, key_col, P, decoder, payload_root,
         epoch, nonce, hot_keys, n_salts, flush_bytes, drop=None,
         funnel_on=False, features=False, payload_transform=None,
-        fbank=False,
+        fbank=False, distinct_k=0, content_cols=("bytes",),
     ):
+        self.distinct_k = distinct_k
+        self.content_cols = content_cols
         self.funnel_on = funnel_on
         self.features = features
         self.fbank = fbank
@@ -305,6 +319,14 @@ class _Router:
                 batch = batch.filter(pa.array(~dup))
                 if batch.num_rows == 0:
                     return _empty_ack()
+        ch = None
+        if self.distinct_k and kind == "clips":
+            # content hash for the window KMV distinct sketch — computed
+            # HERE (parallel route tasks, raw bytes still present), never
+            # in the serial state actors; rides as one light uint64 col
+            from ..state.dedup_index import content_hash_of
+
+            ch = content_hash_of(batch, self.content_cols)
         t0 = _time.perf_counter()
         if decoder is not None:
             batch = decoder(batch)
@@ -362,6 +384,8 @@ class _Router:
                 rr, rp = combo // P, combo % P
                 replica_rows = {int(p): rr[rp == p] for p in np.unique(rp)}
         light = batch.drop_columns([c for c in HEAVY_COLS if c in batch.column_names])
+        if ch is not None:
+            light = light.append_column("content_h", pa.array(ch, pa.uint64()))
         feat_cols: dict[str, np.ndarray] = {}
         fb_mean = fb_std = fb_nf = None
         if payload_root is not None:
@@ -1041,6 +1065,8 @@ class ReplicatePipeline:
             features=cfg.audio_features,
             fbank=cfg.audio_fbank,
             payload_transform=cfg.payload_transform,
+            distinct_k=cfg.window_distinct_k,
+            content_cols=cfg.dedup_cols,
         )
         updates_route = _route_factory(
             self.actors, "updates", wm_prev, "clip_id", cfg.num_partitions,
@@ -1406,43 +1432,70 @@ class ReplicatePipeline:
             if not tbls:
                 continue
             cat = pa.concat_tables(tbls, promote_options="default")
-            if "sample_h" in cat.column_names:
-                # window_sample_k partials: re-union each key's bottom-k
-                # sample across salt partitions, then compute the same
-                # final quantile columns the cold path emits
-                from ..state.store import _bottomk_union, _sample_quantiles
+            has_sample = "sample_h" in cat.column_names
+            has_distinct = "distinct_h" in cat.column_names
+            if has_sample or has_distinct:
+                # window_sample_k / window_distinct_k partials: re-union
+                # each key's sketch(es) across salt partitions, then emit
+                # the same final columns (in the same order) as the cold
+                # path — both unions are the ONE monoid rule the actors
+                # use, so the result is byte-identical to an unsalted run
+                from ..state.store import (
+                    _bottomk_union,
+                    _kmv_estimate,
+                    _kmv_union,
+                    _sample_quantiles,
+                )
 
                 k = cfg.window_sample_k
+                dk = cfg.window_distinct_k
                 df = cat.to_pandas()
                 cells: dict = {}
                 for r in df.itertuples(index=False):
                     kw = (r.clip_id, int(r.window_start))
-                    hs = np.asarray(r.sample_h, dtype=np.uint64)
-                    vs = np.asarray(r.sample_v, dtype=np.int64)
                     cur = cells.get(kw)
                     if cur is None:
-                        cells[kw] = [int(r.window_end), int(r.n_clips),
-                                     int(r.sum_dur_ms), hs, vs]
-                    else:
-                        cur[0] = max(cur[0], int(r.window_end))
-                        cur[1] += int(r.n_clips)
-                        cur[2] += int(r.sum_dur_ms)
-                        cur[3], cur[4] = _bottomk_union(cur[3], cur[4], hs, vs, k)
+                        cur = cells[kw] = {
+                            "we": int(r.window_end), "n": 0, "s": 0,
+                            "hs": np.array([], np.uint64),
+                            "vs": np.array([], np.int64),
+                            "ch": np.array([], np.uint64),
+                        }
+                    cur["we"] = max(cur["we"], int(r.window_end))
+                    cur["n"] += int(r.n_clips)
+                    cur["s"] += int(r.sum_dur_ms)
+                    if has_sample:
+                        cur["hs"], cur["vs"] = _bottomk_union(
+                            cur["hs"], cur["vs"],
+                            np.asarray(r.sample_h, dtype=np.uint64),
+                            np.asarray(r.sample_v, dtype=np.int64), k)
+                    if has_distinct:
+                        cur["ch"] = _kmv_union(
+                            cur["ch"],
+                            np.asarray(r.distinct_h, dtype=np.uint64), dk)
                 kws = sorted(cells)
-                qs = [_sample_quantiles(cells[kw][4]) for kw in kws]
-                merged = pa.table(
-                    {
-                        "clip_id": pa.array([kw[0] for kw in kws], pa.string()),
-                        "window_start": pa.array([kw[1] for kw in kws], pa.int64()),
-                        "window_end": pa.array([cells[kw][0] for kw in kws], pa.int64()),
-                        "n_clips": pa.array([cells[kw][1] for kw in kws], pa.int64()),
-                        "sum_dur_ms": pa.array([cells[kw][2] for kw in kws], pa.int64()),
-                        "p50_dur_ms": pa.array([q[0] for q in qs], pa.int64()),
-                        "p90_dur_ms": pa.array([q[1] for q in qs], pa.int64()),
-                        "sample_n": pa.array(
-                            [len(cells[kw][4]) for kw in kws], pa.int64()),
-                    }
-                )
+                cols = {
+                    "clip_id": pa.array([kw[0] for kw in kws], pa.string()),
+                    "window_start": pa.array([kw[1] for kw in kws], pa.int64()),
+                    "window_end": pa.array(
+                        [cells[kw]["we"] for kw in kws], pa.int64()),
+                    "n_clips": pa.array(
+                        [cells[kw]["n"] for kw in kws], pa.int64()),
+                    "sum_dur_ms": pa.array(
+                        [cells[kw]["s"] for kw in kws], pa.int64()),
+                }
+                if has_sample:
+                    qs = [_sample_quantiles(cells[kw]["vs"]) for kw in kws]
+                    cols["p50_dur_ms"] = pa.array([q[0] for q in qs], pa.int64())
+                    cols["p90_dur_ms"] = pa.array([q[1] for q in qs], pa.int64())
+                    cols["sample_n"] = pa.array(
+                        [len(cells[kw]["vs"]) for kw in kws], pa.int64())
+                if has_distinct:
+                    cols["distinct_content"] = pa.array(
+                        [_kmv_estimate(cells[kw]["ch"], dk,
+                                       n_cap=cells[kw]["n"]) for kw in kws],
+                        pa.int64())
+                merged = pa.table(cols)
                 merged = _stamp(merged, -1, epoch)
                 frag = self.sink[sink_key].stage_fragment(merged, epoch, -1)
                 staged.append((sink_key, frag))
@@ -1603,3 +1656,4 @@ class _StateCfg:
         self.funnel_within_ms = cfg.funnel_within_ms
         self.changelog = cfg.changelog
         self.window_sample_k = getattr(cfg, "window_sample_k", 0)
+        self.window_distinct_k = getattr(cfg, "window_distinct_k", 0)

@@ -143,11 +143,13 @@ def _merge_one(q: int, tmp_root: str, epoch: int, cfg, max_ts: int,
         with open(os.path.join(qdir, name), "rb") as f:
             d = pickle.load(f)
         # salted hot key: partials from several old partitions fold with
-        # the one shared cell rule (handles the window_sample_k cells too)
+        # the one shared cell rule (handles the window_sample_k and
+        # window_distinct_k cells too)
         sample_k = getattr(cfg, "window_sample_k", 0)
+        distinct_k = getattr(cfg, "window_distinct_k", 0)
         for target, delta in ((st.win, d["win"]), (st.swin, d["swin"])):
             for kw, acc in delta.items():
-                _fold_window_cell(target, kw, acc, sample_k)
+                _fold_window_cell(target, kw, acc, sample_k, distinct_k)
         for k, lst in d["sessions"].items():
             for s in lst:
                 st._merge_session_range(k, s[0], s[1], s[2], s[3], gap)

@@ -68,25 +68,59 @@ def _bottomk_union(h1, v1, h2, v2, k: int):
     return hh[:k], v[ui][:k]
 
 
-def _fold_window_cell(target: dict, kw, acc, k: int):
+def _kmv_union(c1, c2, k: int):
+    """Merge two KMV (k-minimum-values) distinct sketches: union, dedup
+    (``np.unique``), keep the k smallest hashes.  Same monoid laws as
+    ``_bottomk_union`` — dedup makes replay idempotent, union makes it
+    routing/salting/rescale-independent.  Below k distinct hashes the
+    sketch IS the exact distinct set."""
+    return np.unique(np.concatenate([c1, c2]))[:k]
+
+
+def _kmv_estimate(ch: np.ndarray, k: int, n_cap: int | None = None) -> int:
+    """Distinct-count from a KMV sketch (Bar-Yossef et al. 2002): exact
+    ``len(ch)`` while the sketch never overflowed (< k entries), else
+    ``(k−1)/v_k`` with ``v_k`` the k-th smallest normalized hash.
+    ``n_cap`` (the cell's exact row count) clamps the estimator's
+    overshoot — distinct can never exceed rows, and the cap is itself a
+    routing-independent exact partial, so determinism is preserved."""
+    m = len(ch)
+    if k <= 0 or m < k:
+        return m
+    vk = float(ch[k - 1]) / 2.0 ** 64        # ch is sorted ascending
+    if vk <= 0.0:
+        return m
+    est = max(m, int(round((k - 1) / vk)))
+    return min(est, n_cap) if n_cap is not None else est
+
+
+def _fold_window_cell(target: dict, kw, acc, k: int, dk: int = 0):
     """Fold one (key, window) partial into a state dict — the ONE merge
-    rule shared by live ingest, delta-checkpoint replay and rescale
-    (cells are [cnt, sum] or, with window_sample_k, [cnt, sum, hs, vs])."""
+    rule shared by live ingest, delta-checkpoint replay and rescale.
+    Cell layout is positional, driven by the cfg flags: [cnt, sum]
+    (+ [hs, vs] with window_sample_k) (+ [ch] with window_distinct_k).
+    Toggling a flag mid-checkpoint-chain is not supported (a restored
+    short cell is extended on first fold; a reinterpreted one is not
+    detected)."""
     cur = target.get(kw)
     if cur is None:
-        target[kw] = (
-            [acc[0], acc[1], acc[2].copy(), acc[3].copy()]
-            if len(acc) > 2 else [acc[0], acc[1]]
-        )
+        target[kw] = [a.copy() if isinstance(a, np.ndarray) else a for a in acc]
         return
     cur[0] += acc[0]
     cur[1] += acc[1]
-    if len(acc) > 2:
-        if len(cur) > 2:
-            cur[2], cur[3] = _bottomk_union(cur[2], cur[3], acc[2], acc[3], k)
+    i = 2
+    if k and len(acc) > i + 1:
+        if len(cur) > i + 1:
+            cur[i], cur[i + 1] = _bottomk_union(
+                cur[i], cur[i + 1], acc[i], acc[i + 1], k)
         else:
-            cur.append(acc[2].copy())
-            cur.append(acc[3].copy())
+            cur.extend([acc[i].copy(), acc[i + 1].copy()])
+        i += 2
+    if dk and len(acc) > i:
+        if len(cur) > i:
+            cur[i] = _kmv_union(cur[i], acc[i], dk)
+        else:
+            cur.append(acc[i].copy())
 
 
 def _sample_quantiles(vs: np.ndarray) -> tuple[int, int]:
@@ -184,10 +218,18 @@ class PartitionState:
             sub = table.filter(pa.array(ok))
             if err_idx >= 0:
                 sub = sub.drop_columns(["decode_error"])
+            # content_h is a window-state input only (KMV distinct
+            # sketch): strip it before the row buffers so it never leaks
+            # into the replicated output schema or checkpoint buffers
+            ch = None
+            if sub.schema.get_field_index("content_h") >= 0:
+                ch = sub["content_h"].to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+                sub = sub.drop_columns(["content_h"])
             self.clip_buf.append(sub)
             self._delta_clips.append(sub)
             sub_ts = ts[ok]
-            self._accumulate_windows(sub, sub_ts)
+            self._accumulate_windows(sub, sub_ts, ch)
             vc = sub.group_by(["clip_id"], use_threads=False).aggregate(
                 [("clip_id", "count")]
             )
@@ -238,6 +280,7 @@ class PartitionState:
     def _merge_window_partials(
         targets: list[dict], keys_np: np.ndarray, starts: np.ndarray,
         durs: np.ndarray, hs: np.ndarray | None = None, sample_k: int = 0,
+        ch: np.ndarray | None = None, distinct_k: int = 0,
     ):
         """Fold per-batch (key, window) partials into the given state dicts
         (live dict + checkpoint-delta dict).
@@ -246,36 +289,63 @@ class PartitionState:
         Python merge loop runs once per DISTINCT (key, window) of the
         batch — O(keys·windows), not O(rows); hot keys collapse hardest.
         With ``sample_k`` set the collapse also keeps each group's k
-        smallest-``hs`` rows (one lexsort + arange gather), extending the
-        cells to [cnt, sum, hs, vs].
+        smallest-``hs`` rows (one lexsort + arange gather); with
+        ``distinct_k`` it keeps each group's k smallest DISTINCT content
+        hashes (the KMV sketch partial) — extending the cells to
+        [cnt, sum (, hs, vs)(, ch)].
         """
-        if sample_k and hs is not None:
+        sk = sample_k if hs is not None else 0
+        dk = distinct_k if ch is not None else 0
+        if sk or dk:
             _, kcodes = np.unique(keys_np, return_inverse=True)
-            order = np.lexsort((hs, starts, kcodes))
+            order = np.lexsort(((hs if sk else durs), starts, kcodes))
             kc = kcodes[order]
             ws = starts[order]
             ds = durs[order]
-            h2 = hs[order]
             first = np.r_[True, (kc[1:] != kc[:-1]) | (ws[1:] != ws[:-1])]
             si = np.flatnonzero(first)
+            n_g = len(si)
             cnt = np.diff(np.append(si, len(kc)))
             dsum = np.add.reduceat(ds, si)
-            take = np.minimum(cnt, sample_k)
-            rep = np.repeat(np.arange(len(si)), take)
-            offs = (np.arange(int(take.sum()))
-                    - np.repeat(np.cumsum(take) - take, take))
-            sel = si[rep] + offs
             ksel = keys_np[order][si]
-            bounds = np.zeros(len(si) + 1, dtype=np.int64)
-            np.cumsum(take, out=bounds[1:])
-            h_sel, v_sel = h2[sel], ds[sel]
-            for j in range(len(si)):
-                acc = (int(cnt[j]), int(dsum[j]),
-                       h_sel[bounds[j]:bounds[j + 1]],
-                       v_sel[bounds[j]:bounds[j + 1]])
+            if sk:
+                h2 = hs[order]
+                take = np.minimum(cnt, sk)
+                rep = np.repeat(np.arange(n_g), take)
+                offs = (np.arange(int(take.sum()))
+                        - np.repeat(np.cumsum(take) - take, take))
+                sel = si[rep] + offs
+                bounds_s = np.zeros(n_g + 1, dtype=np.int64)
+                np.cumsum(take, out=bounds_s[1:])
+                h_sel, v_sel = h2[sel], ds[sel]
+            if dk:
+                # second pass ordered by (key, window, content-hash):
+                # group enumeration order matches pass 1 (both are sorted
+                # by (kcodes, starts) first), so partials align by j
+                order2 = np.lexsort((ch, starts, kcodes))
+                kc2, ws2, c2 = kcodes[order2], starts[order2], ch[order2]
+                gfirst = np.r_[True, (kc2[1:] != kc2[:-1]) | (ws2[1:] != ws2[:-1])]
+                newh = gfirst | np.r_[True, c2[1:] != c2[:-1]]
+                keep = np.flatnonzero(newh)
+                gid = np.cumsum(gfirst) - 1
+                gk = gid[keep]
+                dcnt = np.bincount(gk, minlength=n_g)
+                gstart = np.cumsum(dcnt) - dcnt
+                pos = np.arange(len(keep)) - gstart[gk]
+                csel = c2[keep[pos < dk]]
+                dtake = np.minimum(dcnt, dk)
+                bounds_d = np.zeros(n_g + 1, dtype=np.int64)
+                np.cumsum(dtake, out=bounds_d[1:])
+            for j in range(n_g):
+                acc = [int(cnt[j]), int(dsum[j])]
+                if sk:
+                    acc += [h_sel[bounds_s[j]:bounds_s[j + 1]],
+                            v_sel[bounds_s[j]:bounds_s[j + 1]]]
+                if dk:
+                    acc.append(csel[bounds_d[j]:bounds_d[j + 1]])
                 kw = (ksel[j], int(ws[si[j]]))
                 for target in targets:
-                    _fold_window_cell(target, kw, acc, sample_k)
+                    _fold_window_cell(target, kw, tuple(acc), sk, dk)
             return
         t = pa.table(
             {
@@ -299,13 +369,17 @@ class PartitionState:
                     acc[0] += c
                     acc[1] += d
 
-    def _accumulate_windows(self, sub: pa.Table, ts: np.ndarray):
+    def _accumulate_windows(self, sub: pa.Table, ts: np.ndarray,
+                            ch: np.ndarray | None = None):
         cfg = self.cfg
         keys_np = np.asarray(
             sub["clip_id"].to_numpy(zero_copy_only=False), dtype=object
         )
         durs = sub["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
         sample_k = getattr(cfg, "window_sample_k", 0)
+        distinct_k = getattr(cfg, "window_distinct_k", 0)
+        if not distinct_k:
+            ch = None
         hs = None
         if sample_k:
             from ..hashing import hash64
@@ -318,7 +392,7 @@ class PartitionState:
             starts = assign_tumbling(ts, cfg.window_size_ms)
             self._merge_window_partials(
                 [self.win, self._delta_win], keys_np, starts, durs,
-                hs, sample_k,
+                hs, sample_k, ch, distinct_k,
             )
         if getattr(cfg, "sliding_size_ms", 0):
             from ..stages.windows import explode_sliding
@@ -327,6 +401,7 @@ class PartitionState:
             self._merge_window_partials(
                 [self.swin, self._delta_swin], keys_np[rows], starts, durs[rows],
                 hs[rows] if hs is not None else None, sample_k,
+                ch[rows] if ch is not None else None, distinct_k,
             )
         if cfg.session_gap_ms:
             gap = cfg.session_gap_ms
@@ -685,8 +760,7 @@ class PartitionState:
         self.metrics["replicated_out"] += tbl.num_rows
         return tbl
 
-    @staticmethod
-    def _window_rows_table(rows: list, size: int,
+    def _window_rows_table(self, rows: list, size: int,
                            partial: bool = False) -> pa.Table:
         t = pa.table(
             {
@@ -697,27 +771,45 @@ class PartitionState:
                 "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
             }
         )
-        if rows and len(rows[0]) > 4:          # window_sample_k cells
+        sample_k = getattr(self.cfg, "window_sample_k", 0)
+        distinct_k = getattr(self.cfg, "window_distinct_k", 0)
+        idx = 4
+        if sample_k and rows and len(rows[0]) > idx + 1:  # [hs, vs] cells
             if partial:
                 # hot-key partials carry the RAW sample so the driver
                 # merge can re-union before computing quantiles
                 t = t.append_column(
                     "sample_h",
-                    pa.array([r[4].tolist() for r in rows],
+                    pa.array([r[idx].tolist() for r in rows],
                              pa.list_(pa.uint64())),
                 ).append_column(
                     "sample_v",
-                    pa.array([r[5].tolist() for r in rows],
+                    pa.array([r[idx + 1].tolist() for r in rows],
                              pa.list_(pa.int64())),
                 )
             else:
-                qs = [_sample_quantiles(r[5]) for r in rows]
+                qs = [_sample_quantiles(r[idx + 1]) for r in rows]
                 t = t.append_column(
                     "p50_dur_ms", pa.array([q[0] for q in qs], pa.int64())
                 ).append_column(
                     "p90_dur_ms", pa.array([q[1] for q in qs], pa.int64())
                 ).append_column(
-                    "sample_n", pa.array([len(r[5]) for r in rows], pa.int64())
+                    "sample_n",
+                    pa.array([len(r[idx + 1]) for r in rows], pa.int64())
+                )
+            idx += 2
+        if distinct_k and rows and len(rows[0]) > idx:    # [ch] KMV cells
+            if partial:
+                t = t.append_column(
+                    "distinct_h",
+                    pa.array([r[idx].tolist() for r in rows],
+                             pa.list_(pa.uint64())),
+                )
+            else:
+                t = t.append_column(
+                    "distinct_content",
+                    pa.array([_kmv_estimate(r[idx], distinct_k, n_cap=r[2])
+                              for r in rows], pa.int64()),
                 )
         return t
 
@@ -947,9 +1039,10 @@ class PartitionState:
         with open(os.path.join(directory, "delta.pkl"), "rb") as f:
             d = pickle.load(f)
         sample_k = getattr(self.cfg, "window_sample_k", 0)
+        distinct_k = getattr(self.cfg, "window_distinct_k", 0)
         for target, delta in ((self.win, d["win_delta"]), (self.swin, d["swin_delta"])):
             for kw, acc in delta.items():
-                _fold_window_cell(target, kw, acc, sample_k)
+                _fold_window_cell(target, kw, acc, sample_k, distinct_k)
         self.upd_chunks.extend(d["upd_delta"])
         self.view.update(d["view_delta"])
         self.funnel.update(d.get("funnel_delta", {}))
