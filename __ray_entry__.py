@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q.q_winsorize,
         "shipping_priority": q.q_shipping_priority,
         "ipc_roundtrip": q.q_ipc_roundtrip,
+        # -- oracled, past the 50-slot window (rotate into it in r4) --
+        "best_order": q.q_best_order,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -413,6 +415,20 @@ def oracle_sql() -> dict[str, str]:
                    bool_and(value > 10.0) AS all_over_floor,
                    bool_or(value > 900.0) AS any_over_cap
             FROM events GROUP BY event_type
+        """,
+        "best_order": """
+            WITH m AS (
+                SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                       max(o_totalprice) AS mx, min(o_totalprice) AS mn
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT m.o_custkey, m.n, round(m.mx, 2) AS max_price,
+                   min(CASE WHEN o.o_totalprice = m.mx
+                            THEN o.o_orderkey END) AS best_order,
+                   min(CASE WHEN o.o_totalprice = m.mn
+                            THEN o.o_orderpriority END) AS cheap_priority
+            FROM orders o JOIN m USING (o_custkey)
+            GROUP BY m.o_custkey, m.n, m.mx
         """,
         "first_last_event": """
             WITH o AS (

@@ -64,6 +64,7 @@ QUERY_NAMES = [
     "distinct_users", "approx_distinct", "heavy_hitters",
     "audio_features", "audio_fbank", "audio_mfcc", "audio_neardup", "flac_roundtrip",
     "adpcm_roundtrip",
+    "best_order",
     "trim_audio", "transcode_flac",
     "image_features", "image_neardup", "image_resize", "video_frames",
 ]

@@ -263,6 +263,26 @@ def q_flag_aggregates(sf_dir):
     )
 
 
+def q_best_order(sf_dir):
+    """Per-customer arg-extremes: the orderkey of the PRICIEST order and
+    the priority string of the CHEAPEST one — AggSpec arg_max/arg_min,
+    whose partial is one order-preserving binary key reduced with plain
+    MAX (so the same partial survives combine and rollup re-combination
+    like every power-sum partial).  Tie rule: smallest payload value —
+    the oracle spells it out (DuckDB's bare arg_max is tie-unspecified)."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_totalprice", "o_orderpriority"])
+    out = grouped_aggregate(ds, ["o_custkey"], [
+        AggSpec("count", None, "n"),
+        AggSpec("max", "o_totalprice", "max_price"),
+        AggSpec("arg_max", "o_orderkey", "best_order",
+                col2="o_totalprice", ytype="int"),
+        AggSpec("arg_min", "o_orderpriority", "cheap_priority",
+                col2="o_totalprice", ytype="str"),
+    ])
+    return _round_cols(out, {"max_price": 2})
+
+
 def q_window_quantiles(sf_dir):
     """Per-(event_type, day-window) exact median + p90 — the windowed
     quantile composition: tumbling window assignment is a pure per-batch

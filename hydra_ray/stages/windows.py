@@ -50,6 +50,7 @@ __all__ = [
 _UNARY_FNS = ("count", "sum", "min", "max", "mean", "var", "std",
               "skew", "kurt", "bool_and", "bool_or", "product")
 _PAIR_FNS = ("covar", "corr", "regr_slope", "regr_intercept")
+_ARG_FNS = ("arg_max", "arg_min")
 
 
 @dataclass(frozen=True)
@@ -58,7 +59,15 @@ class AggSpec:
 
     Unary: count, sum, min, max, mean, var, std, skew, kurt, bool_and,
     bool_or, product.  Pairwise (``col`` = y, ``col2`` = x): covar,
-    corr, regr_slope, regr_intercept.  All DuckDB sample semantics
+    corr, regr_slope, regr_intercept; arg_max/arg_min = the ``col``
+    value on the row where ``col2`` is extreme, DETERMINISTIC tie rule
+    "smallest ``col`` among ties" (DuckDB's bare arg_max is
+    tie-unspecified — oracle it with an explicit max-join + min).
+    Rows where either arg is NULL are ignored; an all-NULL group yields
+    NULL.  Arg partials are ONE order-preserving binary key (x-key ‖
+    byte-complemented y encoding), so partial AND combine are a plain
+    ``max`` — mergeable like every other partial here, including the
+    rollup path's re-combination.  All DuckDB sample semantics
     (var_samp/stddev_samp/covar_samp; skewness/kurtosis with the
     bias-corrected n-adjustments, NULL below their minimum n), and every
     one combines EXACTLY from power-sum/count partials — so each
@@ -68,14 +77,22 @@ class AggSpec:
     col: str | None
     alias: str
     col2: str | None = None
+    # arg_max/arg_min only: static type of ``col`` ("int" | "float" |
+    # "str") — the finalize stage runs per block and must emit a stable
+    # output type even for blocks whose groups are all-NULL, so the type
+    # cannot be inferred from data
+    ytype: str | None = None
 
     def __post_init__(self):
-        if self.fn not in _UNARY_FNS + _PAIR_FNS:
+        if self.fn not in _UNARY_FNS + _PAIR_FNS + _ARG_FNS:
             raise ValueError(f"unsupported agg fn {self.fn!r}")
         if self.fn != "count" and self.col is None:
             raise ValueError(f"{self.fn} needs a column")
-        if self.fn in _PAIR_FNS and self.col2 is None:
+        if self.fn in _PAIR_FNS + _ARG_FNS and self.col2 is None:
             raise ValueError(f"{self.fn} needs col2 (the x column)")
+        if self.fn in _ARG_FNS and self.ytype not in ("int", "float", "str"):
+            raise ValueError(
+                f"{self.fn} needs ytype ('int'|'float'|'str') for {self.col!r}")
 
 
 # ------------------------------------------------------------------- kernels
@@ -132,6 +149,134 @@ def sessionize_sorted(ts_sorted_ms: np.ndarray, gap_ms: int) -> np.ndarray:
     return np.cumsum(breaks)
 
 
+# ------------------------------------------------- arg_max/arg_min keys
+_MSB64 = np.uint64(1) << np.uint64(63)
+
+
+def _order_key_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """Orderable column → (order-preserving uint64 keys, null mask):
+    unsigned compare of the key ≡ SQL compare of the value (ints via
+    offset-binary, floats via the IEEE-754 total-order bit trick,
+    timestamps via their raw int64)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    t = arr.type
+    null = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    if pa.types.is_timestamp(t) or pa.types.is_integer(t):
+        v = pc.fill_null(pc.cast(arr, pa.int64()), 0).to_numpy()
+        return v.view(np.uint64) ^ _MSB64, null
+    if pa.types.is_floating(t):
+        b = pc.fill_null(pc.cast(arr, pa.float64()), 0.0).to_numpy() \
+            .view(np.uint64)
+        return np.where(b >> np.uint64(63), ~b, b | _MSB64), null
+    raise TypeError(f"arg_* ordering column must be numeric/timestamp, got {t}")
+
+
+def _be8(k: np.ndarray) -> np.ndarray:
+    """(n,) uint64 → (n, 8) big-endian bytes."""
+    return k.astype(">u8").view(np.uint8).reshape(len(k), 8)
+
+
+def _string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """large_utf8 array → (int64 offsets incl. slice offset, data bytes)."""
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = (np.frombuffer(arr.buffers()[2], np.uint8)
+            if arr.buffers()[2] is not None else np.empty(0, np.uint8))
+    return offs, data
+
+
+def _argkey_encode(y_col, x_col, ytype: str, minimize: bool) -> pa.Array:
+    """Rows → one order-preserving large_binary key whose grouped MAX is
+    the arg_max/arg_min partial: 8 BE bytes of the x order key (bit-
+    complemented for arg_min) ‖ tag ‖ byte-complemented y encoding
+    (‖ 0xFF terminator for strings), so ties on x resolve to the
+    SMALLEST y.  Rows with x or y NULL encode as NULL (max skips them).
+    Strings containing NUL bytes are unsupported (the complemented NUL
+    collides with the terminator)."""
+    xk, xnull = _order_key_u64(x_col)
+    if minimize:
+        xk = ~xk
+    yarr = (y_col.combine_chunks()
+            if isinstance(y_col, pa.ChunkedArray) else y_col)
+    n = len(yarr)
+    if ytype == "str":
+        yarr = pc.cast(yarr, pa.large_utf8())
+        ynull = pc.is_null(yarr).to_numpy(zero_copy_only=False)
+        offs, data = _string_bytes(yarr)
+        lens = offs[1:] - offs[:-1]
+        out_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens + 10, out=out_offs[1:])
+        out = np.empty(int(out_offs[-1]), np.uint8)
+        starts = out_offs[:-1]
+        out[(starts[:, None] + np.arange(8)).reshape(-1)] = _be8(xk).reshape(-1)
+        out[starts + 8] = 3
+        tot = int(lens.sum())
+        rep = np.repeat(np.arange(n), lens)
+        in_run = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+        out[starts[rep] + 9 + in_run] = ~data[offs[:-1][rep] + in_run]
+        out[out_offs[1:] - 1] = 0xFF
+    else:
+        ynull = pc.is_null(yarr).to_numpy(zero_copy_only=False)
+        if ytype == "int":
+            yv = pc.fill_null(pc.cast(yarr, pa.int64()), 0).to_numpy()
+            yk = yv.view(np.uint64) ^ _MSB64
+            tag = 1
+        else:
+            b = pc.fill_null(pc.cast(yarr, pa.float64()), 0.0).to_numpy() \
+                .view(np.uint64)
+            yk = np.where(b >> np.uint64(63), ~b, b | _MSB64)
+            tag = 2
+        out = np.empty((n, 17), np.uint8)
+        out[:, :8] = _be8(xk)
+        out[:, 8] = tag
+        out[:, 9:] = _be8(~yk)
+        out = out.reshape(-1)
+        out_offs = np.arange(n + 1, dtype=np.int64) * 17
+    null = xnull | ynull
+    bufs = [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(out.tobytes())]
+    if null.any():
+        bufs[0] = pa.array(~null).buffers()[1]
+    return pa.Array.from_buffers(pa.large_binary(), n, bufs,
+                                 null_count=int(null.sum()))
+
+
+def _argkey_decode(col, ytype: str) -> pa.Array:
+    """Combined argkey partials → the winning y values (NULL-preserving)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.cast(arr, pa.large_binary())
+    n = len(arr)
+    null = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[
+        arr.offset: arr.offset + n + 1]
+    data = (np.frombuffer(arr.buffers()[2], np.uint8)
+            if arr.buffers()[2] is not None else np.empty(0, np.uint8))
+    if ytype == "str":
+        lens = np.maximum(offs[1:] - offs[:-1] - 10, 0)
+        tot = int(lens.sum())
+        rep = np.repeat(np.arange(n), lens)
+        in_run = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+        buf = (~data[offs[:-1][rep] + 9 + in_run]).tobytes()
+        new_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=new_offs[1:])
+        s = pa.Array.from_buffers(
+            pa.large_utf8(), n,
+            [None, pa.py_buffer(new_offs.tobytes()), pa.py_buffer(buf)])
+        return pc.if_else(pa.array(null), pa.scalar(None, pa.large_utf8()), s)
+    # fixed-width: bytes 9..17 hold the complemented y key (garbage on
+    # null rows — masked out below)
+    pos = np.where(null, 0, offs[:-1]) + 9
+    ybytes = np.zeros((n, 8), np.uint8)
+    valid = ~null
+    if valid.any() and len(data):
+        ybytes[valid] = data[(pos[valid, None] + np.arange(8))]
+    yk = ~ybytes.reshape(-1).view(">u8").astype(np.uint64)
+    if ytype == "int":
+        v = (yk ^ _MSB64).view(np.int64)
+        return pa.array(v, pa.int64(), mask=null)
+    b = np.where(yk & _MSB64, yk ^ _MSB64, ~yk)
+    return pa.array(b.view(np.float64), pa.float64(), mask=null)
+
+
 # ----------------------------------------------------- partial-agg framework
 def _partial_columns(aggs: list[AggSpec]) -> list[tuple[str, str, str]]:
     """→ [(source_col, pyarrow_fn, partial_name)] for the per-batch pass."""
@@ -159,6 +304,9 @@ def _partial_columns(aggs: list[AggSpec]) -> list[tuple[str, str, str]]:
             cols.append((a.col, "max", f"__{a.alias}__max"))
         elif a.fn == "product":
             cols.append((a.col, "product", f"__{a.alias}__prod"))
+        elif a.fn in _ARG_FNS:
+            cols.append(((a.col, a.col2, a.ytype, a.fn == "arg_min"),
+                         "argkey", f"__{a.alias}__argkey"))
         elif a.fn in _PAIR_FNS:
             # y = col, x = col2; power sums for the cross moments
             cols.append((a.col, "sum", f"__{a.alias}__sumy"))
@@ -193,6 +341,14 @@ def _partial_agg_batch(
                     acc = pc.multiply(acc, x)
                 batch = batch.append_column(pw, acc)
             plan.append((pw, "sum"))
+        elif fn == "argkey":
+            ycol, xcol, ytype, minimize = src
+            ak = f"__ak_{ycol}_{xcol}_{int(minimize)}"
+            if ak not in batch.column_names:
+                batch = batch.append_column(
+                    ak, _argkey_encode(batch[ycol], batch[xcol],
+                                       ytype, minimize))
+            plan.append((ak, "max"))
         elif fn == "sumxy":
             ycol, xcol = src
             xy = f"__xy_{ycol}_{xcol}"
@@ -239,7 +395,12 @@ def _combine_partials(ds, group_cols: list[str], aggs: list[AggSpec],
     plan, names = [], []
     _sums = ("count", "sum", "sumsq", "sumcube", "sumquad", "sumxy")
     for src, fn, pname in _partial_columns(aggs):
-        plan.append((pname, "sum" if fn in _sums else fn))
+        if fn in _sums:
+            plan.append((pname, "sum"))
+        elif fn == "argkey":      # order-preserving binary key: max IS merge
+            plan.append((pname, "max"))
+        else:
+            plan.append((pname, fn))
         names.append(pname)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -324,6 +485,9 @@ def _finalize_partials(combined, group_cols: list[str], aggs: list[AggSpec]):
                 out[a.alias] = pa.array(
                     np.where(bad, np.nan, val), pa.float64(),
                     mask=np.asarray(bad))
+            elif a.fn in _ARG_FNS:
+                out[a.alias] = _argkey_decode(t[f"__{a.alias}__argkey"],
+                                              a.ytype)
             elif a.fn == "bool_and":
                 out[a.alias] = pc.cast(t[f"__{a.alias}__min"], pa.bool_())
             elif a.fn == "bool_or":

@@ -323,3 +323,106 @@ def test_new_aggspecs_rollup_recombination(ray_session):
         assert np.allclose(got[c], ref[c], atol=1e-9, equal_nan=True), c
     assert got["ba"].tolist() == ref["ba"].tolist()
     assert got["bo"].tolist() == ref["bo"].tolist()
+
+
+def test_arg_max_min_aggspecs(ray_session):
+    """arg_max/arg_min AggSpecs: DuckDB parity (explicit tie-break SQL)
+    at the finest level, pandas parity for every ROLLUP level (the
+    binary argkey partial must survive re-combination), NULL semantics
+    (either arg NULL → row ignored; empty group → NULL), and int /
+    float / str payloads."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.stages.windows import (AggSpec, grouped_aggregate,
+                                          rollup_aggregate)
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    df = pd.DataFrame({
+        "a": rng.integers(0, 4, n).astype(str),
+        "b": rng.integers(0, 3, n),
+        # few distinct x values → ties are COMMON, exercising the rule
+        "x": rng.integers(0, 5, n).astype(float),
+        "yi": rng.integers(-50, 50, n),
+        "ys": [f"s{v:02d}" for v in rng.integers(0, 30, n)],
+    })
+    df.loc[rng.random(n) < 0.05, "x"] = np.nan
+    df["yf"] = df["yi"] / 7.0
+    df.loc[rng.random(n) < 0.05, "yi"] = pd.NA
+    df["yi"] = df["yi"].astype("Int64")
+    # one group whose x is ALL NULL → every arg output NULL there
+    allnull = pd.DataFrame({"a": ["z"] * 3, "b": [0] * 3, "x": [np.nan] * 3,
+                            "yi": pd.array([1, 2, 3], "Int64"),
+                            "ys": ["t", "u", "v"]})
+    allnull["yf"] = 0.5
+    df = pd.concat([df, allnull], ignore_index=True)
+
+    aggs = [
+        AggSpec("count", None, "n"),
+        AggSpec("arg_max", "yi", "am_i", col2="x", ytype="int"),
+        AggSpec("arg_min", "yi", "an_i", col2="x", ytype="int"),
+        AggSpec("arg_max", "yf", "am_f", col2="x", ytype="float"),
+        AggSpec("arg_max", "ys", "am_s", col2="x", ytype="str"),
+    ]
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = (
+        grouped_aggregate(ds, ["a", "b"], aggs)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    ref = duckdb.sql("""
+        WITH m AS (
+            SELECT a, b, count(*) AS n,
+                   max(x) FILTER (x IS NOT NULL AND yi IS NOT NULL) mxi,
+                   min(x) FILTER (x IS NOT NULL AND yi IS NOT NULL) mni,
+                   max(x) FILTER (x IS NOT NULL AND yf IS NOT NULL) mxf,
+                   max(x) FILTER (x IS NOT NULL AND ys IS NOT NULL) mxs
+            FROM df GROUP BY a, b
+        )
+        SELECT m.a, m.b, m.n,
+               min(CASE WHEN d.x = m.mxi THEN d.yi END) AS am_i,
+               min(CASE WHEN d.x = m.mni THEN d.yi END) AS an_i,
+               min(CASE WHEN d.x = m.mxf THEN d.yf END) AS am_f,
+               min(CASE WHEN d.x = m.mxs THEN d.ys END) AS am_s
+        FROM df d JOIN m ON d.a = m.a AND d.b = m.b
+        GROUP BY m.a, m.b, m.n
+        ORDER BY m.a, m.b
+    """).df()
+    assert len(got) == len(ref)
+    assert got["n"].astype(int).tolist() == ref["n"].astype(int).tolist()
+    for c in ("am_i", "an_i", "am_f", "am_s"):
+        g, r = got[c], ref[c]
+        assert (g.isna() == r.isna()).all(), c
+        assert (g.dropna() == r.dropna()).all(), c
+
+    # rollup re-combination: pandas reference per level
+    rolled = rollup_aggregate(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(7), ["a", "b"],
+        [AggSpec("arg_max", "yi", "am_i", col2="x", ytype="int"),
+         AggSpec("arg_max", "ys", "am_s", col2="x", ytype="str")],
+    ).to_pandas()
+
+    def ref_arg(gd, ycol):
+        gd = gd.dropna(subset=["x", ycol])
+        if gd.empty:
+            return None
+        return gd.loc[gd["x"] == gd["x"].max(), ycol].min()
+
+    for keys, gid in ((["a", "b"], 0), (["a"], 1), ([], 3)):
+        lvl = rolled[rolled["grouping_id"] == gid]
+        groups = df.groupby(keys) if keys else [((), df)]
+        exp = {}
+        for k, gd in groups:
+            kk = k if isinstance(k, tuple) else (k,)
+            exp[kk] = (ref_arg(gd, "yi"), ref_arg(gd, "ys"))
+        assert len(lvl) == len(exp)
+        for _, row in lvl.iterrows():
+            kk = tuple(row[c] for c in keys)
+            ei, es = exp[kk]
+            gi = None if pd.isna(row["am_i"]) else row["am_i"]
+            gs = None if pd.isna(row["am_s"]) else row["am_s"]
+            assert gi == ei and gs == es, (kk, gi, ei, gs, es)
