@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q.q_audio_features,
         "audio_fbank": q.q_audio_fbank,
         "audio_mfcc": q.q_audio_mfcc,
+        "pitch_track": q.q_pitch_track,
         "audio_curation": q.q_audio_curation,
         "vad_segments": q.q_vad_segments,
         "trim_audio": q.q_trim_audio,

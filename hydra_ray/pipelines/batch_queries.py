@@ -2866,6 +2866,32 @@ def q_audio_mfcc(sf_dir):
     return feats.map_batches(project, batch_format="pyarrow")
 
 
+def q_pitch_track(sf_dir):
+    """Decode → frame-wise autocorrelation pitch tracking (per-clip
+    median F0 over voiced frames + voicing ratio) at each clip's NATIVE
+    sample rate (the per-rate recursion inside ``audio_pitch`` handles
+    the mix — no resample pass needed for a rate-covariant feature).
+    Rows-only; the value oracle is the known synth fundamental
+    (f = 220 + (seq % 64)·7 Hz) gated in tests/test_audio_curation.py."""
+    from ..stages.audio_features import PitchFeatures
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..synth import synth_clips_batch
+
+    n = 600
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0),
+        num_blocks=32,
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
+    main, _ = split_dlq(ds)
+    feats = main.map_batches(PitchFeatures(), batch_format="pyarrow")
+
+    def project(t2: pa.Table) -> pa.Table:
+        return t2.select(["seq", "clip_id", "n_frames", "f0_hz",
+                          "f0_std_hz", "voiced_ratio"])
+
+    return feats.map_batches(project, batch_format="pyarrow")
+
+
 def q_audio_curation(sf_dir):
     """Decode → resample every clip to 16 kHz → FFT spectral features
     (centroid/bandwidth/rolloff/flatness) — the sample-rate-normalize +

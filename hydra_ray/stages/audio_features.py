@@ -13,7 +13,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["audio_features", "AudioFeatures", "audio_fingerprint",
-           "AudioFingerprint", "audio_fbank", "FbankFeatures"]
+           "AudioFingerprint", "audio_fbank", "FbankFeatures",
+           "audio_pitch", "PitchFeatures"]
 
 
 # Per-worker-process scratch buffers, keyed by dtype.  Every fresh numpy
@@ -354,6 +355,143 @@ def audio_fbank(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
     return (batch.append_column(f"{pre}_mean", mean_col)
                  .append_column(f"{pre}_std", std_col)
                  .append_column("n_frames", pa.array(n_frames, pa.int64())))
+
+
+def audio_pitch(batch: pa.Table, pcm_col: str = "pcm", sr_col: str = "sr_hz",
+                win_ms: float = 32.0, hop_ms: float = 16.0,
+                fmin: float = 80.0, fmax: float = 700.0,
+                voiced_threshold: float = 0.5) -> pa.Table:
+    """Per-clip F0 (pitch) tracking via frame-wise normalized
+    autocorrelation with parabolic sub-sample refinement and octave-down
+    correction — the classic ACF pitch detector (Rabiner 1977 family).
+
+    Vectorized over the whole batch: one global frame gather (as in
+    ``audio_fbank``), ONE zero-padded ``rfft``/``irfft`` pair computes
+    every frame's autocorrelation (Wiener–Khinchin), the lag search +
+    parabolic refine are pure array ops, and the per-clip voiced-frame
+    MEDIAN comes from a single lexsort over (clip, f0) runs.  Emits
+    ``f0_hz`` (median over voiced frames, 0.0 when none), ``f0_std_hz``,
+    ``voiced_ratio`` and ``n_frames``.  Mixed sample rates recurse
+    per-rate like ``audio_fbank`` (per-clip outputs are a pure function
+    of the clip, so batch composition never matters).
+    """
+    n = batch.num_rows
+    out_cols = ("f0_hz", "f0_std_hz", "voiced_ratio")
+
+    def emit(f0, f0s, vr, nf):
+        t = batch
+        for name, vals in zip(out_cols, (f0, f0s, vr)):
+            t = t.append_column(name, pa.array(
+                np.asarray(vals, np.float64), pa.float64()))
+        return t.append_column("n_frames", pa.array(
+            np.asarray(nf, np.int64), pa.int64()))
+
+    if n == 0:
+        z = np.empty(0, np.float64)
+        return emit(z, z, z, np.empty(0, np.int64))
+    srs = batch[sr_col].to_numpy(zero_copy_only=False)
+    if len(np.unique(srs)) > 1:
+        f0 = np.zeros(n); f0s = np.zeros(n); vr = np.zeros(n)
+        nf = np.zeros(n, np.int64)
+        sub = batch.select([pcm_col, sr_col])
+        for sr_v in np.unique(srs):
+            idx = np.flatnonzero(srs == sr_v)
+            o = audio_pitch(sub.take(pa.array(idx)), pcm_col, sr_col,
+                            win_ms, hop_ms, fmin, fmax, voiced_threshold)
+            for name, dst in zip(out_cols, (f0, f0s, vr)):
+                dst[idx] = o[name].to_numpy(zero_copy_only=False)
+            nf[idx] = o["n_frames"].to_numpy(zero_copy_only=False)
+        return emit(f0, f0s, vr, nf)
+
+    sr = float(srs[0])
+    win = int(round(sr * win_ms / 1000.0))
+    hop = max(1, int(round(sr * hop_ms / 1000.0)))
+    lmin = max(2, int(np.floor(sr / fmax)))
+    lmax = int(np.ceil(sr / fmin))
+    win = max(win, 2 * lmax)        # ≥2 periods of the lowest f0 in frame
+    flat, offsets = _flat_and_offsets(batch[pcm_col])
+    lengths = np.diff(offsets)
+    n_frames = np.where(lengths >= win, (lengths - win) // hop + 1, 0)
+    total = int(n_frames.sum())
+    if total == 0:
+        z = np.zeros(n)
+        return emit(z, z, z, n_frames)
+
+    frame_clip = np.repeat(np.arange(n, dtype=np.int64), n_frames)
+    run_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_frames[:-1], out=run_starts[1:])
+    frame_pos = (np.arange(total, dtype=np.int64)
+                 - run_starts[frame_clip]) * hop + offsets[frame_clip]
+    frames = flat[frame_pos[:, None] + np.arange(win)].astype(np.float32)
+    frames -= frames.mean(axis=1, keepdims=True)
+    # autocorrelation r[l] for l in [0, lmax+1] via one padded FFT pair
+    nfft = 1 << int(np.ceil(np.log2(win + lmax + 2)))
+    spec = np.fft.rfft(frames, n=nfft, axis=1)
+    np.multiply(spec, np.conj(spec), out=spec)
+    r = np.fft.irfft(spec, n=nfft, axis=1)[:, : lmax + 2]
+    r0 = np.maximum(r[:, 0], 1e-12)
+    rn = r / r0[:, None]
+
+    band = rn[:, lmin: lmax + 1]
+    lag = lmin + np.argmax(band, axis=1)
+    best = rn[np.arange(total), lag]
+    # octave-down correction: a clean period p also peaks at 2p/4p — if
+    # (near-)equal correlation exists at half the chosen lag, prefer it
+    for _ in range(3):
+        half = lag // 2
+        ok = (half >= lmin) & (rn[np.arange(total), half] >= 0.9 * best)
+        lag = np.where(ok, half, lag)
+        best = rn[np.arange(total), lag]
+    # parabolic sub-sample refinement
+    rm = rn[np.arange(total), lag - 1]
+    rp = rn[np.arange(total), lag + 1]
+    den = rm - 2.0 * rn[np.arange(total), lag] + rp
+    delta = np.zeros(total)
+    np.divide(0.5 * (rm - rp), den, out=delta, where=np.abs(den) > 1e-12)
+    delta = np.clip(delta, -0.5, 0.5)
+    f0_frame = sr / (lag + delta)
+    voiced = (best > voiced_threshold) & (r0 > 1e-8)
+
+    # per-clip pooling over voiced frames: counts → voiced_ratio; median
+    # via one lexsort over (clip, f0) of the voiced subset; std via
+    # sum/sumsq reduceat
+    vr = np.zeros(n)
+    f0_med = np.zeros(n)
+    f0_std = np.zeros(n)
+    nz = np.flatnonzero(n_frames > 0)
+    vcnt_all = np.bincount(frame_clip, weights=voiced, minlength=n)
+    vr[nz] = vcnt_all[nz] / n_frames[nz]
+    vidx = np.flatnonzero(voiced)
+    if len(vidx):
+        vc = frame_clip[vidx]
+        vf = f0_frame[vidx]
+        order = np.lexsort((vf, vc))
+        vc_s, vf_s = vc[order], vf[order]
+        runs = np.flatnonzero(np.r_[True, vc_s[1:] != vc_s[:-1]])
+        cids = vc_s[runs]
+        cnt = np.diff(np.append(runs, len(vc_s)))
+        # median of each sorted run (lower/upper average for even n)
+        lo = runs + (cnt - 1) // 2
+        hi = runs + cnt // 2
+        f0_med[cids] = 0.5 * (vf_s[lo] + vf_s[hi])
+        s1 = np.add.reduceat(vf_s, runs)
+        s2 = np.add.reduceat(vf_s * vf_s, runs)
+        f0_std[cids] = np.sqrt(np.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0))
+    return emit(f0_med, f0_std, vr, n_frames)
+
+
+class PitchFeatures:
+    """Callable form for ``map_batches`` actor pools."""
+
+    def __init__(self, pcm_col: str = "pcm", sr_col: str = "sr_hz",
+                 win_ms: float = 32.0, hop_ms: float = 16.0,
+                 fmin: float = 80.0, fmax: float = 700.0,
+                 voiced_threshold: float = 0.5):
+        self.args = (pcm_col, sr_col, win_ms, hop_ms, fmin, fmax,
+                     voiced_threshold)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return audio_pitch(batch, *self.args)
 
 
 class FbankFeatures:

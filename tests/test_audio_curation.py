@@ -283,3 +283,42 @@ def test_audio_mfcc_matches_per_clip_reference(ray_session):
         cep = np.log(p @ fb.T + 1e-10) @ D.T
         assert np.allclose(mean[i], cep.mean(axis=0), atol=1e-3), i
         assert np.allclose(std[i], cep.std(axis=0), atol=1e-3), i
+
+
+def test_audio_pitch_recovers_synth_fundamental():
+    """The ACF pitch tracker recovers every synth fundamental
+    (f = 220 + (i % 64)·7 Hz, includes the 0.1-amplitude 3f harmonic)
+    within 2 Hz at each native sample rate, flags silence unvoiced, and
+    emits zero frames for sub-window clips."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hydra_ray.audio import synth_wave
+    from hydra_ray.stages.audio_features import audio_pitch
+
+    rows, exp, srs = [], [], []
+    for i in range(64):
+        sr = (8000, 16000, 22050, 44100)[i % 4]   # mixed rates in ONE batch
+        rows.append(synth_wave(i, sr, 500))
+        exp.append(220.0 + (i % 64) * 7.0)
+        srs.append(sr)
+    rows.append(np.zeros(8000, np.float32)); exp.append(None); srs.append(16000)
+    rows.append(np.ones(10, np.float32)); exp.append(None); srs.append(16000)
+    t = pa.table({
+        "pcm": pa.array([r.tolist() for r in rows], pa.large_list(pa.float32())),
+        "sr_hz": pa.array(srs, pa.int32()),
+    })
+    out = audio_pitch(t)
+    f0 = out["f0_hz"].to_numpy()
+    vr = out["voiced_ratio"].to_numpy()
+    nf = out["n_frames"].to_numpy()
+    for i, e in enumerate(exp[:64]):
+        assert abs(f0[i] - e) < 2.0, (i, f0[i], e)
+        assert vr[i] > 0.9, (i, vr[i])
+    assert vr[64] == 0.0 and f0[64] == 0.0        # silence: unvoiced
+    assert nf[65] == 0 and f0[65] == 0.0          # sub-window clip
+
+    # batch-composition independence: a single-clip batch gives the
+    # same answer as the mixed batch (per-rate recursion is pure)
+    one = audio_pitch(t.slice(3, 1))
+    assert one["f0_hz"][0].as_py() == f0[3]
