@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": q.q_ipc_roundtrip,
         # -- oracled, past the 50-slot window (rotate into it in r4) --
         "best_order": q.q_best_order,
+        "date_parts": q.q_date_parts,
+        "string_funcs": q.q_string_funcs,
+        "unpivot_events": q.q_unpivot_events,
+        "local_volume": q.q_local_volume,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -457,6 +461,53 @@ def oracle_sql() -> dict[str, str]:
         "value_mad": """
             SELECT event_type, round(mad(value), 4) AS mad
             FROM events GROUP BY event_type
+        """,
+        "date_parts": """
+            SELECT year(o_orderdate) AS y,
+                   quarter(o_orderdate) AS q,
+                   month(o_orderdate) AS m,
+                   dayofweek(o_orderdate) AS dow,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         / 100.0, 2) AS sum_price
+            FROM orders GROUP BY 1, 2, 3, 4
+        """,
+        "string_funcs": """
+            SELECT c_custkey,
+                   upper(c_name) AS name_upper,
+                   substr(c_name, 1, 8) AS name_prefix,
+                   CAST(length(c_name) AS BIGINT) AS name_len,
+                   CAST(strpos(c_name, '0') AS BIGINT) AS pos_zero,
+                   reverse(c_name) AS name_rev,
+                   lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+                   concat(c_mktsegment, ':', c_name) AS tagged
+            FROM customer
+        """,
+        "unpivot_events": """
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, round(l_quantity, 2) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', round(l_discount, 2)
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 2)
+            FROM lineitem
+        """,
+        "local_volume": """
+            SELECT n_name,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name
         """,
         "fuzzy_match": """
             -- char-based substr == the kernel's prefix on ASCII fixtures

@@ -65,6 +65,10 @@ QUERY_NAMES = [
     "audio_features", "audio_fbank", "audio_mfcc", "pitch_track", "audio_neardup", "flac_roundtrip",
     "adpcm_roundtrip",
     "best_order",
+    "date_parts",
+    "string_funcs",
+    "unpivot_events",
+    "local_volume",
     "trim_audio", "transcode_flac",
     "image_features", "image_neardup", "image_resize", "video_frames",
 ]

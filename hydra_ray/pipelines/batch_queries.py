@@ -3013,3 +3013,170 @@ def q_vad_segments(sf_dir):
     return main.map_batches(
         VadSegments("seq", thresh_db=-45.0), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- scalar functions
+def q_date_parts(sf_dir):
+    """Temporal scalar-function surface (SURVEY §2.9 ISODateConverter
+    family): year/quarter/month/day-of-week extraction as pure pyarrow
+    temporal kernels inside one map, then a grouped count + exact
+    integer-cents sum.  pc.day_of_week(count_from_zero=True,
+    week_start=7) == DuckDB dayofweek (Sunday=0) — verified kernels."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def parts(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64())
+        return pa.table({
+            "y": pc.year(d),
+            "q": pc.quarter(d),
+            "m": pc.month(d),
+            "dow": pc.cast(
+                pc.day_of_week(d, count_from_zero=True, week_start=7),
+                pa.int64()),
+            "cents": cents,
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(parts, batch_format="pyarrow"),
+        ["y", "q", "m", "dow"],
+        [AggSpec("count", None, "n"), AggSpec("sum", "cents", "cents")],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "y": t["y"], "q": t["q"], "m": t["m"], "dow": t["dow"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_price": round_f64(
+                pc.divide(pc.cast(t["cents"], pa.float64()),
+                          pa.scalar(100.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_string_funcs(sf_dir):
+    """String scalar-function surface (SURVEY §2.9 cleanName / Base62 /
+    JsonPath family): upper, substr, length, strpos, reverse, lpad,
+    concat — all pyarrow utf8 kernels in ONE streaming map, no
+    exchange.  strpos is 1-based with 0 for absent ==
+    pc.find_substring (0-based, −1 absent) + 1."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def funcs(t: pa.Table) -> pa.Table:
+        name = t["c_name"]
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "name_upper": pc.utf8_upper(name),
+            "name_prefix": pc.utf8_slice_codeunits(name, 0, 8),
+            "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+            "pos_zero": pc.cast(
+                pc.add(pc.find_substring(name, "0"), 1), pa.int64()),
+            "name_rev": pc.utf8_reverse(name),
+            "key_pad": pc.utf8_lpad(
+                pc.cast(t["c_custkey"], pa.string()), 10, "0"),
+            "tagged": pc.binary_join_element_wise(
+                t["c_mktsegment"], name, ":"),
+        })
+
+    return ds.map_batches(funcs, batch_format="pyarrow")
+
+
+def q_unpivot_events(sf_dir):
+    """Melt wide → long over lineitem's three rate columns (pivot's
+    inverse; SQL UNION ALL of per-column projections).  Pure per-batch
+    map, no exchange — see stages/rollup.py unpivot."""
+    from ..stages.rollup import unpivot
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber",
+                "l_quantity", "l_discount", "l_tax"])
+    out = unpivot(ds, ["l_orderkey", "l_linenumber"],
+                  ["l_quantity", "l_discount", "l_tax"],
+                  var_name="measure", value_name="value")
+    return _round_cols(out, {"value": 2})
+
+
+def q_local_volume(sf_dir):
+    """TPC-H-Q5-shaped local-supplier-volume pipeline: region/nation/
+    supplier are broadcast dicts (ray.put once, read per task — never
+    re-shipped per batch), customer is filtered to the region BEFORE
+    broadcast, orders are date-filtered AT THE SCAN, and the only
+    exchange is ONE bucketed lineitem⋈orders hash join.  Revenue sums
+    exact integer cents×(100−disc) (big-group money rule).  Partitioning
+    assumption: customer filtered to one region fits the object store
+    (it is ~1/5 of a dimension table; at 100 TB the same shape holds
+    because customer scales with entities, not events)."""
+    from ..stages.join import broadcast_join, bucketed_join
+
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    rkey = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nat = nation[nation["n_regionkey"] == rkey]
+    nat_keys = set(nat["n_nationkey"].tolist())
+    nat_names = dict(zip(nat["n_nationkey"].tolist(), nat["n_name"].tolist()))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nat_keys)]
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+    supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1999-01-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"okey": t["o_orderkey"], "o_custkey": t["o_custkey"]})
+
+    right = broadcast_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        cust, on="o_custkey").select_columns(["okey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        extc = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64())
+        discc = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pa.int64())
+        return pa.table({
+            "okey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "rev_e4": pc.multiply(
+                extc, pc.subtract(pa.scalar(100, pa.int64()), discc)),
+        })
+
+    joined = bucketed_join(
+        li.map_batches(prep_li, batch_format="pyarrow"), right, key="okey")
+    enriched = broadcast_join(joined, supp, on="l_suppkey")
+
+    def local_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"]))
+        return pa.table({"nkey": t["c_nationkey"], "rev_e4": t["rev_e4"]})
+
+    agg = grouped_aggregate(
+        enriched.map_batches(local_only, batch_format="pyarrow"),
+        ["nkey"], [AggSpec("sum", "rev_e4", "rev_e4")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        names = [nat_names[int(k)] for k in t["nkey"].to_pylist()]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "revenue": round_f64(
+                pc.divide(pc.cast(t["rev_e4"], pa.float64()),
+                          pa.scalar(10_000.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -13,10 +13,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
-__all__ = ["pivot_wider", "grouped_rolling", "grouped_rolling_range",
-           "grouped_shift", "grouped_cumsum", "collect_sorted", "grouped_rank",
-           "grouped_bounds", "grouped_resample", "sessionize"]
+__all__ = ["pivot_wider", "unpivot", "grouped_rolling",
+           "grouped_rolling_range", "grouped_shift", "grouped_cumsum",
+           "collect_sorted", "grouped_rank", "grouped_bounds",
+           "grouped_resample", "sessionize"]
 
 
 def _bucket_tag(key_col: str, num_buckets: int):
@@ -249,6 +251,32 @@ def pivot_wider(ds, group_cols: list[str], name_col: str, value_col: str,
         group_cols,
         [AggSpec("sum", c, c) for c in cols],
     )
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "measure", value_name: str = "value"):
+    """Melt wide → long (pivot_wider's inverse, SQL ``UNPIVOT`` /
+    ``UNION ALL`` of per-column projections): one output row per
+    (input row, value column), id columns repeated, the source column
+    name in ``var_name`` and its value cast to float64 in
+    ``value_name``.
+
+    Scale shape: a pure per-batch map — each value column contributes a
+    zero-copy slice of the batch's id columns plus one cast, so the
+    operator streams with no exchange and output size is exactly
+    ``len(value_cols)`` × input (the reader should column-prune to
+    ``id_cols + value_cols``)."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {ic: t[ic] for ic in id_cols}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_name] = pc.cast(t[c], pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
 
 
 def grouped_rolling(ds, key_col: str, order_col: str, tie_col: str,
