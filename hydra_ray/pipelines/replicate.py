@@ -129,6 +129,20 @@ class ReplicateConfig:
     # Composes with the dedup tier (tier-dropped duplicates never reach
     # the window, so counts are over SURVIVING rows).  0 disables.
     window_distinct_k: int = 0
+    # streaming per-window MODE (most-frequent content): each
+    # (clip_id, window) cell keeps the k smallest DISTINCT content
+    # hashes WITH their exact counts (bottom-k-with-counts — counts are
+    # additive partials, hash membership is the KMV rule, so the sample
+    # is an order-independent monoid: salting/routing-independent,
+    # delta-checkpoint- and rescale-safe) and close emits ``mode_h``
+    # (content hash of the most frequent variant, count ties → smallest
+    # hash) + ``mode_n`` (its EXACT count).  Exact mode whenever the
+    # cell's distinct content ≤ k — the same regime where
+    # window_distinct_k is exact; beyond that it is the mode of a
+    # deterministic uniform sample of the distinct contents.  Flags a
+    # near-duplicate storm (one variant dominating a window) without
+    # buffering rows.  0 disables (schema unchanged).
+    window_mode_k: int = 0
     # CEP funnel over the combined stream (clip lifecycle patterns): an
     # ordered tuple of event kinds from {"clip", "update", "delete"}
     # ("clip" = clip arrival, "update" = non-tombstone transcript update,
@@ -1065,7 +1079,7 @@ class ReplicatePipeline:
             features=cfg.audio_features,
             fbank=cfg.audio_fbank,
             payload_transform=cfg.payload_transform,
-            distinct_k=cfg.window_distinct_k,
+            distinct_k=(cfg.window_distinct_k or cfg.window_mode_k),
             content_cols=cfg.dedup_cols,
         )
         updates_route = _route_factory(
@@ -1434,21 +1448,26 @@ class ReplicatePipeline:
             cat = pa.concat_tables(tbls, promote_options="default")
             has_sample = "sample_h" in cat.column_names
             has_distinct = "distinct_h" in cat.column_names
-            if has_sample or has_distinct:
-                # window_sample_k / window_distinct_k partials: re-union
-                # each key's sketch(es) across salt partitions, then emit
-                # the same final columns (in the same order) as the cold
-                # path — both unions are the ONE monoid rule the actors
-                # use, so the result is byte-identical to an unsalted run
+            has_mode = "mode_hs" in cat.column_names
+            if has_sample or has_distinct or has_mode:
+                # window_sample_k / window_distinct_k / window_mode_k
+                # partials: re-union each key's sketch(es) across salt
+                # partitions, then emit the same final columns (in the
+                # same order) as the cold path — every union is the ONE
+                # monoid rule the actors use, so the result is
+                # byte-identical to an unsalted run
                 from ..state.store import (
                     _bottomk_union,
                     _kmv_estimate,
                     _kmv_union,
+                    _mode_of,
+                    _modek_union,
                     _sample_quantiles,
                 )
 
                 k = cfg.window_sample_k
                 dk = cfg.window_distinct_k
+                mk = cfg.window_mode_k
                 df = cat.to_pandas()
                 cells: dict = {}
                 for r in df.itertuples(index=False):
@@ -1460,6 +1479,8 @@ class ReplicatePipeline:
                             "hs": np.array([], np.uint64),
                             "vs": np.array([], np.int64),
                             "ch": np.array([], np.uint64),
+                            "mh": np.array([], np.uint64),
+                            "mc": np.array([], np.int64),
                         }
                     cur["we"] = max(cur["we"], int(r.window_end))
                     cur["n"] += int(r.n_clips)
@@ -1473,6 +1494,11 @@ class ReplicatePipeline:
                         cur["ch"] = _kmv_union(
                             cur["ch"],
                             np.asarray(r.distinct_h, dtype=np.uint64), dk)
+                    if has_mode:
+                        cur["mh"], cur["mc"] = _modek_union(
+                            cur["mh"], cur["mc"],
+                            np.asarray(r.mode_hs, dtype=np.uint64),
+                            np.asarray(r.mode_ns, dtype=np.int64), mk)
                 kws = sorted(cells)
                 cols = {
                     "clip_id": pa.array([kw[0] for kw in kws], pa.string()),
@@ -1495,6 +1521,13 @@ class ReplicatePipeline:
                         [_kmv_estimate(cells[kw]["ch"], dk,
                                        n_cap=cells[kw]["n"]) for kw in kws],
                         pa.int64())
+                if has_mode:
+                    modes = [_mode_of(cells[kw]["mh"], cells[kw]["mc"])
+                             for kw in kws]
+                    cols["mode_h"] = pa.array(
+                        [m[0] for m in modes], pa.uint64())
+                    cols["mode_n"] = pa.array(
+                        [m[1] for m in modes], pa.int64())
                 merged = pa.table(cols)
                 merged = _stamp(merged, -1, epoch)
                 frag = self.sink[sink_key].stage_fragment(merged, epoch, -1)
@@ -1657,3 +1690,4 @@ class _StateCfg:
         self.changelog = cfg.changelog
         self.window_sample_k = getattr(cfg, "window_sample_k", 0)
         self.window_distinct_k = getattr(cfg, "window_distinct_k", 0)
+        self.window_mode_k = getattr(cfg, "window_mode_k", 0)

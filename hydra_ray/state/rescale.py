@@ -147,9 +147,11 @@ def _merge_one(q: int, tmp_root: str, epoch: int, cfg, max_ts: int,
         # window_distinct_k cells too)
         sample_k = getattr(cfg, "window_sample_k", 0)
         distinct_k = getattr(cfg, "window_distinct_k", 0)
+        mode_k = getattr(cfg, "window_mode_k", 0)
         for target, delta in ((st.win, d["win"]), (st.swin, d["swin"])):
             for kw, acc in delta.items():
-                _fold_window_cell(target, kw, acc, sample_k, distinct_k)
+                _fold_window_cell(target, kw, acc, sample_k, distinct_k,
+                                  mode_k)
         for k, lst in d["sessions"].items():
             for s in lst:
                 st._merge_session_range(k, s[0], s[1], s[2], s[3], gap)

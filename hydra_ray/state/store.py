@@ -94,11 +94,45 @@ def _kmv_estimate(ch: np.ndarray, k: int, n_cap: int | None = None) -> int:
     return min(est, n_cap) if n_cap is not None else est
 
 
-def _fold_window_cell(target: dict, kw, acc, k: int, dk: int = 0):
+def _modek_union(h1, c1, h2, c2, k: int):
+    """Merge two bottom-k-by-content-hash COUNT samples: union by hash,
+    SUM counts on the intersection, keep the k smallest hashes.  Counts
+    stay EXACT for every hash that survives: a hash in the merged
+    bottom-k has < k smaller distinct hashes in the union, hence < k in
+    every partial's (subset) view too — so each partial that saw it kept
+    its full local count.  Associative + commutative (counts are
+    additive partials like cnt/sum — replay safety comes from the
+    checkpoint-rebuild model, exactly as for the count column), so the
+    sample is identical under any routing/salting, epoch split and
+    N→M rescale fold."""
+    h = np.concatenate([h1, h2])
+    c = np.concatenate([c1, c2]).astype(np.int64)
+    hh, inv = np.unique(h, return_inverse=True)    # sorted ascending
+    cc = np.zeros(len(hh), np.int64)
+    np.add.at(cc, inv, c)
+    return hh[:k], cc[:k]
+
+
+def _mode_of(mh: np.ndarray, mc: np.ndarray) -> tuple[int, int]:
+    """(content hash, exact count) of the most frequent content in the
+    sample; count ties break to the smallest hash (``mh`` is sorted
+    ascending, so the first argmax wins).  Exact mode whenever the
+    cell's distinct content ≤ k (same regime where the KMV distinct
+    count is exact); beyond that it is the mode of a deterministic
+    uniform sample of the distinct contents."""
+    if len(mh) == 0:
+        return 0, 0
+    j = int(np.argmax(mc))
+    return int(mh[j]), int(mc[j])
+
+
+def _fold_window_cell(target: dict, kw, acc, k: int, dk: int = 0,
+                      mk: int = 0):
     """Fold one (key, window) partial into a state dict — the ONE merge
     rule shared by live ingest, delta-checkpoint replay and rescale.
     Cell layout is positional, driven by the cfg flags: [cnt, sum]
-    (+ [hs, vs] with window_sample_k) (+ [ch] with window_distinct_k).
+    (+ [hs, vs] with window_sample_k) (+ [ch] with window_distinct_k)
+    (+ [mh, mc] with window_mode_k).
     Toggling a flag mid-checkpoint-chain is not supported (a restored
     short cell is extended on first fold; a reinterpreted one is not
     detected)."""
@@ -121,6 +155,13 @@ def _fold_window_cell(target: dict, kw, acc, k: int, dk: int = 0):
             cur[i] = _kmv_union(cur[i], acc[i], dk)
         else:
             cur.append(acc[i].copy())
+        i += 1
+    if mk and len(acc) > i + 1:
+        if len(cur) > i + 1:
+            cur[i], cur[i + 1] = _modek_union(
+                cur[i], cur[i + 1], acc[i], acc[i + 1], mk)
+        else:
+            cur.extend([acc[i].copy(), acc[i + 1].copy()])
 
 
 def _sample_quantiles(vs: np.ndarray) -> tuple[int, int]:
@@ -281,6 +322,7 @@ class PartitionState:
         targets: list[dict], keys_np: np.ndarray, starts: np.ndarray,
         durs: np.ndarray, hs: np.ndarray | None = None, sample_k: int = 0,
         ch: np.ndarray | None = None, distinct_k: int = 0,
+        mode_k: int = 0,
     ):
         """Fold per-batch (key, window) partials into the given state dicts
         (live dict + checkpoint-delta dict).
@@ -291,12 +333,15 @@ class PartitionState:
         With ``sample_k`` set the collapse also keeps each group's k
         smallest-``hs`` rows (one lexsort + arange gather); with
         ``distinct_k`` it keeps each group's k smallest DISTINCT content
-        hashes (the KMV sketch partial) — extending the cells to
-        [cnt, sum (, hs, vs)(, ch)].
+        hashes (the KMV sketch partial); with ``mode_k`` it keeps each
+        group's k smallest distinct content hashes WITH their exact
+        per-group counts (the frequency/mode partial) — extending the
+        cells to [cnt, sum (, hs, vs)(, ch)(, mh, mc)].
         """
         sk = sample_k if hs is not None else 0
         dk = distinct_k if ch is not None else 0
-        if sk or dk:
+        mk = mode_k if ch is not None else 0
+        if sk or dk or mk:
             _, kcodes = np.unique(keys_np, return_inverse=True)
             order = np.lexsort(((hs if sk else durs), starts, kcodes))
             kc = kcodes[order]
@@ -318,7 +363,7 @@ class PartitionState:
                 bounds_s = np.zeros(n_g + 1, dtype=np.int64)
                 np.cumsum(take, out=bounds_s[1:])
                 h_sel, v_sel = h2[sel], ds[sel]
-            if dk:
+            if dk or mk:
                 # second pass ordered by (key, window, content-hash):
                 # group enumeration order matches pass 1 (both are sorted
                 # by (kcodes, starts) first), so partials align by j
@@ -332,10 +377,21 @@ class PartitionState:
                 dcnt = np.bincount(gk, minlength=n_g)
                 gstart = np.cumsum(dcnt) - dcnt
                 pos = np.arange(len(keep)) - gstart[gk]
+            if dk:
                 csel = c2[keep[pos < dk]]
                 dtake = np.minimum(dcnt, dk)
                 bounds_d = np.zeros(n_g + 1, dtype=np.int64)
                 np.cumsum(dtake, out=bounds_d[1:])
+            if mk:
+                # per-distinct-hash run lengths = exact per-group counts
+                # (a hash's run never spans groups: newh ⊇ gfirst)
+                runlen = np.diff(np.append(keep, len(c2)))
+                mmask = pos < mk
+                msel_h = c2[keep[mmask]]
+                msel_c = runlen[mmask].astype(np.int64)
+                mtake = np.minimum(dcnt, mk)
+                bounds_m = np.zeros(n_g + 1, dtype=np.int64)
+                np.cumsum(mtake, out=bounds_m[1:])
             for j in range(n_g):
                 acc = [int(cnt[j]), int(dsum[j])]
                 if sk:
@@ -343,9 +399,12 @@ class PartitionState:
                             v_sel[bounds_s[j]:bounds_s[j + 1]]]
                 if dk:
                     acc.append(csel[bounds_d[j]:bounds_d[j + 1]])
+                if mk:
+                    acc += [msel_h[bounds_m[j]:bounds_m[j + 1]],
+                            msel_c[bounds_m[j]:bounds_m[j + 1]]]
                 kw = (ksel[j], int(ws[si[j]]))
                 for target in targets:
-                    _fold_window_cell(target, kw, tuple(acc), sk, dk)
+                    _fold_window_cell(target, kw, tuple(acc), sk, dk, mk)
             return
         t = pa.table(
             {
@@ -378,7 +437,8 @@ class PartitionState:
         durs = sub["dur_ms"].to_numpy(zero_copy_only=False).astype(np.int64)
         sample_k = getattr(cfg, "window_sample_k", 0)
         distinct_k = getattr(cfg, "window_distinct_k", 0)
-        if not distinct_k:
+        mode_k = getattr(cfg, "window_mode_k", 0)
+        if not (distinct_k or mode_k):
             ch = None
         hs = None
         if sample_k:
@@ -392,7 +452,7 @@ class PartitionState:
             starts = assign_tumbling(ts, cfg.window_size_ms)
             self._merge_window_partials(
                 [self.win, self._delta_win], keys_np, starts, durs,
-                hs, sample_k, ch, distinct_k,
+                hs, sample_k, ch, distinct_k, mode_k,
             )
         if getattr(cfg, "sliding_size_ms", 0):
             from ..stages.windows import explode_sliding
@@ -401,7 +461,7 @@ class PartitionState:
             self._merge_window_partials(
                 [self.swin, self._delta_swin], keys_np[rows], starts, durs[rows],
                 hs[rows] if hs is not None else None, sample_k,
-                ch[rows] if ch is not None else None, distinct_k,
+                ch[rows] if ch is not None else None, distinct_k, mode_k,
             )
         if cfg.session_gap_ms:
             gap = cfg.session_gap_ms
@@ -811,6 +871,26 @@ class PartitionState:
                     pa.array([_kmv_estimate(r[idx], distinct_k, n_cap=r[2])
                               for r in rows], pa.int64()),
                 )
+            idx += 1
+        mode_k = getattr(self.cfg, "window_mode_k", 0)
+        if mode_k and rows and len(rows[0]) > idx + 1:    # [mh, mc] cells
+            if partial:
+                t = t.append_column(
+                    "mode_hs",
+                    pa.array([r[idx].tolist() for r in rows],
+                             pa.list_(pa.uint64())),
+                ).append_column(
+                    "mode_ns",
+                    pa.array([r[idx + 1].tolist() for r in rows],
+                             pa.list_(pa.int64())),
+                )
+            else:
+                modes = [_mode_of(r[idx], r[idx + 1]) for r in rows]
+                t = t.append_column(
+                    "mode_h", pa.array([m[0] for m in modes], pa.uint64())
+                ).append_column(
+                    "mode_n", pa.array([m[1] for m in modes], pa.int64())
+                )
         return t
 
     def _close_window_dict(
@@ -1040,9 +1120,10 @@ class PartitionState:
             d = pickle.load(f)
         sample_k = getattr(self.cfg, "window_sample_k", 0)
         distinct_k = getattr(self.cfg, "window_distinct_k", 0)
+        mode_k = getattr(self.cfg, "window_mode_k", 0)
         for target, delta in ((self.win, d["win_delta"]), (self.swin, d["swin_delta"])):
             for kw, acc in delta.items():
-                _fold_window_cell(target, kw, acc, sample_k, distinct_k)
+                _fold_window_cell(target, kw, acc, sample_k, distinct_k, mode_k)
         self.upd_chunks.extend(d["upd_delta"])
         self.view.update(d["view_delta"])
         self.funnel.update(d.get("funnel_delta", {}))

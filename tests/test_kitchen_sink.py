@@ -38,6 +38,9 @@ def full_cfg(**kw):
         neardup=True,
         funnel_steps=("clip", "update"),
         changelog=True,
+        window_sample_k=64,
+        window_distinct_k=64,
+        window_mode_k=64,
         audio_features=True,
         payload_transform=trim_payload,
         compact_sinks_every=2,
