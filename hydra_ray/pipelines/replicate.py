@@ -143,6 +143,15 @@ class ReplicateConfig:
     # near-duplicate storm (one variant dominating a window) without
     # buffering rows.  0 disables (schema unchanged).
     window_mode_k: int = 0
+    # streaming per-SESSION duration quantiles: each open session
+    # interval additionally carries a deterministic bottom-k-by-
+    # hash(seq) sample of dur_ms (the window_sample_k monoid), unioned
+    # through every gap-merge — batch pre-merge, bridging merges, the
+    # driver's cross-salt merge, home adoption and N→M rescale — and
+    # closed sessions emit p50_dur_ms/p90_dur_ms/sample_n.  k ≥ the
+    # session's row count makes the quantiles EXACT.  0 disables
+    # (schema unchanged).
+    session_sample_k: int = 0
     # CEP funnel over the combined stream (clip lifecycle patterns): an
     # ordered tuple of event kinds from {"clip", "update", "delete"}
     # ("clip" = clip arrival, "update" = non-tombstone transcript update,
@@ -1557,15 +1566,20 @@ class ReplicatePipeline:
         for r in results:
             intervals.extend(r.get("hot", {}).get("hot_sessions") or [])
         if intervals:
+            from ..state.store import _bottomk_union, _session_rows_table
+
             gap = cfg.session_gap_ms
+            ssk = getattr(cfg, "session_sample_k", 0)
             per_key: dict[str, list] = {}
-            for k, s0, s1, cnt, dur in intervals:
-                per_key.setdefault(k, []).append([s0, s1, cnt, dur])
+            for k, *rest in intervals:
+                per_key.setdefault(k, []).append(list(rest))
             closed_rows, open_by_home = [], {}
             keys_np = np.asarray(sorted(per_key), dtype=object)
             homes = partition_for(keys_np, cfg.num_partitions)
             for k, home in zip(keys_np, homes):
-                ivs = sorted(per_key[k])
+                # explicit scalar sort key: interval tails may carry the
+                # numpy sample arrays, which must never be compared
+                ivs = sorted(per_key[k], key=lambda s: (s[0], s[1], s[2]))
                 merged_ivs = [ivs[0]]
                 for s in ivs[1:]:
                     prev = merged_ivs[-1]
@@ -1573,6 +1587,11 @@ class ReplicatePipeline:
                         prev[1] = max(prev[1], s[1])
                         prev[2] += s[2]
                         prev[3] += s[3]
+                        if len(prev) > 5 and len(s) > 5:
+                            prev[4], prev[5] = _bottomk_union(
+                                prev[4], prev[5], s[4], s[5], ssk)
+                        elif len(s) > 5:
+                            prev.extend([s[4], s[5]])
                     else:
                         merged_ivs.append(s)
                 for s in merged_ivs:
@@ -1583,15 +1602,7 @@ class ReplicatePipeline:
                             k, []
                         ).append(s)
             if closed_rows:
-                tbl = pa.table(
-                    {
-                        "clip_id": pa.array([r[0] for r in closed_rows], pa.string()),
-                        "session_start": pa.array([r[1] for r in closed_rows], pa.int64()),
-                        "session_end": pa.array([r[2] for r in closed_rows], pa.int64()),
-                        "n_clips": pa.array([r[3] for r in closed_rows], pa.int64()),
-                        "sum_dur_ms": pa.array([r[4] for r in closed_rows], pa.int64()),
-                    }
-                )
+                tbl = _session_rows_table(closed_rows, ssk)
                 tbl = _stamp(tbl, -1, epoch)
                 frag = self.sink["sessions"].stage_fragment(tbl, epoch, -1)
                 staged.append(("sessions", frag))
@@ -1691,3 +1702,4 @@ class _StateCfg:
         self.window_sample_k = getattr(cfg, "window_sample_k", 0)
         self.window_distinct_k = getattr(cfg, "window_distinct_k", 0)
         self.window_mode_k = getattr(cfg, "window_mode_k", 0)
+        self.session_sample_k = getattr(cfg, "session_sample_k", 0)

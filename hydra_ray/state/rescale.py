@@ -154,7 +154,11 @@ def _merge_one(q: int, tmp_root: str, epoch: int, cfg, max_ts: int,
                                   mode_k)
         for k, lst in d["sessions"].items():
             for s in lst:
-                st._merge_session_range(k, s[0], s[1], s[2], s[3], gap)
+                if len(s) > 5:
+                    st._merge_session_range(k, s[0], s[1], s[2], s[3], gap,
+                                            hs_s=s[4], vs_s=s[5])
+                else:
+                    st._merge_session_range(k, s[0], s[1], s[2], s[3], gap)
         for k, rec in d["view"].items():
             cur = st.view.get(k)
             if cur is None or (rec[0], rec[1]) >= (cur[0], cur[1]):

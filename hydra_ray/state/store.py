@@ -441,7 +441,8 @@ class PartitionState:
         if not (distinct_k or mode_k):
             ch = None
         hs = None
-        if sample_k:
+        if sample_k or (getattr(cfg, "session_sample_k", 0)
+                        and cfg.session_gap_ms):
             from ..hashing import hash64
 
             # per-record hash (seq is globally unique): the deterministic
@@ -465,6 +466,7 @@ class PartitionState:
             )
         if cfg.session_gap_ms:
             gap = cfg.session_gap_ms
+            ssk = getattr(cfg, "session_sample_k", 0)
             # batch-local sessionization (vectorized): sort by (key, ts),
             # break on key change or gap, reduce each run — then merge the
             # few resulting intervals into the open-session state.  The
@@ -478,32 +480,63 @@ class PartitionState:
             ei = np.append(si[1:], len(ks))
             cnt = ei - si
             sumd = np.add.reduceat(ds_s, si)
+            if ssk and hs is not None:
+                # per-run bottom-k-by-hash(seq) duration sample (same
+                # deterministic monoid as window_sample_k — the gap-merge
+                # unions it, so session quantiles survive salting,
+                # bridging merges, adoption and rescale).  Runs are
+                # contiguous in the (key, ts) order, so one lexsort by
+                # (run, hash) leaves each run's rows hash-ascending at
+                # positions si[j]:ei[j].
+                rid = np.cumsum(brk) - 1
+                h2 = hs[order]
+                order2 = np.lexsort((h2, rid))
+                take = np.minimum(cnt, ssk)
             for j in range(len(si)):
-                self._merge_session_range(
-                    ks[si[j]], int(ts_s[si[j]]), int(ts_s[ei[j] - 1]),
-                    int(cnt[j]), int(sumd[j]), gap,
-                )
+                if ssk and hs is not None:
+                    idx = order2[si[j]:si[j] + int(take[j])]
+                    self._merge_session_range(
+                        ks[si[j]], int(ts_s[si[j]]), int(ts_s[ei[j] - 1]),
+                        int(cnt[j]), int(sumd[j]), gap,
+                        hs_s=h2[idx].astype(np.uint64),
+                        vs_s=ds_s[idx].astype(np.int64),
+                    )
+                else:
+                    self._merge_session_range(
+                        ks[si[j]], int(ts_s[si[j]]), int(ts_s[ei[j] - 1]),
+                        int(cnt[j]), int(sumd[j]), gap,
+                    )
 
     def _merge_session_range(
-        self, key: str, t0: int, t1: int, cnt: int, dur: int, gap: int
+        self, key: str, t0: int, t1: int, cnt: int, dur: int, gap: int,
+        hs_s: np.ndarray | None = None, vs_s: np.ndarray | None = None,
     ):
-        """Insert a session interval [t0, t1] (cnt events, dur sum) into the
-        per-key open-session list (kept sorted, non-overlapping under the
-        gap relation)."""
+        """Insert a session interval [t0, t1] (cnt events, dur sum,
+        optional bottom-k duration sample) into the per-key open-session
+        list (kept sorted, non-overlapping under the gap relation)."""
+        k = getattr(self.cfg, "session_sample_k", 0)
         lst = self.sessions[key]
+        new = [t0, t1, cnt, dur]
+        if hs_s is not None:
+            new += [hs_s, vs_s]
         lo = None
         for s in lst:
             if t0 <= s[1] + gap and t1 >= s[0] - gap:
                 lo = s
                 break
         if lo is None:
-            lst.append([t0, t1, cnt, dur])
+            lst.append(new)
             lst.sort(key=lambda s: s[0])
             return
         lo[0] = min(lo[0], t0)
         lo[1] = max(lo[1], t1)
         lo[2] += cnt
         lo[3] += dur
+        if hs_s is not None:
+            if len(lo) > 5:
+                lo[4], lo[5] = _bottomk_union(lo[4], lo[5], hs_s, vs_s, k)
+            else:
+                lo.extend([hs_s.copy(), vs_s.copy()])
         # merging may bridge two sessions
         lst.sort(key=lambda s: s[0])
         merged = [lst[0]]
@@ -513,6 +546,11 @@ class PartitionState:
                 prev[1] = max(prev[1], s[1])
                 prev[2] += s[2]
                 prev[3] += s[3]
+                if len(prev) > 5 and len(s) > 5:
+                    prev[4], prev[5] = _bottomk_union(
+                        prev[4], prev[5], s[4], s[5], k)
+                elif len(s) > 5:
+                    prev.extend([s[4], s[5]])
                 prev[0] = min(prev[0], s[0])
             else:
                 merged.append(s)
@@ -961,15 +999,8 @@ class PartitionState:
                 del self.sessions[k]
         tbl = None
         if rows:
-            tbl = pa.table(
-                {
-                    "clip_id": pa.array([r[0] for r in rows], pa.string()),
-                    "session_start": pa.array([r[1] for r in rows], pa.int64()),
-                    "session_end": pa.array([r[2] for r in rows], pa.int64()),
-                    "n_clips": pa.array([r[3] for r in rows], pa.int64()),
-                    "sum_dur_ms": pa.array([r[4] for r in rows], pa.int64()),
-                }
-            )
+            tbl = _session_rows_table(
+                rows, getattr(self.cfg, "session_sample_k", 0))
             tbl = _stamp(tbl, self.partition, epoch)
             self.metrics["sessions_closed"] += tbl.num_rows
         return tbl, hot_rows or None
@@ -979,7 +1010,12 @@ class PartitionState:
         gap = self.cfg.session_gap_ms
         for k, intervals in merged.items():
             for s in intervals:
-                self._merge_session_range(k, s[0], s[1], s[2], s[3], gap)
+                if len(s) > 5:
+                    self._merge_session_range(
+                        k, s[0], s[1], s[2], s[3], gap,
+                        hs_s=s[4], vs_s=s[5])
+                else:
+                    self._merge_session_range(k, s[0], s[1], s[2], s[3], gap)
 
     def buffered_updates_for(self, keys: frozenset) -> tuple:
         """Buffered (non-evicted) update records for ``keys`` — shipped to
@@ -1178,6 +1214,31 @@ class PartitionState:
             self.funnel_buf = [(fk[keep], ft[keep], fd[keep])] if keep.any() else []
         # sessions are exact (full copy in every delta): closed hot/cold
         # sessions were already removed at their close
+
+
+def _session_rows_table(rows: list, sample_k: int) -> pa.Table:
+    """Closed-session rows → arrow table; with ``session_sample_k`` the
+    interval's bottom-k duration sample becomes p50/p90/sample_n columns
+    (same nearest-rank rule and column names as the window sample)."""
+    tbl = pa.table(
+        {
+            "clip_id": pa.array([r[0] for r in rows], pa.string()),
+            "session_start": pa.array([r[1] for r in rows], pa.int64()),
+            "session_end": pa.array([r[2] for r in rows], pa.int64()),
+            "n_clips": pa.array([r[3] for r in rows], pa.int64()),
+            "sum_dur_ms": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    if sample_k and rows and len(rows[0]) > 6:
+        qs = [_sample_quantiles(r[6]) for r in rows]
+        tbl = tbl.append_column(
+            "p50_dur_ms", pa.array([q[0] for q in qs], pa.int64())
+        ).append_column(
+            "p90_dur_ms", pa.array([q[1] for q in qs], pa.int64())
+        ).append_column(
+            "sample_n", pa.array([len(r[6]) for r in rows], pa.int64())
+        )
+    return tbl
 
 
 def _stamp(tbl: pa.Table, partition: int, epoch: int) -> pa.Table:

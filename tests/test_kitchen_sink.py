@@ -41,6 +41,7 @@ def full_cfg(**kw):
         window_sample_k=64,
         window_distinct_k=64,
         window_mode_k=64,
+        session_sample_k=64,
         audio_features=True,
         payload_transform=trim_payload,
         compact_sinks_every=2,
