@@ -93,6 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_funcs": q.q_string_funcs,
         "unpivot_events": q.q_unpivot_events,
         "local_volume": q.q_local_volume,
+        "promo_share": q.q_promo_share,
+        "priority_count": q.q_priority_count,
+        "returned_revenue": q.q_returned_revenue,
+        "large_orders": q.q_large_orders,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -508,6 +512,65 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1997-01-01'
               AND o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY n_name
+        """,
+        "promo_share": """
+            SELECT
+                round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          ELSE 0 END) / 10000.0, 2) AS promo_revenue,
+                round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      / 10000.0, 2) AS total_revenue,
+                round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                          ELSE 0 END)
+                      / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+                      4) AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-12-01'
+        """,
+        "priority_count": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "returned_revenue": """
+            SELECT c_custkey, c_name,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS revenue,
+                   round(c_acctbal, 2) AS acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     DESC, c_custkey
+            LIMIT 20
+        """,
+        "large_orders": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   epoch_ms(o_orderdate) AS o_orderdate_ms,
+                   round(o_totalprice, 2) AS total_price,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+            GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200
         """,
         "fuzzy_match": """
             -- char-based substr == the kernel's prefix on ASCII fixtures

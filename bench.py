@@ -69,6 +69,7 @@ QUERY_NAMES = [
     "string_funcs",
     "unpivot_events",
     "local_volume",
+    "promo_share", "priority_count", "returned_revenue", "large_orders",
     "trim_audio", "transcode_flac",
     "image_features", "image_neardup", "image_resize", "video_frames",
 ]

@@ -3180,3 +3180,240 @@ def q_local_volume(sf_dir):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------- TPC-H-shaped join suite 2
+def _rev_e4(t: pa.Table) -> pa.Array:
+    """Exact integer revenue units: cents(extendedprice) × (100 − cents
+    (discount)) — the big-group money rule (float sums are
+    order-dependent; see CLAUDE.md)."""
+    extc = pc.cast(
+        pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+        pa.int64())
+    discc = pc.cast(
+        pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+        pa.int64())
+    return pc.multiply(extc, pc.subtract(pa.scalar(100, pa.int64()), discc))
+
+
+def q_promo_share(sf_dir):
+    """TPC-H-Q14-shaped promotion-revenue ratio: part is a broadcast
+    promo-key SET (dimension scales with entities, not events), lineitem
+    is date-filtered AT THE SCAN, and there is NO exchange at all — each
+    block emits one (promo_e4, total_e4) integer partial and the driver
+    folds the tiny partials.  The ratio divides the two EXACT integer
+    sums once, in float64, in the same expression order as the oracle."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = frozenset(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"].astype(np.int64)
+    )
+    promo_ref = ray.put(np.fromiter(promo, dtype=np.int64))
+
+    lo = pd.Timestamp("1997-09-01")
+    hi = pd.Timestamp("1997-12-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        rev = _rev_e4(t).to_numpy(zero_copy_only=False)
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        from ..stages.join import _bcast_get
+
+        promo_keys = _bcast_get(promo_ref)
+        is_promo = np.isin(keys, promo_keys)
+        return pa.table({
+            "promo_e4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_e4": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    parts = li.map_batches(partial, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows])
+    num = int(pc.sum(merged["promo_e4"]).as_py() or 0)
+    den = int(pc.sum(merged["total_e4"]).as_py() or 0)
+    share = 100.0 * float(num) / float(den)
+    return pa.table({
+        "promo_revenue": round_f64(
+            pa.array([num / 10_000.0], pa.float64()), 2),
+        "total_revenue": round_f64(
+            pa.array([den / 10_000.0], pa.float64()), 2),
+        "promo_share": round_f64(pa.array([share], pa.float64()), 4),
+    })
+
+
+def q_priority_count(sf_dir):
+    """TPC-H-Q4-shaped EXISTS semi join: date-filtered orders are
+    existence-filtered against returned lineitems through ONE bucketed
+    semi exchange (right side carries only the key column), then a
+    grouped count per priority.  Both filters are applied at the scan so
+    only qualifying rows enter the exchange."""
+    from ..stages.join import bucketed_join
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1997-07-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({
+            "okey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        return pa.table({"okey": t["l_orderkey"]})
+
+    kept = bucketed_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        key="okey", how="semi")
+    agg = grouped_aggregate(
+        kept, ["o_orderpriority"], [AggSpec("count", None, "n")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "order_count": pc.cast(t["n"], pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
+def q_returned_revenue(sf_dir):
+    """TPC-H-Q10-shaped returned-item report: return-filtered lineitem ⋈
+    date-filtered orders through ONE bucketed exchange, exact
+    integer-cents revenue grouped by customer, customer + nation names
+    attached by broadcast AFTER the aggregate (only ~|customers| rows
+    remain), global top-20 via per-block partial top-k + a driver merge
+    of the tiny partials (rev desc, custkey asc tie-break)."""
+    import ray
+
+    from ..stages.join import bucketed_join
+
+    lo = pd.Timestamp("1997-07-01")
+    hi = pd.Timestamp("1997-10-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"okey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        return pa.table({"okey": t["l_orderkey"], "rev_e4": _rev_e4(t)})
+
+    joined = bucketed_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        key="okey")
+    agg = grouped_aggregate(
+        joined, ["c_custkey"], [AggSpec("sum", "rev_e4", "rev_e4")])
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rev))[:20]
+        return t.take(pa.array(order))
+
+    parts = agg.map_batches(partial_top, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows])
+    order = np.lexsort((
+        merged["c_custkey"].to_numpy(zero_copy_only=False),
+        -merged["rev_e4"].to_numpy(zero_copy_only=False),
+    ))[:20]
+    top = merged.take(pa.array(order)).to_pandas()
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+                 ).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["rev_e4", "c_custkey"],
+                          ascending=[False, True], ignore_index=True)
+    return pa.table({
+        "c_custkey": pa.array(out["c_custkey"].to_numpy()),
+        "c_name": pa.array(out["c_name"], pa.string()),
+        "revenue": round_f64(
+            pa.array(out["rev_e4"].to_numpy() / 10_000.0, pa.float64()), 2),
+        "acctbal": round_f64(
+            pa.array(out["c_acctbal"].to_numpy(), pa.float64()), 2),
+        "n_name": pa.array(out["n_name"], pa.string()),
+    })
+
+
+def q_large_orders(sf_dir):
+    """TPC-H-Q18-shaped HAVING-threshold report: lineitem quantity is
+    summed per order as EXACT int64 units (quantities are integral), the
+    small >200 survivor set filters orders through ONE bucketed inner
+    exchange, and customer names attach by broadcast.  The groupby's
+    partial combiners mean only per-bucket partials move; the threshold
+    filter runs inside the combine so survivors (rare by construction)
+    are the only join input."""
+    from ..stages.join import broadcast_join, bucketed_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": t["l_orderkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        ["okey"], [AggSpec("sum", "qty", "sum_qty")])
+    big = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty"],
+                                      pa.scalar(200, pa.int64()))),
+        batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "okey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate_ms": pa.array(
+                np.asarray(ts_to_ms(t["o_orderdate"])), pa.int64()),
+            "o_totalprice": t["o_totalprice"],
+        })
+
+    joined = bucketed_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        big, key="okey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    out = broadcast_join(joined, cust, on="o_custkey")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "c_name": t["c_name"],
+            "o_orderkey": t["okey"],
+            "o_orderdate_ms": t["o_orderdate_ms"],
+            "total_price": round_f64(t["o_totalprice"], 2),
+            "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
