@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_count": q.q_priority_count,
         "returned_revenue": q.q_returned_revenue,
         "large_orders": q.q_large_orders,
+        "match_funnel": q.q_match_funnel,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -532,6 +533,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
               AND l_shipdate < TIMESTAMP '1997-12-01'
+        """,
+        "match_funnel": """
+            SELECT user_id,
+                   CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+                       AS n_matches
+            FROM (SELECT user_id,
+                         string_agg(substr(event_type, 1, 1), ''
+                                    ORDER BY epoch_ms(ts), event_id) AS seq
+                  FROM events GROUP BY user_id)
         """,
         "priority_count": """
             SELECT o_orderpriority,

@@ -3417,3 +3417,26 @@ def q_large_orders(sf_dir):
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_match_funnel(sf_dir):
+    """General-pattern CEP (MATCH_RECOGNIZE-lite): count non-overlapping
+    'view, any clicks, purchase' runs per user via one regex pass over
+    per-user ordered event-initial strings — stages/cep.py
+    match_pattern (ONE bucket exchange + Arrow binary_join + C-side
+    regex)."""
+    from ..stages.cep import match_pattern
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ms": pa.array(np.asarray(ts_to_ms(t["ts"])), pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    return match_pattern(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "ms", "event_id", "event_type", "vc*p")

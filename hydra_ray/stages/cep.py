@@ -162,3 +162,52 @@ def transition_counts(ds, key_col: str, order_col: str, tie_col: str,
         partials, [prev_col, next_col],
         [AggSpec("sum", count_col, count_col)],
     )
+
+
+def match_pattern(ds, key_col: str, order_col: str, tie_col: str,
+                  symbol_col: str, pattern: str,
+                  out_col: str = "n_matches", num_buckets: int = 64):
+    """Regex CEP over per-key ordered symbol strings (MATCH_RECOGNIZE-lite).
+
+    Each key's rows are ordered by ``(order_col, tie_col)`` and reduced
+    to a string of one-character symbols (the first codepoint of
+    ``symbol_col``); the result counts NON-OVERLAPPING leftmost matches
+    of ``pattern`` per key — identical to SQL
+    ``len(regexp_extract_all(string_agg(substr(sym,1,1), ''
+    ORDER BY order, tie), pattern))``.  This is the general-pattern
+    complement to :func:`funnel_match` (fixed step chain): Kleene stars,
+    alternation and optional steps all come for free from the regex.
+
+    Scale shape: :func:`~..rollup.collect_sorted`'s ONE hash(key)-bucket
+    exchange builds each key's symbol string with a single Arrow
+    ``binary_join`` per bucket, then the regex scan is one C-side pandas
+    ``str.count`` pass per batch (the regex engine loops, not Python).
+    Per-key strings are O(rows in the key) — cap pathological keys
+    upstream (``per_key_topn``).  Keep patterns RE2-compatible (no
+    backreferences) so the semantics match a Google-RE2-based oracle.
+    """
+    import pyarrow.compute as pc
+
+    from .rollup import collect_sorted
+
+    def symbolize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            order_col: t[order_col],
+            tie_col: t[tie_col],
+            "__sym": pc.utf8_slice_codeunits(t[symbol_col], 0, 1),
+        })
+
+    seqs = collect_sorted(
+        ds.map_batches(symbolize, batch_format="pyarrow"),
+        key_col, order_col, tie_col, "__sym",
+        sep="", out_col="__seq", num_buckets=num_buckets,
+    )
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["__seq"].str.count(pattern).astype(np.int64)
+        out = g[[key_col]].copy()
+        out[out_col] = n
+        return out
+
+    return seqs.map_batches(count, batch_format="pandas")

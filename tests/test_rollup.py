@@ -451,3 +451,55 @@ def test_grouped_ewma_rejects_bad_alpha(rd):
         grouped_ewma(ds, "user_id", "ts", "event_id", "value", alpha=0.0)
     with pytest.raises(ValueError):
         grouped_ewma(ds, "user_id", "ts", "event_id", "value", alpha=1.5)
+
+
+def test_match_pattern_vs_python_re(rd):
+    """match_pattern == per-key re.findall count over the ordered
+    symbol string, under any partitioning / bucket count."""
+    import re
+
+    from hydra_ray.stages.cep import match_pattern
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 80, n),
+        "event_id": np.arange(n),
+        "ts": rng.integers(0, 10_000, n),
+        "event_type": rng.choice(
+            ["view", "click", "purchase", "error"], n),
+    })
+    pat = "vc*p"
+    out = (
+        match_pattern(rd.from_pandas(df).repartition(9), "user_id", "ts",
+                      "event_id", "event_type", pat, num_buckets=8)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    ref_rows = []
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        seq = "".join(s[0] for s in g["event_type"])
+        ref_rows.append((uid, len(re.findall(pat, seq))))
+    ref = pd.DataFrame(ref_rows, columns=["user_id", "n_matches"])
+    pd.testing.assert_frame_equal(out.astype("int64"), ref.astype("int64"))
+    assert out["n_matches"].sum() > 0
+
+
+def test_match_pattern_overlap_and_alternation(rd):
+    # non-overlapping leftmost semantics: 'vpvp' has 2 'v.*?p'? no —
+    # greedy 'vc*p' on 'vcpcp' matches once at 'vcp' then 'cp' has no v;
+    # alternation and optional steps come free from the regex
+    from hydra_ray.stages.cep import match_pattern
+
+    df = pd.DataFrame({
+        "user_id": [1] * 5 + [2] * 4,
+        "event_id": range(9),
+        "ts": list(range(5)) + list(range(4)),
+        "event_type": ["view", "click", "purchase", "click", "purchase",
+                       "view", "purchase", "view", "purchase"],
+    })
+    out = (
+        match_pattern(rd.from_pandas(df), "user_id", "ts", "event_id",
+                      "event_type", "v[ce]*p", num_buckets=4)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert out["n_matches"].tolist() == [1, 2]
