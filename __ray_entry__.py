@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_revenue": q.q_returned_revenue,
         "large_orders": q.q_large_orders,
         "match_funnel": q.q_match_funnel,
+        "table_profile": q.q_table_profile,
         # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
@@ -533,6 +534,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
               AND l_shipdate < TIMESTAMP '1997-12-01'
+        """,
+        "table_profile": """
+            SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(event_id) AS BIGINT) AS n_nonnull,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   round(CAST(min(event_id) AS DOUBLE), 4) AS min_v,
+                   round(CAST(max(event_id) AS DOUBLE), 4) AS max_v
+            FROM events
+            UNION ALL
+            SELECT 'ts', count(*), count(ts), count(DISTINCT ts),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(user_id),
+                   count(DISTINCT user_id),
+                   round(CAST(min(user_id) AS DOUBLE), 4),
+                   round(CAST(max(user_id) AS DOUBLE), 4) FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(event_type),
+                   count(DISTINCT event_type),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(value), count(DISTINCT value),
+                   round(min(value), 4), round(max(value), 4) FROM events
+            UNION ALL
+            SELECT 'props', count(*), count(props), count(DISTINCT props),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
         """,
         "match_funnel": """
             SELECT user_id,

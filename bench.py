@@ -70,7 +70,7 @@ QUERY_NAMES = [
     "unpivot_events",
     "local_volume",
     "promo_share", "priority_count", "returned_revenue", "large_orders",
-    "match_funnel",
+    "match_funnel", "table_profile",
     "trim_audio", "transcode_flac",
     "image_features", "image_neardup", "image_resize", "video_frames",
 ]

@@ -3440,3 +3440,19 @@ def q_match_funnel(sf_dir):
     return match_pattern(
         ev.map_batches(prep, batch_format="pyarrow"),
         "user_id", "ms", "event_id", "event_type", "vc*p")
+
+
+def q_table_profile(sf_dir):
+    """SUMMARIZE-style column profile of the events table: per-column
+    row/non-null/exact-distinct counts plus numeric min/max — two
+    column-pruned streaming passes, combiner partials + ONE
+    value-distinct bucket exchange (stages/profile.py profile_table)."""
+    from ..stages.profile import profile_table
+
+    ds = _read(sf_dir, "events")
+    out = profile_table(
+        ds, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+    for c in ("min_v", "max_v"):
+        i = out.schema.get_field_index(c)
+        out = out.set_column(i, c, round_f64(out[c], 4))
+    return out

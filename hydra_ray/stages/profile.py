@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 from .windows import AggSpec, grouped_aggregate
 
 __all__ = ["grouped_histogram", "grouped_mad", "grouped_mode",
-           "grouped_corr", "grouped_outliers"]
+           "grouped_corr", "grouped_outliers", "profile_table"]
 
 
 def grouped_histogram(ds, group_cols: list[str], value_col: str,
@@ -210,3 +210,120 @@ def grouped_mad(ds, group_cols: list[str], value_col: str,
         ds.map_batches(absdev, batch_format="pyarrow"), group_cols,
         "__adev", {out_col: 0.5}, interpolation="linear",
     )
+
+
+def profile_table(ds, cols: list[str], num_buckets: int = 64) -> pa.Table:
+    """SUMMARIZE-style one-shot table profile: one output row per column
+    with ``n_rows`` / ``n_nonnull`` / exact ``n_distinct`` and (numeric
+    columns only) ``min_v`` / ``max_v`` as float64 (null otherwise) —
+    the schema-quality pass a pipeline runs before curation decisions.
+
+    Scale shape: two column-pruned streaming passes.  Pass 1 reduces
+    counts/min/max per batch to one tiny partial row per column (a
+    combiner — only O(blocks × cols) rows ever move).  Pass 2 emits each
+    batch's per-column UNIQUE values as injectively-stringified
+    ``(col, val)`` pairs into :func:`~.dedup.bucketed_distinct`'s single
+    hash-bucket exchange (local pre-dedup bounds the payload by the
+    per-block distinct count, never the row count), then a grouped count
+    per column.  NaN/null values are excluded from ``n_distinct`` and
+    min/max, matching SQL ``count(DISTINCT col)`` / ``min`` / ``max``.
+    """
+    from .dedup import bucketed_distinct
+
+    # column kinds come from each ARROW batch's concrete schema (Ray's
+    # Dataset.schema() reports pandas ext/object dtypes as None/object
+    # for pandas-backed blocks, so it cannot be trusted here)
+    def _kind(typ: pa.DataType) -> str:
+        if pa.types.is_integer(typ):
+            return "int"
+        if pa.types.is_floating(typ):
+            return "float"
+        if pa.types.is_timestamp(typ):
+            return "ts"
+        return "str"
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in cols:
+            arr = t[c]
+            k = _kind(arr.type)
+            n = len(arr)
+            nn = n - arr.null_count
+            # ±inf = min/max identities (a block may have no numeric
+            # values; NaN would poison the combine) — non-numeric
+            # columns are nulled out at the end regardless
+            mn, mx = np.inf, -np.inf
+            if k in ("int", "float"):
+                v = pc.cast(arr, pa.float64()).to_numpy(
+                    zero_copy_only=False)
+                v = v[~np.isnan(v)]
+                if len(v):
+                    mn, mx = float(v.min()), float(v.max())
+            rows.append((c, n, nn, mn, mx, int(k in ("int", "float"))))
+        return pa.table({
+            "col": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "nn": pa.array([r[2] for r in rows], pa.int64()),
+            "mn": pa.array([r[3] for r in rows], pa.float64()),
+            "mx": pa.array([r[4] for r in rows], pa.float64()),
+            "isnum": pa.array([r[5] for r in rows], pa.int64()),
+        })
+
+    stats = grouped_aggregate(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        ["col"],
+        [AggSpec("sum", "n", "n_rows"), AggSpec("sum", "nn", "n_nonnull"),
+         AggSpec("min", "mn", "min_v"), AggSpec("max", "mx", "max_v"),
+         AggSpec("max", "isnum", "isnum")],
+    ).to_pandas()
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        cs, vs = [], []
+        for c in cols:
+            u = pc.unique(t[c].combine_chunks()).drop_null()
+            k = _kind(u.type)
+            if k == "str":
+                sv = u.cast(pa.string()).to_numpy(
+                    zero_copy_only=False).astype(object)
+            elif k in ("ts", "int"):
+                sv = u.cast(pa.int64()).to_numpy().astype("U")
+            else:
+                v = u.cast(pa.float64()).to_numpy(zero_copy_only=False)
+                v = v[~np.isnan(v)] + 0.0   # NaN is not NULL; -0.0 → +0.0
+                # str() of float64 is shortest-round-trip → injective
+                sv = v.astype("U")
+            cs.append(np.full(len(sv), c, dtype=object))
+            vs.append(sv.astype(object))
+        return pa.table({
+            "col": pa.array(np.concatenate(cs) if cs else [], pa.string()),
+            "val": pa.array(np.concatenate(vs) if vs else [], pa.string()),
+        })
+
+    dist = grouped_aggregate(
+        bucketed_distinct(
+            ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+            ["col", "val"], num_buckets=num_buckets),
+        ["col"], [AggSpec("count", None, "n_distinct")],
+    ).to_pandas()
+
+    # left merge: an all-null column emits ZERO distinct pairs and would
+    # vanish from an inner merge
+    out = stats.merge(dist, on="col", how="left").sort_values(
+        "col", ignore_index=True)
+    out["n_distinct"] = out["n_distinct"].fillna(0)
+    for c in ("min_v", "max_v"):
+        out[c] = out[c].astype("float64")
+    # all-null numeric column: the ±inf identities survive → SQL NULL
+    # (checked while still float64, before the object-dtype None fill)
+    bad = ~np.isfinite(out["min_v"].to_numpy(dtype=np.float64,
+                                             na_value=np.nan))
+    mask = (out["isnum"].to_numpy() == 0) | bad
+    out.loc[mask, ["min_v", "max_v"]] = None
+    return pa.table({
+        "col": pa.array(out["col"], pa.string()),
+        "n_rows": pa.array(out["n_rows"].astype(np.int64)),
+        "n_nonnull": pa.array(out["n_nonnull"].astype(np.int64)),
+        "n_distinct": pa.array(out["n_distinct"].astype(np.int64)),
+        "min_v": pa.array(out["min_v"], pa.float64()),
+        "max_v": pa.array(out["max_v"], pa.float64()),
+    })

@@ -103,3 +103,36 @@ def test_grouped_outliers_matches_pandas(rd):
     j = df.join(st, on="grp")
     ref = df[np.abs(j["x"] - j["mean"]) > 2.0 * j["std"]].reset_index(drop=True)
     assert out["rid"].tolist() == ref["rid"].tolist()
+
+
+def test_profile_table_nulls_and_edges(rd):
+    """profile_table vs pandas on nulls, an all-null numeric column,
+    -0.0/0.0 merging and NaN-as-value — partition-count invariant."""
+    from hydra_ray.stages.profile import profile_table
+
+    df = pd.DataFrame({
+        "i": pd.array([1, 2, 2, None, 5, 5, 5, None], dtype="Int64"),
+        "f": [0.0, -0.0, 1.5, np.nan, np.nan, 2.5, 2.5, 0.1],
+        "s": ["a", "a", None, "b", "b", "b", None, "c"],
+        "dead": pd.array([None] * 8, dtype="Int64"),
+    })
+    out = profile_table(
+        rd.from_pandas(df).repartition(5), ["i", "f", "s", "dead"],
+        num_buckets=4,
+    ).to_pandas().set_index("col")
+
+    assert out.loc["i", "n_rows"] == 8
+    assert out.loc["i", "n_nonnull"] == 6
+    assert out.loc["i", "n_distinct"] == 3
+    assert out.loc["i", "min_v"] == 1.0 and out.loc["i", "max_v"] == 5.0
+    # NaN is a VALUE for arrow floats only when null; here np.nan → null
+    # in from_pandas, so f has 6 non-null values, distinct {0.0,1.5,2.5,0.1}
+    assert out.loc["f", "n_nonnull"] == 6
+    assert out.loc["f", "n_distinct"] == 4      # -0.0 merges into 0.0
+    assert out.loc["f", "min_v"] == 0.0 and out.loc["f", "max_v"] == 2.5
+    assert out.loc["s", "n_nonnull"] == 6
+    assert out.loc["s", "n_distinct"] == 3
+    assert pd.isna(out.loc["s", "min_v"])
+    assert out.loc["dead", "n_nonnull"] == 0
+    assert out.loc["dead", "n_distinct"] == 0
+    assert pd.isna(out.loc["dead", "min_v"])
