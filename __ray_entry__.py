@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q.q_audio_features,
         "audio_fbank": q.q_audio_fbank,
         "audio_mfcc": q.q_audio_mfcc,
+        "audio_search": q.q_audio_search,
         "pitch_track": q.q_pitch_track,
         "audio_curation": q.q_audio_curation,
         "vad_segments": q.q_vad_segments,

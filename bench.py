@@ -62,7 +62,8 @@ QUERY_NAMES = [
     "vector_norms",
     "kmeans_embed", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",
-    "audio_features", "audio_fbank", "audio_mfcc", "pitch_track", "audio_neardup", "flac_roundtrip",
+    "audio_features", "audio_fbank", "audio_mfcc", "audio_search",
+    "pitch_track", "audio_neardup", "flac_roundtrip",
     "adpcm_roundtrip",
     "best_order",
     "date_parts",

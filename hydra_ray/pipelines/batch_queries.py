@@ -3456,3 +3456,46 @@ def q_table_profile(sf_dir):
         i = out.schema.get_field_index(c)
         out = out.set_column(i, c, round_f64(out[c], 4))
     return out
+
+
+def q_audio_search(sf_dir):
+    """Content-based audio similarity search (the audio × embedding
+    composition): decode → 16 kHz resample → pooled-fbank clip embedding
+    (mean⊕std per band, audio_features.fbank_embedding) → brute-force
+    cosine top-5 against three probe clips (broadcast probe matrix, one
+    matmul per batch + partial top-k merge — similarity.cosine_topk).
+    Probe embeddings are computed LOCALLY from the same deterministic
+    synth (a pure function of the index), so nothing is looked up from
+    the corpus.  Rows-only; tests/test_audio_curation.py asserts each
+    probe's exact-duplicate clips (synth period 192) rank at the top
+    with cosine ≈ 1."""
+    from ..stages.audio_curation import Resampler
+    from ..stages.audio_features import FbankFeatures, fbank_embedding
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..stages.similarity import cosine_topk
+    from ..synth import synth_clips_batch
+
+    n = 600
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0),
+        num_blocks=32,
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
+    main, _ = split_dlq(ds)
+    emb = (
+        main.map_batches(Resampler(16_000), batch_format="pyarrow")
+        .map_batches(FbankFeatures(), batch_format="pyarrow")
+        .map_batches(fbank_embedding, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["seq", "embedding"]),
+                     batch_format="pyarrow")
+    )
+
+    probe_idx = np.array([5, 100, 201], np.int64)
+    pt = synth_clips_batch(probe_idx, n, hot_fraction=0.0)
+    pt = AudioDecoder()(pt)
+    pt = Resampler(16_000)(pt)
+    pt = fbank_embedding(FbankFeatures()(pt))
+    pmat = np.asarray(
+        pt["embedding"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), np.float64).reshape(len(probe_idx), -1)
+
+    return cosine_topk(emb, probe_idx, pmat, k=5, id_col="seq")

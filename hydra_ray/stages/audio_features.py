@@ -508,3 +508,23 @@ class FbankFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         return audio_fbank(batch, self.pcm_col, self.sr_col,
                            self.n_mels, self.win, self.hop, self.n_mfcc)
+
+
+def fbank_embedding(batch: pa.Table, mean_col: str = "fbank_mean",
+                    std_col: str = "fbank_std",
+                    out_col: str = "embedding") -> pa.Table:
+    """Clip-level audio embedding: mean⊕std pooled fbank bands as one
+    fixed-width float32 vector — the classic cheap content embedding for
+    similarity search / near-dup over audio (probe with
+    ``similarity.cosine_topk``).  Pure per-batch concat of the two
+    pooled fixed-size-list columns, zero extra DSP."""
+    def flat(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return np.asarray(arr.flatten().to_numpy(zero_copy_only=False),
+                          np.float32).reshape(len(arr), -1)
+
+    emb = np.hstack([flat(batch[mean_col]), flat(batch[std_col])])
+    col = pa.FixedSizeListArray.from_arrays(
+        pa.array(emb.reshape(-1), pa.float32()), emb.shape[1])
+    return batch.append_column(out_col, col)

@@ -322,3 +322,24 @@ def test_audio_pitch_recovers_synth_fundamental():
     # same answer as the mixed batch (per-rate recursion is pure)
     one = audio_pitch(t.slice(3, 1))
     assert one["f0_hz"][0].as_py() == f0[3]
+
+
+def test_audio_search_finds_exact_duplicates(ray_session):
+    """q_audio_search: each probe's synth-period duplicates (period 192
+    over 600 clips → 3-4 exact copies) rank at the top with cosine ≈ 1,
+    and every probe returns exactly k=5 ranked rows."""
+    from hydra_ray.pipelines.batch_queries import q_audio_search
+
+    out = q_audio_search("/root/testdata/sf0.001").to_pandas()
+    assert set(out["query_id"]) == {5, 100, 201}
+    for qid, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == [1, 2, 3, 4, 5]
+        dup_seqs = set(range(int(qid) % 192, 600, 192))
+        top = g.head(len(dup_seqs))
+        # the exact duplicates (same synth wave) fill the top ranks
+        assert set(top["seq"]) == dup_seqs
+        assert (top["cosine"] > 0.999_999).all()
+        # and non-duplicates score strictly below
+        rest = g.iloc[len(dup_seqs):]
+        assert (rest["cosine"] < 0.999_999).all()
