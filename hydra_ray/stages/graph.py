@@ -811,8 +811,32 @@ def triangle_count(edges, src_col: str = "u", dst_col: str = "v",
     return pd.DataFrame({"triangles": np.array([total], np.int64)})
 
 
+_LPA_SUMMARY_REMOTE = None
+
+
+def _lpa_summary_handle():
+    """Lazily-built remote (node,label) block checksummer (ray import
+    stays function-local like the rest of this module)."""
+    global _LPA_SUMMARY_REMOTE
+    if _LPA_SUMMARY_REMOTE is None:
+        import ray
+
+        def _summary(t: pa.Table) -> tuple[int, int]:
+            # empty map_groups buckets materialize as 0-row 0-col blocks
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return (t.num_rows, 0)
+            n = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            l = t["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (n * np.uint64(0x9E3779B97F4A7C15)) ^ l
+            x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+            return (t.num_rows, int(x))
+
+        _LPA_SUMMARY_REMOTE = ray.remote(num_cpus=0.5)(_summary)
+    return _LPA_SUMMARY_REMOTE
+
+
 def label_propagation(edges, src_col: str, dst_col: str,
-                      max_rounds: int = 10, num_buckets: int = 64):
+                      max_rounds: int = 10, num_buckets: int | None = None):
     """Community detection by synchronous label propagation (Raghavan
     2007): labels start as node ids; each round every node adopts the
     most frequent label among its NEIGHBORS, ties to the smallest label.
@@ -841,11 +865,22 @@ def label_propagation(edges, src_col: str, dst_col: str,
                          "v": np.concatenate([b, a])})
 
     ed = edges.map_batches(canon, batch_format="pyarrow").materialize()
-    if ed.count() == 0:
+    n_edges = ed.count()
+    if n_edges == 0:
         import ray.data as rd
 
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "label": pa.array([], pa.int64())}))
+    if num_buckets is None:
+        # DATA-derived reduce granularity (~50 k canon edge rows per
+        # bucket): 64 fixed buckets on a tiny graph pays 6×64 per-task
+        # scheduling costs per round that dwarf the rows (measured 9 s
+        # for a 3.6 k-edge graph); at 100 TB the same rule yields
+        # thousands of buckets.  Bucketing only sets parallelism —
+        # results are bucket-count invariant (tested).
+        num_buckets = int(max(8, min(256, n_edges // 50_000 + 8)))
+        ed = ed.repartition(min(num_buckets, max(1, ed.num_blocks()))) \
+               .materialize()
 
     def tag_u(t: pa.Table) -> pa.Table:
         b = (hash64(t["u"]) % np.uint64(num_buckets)).astype(np.int32)
@@ -897,19 +932,20 @@ def label_propagation(edges, src_col: str, dst_col: str,
         keep = np.r_[True, gn2[1:] != gn2[:-1]]
         return pd.DataFrame({"node": gn2[keep], "label": gl2[keep]})
 
-    def summary(t: pa.Table) -> pa.Table:
-        n = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        l = t["label"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (n * np.uint64(0x9E3779B97F4A7C15)) ^ l
-        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
-        return pa.table({"n": pa.array([t.num_rows], pa.int64()),
-                         "x": pa.array([int(x)], pa.uint64())})
-
     def probe(d):
-        rows = d.map_batches(summary, batch_format="pyarrow").take_all()
-        return (sum(r["n"] for r in rows),
-                int(np.bitwise_xor.reduce(
-                    np.array([r["x"] for r in rows], np.uint64))) if rows else 0)
+        # checksum straight off the MATERIALIZED block refs: one tiny
+        # remote task per block + a driver fold of (n, xor) pairs — a
+        # map_batches().take_all() here would pay Ray Data's ~1 s
+        # per-execution fixed cost once per round (measured: the probes
+        # were half of q_communities' wall-clock)
+        import ray
+
+        fn = _lpa_summary_handle()
+        parts = ray.get([fn.remote(r) for r in d.to_arrow_refs()])
+        n = sum(p[0] for p in parts)
+        x = int(np.bitwise_xor.reduce(
+            np.array([p[1] for p in parts], np.uint64))) if parts else 0
+        return (n, x)
 
     def side(v: int):
         def f(t: pa.Table) -> pa.Table:
