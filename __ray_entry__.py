@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replication_diff": q.q_replication_diff,
         "upsert_compaction": q.q_upsert_compaction,
         "exact_dedup": q.q_exact_dedup,
+        "cheapest_supplier": q.q_cheapest_supplier,
+        "supplier_count": q.q_supplier_count,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
@@ -1151,6 +1153,31 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "cheapest_supplier": """
+            WITH r AS (
+                SELECT l_partkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                       l_suppkey
+                FROM lineitem
+            ), w AS (
+                SELECT l_partkey, cents, l_suppkey,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY cents, l_suppkey) AS rn
+                FROM r
+            )
+            SELECT w.l_partkey, round(w.cents / 100.0, 2) AS min_price,
+                   w.l_suppkey AS supp_key, s.s_name AS supp_name,
+                   round(s.s_acctbal, 2) AS supp_acctbal
+            FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+            WHERE w.rn = 1
+        """,
+        "supplier_count": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY 1, 2, 3
         """,
         "upsert_compaction": """
             SELECT user_id,

@@ -3499,3 +3499,91 @@ def q_audio_search(sf_dir):
             zero_copy_only=False), np.float64).reshape(len(probe_idx), -1)
 
     return cosine_topk(emb, probe_idx, pmat, k=5, id_col="seq")
+
+
+def q_cheapest_supplier(sf_dir):
+    """TPC-H-Q2-shaped min-cost-supplier probe over the tables this
+    corpus has (no partsupp): for every part ever shipped, the minimum
+    line extended price (compared in EXACT integer cents, ties to the
+    smallest suppkey) and the winning supplier's name/balance merged
+    from a broadcast of the tiny supplier table.  ONE arg_extremes
+    keyed exchange; the supplier side never shuffles.  Reference
+    analogue: keyed lookup joins (SURVEY §2.5)."""
+    from ..stages.dedup import arg_extremes
+    from ..stages.join import broadcast_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"],
+                                     pa.scalar(100.0))), pa.int64()),
+            "l_suppkey": t["l_suppkey"],
+        })
+
+    ext = arg_extremes(li.map_batches(prep, batch_format="pyarrow"),
+                       ["l_partkey"], ["cents", "l_suppkey"], [])
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
+    supp = supp.rename(columns={"s_suppkey": "supp_key"})
+
+    def pick_min(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(),
+            "min_cents": df["cents_first"].to_numpy(np.int64),
+            "supp_key": df["l_suppkey_first"].to_numpy(np.int64),
+        })
+
+    out = broadcast_join(
+        ext.map_batches(pick_min, batch_format="pandas"), supp,
+        on="supp_key")
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "min_price": round_f64(
+                pc.divide(pc.cast(t["min_cents"], pa.float64()),
+                          pa.scalar(100.0)), 2),
+            "supp_key": t["supp_key"],
+            "supp_name": t["s_name"],
+            "supp_acctbal": round_f64(t["s_acctbal"], 2),
+        })
+
+    return out.map_batches(tidy, batch_format="pyarrow")
+
+
+def q_supplier_count(sf_dir):
+    """TPC-H-Q16-shaped supplier diversity: distinct suppliers per
+    (p_brand, p_type, p_size) over everything shipped.  Part attrs
+    broadcast into the lineitem scan (30:1 scale asymmetry — the small
+    side never shuffles), then ONE bucketed_distinct exchange over the
+    4-tuple and a grouped count of the survivors."""
+    from ..stages.dedup import bucketed_distinct
+    from ..stages.join import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+    tagged = broadcast_join(li, part, on="l_partkey")
+    dist = bucketed_distinct(
+        tagged.map_batches(
+            lambda t: t.select(["p_brand", "p_type", "p_size", "l_suppkey"]),
+            batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"])
+    agg = grouped_aggregate(
+        dist, ["p_brand", "p_type", "p_size"],
+        [AggSpec("count", None, "supplier_cnt")])
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "p_type": t["p_type"],
+            "p_size": t["p_size"],
+            "supplier_cnt": pc.cast(t["supplier_cnt"], pa.int64()),
+        })
+
+    return agg.map_batches(tidy, batch_format="pyarrow")
