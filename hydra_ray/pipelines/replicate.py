@@ -152,6 +152,21 @@ class ReplicateConfig:
     # session's row count makes the quantiles EXACT.  0 disables
     # (schema unchanged).
     session_sample_k: int = 0
+    # streaming TEMPORAL (as-of) join: every emitted clip row
+    # additionally carries the transcript version that was VALID AT the
+    # clip's own event time — the latest update with
+    # u.ts ≤ c.ts (ties by revision), i.e. Flink's temporal-table join
+    # against the versioned view, vs the forward-looking
+    # [c.ts, c.ts + W) enrich that `transcript` reports.  Emits
+    # ``asof_transcript`` (null when no version existed yet, or the
+    # valid version was a tombstone) and ``asof_rev`` (null only when no
+    # version existed).  Finality needs no extra buffering: a clip emits
+    # once c.ts + W < wm, and any update admitted later has
+    # u.ts ≥ wm > c.ts.  Eviction keeps the LATEST update per key below
+    # the horizon (it stays the as-of version for every future clip
+    # until a newer one passes the horizon) — still a monotone
+    # watermark predicate, so delta-checkpoint replay stays exact.
+    temporal_join: bool = False
     # CEP funnel over the combined stream (clip lifecycle patterns): an
     # ordered tuple of event kinds from {"clip", "update", "delete"}
     # ("clip" = clip arrival, "update" = non-tombstone transcript update,
@@ -1703,3 +1718,4 @@ class _StateCfg:
         self.window_distinct_k = getattr(cfg, "window_distinct_k", 0)
         self.window_mode_k = getattr(cfg, "window_mode_k", 0)
         self.session_sample_k = getattr(cfg, "session_sample_k", 0)
+        self.temporal_join = getattr(cfg, "temporal_join", False)

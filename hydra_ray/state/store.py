@@ -176,6 +176,28 @@ def _sample_quantiles(vs: np.ndarray) -> tuple[int, int]:
     return int(v[i50]), int(v[i90])
 
 
+def _update_keep_mask(keys: np.ndarray, tss: np.ndarray, horizon: int,
+                      temporal: bool) -> np.ndarray:
+    """Eviction predicate over (key, ts, rev)-SORTED update state: drop
+    rows below the horizon — except, under the temporal (as-of) join,
+    the LATEST below-horizon row of each key, which remains the valid
+    as-of version for every future clip until a newer version itself
+    passes the horizon.  Monotone in the watermark either way (a row
+    evicted at wm₁ is evicted from the full set at any wm₂ > wm₁), so
+    full+delta checkpoint replay pruned at the final watermark is exact.
+    """
+    keep = tss >= horizon
+    if temporal and not keep.all():
+        below = ~keep
+        last_below = below.copy()
+        if len(keys) > 1:
+            # within a key run ts ascends, so below-horizon rows are a
+            # prefix: the run's last below row has no below successor
+            last_below[:-1] &= ~((keys[1:] == keys[:-1]) & below[1:])
+        keep |= last_below
+    return keep
+
+
 class PartitionState:
     """Pure-python state container (actor-agnostic; unit-testable)."""
 
@@ -650,7 +672,8 @@ class PartitionState:
         # u.ts ≥ c.ts ≥ wm − W).
         horizon = wm - self.cfg.join_window_ms if wm < WATERMARK_MAX else wm
         keys, tss, revs, texts = self._consolidated_updates()
-        keep = tss >= horizon
+        keep = _update_keep_mask(
+            keys, tss, horizon, getattr(self.cfg, "temporal_join", False))
         evicted = int(len(tss) - keep.sum())
         if evicted:
             self.upd_chunks = (
@@ -843,15 +866,44 @@ class PartitionState:
                 final_txt[match] = utext[best[match]]
                 deleted = np.zeros(len(ckeys), dtype=bool)
                 deleted[match] = pd.isna(utext[best[match]])
+                if getattr(self.cfg, "temporal_join", False):
+                    # temporal (as-of) probe: latest update with
+                    # u.ts ≤ c.ts — the "right" bound of the same probe
+                    # key includes equal-ts versions, and the stable
+                    # argsort preserved rev order within equal ucomb,
+                    # so hi2 − 1 IS the max-(ts, rev) valid version
+                    lo2 = np.searchsorted(ucomb_s, ccodes * span, "left")
+                    hi2 = np.searchsorted(
+                        ucomb_s, ccodes * span + (ts - tmin), "right")
+                    m2 = hi2 > lo2
+                    best2 = order[np.maximum(hi2 - 1, 0)]
+                    asof_txt = np.full(len(ckeys), None, dtype=object)
+                    asof_txt[m2] = utext[best2[m2]]
+                    asof_txt[pd.isna(asof_txt)] = None  # tombstone → null
+                    asof_rev = np.where(m2, urev[best2], 0).astype(np.int64)
+                    has_asof = m2
+                else:
+                    asof_txt = asof_rev = has_asof = None
             else:
                 final_txt = orig
                 deleted = np.zeros(len(ckeys), dtype=bool)
+                if getattr(self.cfg, "temporal_join", False):
+                    asof_txt = np.full(len(ckeys), None, dtype=object)
+                    asof_rev = np.zeros(len(ckeys), np.int64)
+                    has_asof = np.zeros(len(ckeys), bool)
+                else:
+                    asof_txt = asof_rev = has_asof = None
             t = t.set_column(
                 t.schema.get_field_index("transcript"),
                 "transcript",
                 pa.array(final_txt, pa.string()),
             )
             t = t.append_column("deleted", pa.array(deleted, pa.bool_()))
+            if has_asof is not None:
+                t = t.append_column(
+                    "asof_transcript", pa.array(asof_txt, pa.string()))
+                t = t.append_column(
+                    "asof_rev", pa.array(asof_rev, mask=~has_asof))
             parts.append(t)
         tbl = pa.concat_tables(parts, promote_options="default")
         tbl = _stamp(tbl, self.partition, epoch)
@@ -1200,7 +1252,8 @@ class PartitionState:
         self.clip_buf = kept
         horizon = wm - W if wm < WATERMARK_MAX else wm
         keys, tss, revs, texts = self._consolidated_updates()
-        keep = tss >= horizon
+        keep = _update_keep_mask(
+            keys, tss, horizon, getattr(self.cfg, "temporal_join", False))
         self.upd_chunks = (
             [(keys[keep], tss[keep], revs[keep], texts[keep])] if keep.any() else []
         )
