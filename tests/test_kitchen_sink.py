@@ -42,6 +42,7 @@ def full_cfg(**kw):
         window_distinct_k=64,
         window_mode_k=64,
         session_sample_k=64,
+        temporal_join=True,
         audio_features=True,
         payload_transform=trim_payload,
         compact_sinks_every=2,
@@ -68,6 +69,9 @@ def _check_outputs(root, metrics):
     # payload enrichment columns present on every emitted row
     for c in ("rms", "dom_freq_hz", "trimmed_ms", "n_samples"):
         assert c in df.columns, c
+    # temporal as-of columns present; rev only ever null alongside text
+    assert "asof_transcript" in df.columns and "asof_rev" in df.columns
+    assert (df["asof_rev"].isna() <= df["asof_transcript"].isna()).all()
     emitted = df[~df["deleted"].astype(bool)] if "deleted" in df else df
     assert df["seq"].is_unique
     # both dedup tiers fired; their drop sets OVERLAP (an exact copy is
@@ -111,6 +115,6 @@ def test_all_features_compose(ray_session, tmp_path):
     a = df.sort_values("seq").reset_index(drop=True)
     b = df2.sort_values("seq").reset_index(drop=True)
     cols = ["seq", "clip_id", "transcript", "deleted", "epoch",
-            "n_samples", "trimmed_ms"]
+            "n_samples", "trimmed_ms", "asof_transcript", "asof_rev"]
     pd.testing.assert_frame_equal(a[cols], b[cols])
     assert np.allclose(a["rms"], b["rms"], equal_nan=True)
