@@ -327,8 +327,8 @@ def _naive_lpa(edges, max_rounds):
     return labels
 
 
-@pytest.mark.parametrize("num_buckets", [1, 8])
-def test_label_propagation_matches_naive(ray_session, num_buckets):
+@pytest.mark.parametrize("path", ["local", ("dist", 1), ("dist", 8)])
+def test_label_propagation_matches_naive(ray_session, path):
     import ray.data as rd
 
     from hydra_ray.stages.graph import label_propagation
@@ -344,9 +344,13 @@ def test_label_propagation_matches_naive(ray_session, num_buckets):
     edges += [(100 + int(rng.integers(0, 30)), 100 + int(rng.integers(0, 30)))
               for _ in range(80)]
     df = pd.DataFrame(edges, columns=["u", "v"])
+    # "local" exercises the tiny-graph driver fast path; ("dist", k)
+    # forces the distributed loop at k buckets — all must agree exactly
+    kw = (dict() if path == "local"
+          else dict(local_edges_threshold=0, num_buckets=path[1]))
     out = (
         label_propagation(rd.from_pandas(df).repartition(4), "u", "v",
-                          max_rounds=6, num_buckets=num_buckets)
+                          max_rounds=6, **kw)
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     ref = _naive_lpa(edges, max_rounds=6)
