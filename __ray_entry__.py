@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_curation": q.q_audio_curation,
         "vad_segments": q.q_vad_segments,
         "trim_audio": q.q_trim_audio,
+        "loudness_normalize": q.q_loudness_normalize,
         "transcode_flac": q.q_transcode_flac,
         "audio_neardup": q.q_audio_neardup,
         "flac_roundtrip": q.q_flac_roundtrip,

@@ -3587,3 +3587,36 @@ def q_supplier_count(sf_dir):
         })
 
     return agg.map_batches(tidy, batch_format="pyarrow")
+
+
+def q_loudness_normalize(sf_dir):
+    """Decode → BS.1770-style gated programme loudness → normalize every
+    measurable clip to −23 LUFS → re-measure (rows-only; the per-clip
+    value oracle is tests/test_audio_loudness.py's explicit block-loop
+    reference).  Returns per-clip bookkeeping, never the PCM
+    (CLAUDE.md: never collect a PCM list column)."""
+    from ..stages.audio_loudness import LoudnessNormalizer, loudness_lufs
+    from ..stages.decode import AudioDecoder, split_dlq
+    from ..synth import synth_clips_batch
+
+    n = 600
+    ds = _dist_synth(
+        n, lambda idx: synth_clips_batch(idx, n, hot_fraction=0.0),
+        num_blocks=32,
+    ).map_batches(AudioDecoder(), batch_format="pyarrow")
+    main, _ = split_dlq(ds)
+    out = main.map_batches(
+        LoudnessNormalizer(-23.0), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: loudness_lufs(t, out_col="lufs_after"),
+        batch_format="pyarrow")
+
+    def book(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seq": t["seq"],
+            "lufs": t["lufs"],
+            "gain_db": t["gain_db"],
+            "lufs_after": t["lufs_after"],
+        })
+
+    return out.map_batches(book, batch_format="pyarrow")
