@@ -3620,3 +3620,21 @@ def q_loudness_normalize(sf_dir):
         })
 
     return out.map_batches(book, batch_format="pyarrow")
+
+
+def q_random_walks(sf_dir):
+    """DeepWalk-style corpus generation over the part co-purchase graph
+    (rows-only; the value oracle is tests/test_random_walks.py's naive
+    per-walk reference — walks are a deterministic pure function of the
+    graph + seed, so partition/bucket/resume-invariant)."""
+    from ..stages.graph import cooccurrence_edges, random_walks
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    counted = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                 with_counts=True)
+    edges = counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["pair_count"], 2)),
+        batch_format="pyarrow",
+    )
+    return random_walks(edges, "u", "v", walk_len=8, walks_per_node=1,
+                        seed=7)

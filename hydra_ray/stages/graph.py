@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 
 __all__ = ["connected_components", "cooccurrence_edges", "k_hop",
            "label_propagation",
-           "pagerank", "pagerank_sharded", "triangle_count"]
+           "pagerank", "pagerank_sharded", "random_walks",
+           "triangle_count"]
 
 
 def _star_kernel(g: pd.DataFrame, large: bool) -> pd.DataFrame:
@@ -1014,3 +1015,190 @@ def label_propagation(edges, src_col: str, dst_col: str,
             break
         prev = cur
     return labels
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 arrays (public-domain constant
+    mixer) — the deterministic per-(walk, step) choice source."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _walk_step(adj_u: np.ndarray, adj_v: np.ndarray, wid: np.ndarray,
+               cur: np.ndarray, step: int, seed: int) -> np.ndarray:
+    """Next node for each walk: the hash-picked neighbor of ``cur`` in
+    the (u-sorted) adjacency rows.  Pure function of (walk_id, step,
+    seed) and the graph — partition/resume invariant."""
+    lo = np.searchsorted(adj_u, cur, "left")
+    hi = np.searchsorted(adj_u, cur, "right")
+    deg = hi - lo
+    h = _mix64(wid.astype(np.uint64)
+               ^ (np.uint64(step) * np.uint64(0x9E3779B97F4A7C15))
+               ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    pick = lo + (h % np.maximum(deg, 1).astype(np.uint64)).astype(np.int64)
+    nxt = adj_v[np.minimum(pick, len(adj_v) - 1)] if len(adj_v) else cur
+    return np.where(deg > 0, nxt, cur)  # isolated node: walk stays put
+
+
+def random_walks(edges, src_col: str, dst_col: str, walk_len: int = 8,
+                 walks_per_node: int = 1, seed: int = 1,
+                 num_buckets: int | None = None,
+                 local_edges_threshold: int = 200_000):
+    """Deterministic uniform random walks over the undirected graph —
+    the node2vec/DeepWalk corpus generator (Perozzi 2014), determinized:
+    the step-``s`` choice of walk ``w`` is ``splitmix64(w ⊕ s·φ ⊕ seed)
+    mod degree(cur)`` over the DISTINCT (u, v)-sorted neighbor list — a
+    pure function of the data, so output is partition-, resume-,
+    bucket-count- and edge-multiplicity-invariant (no RNG state).
+
+    Returns ``(walk_id:int64, origin:int64, step:int64, node:int64)``
+    rows, ``walk_len + 1`` rows per walk (step 0 = origin).  Walk ids
+    are ``origin · walks_per_node + k`` — reproducible addressing.
+
+    Scale shape: adjacency and frontier co-partition by hash(node) %
+    num_buckets; each step is ONE bucket exchange + a searchsorted pick
+    per bucket (the LPA conventions).  Graphs at or below
+    ``local_edges_threshold`` run all steps on the driver in one pass
+    (same kernel, parity-tested like label_propagation's fast path).
+    """
+    from ..hashing import hash64
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t[dst_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table({"u": np.concatenate([a, b]),
+                         "v": np.concatenate([b, a])})
+
+    ed = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    n_edges = ed.count()
+    import ray.data as rd
+
+    empty = pa.table({"walk_id": pa.array([], pa.int64()),
+                      "origin": pa.array([], pa.int64()),
+                      "step": pa.array([], pa.int64()),
+                      "node": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if n_edges <= local_edges_threshold:
+        import ray
+
+        parts = [t for t in ray.get(ed.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(parts)
+        u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # neighbor order must be canonical ((u, v)-sorted + DISTINCT),
+        # not arrival order/multiplicity, or the hash pick would depend
+        # on partitioning and duplicate edges would skew the choice
+        o2 = np.lexsort((v, u))
+        au, av = u[o2], v[o2]
+        kd = np.r_[True, (au[1:] != au[:-1]) | (av[1:] != av[:-1])]
+        au, av = au[kd], av[kd]
+        origin = np.repeat(np.unique(u), walks_per_node)
+        wid = (origin * walks_per_node
+               + np.tile(np.arange(walks_per_node, dtype=np.int64),
+                         len(np.unique(u))))
+        out_w = [wid]
+        out_s = [np.zeros(len(wid), np.int64)]
+        out_n = [origin]
+        cur = origin
+        for s in range(walk_len):
+            cur = _walk_step(au, av, wid, cur, s, seed)
+            out_w.append(wid)
+            out_s.append(np.full(len(wid), s + 1, np.int64))
+            out_n.append(cur)
+        return rd.from_arrow(pa.table({
+            "walk_id": np.concatenate(out_w),
+            "origin": np.repeat(origin[None, :], walk_len + 1, 0).reshape(-1),
+            "step": np.concatenate(out_s),
+            "node": np.concatenate(out_n),
+        }))
+
+    if num_buckets is None:
+        num_buckets = int(max(8, min(256, n_edges // 50_000 + 8)))
+        ed = ed.repartition(min(num_buckets, max(1, ed.num_blocks()))) \
+               .materialize()
+
+    def tag(col):
+        def f(t: pa.Table) -> pa.Table:
+            b = (hash64(t[col]) % np.uint64(num_buckets)).astype(np.int32)
+            return t.append_column("__bucket", pa.array(b))
+        return f
+
+    def init_frontier(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(g["u"].to_numpy(dtype=np.int64))
+        origin = np.repeat(nodes, walks_per_node)
+        wid = (origin * walks_per_node
+               + np.tile(np.arange(walks_per_node, dtype=np.int64),
+                         len(nodes)))
+        return pd.DataFrame({"walk_id": wid, "origin": origin,
+                             "node": origin})
+
+    frontier = (
+        ed.map_batches(tag("u"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(init_frontier, batch_format="pandas")
+        .materialize()
+    )
+    steps = [frontier.map_batches(
+        lambda t: t.append_column("step",
+                                  pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow")]
+
+    def side(vv: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__side", pa.array([vv] * t.num_rows, pa.int8()))
+        return f
+
+    for s in range(walk_len):
+        def advance(g: pd.DataFrame, s=s) -> pd.DataFrame:
+            fr = g[g["__side"] == 1]
+            eg = g[g["__side"] == 0]
+            if fr.empty:
+                return pd.DataFrame({
+                    "walk_id": pd.Series([], dtype="int64"),
+                    "origin": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64")})
+            u = eg["u"].to_numpy(dtype=np.int64)
+            v = eg["v"].to_numpy(dtype=np.int64)
+            o = np.lexsort((v, u))
+            au, av = u[o], v[o]
+            kd = np.r_[True, (au[1:] != au[:-1]) | (av[1:] != av[:-1])]
+            au, av = au[kd], av[kd]
+            wid = fr["walk_id"].to_numpy(dtype=np.int64)
+            cur = fr["node"].to_numpy(dtype=np.int64)
+            nxt = _walk_step(au, av, wid, cur, s, seed)
+            return pd.DataFrame({
+                "walk_id": wid,
+                "origin": fr["origin"].to_numpy(dtype=np.int64),
+                "node": nxt})
+
+        fr_tagged = frontier.map_batches(
+            lambda t: t.append_column("u", t["node"]), batch_format="pyarrow"
+        ).map_batches(side(1), batch_format="pyarrow")
+        both = ed.map_batches(side(0), batch_format="pyarrow").union(fr_tagged)
+        frontier = (
+            both.map_batches(tag("u"), batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(advance, batch_format="pandas")
+            .materialize()
+        )
+        steps.append(frontier.map_batches(
+            lambda t, s=s: t.append_column(
+                "step", pa.array(np.full(t.num_rows, s + 1, np.int64))),
+            batch_format="pyarrow"))
+
+    out = steps[0]
+    for d in steps[1:]:
+        out = out.union(d)
+    return out.map_batches(
+        lambda t: t.select(["walk_id", "origin", "step", "node"]),
+        batch_format="pyarrow")

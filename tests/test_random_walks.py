@@ -1,0 +1,84 @@
+"""Deterministic random walks: local vs distributed parity, walk
+validity, naive-reference exactness, reproducibility knobs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hydra_ray.stages.graph import _mix64, random_walks
+
+
+def _graph(seed=11, n_nodes=40, n_edges=120):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_nodes, n_edges)
+    v = rng.integers(0, n_nodes, n_edges)
+    df = pd.DataFrame({"u": u, "v": v})
+    return df[df.u != df.v].reset_index(drop=True)
+
+
+def _naive(df, walk_len, walks_per_node, seed):
+    """Per-walk python loop with the same canonical-neighbor hash pick."""
+    adj: dict = {}
+    for a, b in zip(df.u, df.v):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    adj = {k: sorted(vs) for k, vs in adj.items()}
+    rows = []
+    for origin in sorted(adj):
+        for k in range(walks_per_node):
+            wid = origin * walks_per_node + k
+            cur = origin
+            rows.append((wid, origin, 0, origin))
+            for s in range(walk_len):
+                nbrs = adj[cur]
+                h = _mix64(np.array(
+                    [np.uint64(wid)
+                     ^ (np.uint64(s) * np.uint64(0x9E3779B97F4A7C15))
+                     ^ np.uint64(seed)]))[0]
+                cur = nbrs[int(h % np.uint64(len(nbrs)))]
+                rows.append((wid, origin, s + 1, cur))
+    return pd.DataFrame(rows, columns=["walk_id", "origin", "step", "node"])
+
+
+def _canon(df):
+    return df.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("path", ["local", "dist1", "dist4"])
+def test_walks_match_naive_reference(ray_session, path):
+    import ray.data as rd
+
+    df = _graph()
+    kw = (dict() if path == "local" else
+          dict(local_edges_threshold=0,
+               num_buckets=1 if path == "dist1" else 4))
+    out = _canon(
+        random_walks(rd.from_pandas(df).repartition(3), "u", "v",
+                     walk_len=5, walks_per_node=2, seed=9, **kw)
+        .to_pandas())
+    ref = _canon(_naive(df, walk_len=5, walks_per_node=2, seed=9))
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), ref.astype("int64"))
+
+
+def test_walks_are_paths_and_seed_sensitive(ray_session):
+    import ray.data as rd
+
+    df = _graph(seed=3)
+    out = _canon(random_walks(rd.from_pandas(df), "u", "v",
+                              walk_len=6, seed=1).to_pandas())
+    edges = set()
+    for a, b in zip(df.u, df.v):
+        edges.add((int(a), int(b)))
+        edges.add((int(b), int(a)))
+    for wid, g in out.groupby("walk_id"):
+        seq = g.sort_values("step")["node"].tolist()
+        assert len(seq) == 7
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in edges, (wid, a, b)
+    out2 = _canon(random_walks(rd.from_pandas(df), "u", "v",
+                               walk_len=6, seed=2).to_pandas())
+    assert not out["node"].equals(out2["node"])  # seed actually steers
+    out1b = _canon(random_walks(rd.from_pandas(df).repartition(5), "u", "v",
+                                walk_len=6, seed=1).to_pandas())
+    pd.testing.assert_frame_equal(out, out1b)    # partition-invariant
