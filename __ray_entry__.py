@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "cheapest_supplier": q.q_cheapest_supplier,
         "supplier_count": q.q_supplier_count,
+        "customer_distribution": q.q_customer_distribution,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
@@ -1180,6 +1181,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
             FROM lineitem JOIN part ON p_partkey = l_partkey
             GROUP BY 1, 2, 3
+        """,
+        "customer_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_custkey) AS BIGINT) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY 1
+            ) GROUP BY 1
         """,
         "upsert_compaction": """
             SELECT user_id,

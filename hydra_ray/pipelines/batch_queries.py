@@ -3638,3 +3638,38 @@ def q_random_walks(sf_dir):
     )
     return random_walks(edges, "u", "v", walk_len=8, walks_per_node=1,
                         seed=7)
+
+
+def q_customer_distribution(sf_dir):
+    """TPC-H-Q13-shaped customer-order distribution: orders per customer
+    INCLUDING never-ordered customers (left join zero-groups), then the
+    histogram of that count.  Orders pre-aggregate to one row per
+    custkey BEFORE the join (combiner — the exchange carries customers
+    + one count row per active customer, not raw orders), ONE bucketed
+    left join, then a tiny grouped count."""
+    from ..stages.join import bucketed_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    counts = grouped_aggregate(
+        orders, ["o_custkey"], [AggSpec("count", None, "c_count")])
+    counts = counts.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"],
+                            "c_count": pc.cast(t["c_count"], pa.int64())}),
+        batch_format="pyarrow")
+    joined = bucketed_join(cust, counts, key="c_custkey", how="left")
+
+    def fill0(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_count": pc.coalesce(pc.cast(t["c_count"], pa.int64()),
+                                   pa.scalar(0, pa.int64())),
+        })
+
+    hist = grouped_aggregate(
+        joined.map_batches(fill0, batch_format="pyarrow"),
+        ["c_count"], [AggSpec("count", None, "custdist")])
+    return hist.map_batches(
+        lambda t: pa.table({"c_count": t["c_count"],
+                            "custdist": pc.cast(t["custdist"], pa.int64())}),
+        batch_format="pyarrow")
