@@ -201,6 +201,15 @@ class ReplicateConfig:
     # (e.g. `trim_payload` = silence trimming).  Must be a pure function
     # of the rows (replay idempotence) and preserve seq/pcm/n_samples.
     payload_transform: object | None = None
+    # payload FILTER hook (curation-at-ingest gating): a DETERMINISTIC
+    # callable over the decoded clip batch returning a boolean keep mask
+    # (True = keep).  Runs in the parallel routing tasks (PCM hot in
+    # cache) on decode-ok rows only; dropped clips route to the DLQ with
+    # reason "filtered" and count in ``clips_filtered`` — they never
+    # enter windows/sessions/join state and their payload is never
+    # staged.  Must be a pure function of the rows (replay idempotence).
+    # e.g. ``audio_loudness.loudness_gate(min_lufs=-45)``.
+    payload_filter: object | None = None
     # Ingest execution: "tasks" = one raw Ray task per input fragment
     # (measured ~50 ms/epoch overhead — right for sub-second micro-batch
     # epochs); "dataset" = the ray.data path (streaming executor,
@@ -237,6 +246,7 @@ def _route_factory(
     features: bool = False,
     fbank: bool = False,
     payload_transform=None,
+    payload_filter=None,
     distinct_k: int = 0,
     content_cols: tuple = ("bytes",),
 ):
@@ -274,6 +284,7 @@ def _route_factory(
         handles, kind, wm, key_col, P, decoder, payload_root, epoch, nonce,
         hot_keys, n_salts, flush_bytes, drop, funnel_on, features,
         payload_transform, fbank, distinct_k, content_cols,
+        payload_filter,
     )
 
 
@@ -283,6 +294,7 @@ class _Router:
         epoch, nonce, hot_keys, n_salts, flush_bytes, drop=None,
         funnel_on=False, features=False, payload_transform=None,
         fbank=False, distinct_k=0, content_cols=("bytes",),
+        payload_filter=None,
     ):
         self.distinct_k = distinct_k
         self.content_cols = content_cols
@@ -290,6 +302,7 @@ class _Router:
         self.features = features
         self.fbank = fbank
         self.payload_transform = payload_transform
+        self.payload_filter = payload_filter
         self.handles = handles
         self.kind = kind
         self.wm = wm
@@ -369,6 +382,21 @@ class _Router:
         if decoder is not None:
             batch = decoder(batch)
         t1 = _time.perf_counter()
+        filt = None
+        if self.payload_filter is not None and kind == "clips":
+            # content gate on decode-ok rows only (bad rows DLQ as
+            # decode errors regardless; their pcm may be empty).  The
+            # mask rides as one light bool column; the state actor DLQs
+            # marked rows with reason "filtered" and never buffers them.
+            okd = pc.is_null(batch["decode_error"]).to_numpy(
+                zero_copy_only=False)
+            m = np.ones(batch.num_rows, bool)
+            oki = np.flatnonzero(okd)
+            if len(oki):
+                sub = batch.take(pa.array(oki))
+                m[oki] = np.asarray(self.payload_filter(sub), dtype=bool)
+            filt = okd & ~m
+            batch = batch.append_column("__filtered", pa.array(filt))
         keys = batch[key_col]
         if kind == "clips" and hot_keys:
             # hot clips spread over n_salts salted partitions (salt from
@@ -388,6 +416,8 @@ class _Router:
             home = partition_for(keys, P)
             fok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
             fok &= _ts_to_ms(batch["event_ts"]) >= wm
+            if filt is not None:
+                fok &= ~filt
             diff = np.flatnonzero(fok & (home != parts))
             if len(diff):
                 mini = batch.select(["clip_id", "event_ts"]).take(pa.array(diff))
@@ -430,6 +460,8 @@ class _Router:
             # same deterministic will-emit predicate the state actor applies
             ok = pc.is_null(batch["decode_error"]).to_numpy(zero_copy_only=False)
             ok &= _ts_to_ms(batch["event_ts"]) >= wm
+            if filt is not None:
+                ok &= ~filt
             if self.features and ok.any() and self.payload_transform is None:
                 # per-clip audio features computed IN the decode task (the
                 # PCM is already hot in this worker's cache) and carried on
@@ -1103,6 +1135,7 @@ class ReplicatePipeline:
             features=cfg.audio_features,
             fbank=cfg.audio_fbank,
             payload_transform=cfg.payload_transform,
+            payload_filter=cfg.payload_filter,
             distinct_k=(cfg.window_distinct_k or cfg.window_mode_k),
             content_cols=cfg.dedup_cols,
         )

@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from .audio_features import _flat_and_offsets
 
-__all__ = ["loudness_lufs", "normalize_loudness", "LoudnessNormalizer"]
+__all__ = ["loudness_lufs", "loudness_gate", "normalize_loudness",
+           "LoudnessNormalizer"]
 
 # ITU-R BS.1770-4 Table 1/2: the 48 kHz reference K-weighting biquads
 # (stage 1 spherical-head shelf, stage 2 RLB high-pass)
@@ -178,3 +179,27 @@ class LoudnessNormalizer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         return normalize_loudness(
             batch, self.target_lufs, self.pcm_col, self.sr_col)
+
+
+def loudness_gate(min_lufs: float = -50.0, max_lufs: float | None = None,
+                  keep_unmeasurable: bool = False,
+                  pcm_col: str = "pcm", sr_col: str = "sr_hz"):
+    """``ReplicateConfig(payload_filter=...)`` factory: keep clips whose
+    gated programme loudness lies in ``[min_lufs, max_lufs]``.
+    Unmeasurable clips (shorter than one gating block, or everything
+    below the absolute gate — i.e. near-silence) drop by default.
+    Deterministic (pure function of the PCM), so ingest replay after a
+    crash re-derives the identical drop set."""
+
+    def gate(batch: pa.Table) -> np.ndarray:
+        out = loudness_lufs(batch.select([pcm_col, sr_col]),
+                            pcm_col, sr_col)
+        lufs = out["lufs"].to_numpy(zero_copy_only=False)
+        meas = ~np.isnan(lufs)
+        keep = np.where(meas, lufs >= min_lufs, keep_unmeasurable)
+        if max_lufs is not None:
+            keep = keep & np.where(meas, lufs <= max_lufs,
+                                   keep_unmeasurable)
+        return keep.astype(bool)
+
+    return gate

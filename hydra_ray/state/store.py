@@ -263,14 +263,27 @@ class PartitionState:
             bad = pc.is_valid(table["decode_error"]).to_numpy(zero_copy_only=False)
         else:
             bad = np.zeros(n, dtype=bool)
-        late = (ts < wm) & ~bad
-        ok = ~late & ~bad
+        if table.schema.get_field_index("__filtered") >= 0:
+            # curation-gate drops marked by the routing task's
+            # payload_filter pass (decode-ok rows only by construction)
+            filt = table["__filtered"].to_numpy(
+                zero_copy_only=False).astype(bool) & ~bad
+            table = table.drop_columns(["__filtered"])
+        else:
+            filt = np.zeros(n, dtype=bool)
+        late = (ts < wm) & ~bad & ~filt
+        ok = ~late & ~bad & ~filt
 
         if bad.any():
             self.dlq_buf.append(
                 ("clips", "decode_error", _drop_heavy(table.filter(pa.array(bad))))
             )
             self.metrics["clips_decode_error"] += int(bad.sum())
+        if filt.any():
+            self.dlq_buf.append(
+                ("clips", "filtered", _drop_heavy(table.filter(pa.array(filt))))
+            )
+            self.metrics["clips_filtered"] += int(filt.sum())
         if late.any():
             self.dlq_buf.append(
                 ("clips", "late", _drop_heavy(table.filter(pa.array(late))))
