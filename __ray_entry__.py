@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier": q.q_cheapest_supplier,
         "supplier_count": q.q_supplier_count,
         "customer_distribution": q.q_customer_distribution,
+        "idle_balances": q.q_idle_balances,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
@@ -1181,6 +1182,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
             FROM lineitem JOIN part ON p_partkey = l_partkey
             GROUP BY 1, 2, 3
+        """,
+        "idle_balances": """
+            WITH g AS (
+                SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM customer WHERE round(c_acctbal * 100) > 0
+            )
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                   round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                         / 100.0, 2) AS total_bal
+            FROM customer, g
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * g.n > g.s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY 1
         """,
         "customer_distribution": """
             SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -3673,3 +3673,72 @@ def q_customer_distribution(sf_dir):
         lambda t: pa.table({"c_count": t["c_count"],
                             "custdist": pc.cast(t["custdist"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def q_idle_balances(sf_dir):
+    """TPC-H-Q22-shaped: customers with above-average positive balance
+    and NO urgent order, counted per market segment.  The global average
+    is a tiny (Σcents, n) fold broadcast into the scan, and the threshold
+    compares ``cents·n > Σcents`` in EXACT int64 cross-multiplication —
+    a float average would be summation-order-dependent and could flip
+    boundary rows vs the SQL.  The orders side filters AT THE SCAN (only
+    urgent custkeys enter the exchange), then ONE bucketed anti join."""
+    from ..stages.join import bucketed_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow")
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                         pa.scalar(100.0))), pa.int64())
+        pos = pc.greater(c, pa.scalar(0, pa.int64()))
+        cp = pc.filter(c, pos)
+        return pa.table({
+            "s": pa.array([pc.sum(cp).as_py() or 0], pa.int64()),
+            "n": pa.array([len(cp)], pa.int64()),
+        })
+
+    parts = cust.map_batches(cents_partial, batch_format="pyarrow").take_all()
+    tot_s = sum(r["s"] for r in parts)
+    tot_n = sum(r["n"] for r in parts)
+
+    def above(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["c_acctbal"],
+                                         pa.scalar(100.0))), pa.int64())
+        keep = pc.greater(pc.multiply(c, pa.scalar(tot_n, pa.int64())),
+                          pa.scalar(tot_s, pa.int64()))
+        t = t.filter(keep)
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_mktsegment": t["c_mktsegment"],
+            "bal_cents": pc.cast(
+                pc.round(pc.multiply(t["c_acctbal"], pa.scalar(100.0))),
+                pa.int64()),
+        })
+
+    rich = cust.map_batches(above, batch_format="pyarrow")
+    idle = bucketed_join(
+        rich,
+        orders.map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        key="c_custkey", how="anti")
+    agg = grouped_aggregate(
+        idle, ["c_mktsegment"],
+        [AggSpec("count", None, "n_cust"),
+         AggSpec("sum", "bal_cents", "bal_cents")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_cust": pc.cast(t["n_cust"], pa.int64()),
+            "total_bal": round_f64(
+                pc.divide(pc.cast(t["bal_cents"], pa.float64()),
+                          pa.scalar(100.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
