@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_sharded": q.q_pagerank_sharded,
         "communities": q.q_communities,
         "random_walks": q.q_random_walks,
+        "kcore_parts": q.q_kcore_parts,
         "minhash_neardup": q.q_minhash_neardup,
         "neardup_clusters": q.q_neardup_clusters,
         "neardup_cc": q.q_neardup_cc,

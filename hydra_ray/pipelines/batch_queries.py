@@ -3742,3 +3742,21 @@ def q_idle_balances(sf_dir):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_kcore_parts(sf_dir):
+    """Dense-community core of the part co-purchase graph: the k-core
+    (every surviving part co-purchased with ≥ k other core parts;
+    Seidman 1983 peeling).  Rows-only — the iterative fixed point is not
+    SQL-expressible; the value oracle is tests/test_random_walks.py's
+    naive peel."""
+    from ..stages.graph import cooccurrence_edges, k_core
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    counted = cooccurrence_edges(ds, "l_orderkey", "l_partkey",
+                                 with_counts=True)
+    edges = counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["pair_count"], 2)),
+        batch_format="pyarrow",
+    )
+    return k_core(edges, "u", "v", k=3)

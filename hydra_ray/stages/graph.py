@@ -28,8 +28,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["connected_components", "cooccurrence_edges", "k_hop",
-           "label_propagation",
+__all__ = ["connected_components", "cooccurrence_edges", "k_core",
+           "k_hop", "label_propagation",
            "pagerank", "pagerank_sharded", "random_walks",
            "triangle_count"]
 
@@ -1202,3 +1202,162 @@ def random_walks(edges, src_col: str, dst_col: str, walk_len: int = 8,
     return out.map_batches(
         lambda t: t.select(["walk_id", "origin", "step", "node"]),
         batch_format="pyarrow")
+
+
+def k_core(edges, src_col: str, dst_col: str, k: int = 3,
+           num_buckets: int | None = None, max_rounds: int = 100,
+           local_edges_threshold: int = 200_000):
+    """The k-core: the maximal subgraph where every node has degree ≥ k
+    (Seidman 1983) — iterative peeling of sub-k nodes until fixed point.
+    Returns ``(node:int64, degree:int64)`` rows of the surviving core
+    (degree = within-core degree).  Distinct-neighbor degrees (parallel
+    edges count once); self-loops ignored.
+
+    Scale shape per round: ONE hash(u)-bucket degree reduce over the
+    live canon edges, then the (node, alive) verdicts join back onto the
+    edges by EACH endpoint (two more bucket exchanges); edges with a
+    dead endpoint drop, and the loop ends when no node died (edge count
+    fixed point — peeling is monotone).  Tiny graphs (≤ the threshold)
+    run the same kernel on the driver like `label_propagation`."""
+    from ..hashing import hash64
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[src_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t[dst_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        # distinct both-direction edge rows (degree counts neighbors once)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        kd = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        return pa.table({"u": u[kd], "v": v[kd]})
+
+    ed = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    n_edges = ed.count()
+    import ray.data as rd
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "degree": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if n_edges <= local_edges_threshold:
+        import ray
+
+        parts = [t for t in ray.get(ed.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(parts)
+        u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # cross-block duplicates: canon deduped per batch only
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        kd = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        u, v = u[kd], v[kd]
+        nodes = np.unique(u)
+        cu = np.searchsorted(nodes, u)
+        cv = np.searchsorted(nodes, v)
+        ealive = np.ones(len(u), bool)
+        for _ in range(max_rounds):
+            deg = np.bincount(cu[ealive], minlength=len(nodes))
+            nalive = deg >= k
+            ne = nalive[cu] & nalive[cv]
+            if ne.sum() == ealive.sum():
+                break
+            ealive = ne
+        deg = np.bincount(cu[ealive], minlength=len(nodes))
+        keep = deg >= k
+        return rd.from_arrow(pa.table({
+            "node": nodes[keep],
+            "degree": deg[keep].astype(np.int64)}))
+
+    if num_buckets is None:
+        num_buckets = int(max(8, min(256, n_edges // 50_000 + 8)))
+    # cross-block dedup of the canon rows: one (u-hash) bucket exchange
+    def tag(col):
+        def f(t: pa.Table) -> pa.Table:
+            b = (hash64(t[col]) % np.uint64(num_buckets)).astype(np.int32)
+            return t.append_column("__bucket", pa.array(b))
+        return f
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        o = np.lexsort((v, u))
+        u, v = u[o], v[o]
+        kd = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        return pd.DataFrame({"u": u[kd], "v": v[kd]})
+
+    ed = (
+        ed.map_batches(tag("u"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()
+    )
+    prev = ed.count()
+
+    def degrees(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.sort(g["u"].to_numpy(dtype=np.int64))
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.append(starts, len(u)))
+        return pd.DataFrame({"node": u[starts],
+                             "degree": cnt.astype(np.int64)})
+
+    def side(vv: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__side", pa.array([vv] * t.num_rows, pa.int8()))
+        return f
+
+    def filter_by(col):
+        def fb(g: pd.DataFrame) -> pd.DataFrame:
+            alive = g[g["__side"] == 1]
+            eg = g[g["__side"] == 0]
+            if eg.empty:
+                return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                     "v": pd.Series([], dtype="int64")})
+            an = np.sort(alive["node"].to_numpy(dtype=np.int64))
+            c = eg[col].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(an, c)
+            ok = (pos < len(an)) & (an[np.minimum(pos, len(an) - 1)] == c)
+            return pd.DataFrame({"u": eg["u"].to_numpy(dtype=np.int64)[ok],
+                                 "v": eg["v"].to_numpy(dtype=np.int64)[ok]})
+        return fb
+
+    for _ in range(max_rounds):
+        deg = (
+            ed.map_batches(tag("u"), batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(degrees, batch_format="pandas")
+        )
+        # materialize the (small) verdict set: consuming it lazily from
+        # BOTH endpoint joins would nest its groupby inside each join's
+        # execution — two concurrent all-to-all aggregator pools deadlock
+        # under tight CPU budgets (CLAUDE.md measured pitfall)
+        alive = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["degree"],
+                                                pa.scalar(k, pa.int64())))
+                       .select(["node"]),
+            batch_format="pyarrow").materialize()
+        for col in ("u", "v"):
+            al = alive.map_batches(
+                lambda t, c=col: t.append_column(c, t["node"]),
+                batch_format="pyarrow",
+            ).map_batches(side(1), batch_format="pyarrow")
+            both = ed.map_batches(side(0), batch_format="pyarrow").union(al)
+            ed = (
+                both.map_batches(tag(col), batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(filter_by(col), batch_format="pandas")
+                .materialize()
+            )
+        cur = ed.count()
+        if cur == prev:
+            break
+        prev = cur
+    return (
+        ed.map_batches(tag("u"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(degrees, batch_format="pandas")
+    )

@@ -82,3 +82,41 @@ def test_walks_are_paths_and_seed_sensitive(ray_session):
     out1b = _canon(random_walks(rd.from_pandas(df).repartition(5), "u", "v",
                                 walk_len=6, seed=1).to_pandas())
     pd.testing.assert_frame_equal(out, out1b)    # partition-invariant
+
+
+# ---------------------------------------------------------------- k-core
+def _naive_kcore(df, k):
+    adj: dict = {}
+    for a, b in zip(df.u, df.v):
+        if a == b:
+            continue
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+# local covers every k; the distributed loop (3 exchanges × peel rounds
+# at the 4-CPU test session) runs once at k=3 — the two paths are the
+# same kernel and the k=3 case pins their parity
+@pytest.mark.parametrize("path,k", [("local", 2), ("local", 3),
+                                    ("local", 5), ("dist", 3)])
+def test_k_core_matches_naive(ray_session, path, k):
+    import ray.data as rd
+
+    from hydra_ray.stages.graph import k_core
+
+    df = _graph(seed=31, n_nodes=60, n_edges=220)
+    kw = dict() if path == "local" else dict(local_edges_threshold=0,
+                                             num_buckets=4)
+    out = (k_core(rd.from_pandas(df).repartition(3), "u", "v", k=k, **kw)
+           .to_pandas())
+    ref = _naive_kcore(df, k)
+    got = dict(zip(out["node"], out["degree"])) if len(out) else {}
+    assert got == ref, (path, k)
