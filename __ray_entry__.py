@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_count": q.q_supplier_count,
         "customer_distribution": q.q_customer_distribution,
         "idle_balances": q.q_idle_balances,
+        "avro_evolution": q.q_avro_evolution,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
@@ -1183,6 +1184,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
             FROM lineitem JOIN part ON p_partkey = l_partkey
             GROUP BY 1, 2, 3
+        """,
+        "avro_evolution": """
+            SELECT c_custkey, c_name, 'std' AS tier FROM customer
         """,
         "idle_balances": """
             WITH g AS (

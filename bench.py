@@ -37,7 +37,7 @@ QUERY_NAMES = [
     "events_per_day", "pricing_summary", "salted_agg", "broadcast_enrich",
     "hash_join", "anti_join", "bloom_semi_join", "left_join", "global_rank",
     "replication_diff", "upsert_compaction", "exact_dedup",
-    "cheapest_supplier", "supplier_count", "customer_distribution", "idle_balances", "loudness_normalize",
+    "cheapest_supplier", "supplier_count", "customer_distribution", "idle_balances", "avro_evolution", "loudness_normalize",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search", "decontaminate", "dup_spans", "dedup_cut",
     "set_except", "set_intersect", "set_union", "window_distinct",

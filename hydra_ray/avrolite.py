@@ -86,28 +86,39 @@ def _norm(s, names: dict) -> dict:
     if t in _PRIMITIVES:
         return dict(s)
     if t == "record":
-        out = {"type": "record", "name": s["name"], "fields": []}
+        out = {"type": "record", "name": s["name"], "fields": [],
+               **({"aliases": list(s["aliases"])} if "aliases" in s else {})}
         names[s["name"]] = out
         for f in s.get("fields", ()):
             out["fields"].append({
                 "name": f["name"],
                 "type": _norm(f["type"], names),
                 **({"default": f["default"]} if "default" in f else {}),
+                **({"aliases": list(f["aliases"])} if "aliases" in f
+                   else {}),
             })
         return out
     if t == "enum":
         out = {"type": "enum", "name": s["name"],
-               "symbols": list(s["symbols"])}
+               "symbols": list(s["symbols"]),
+               **({"default": s["default"]} if "default" in s else {}),
+               **({"aliases": list(s["aliases"])} if "aliases" in s
+                  else {})}
         names[s["name"]] = out
         return out
     if t == "fixed":
-        out = {"type": "fixed", "name": s["name"], "size": int(s["size"])}
+        out = {"type": "fixed", "name": s["name"], "size": int(s["size"]),
+               **({"aliases": list(s["aliases"])} if "aliases" in s
+                  else {})}
         names[s["name"]] = out
         return out
     if t == "array":
         return {"type": "array", "items": _norm(s["items"], names)}
     if t == "map":
         return {"type": "map", "values": _norm(s["values"], names)}
+    if t == "union" and "branches" in s:  # re-norm of a normalized form
+        return {"type": "union",
+                "branches": [_norm(b, names) for b in s["branches"]]}
     if isinstance(t, (list, dict)):
         return _norm(t, names)
     raise AvroError(f"unsupported schema type {t!r}")
@@ -395,10 +406,14 @@ def ocf_schema(path: str) -> dict:
     return schema
 
 
-def read_ocf(path: str):
-    """Yield records from an Avro OCF (null/deflate codecs)."""
+def read_ocf(path: str, reader_schema=None):
+    """Yield records from an Avro OCF (null/deflate codecs).  With
+    ``reader_schema`` set, records resolve from the file's writer schema
+    to the reader's view (Avro spec Schema Resolution — defaults fill,
+    extra fields skip, promotions apply)."""
     with open(path, "rb") as f:
         schema, codec, sync, data, pos = _read_header(f)
+    rsch = parse_schema(reader_schema) if reader_schema is not None else None
     buf = memoryview(data)
     while pos < len(buf):
         n, pos = _read_long(buf, pos)
@@ -415,7 +430,10 @@ def read_ocf(path: str):
         bv = memoryview(payload)
         p = 0
         for _ in range(n):
-            rec, p = _decode(bv, p, schema)
+            if rsch is None:
+                rec, p = _decode(bv, p, schema)
+            else:
+                rec, p = _decode_resolved(bv, p, schema, rsch)
             yield rec
         if p != len(bv):
             raise AvroError("block has trailing bytes")
@@ -481,9 +499,13 @@ def write_avro(ds, out_dir: str, schema=None, codec: str = "deflate"):
     return int(parts["rows"].sum())
 
 
-def read_avro(paths, schema: pa.Schema | None = None):
+def read_avro(paths, schema: pa.Schema | None = None,
+              reader_schema=None):
     """Avro OCF file(s) → Ray Dataset (one decode task per file via
-    ``from_items`` + ``flat_map``-style map_batches)."""
+    ``from_items`` + ``flat_map``-style map_batches).  With
+    ``reader_schema`` set, every file resolves from its own writer
+    schema to the reader's view (spec Schema Resolution) — mixed-version
+    directories read under ONE schema, the registry-compat contract."""
     import ray.data as rd
 
     if isinstance(paths, str):
@@ -498,7 +520,7 @@ def read_avro(paths, schema: pa.Schema | None = None):
     def load(t: pa.Table) -> pa.Table:
         rows = []
         for p in t["path"].to_pylist():
-            rows.extend(read_ocf(p))
+            rows.extend(read_ocf(p, reader_schema=reader_schema))
         if schema is not None:
             return pa.Table.from_pylist(rows, schema=schema)
         return pa.Table.from_pylist(rows)
@@ -506,3 +528,214 @@ def read_avro(paths, schema: pa.Schema | None = None):
     return rd.from_items([{"path": p} for p in paths]).map_batches(
         load, batch_format="pyarrow", batch_size=1
     )
+
+
+# --------------------------------------------------- schema resolution
+# Avro spec "Schema Resolution": data written under the WRITER schema is
+# read under a (compatible) READER schema — fields match by name (or
+# reader alias), missing reader fields fill from defaults, extra writer
+# fields skip, and primitive promotions int→long/float/double,
+# long→float/double, float→double, string↔bytes apply.  This is the
+# runtime half of the registry's FULL_TRANSITIVE compat contract
+# (table/registry.py): any registered version can read any other's data.
+# Reference analogue: avro/src/main/.../StringToGenericRecord.scala
+# (conversion under an evolved subject schema).
+
+_PROMOTE = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+def _skip(buf: memoryview, pos: int, sch: dict) -> int:
+    """Advance past one value of ``sch`` without materializing it."""
+    t = sch["type"]
+    if t == "null":
+        return pos
+    if t == "boolean":
+        return pos + 1
+    if t in ("int", "long"):
+        return _read_long(buf, pos)[1]
+    if t == "float":
+        return pos + 4
+    if t == "double":
+        return pos + 8
+    if t in ("bytes", "string"):
+        n, pos = _read_long(buf, pos)
+        return pos + n
+    if t == "fixed":
+        return pos + sch["size"]
+    if t == "enum":
+        return _read_long(buf, pos)[1]
+    if t == "record":
+        for f in sch["fields"]:
+            pos = _skip(buf, pos, f["type"])
+        return pos
+    if t == "union":
+        i, pos = _read_long(buf, pos)
+        return _skip(buf, pos, sch["branches"][i])
+    if t in ("array", "map"):
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return pos
+            if n < 0:  # size-prefixed block: jump the byte count
+                size, pos = _read_long(buf, pos)
+                pos += size
+                continue
+            for _ in range(n):
+                if t == "map":
+                    pos = _skip(buf, pos, {"type": "string"})
+                pos = _skip(buf, pos, sch["items" if t == "array"
+                                          else "values"])
+    raise AvroError(f"cannot skip type {t!r}")
+
+
+def _names_match(w: dict, r: dict) -> bool:
+    return w["name"] == r["name"] or w["name"] in r.get("aliases", ())
+
+
+def _resolvable(w: dict, r: dict) -> bool:
+    wt, rt = w["type"], r["type"]
+    if rt == "union":
+        return wt == "union" or any(_resolvable(w, b)
+                                    for b in r["branches"])
+    if wt == "union":
+        return True  # per-branch check happens at read time
+    if wt in _PROMOTE:
+        return rt in _PROMOTE[wt]
+    if wt != rt:
+        return False
+    if wt in ("record", "enum", "fixed"):
+        return _names_match(w, r)
+    return True
+
+
+def _default_value(sch: dict, d):
+    """JSON default → runtime value under ``sch`` (spec: bytes/fixed
+    defaults are ISO-8859-1 strings; union defaults type the FIRST
+    branch)."""
+    t = sch["type"]
+    if t == "union":
+        return _default_value(sch["branches"][0], d)
+    if t in ("bytes", "fixed"):
+        return d.encode("latin-1") if isinstance(d, str) else d
+    if t == "record":
+        return {f["name"]: _default_value(f["type"], d.get(
+            f["name"], f.get("default"))) for f in sch["fields"]}
+    if t == "array":
+        return [_default_value(sch["items"], x) for x in d]
+    if t == "map":
+        return {k: _default_value(sch["values"], v) for k, v in d.items()}
+    return d
+
+
+def _decode_resolved(buf: memoryview, pos: int, w: dict, r: dict):
+    wt, rt = w["type"], r["type"]
+    if wt == "union":
+        i, pos = _read_long(buf, pos)
+        if not 0 <= i < len(w["branches"]):
+            raise AvroError("union branch out of range")
+        return _decode_resolved(buf, pos, w["branches"][i], r)
+    if rt == "union":
+        for b in r["branches"]:
+            if _resolvable(w, b):
+                return _decode_resolved(buf, pos, w, b)
+        raise AvroError(
+            f"writer {wt!r} matches no reader union branch")
+    if wt in _PROMOTE:
+        if rt not in _PROMOTE[wt]:
+            raise AvroError(f"cannot promote {wt!r} to {rt!r}")
+        v, pos = _decode(buf, pos, w)
+        if rt in ("float", "double"):
+            return float(v), pos
+        if wt == "string" and rt == "bytes":
+            return v.encode("utf-8"), pos
+        if wt == "bytes" and rt == "string":
+            return v.decode("utf-8"), pos
+        return v, pos
+    if wt != rt or (wt in ("record", "enum", "fixed")
+                    and not _names_match(w, r)):
+        raise AvroError(f"writer {wt!r}/{w.get('name')} does not "
+                        f"resolve to reader {rt!r}/{r.get('name')}")
+    if wt == "record":
+        by_name = {}
+        for rf in r["fields"]:
+            by_name[rf["name"]] = rf
+            for a in rf.get("aliases", ()):
+                by_name[a] = rf
+        out = {}
+        seen = set()
+        for wf in w["fields"]:
+            rf = by_name.get(wf["name"])
+            if rf is None:
+                pos = _skip(buf, pos, wf["type"])
+            else:
+                out[rf["name"]], pos = _decode_resolved(
+                    buf, pos, wf["type"], rf["type"])
+                seen.add(rf["name"])
+        for rf in r["fields"]:
+            if rf["name"] in seen:
+                continue
+            if "default" not in rf:
+                raise AvroError(
+                    f"reader field {rf['name']!r} missing in writer "
+                    "data and has no default")
+            out[rf["name"]] = _default_value(rf["type"], rf["default"])
+        return out, pos
+    if wt == "enum":
+        i, pos = _read_long(buf, pos)
+        sym = w["symbols"][i]
+        if sym in r["symbols"]:
+            return sym, pos
+        if "default" in r:  # spec 1.9+ enum default
+            return r["default"], pos
+        raise AvroError(f"enum symbol {sym!r} not in reader schema")
+    if wt == "fixed":
+        if w["size"] != r["size"]:
+            raise AvroError("fixed size mismatch")
+        return _decode(buf, pos, w)
+    if wt == "array":
+        out = []
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                n = -n
+                _, pos = _read_long(buf, pos)
+            for _ in range(n):
+                v, pos = _decode_resolved(buf, pos, w["items"],
+                                          r["items"])
+                out.append(v)
+    if wt == "map":
+        out = {}
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                n = -n
+                _, pos = _read_long(buf, pos)
+            for _ in range(n):
+                k, pos = _decode(buf, pos, {"type": "string"})
+                out[k], pos = _decode_resolved(buf, pos, w["values"],
+                                               r["values"])
+    return _decode(buf, pos, w)  # null/boolean handled by promotion map
+
+
+def decode_record_resolved(writer_schema, reader_schema, data: bytes):
+    """Decode ``data`` written under ``writer_schema`` as the
+    ``reader_schema`` sees it (Avro spec Schema Resolution)."""
+    w = parse_schema(writer_schema)
+    r = parse_schema(reader_schema)
+    v, pos = _decode_resolved(memoryview(data), 0, w, r)
+    if pos != len(data):
+        raise AvroError(f"{len(data) - pos} trailing bytes")
+    return v

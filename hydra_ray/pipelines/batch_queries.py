@@ -3760,3 +3760,37 @@ def q_kcore_parts(sf_dir):
         batch_format="pyarrow",
     )
     return k_core(edges, "u", "v", k=3)
+
+
+def q_avro_evolution(sf_dir):
+    """Avro SCHEMA RESOLUTION through the driver gate: customer rows
+    written as v1 OCFs, read back under an EVOLVED v2 reader schema —
+    the extra writer field (c_acctbal) skips, the new reader field
+    (tier) fills from its default (`avrolite.py` spec resolution, the
+    runtime half of the registry's FULL_TRANSITIVE contract).  The SQL
+    oracle projects the same v2 view; a hash match proves the resolved
+    read is exact."""
+    import shutil
+    import uuid
+
+    from ..avrolite import read_avro, write_avro
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    out = f"/tmp/hydra_avro_evo/{uuid.uuid4().hex}"
+    reader_v2 = {
+        "type": "record", "name": "row", "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_name", "type": "string"},
+            {"name": "tier", "type": "string", "default": "std"},
+        ],
+    }
+    arrow_v2 = pa.schema([("c_custkey", pa.int64()),
+                          ("c_name", pa.string()),
+                          ("tier", pa.string())])
+    try:
+        write_avro(ds, out)
+        back = read_avro(out, schema=arrow_v2,
+                         reader_schema=reader_v2).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back

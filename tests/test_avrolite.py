@@ -108,3 +108,142 @@ def test_ray_surface_roundtrip(ray_session, tmp_path):
     back = read_avro(out).to_pandas().sort_values("event_id") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(back[df.columns.tolist()], df)
+
+
+# ------------------------------------------------------ schema resolution
+class TestSchemaResolution:
+    W = {
+        "type": "record", "name": "Rec", "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "drop_me", "type": {"type": "array", "items": "string"}},
+            {"name": "b", "type": "string"},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                   "symbols": ["X", "Y", "Z"]}},
+            {"name": "nest", "type": {"type": "record", "name": "N",
+                                      "fields": [{"name": "x",
+                                                  "type": "float"}]}},
+            {"name": "u", "type": ["null", "int"]},
+        ],
+    }
+    REC = {"a": 7, "drop_me": ["gone", "too"], "b": "hi",
+           "e": "Y", "nest": {"x": 1.5}, "u": 3}
+
+    def _roundtrip(self, reader):
+        from hydra_ray.avrolite import (
+            decode_record_resolved,
+            encode_record,
+            parse_schema,
+        )
+
+        data = encode_record(parse_schema(self.W), self.REC)
+        return decode_record_resolved(self.W, reader, data)
+
+    def test_reorder_skip_default_promote(self):
+        reader = {
+            "type": "record", "name": "Rec", "fields": [
+                # reordered; drop_me gone (skipped, incl. its array);
+                # a promoted int→long→double; new field with default;
+                # b promoted string→bytes; nested x float→double
+                {"name": "b", "type": "bytes"},
+                {"name": "a", "type": "double"},
+                {"name": "added", "type": "long", "default": 42},
+                {"name": "added_bytes", "type": "bytes", "default": "AB"},
+                {"name": "nest", "type": {
+                    "type": "record", "name": "N",
+                    "fields": [{"name": "x", "type": "double"}]}},
+                {"name": "u", "type": ["null", "long"]},
+            ],
+        }
+        out = self._roundtrip(reader)
+        assert out == {"b": b"hi", "a": 7.0, "added": 42,
+                       "added_bytes": b"AB", "nest": {"x": 1.5}, "u": 3}
+        assert isinstance(out["a"], float)
+
+    def test_enum_subset_uses_reader_default(self):
+        reader = dict(self.W)
+        reader = {
+            "type": "record", "name": "Rec", "fields": [
+                {"name": "a", "type": "int"},
+                {"name": "drop_me", "type": {"type": "array",
+                                             "items": "string"}},
+                {"name": "b", "type": "string"},
+                {"name": "e", "type": {"type": "enum", "name": "E",
+                                       "symbols": ["X", "Z"],
+                                       "default": "X"}},
+                {"name": "nest", "type": {"type": "record", "name": "N",
+                                          "fields": [{"name": "x",
+                                                      "type": "float"}]}},
+                {"name": "u", "type": ["null", "int"]},
+            ],
+        }
+        out = self._roundtrip(reader)
+        assert out["e"] == "X"  # writer "Y" absent → reader enum default
+
+    def test_union_widening_and_narrowing(self):
+        from hydra_ray.avrolite import (
+            decode_record_resolved,
+            encode_record,
+            parse_schema,
+        )
+
+        w = {"type": "record", "name": "R",
+             "fields": [{"name": "s", "type": "string"}]}
+        r = {"type": "record", "name": "R",
+             "fields": [{"name": "s", "type": ["null", "string"]}]}
+        data = encode_record(parse_schema(w), {"s": "v"})
+        assert decode_record_resolved(w, r, data) == {"s": "v"}
+        # writer union → reader non-union branch
+        w2 = {"type": "record", "name": "R",
+              "fields": [{"name": "s", "type": ["null", "string"]}]}
+        r2 = {"type": "record", "name": "R",
+              "fields": [{"name": "s", "type": "string"}]}
+        data2 = encode_record(parse_schema(w2), {"s": "v"})
+        assert decode_record_resolved(w2, r2, data2) == {"s": "v"}
+
+    def test_field_alias_matches_renamed_writer(self):
+        from hydra_ray.avrolite import decode_record_resolved, \
+            encode_record, parse_schema
+
+        w = {"type": "record", "name": "R",
+             "fields": [{"name": "old", "type": "int"}]}
+        r = {"type": "record", "name": "R",
+             "fields": [{"name": "new", "type": "int",
+                         "aliases": ["old"]}]}
+        data = encode_record(parse_schema(w), {"old": 5})
+        assert decode_record_resolved(w, r, data) == {"new": 5}
+
+    def test_errors(self):
+        import pytest
+
+        from hydra_ray.avrolite import AvroError, decode_record_resolved, \
+            encode_record, parse_schema
+
+        w = {"type": "record", "name": "R",
+             "fields": [{"name": "a", "type": "int"}]}
+        data = encode_record(parse_schema(w), {"a": 1})
+        no_default = {"type": "record", "name": "R",
+                      "fields": [{"name": "zz", "type": "int"}]}
+        with pytest.raises(AvroError):
+            decode_record_resolved(w, no_default, data)
+        bad_promote = {"type": "record", "name": "R",
+                       "fields": [{"name": "a", "type": "string"}]}
+        with pytest.raises(AvroError):
+            decode_record_resolved(w, bad_promote, data)
+
+    def test_ocf_read_with_reader_schema(self, tmp_path):
+        from hydra_ray.avrolite import read_ocf, write_ocf
+
+        path = str(tmp_path / "r.avro")
+        recs = [{"a": i, "drop_me": [], "b": f"s{i}", "e": "X",
+                 "nest": {"x": float(i)}, "u": None} for i in range(50)]
+        write_ocf(path, self.W, recs, codec="deflate")
+        reader = {
+            "type": "record", "name": "Rec", "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+                {"name": "tag", "type": "string", "default": "v2"},
+            ],
+        }
+        out = list(read_ocf(path, reader_schema=reader))
+        assert out == [{"a": i, "b": f"s{i}", "tag": "v2"}
+                       for i in range(50)]
