@@ -2735,10 +2735,13 @@ def q_image_neardup(sf_dir):
 
 
 def q_video_frames(sf_dir):
-    """Raw-video frame sampling (flat_map-shaped: one row per sampled
-    frame, brightness + motion energy; rows-only)."""
+    """Video frame sampling over BOTH real containers — every third
+    clip ships as ISO-BMFF mp4 (pure-spec mp4lite demux), the rest as
+    rawv (flat_map-shaped: one row per sampled frame, brightness +
+    motion energy; rows-only)."""
     import ray.data as rd
 
+    from ..mp4lite import encode_mp4
     from ..stages.multimodal import FrameSampler, encode_rawv
 
     n = 60
@@ -2752,8 +2755,12 @@ def q_video_frames(sf_dir):
                 [np.roll(base, f * 2, axis=1) for f in range(nf)]
             )
             ids.append(f"vid-{i:04d}")
-            payloads.append(encode_rawv(frames, fps))
-            fmts.append("rawv")
+            if i % 3 == 0:
+                payloads.append(encode_mp4(frames, fps))
+                fmts.append("mp4")
+            else:
+                payloads.append(encode_rawv(frames, fps))
+                fmts.append("rawv")
         return pa.table(
             {
                 "video_id": pa.array(ids),

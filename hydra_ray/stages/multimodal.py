@@ -359,21 +359,39 @@ def encode_rawv(frames: np.ndarray, fps: int) -> bytes:
     return hdr + np.ascontiguousarray(frames, np.uint8).tobytes()
 
 
-_STUB_VIDEO_FORMATS = ("mp4", "webm", "mkv")
+_STUB_VIDEO_FORMATS = ("webm", "mkv")  # mp4 is REAL (mp4lite)
 
 
 class FrameSampler:
-    """Video frame-sampling stage (REAL for the rawv container).
+    """Video frame-sampling stage (REAL for rawv AND mp4 containers).
 
     flat_map-shaped: one output row per sampled frame (every
     ``stride_ms``), with frame brightness and motion energy (mean abs
-    diff vs the previous sampled frame).  Container formats that need
-    ffmpeg (mp4/webm/…) go to the error side output — same DLQ contract
-    as audio/image decode.
+    diff vs the previous sampled frame).  mp4 demuxes through the
+    pure-spec ISO-BMFF layer (`hydra_ray/mp4lite.py`) — raw-gray
+    tracks decode; coded tracks (avc1/…) DLQ with their fourcc.
+    Container formats that need ffmpeg (webm/mkv) stay DLQ stubs —
+    same contract as audio/image decode.
     """
 
     def __init__(self, stride_ms: int = 1000):
         self.stride_ms = stride_ms
+
+    def _emit(self, frames, fps, nf, vid, vids, fidx, ts_ms, bright,
+              motion):
+        stride = max(1, int(round(self.stride_ms * fps / 1000.0)))
+        prev = None
+        for f in range(0, nf, stride):
+            plane = frames[f].astype(np.float32)
+            vids.append(vid)
+            fidx.append(f)
+            ts_ms.append(int(f * 1000 / fps))
+            bright.append(float(plane.mean()))
+            motion.append(
+                float(np.abs(plane - prev).mean()) if prev is not None
+                else 0.0
+            )
+            prev = plane
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids, fidx, ts_ms, bright, motion = [], [], [], [], []
@@ -382,6 +400,19 @@ class FrameSampler:
             vid = batch["video_id"][i].as_py()
             fmt = batch["format"][i].as_py()
             raw = batch["bytes"][i].as_py()
+            if fmt == "mp4":
+                from ..mp4lite import Mp4Error, decode_mp4
+
+                try:
+                    frames, fps = decode_mp4(raw)
+                except Mp4Error as exc:
+                    err_ids.append(vid)
+                    errs.append(f"Mp4Error: {exc}")
+                    continue
+                nf = len(frames)
+                self._emit(frames, fps, nf, vid, vids, fidx, ts_ms,
+                           bright, motion)
+                continue
             if fmt != "rawv":
                 err_ids.append(vid)
                 errs.append(
@@ -407,18 +438,8 @@ class FrameSampler:
             frames = np.frombuffer(raw, np.uint8, count=w * h * nf, offset=14).reshape(
                 nf, h, w
             )
-            stride = max(1, int(round(self.stride_ms * fps / 1000.0)))
-            prev = None
-            for f in range(0, nf, stride):
-                plane = frames[f].astype(np.float32)
-                vids.append(vid)
-                fidx.append(f)
-                ts_ms.append(int(f * 1000 / fps))
-                bright.append(float(plane.mean()))
-                motion.append(
-                    float(np.abs(plane - prev).mean()) if prev is not None else 0.0
-                )
-                prev = plane
+            self._emit(frames, fps, nf, vid, vids, fidx, ts_ms,
+                       bright, motion)
         main = pa.table(
             {
                 "video_id": pa.array(vids, pa.string()),

@@ -93,7 +93,7 @@ def test_frame_sampler_rawv_and_stub():
         {
             "video_id": pa.array(["v1", "v2"]),
             "bytes": pa.array([encode_rawv(frames, fps), b"\x00\x00"], pa.large_binary()),
-            "format": pa.array(["rawv", "mp4"]),
+            "format": pa.array(["rawv", "webm"]),
         }
     )
     out = FrameSampler(stride_ms=1000)(batch)
@@ -106,6 +106,12 @@ def test_frame_sampler_rawv_and_stub():
     assert ok["brightness"].tolist() == [0.0, 120.0]
     assert ok["motion"].tolist()[1] == 120.0
     assert len(err) == 1 and "ffmpeg" in err["decode_error"].iloc[0]
+    # a malformed mp4 payload DLQs through the real demuxer now
+    bad = pa.table({"video_id": pa.array(["v3"]),
+                    "bytes": pa.array([b"\x00\x00"], pa.large_binary()),
+                    "format": pa.array(["mp4"])})
+    dfe = FrameSampler()(bad).to_pandas()
+    assert "Mp4Error" in dfe["decode_error"].iloc[0]
 
 
 def test_image_pipeline_on_dataset(ray_session):
