@@ -34,6 +34,24 @@ __all__ = ["connected_components", "cooccurrence_edges", "k_core",
            "triangle_count"]
 
 
+def _fetch_arrow_blocks(ds) -> list[pa.Table]:
+    """Materialized block refs as non-empty Arrow tables.  to_arrow_refs
+    passes EMPTY pandas blocks through unconverted (0-col
+    PandasBlockSchema — seen from map_groups(pandas) upstreams), so both
+    formats must be handled before concat_tables."""
+    import ray
+
+    out = []
+    for b in ray.get(ds.to_arrow_refs()):
+        if isinstance(b, pd.DataFrame):
+            if len(b) == 0:
+                continue
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if b.num_rows:
+            out.append(b)
+    return out
+
+
 def _star_kernel(g: pd.DataFrame, large: bool) -> pd.DataFrame:
     """One reduce of large-star (input has both edge directions, grouped
     by hash(u)) or small-star (input oriented v <= u, grouped by
@@ -822,8 +840,14 @@ def _lpa_summary_handle():
     if _LPA_SUMMARY_REMOTE is None:
         import ray
 
-        def _summary(t: pa.Table) -> tuple[int, int]:
+        def _summary(t) -> tuple[int, int]:
             # empty map_groups buckets materialize as 0-row 0-col blocks
+            # — and may arrive as raw PANDAS blocks (to_arrow_refs does
+            # not convert empties)
+            if isinstance(t, pd.DataFrame):
+                if len(t) == 0 or "node" not in t.columns:
+                    return (len(t), 0)
+                t = pa.Table.from_pandas(t, preserve_index=False)
             if t.num_rows == 0 or "node" not in t.column_names:
                 return (t.num_rows, 0)
             n = t["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -884,9 +908,7 @@ def label_propagation(edges, src_col: str, dst_col: str,
         import ray
         import ray.data as rd
 
-        # empty map_batches blocks materialize 0-col — drop before concat
-        parts = [t for t in ray.get(ed.to_arrow_refs()) if t.num_rows]
-        tbl = pa.concat_tables(parts)
+        tbl = pa.concat_tables(_fetch_arrow_blocks(ed))
         u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         nodes = np.unique(u)  # canon emits both directions ⇒ u covers all
@@ -1088,10 +1110,7 @@ def random_walks(edges, src_col: str, dst_col: str, walk_len: int = 8,
         return rd.from_arrow(empty)
 
     if n_edges <= local_edges_threshold:
-        import ray
-
-        parts = [t for t in ray.get(ed.to_arrow_refs()) if t.num_rows]
-        tbl = pa.concat_tables(parts)
+        tbl = pa.concat_tables(_fetch_arrow_blocks(ed))
         u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         # neighbor order must be canonical ((u, v)-sorted + DISTINCT),
@@ -1246,8 +1265,7 @@ def k_core(edges, src_col: str, dst_col: str, k: int = 3,
     if n_edges <= local_edges_threshold:
         import ray
 
-        parts = [t for t in ray.get(ed.to_arrow_refs()) if t.num_rows]
-        tbl = pa.concat_tables(parts)
+        tbl = pa.concat_tables(_fetch_arrow_blocks(ed))
         u = tbl["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         v = tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         # cross-block duplicates: canon deduped per batch only
