@@ -149,6 +149,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": q.q_customer_distribution,
         "idle_balances": q.q_idle_balances,
         "avro_evolution": q.q_avro_evolution,
+        "nation_trade": q.q_nation_trade,
+        "product_revenue": q.q_product_revenue,
+        "top_supplier": q.q_top_supplier,
+        "small_qty_revenue": q.q_small_qty_revenue,
+        "disjunctive_revenue": q.q_disjunctive_revenue,
+        "waiting_suppliers": q.q_waiting_suppliers,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
@@ -1187,6 +1193,99 @@ def oracle_sql() -> dict[str, str]:
         """,
         "avro_evolution": """
             SELECT c_custkey, c_name, 'std' AS tier FROM customer
+        """,
+        "nation_trade": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+                OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13'))
+              AND l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate < DATE '1999-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "product_revenue": """
+            SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_type = 'ECONOMY'
+            GROUP BY 1, 2
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS r
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1997-01-01'
+                  AND l_shipdate < DATE '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   round(r / 10000.0, 2) AS total_revenue
+            FROM rev JOIN supplier s USING (s_suppkey)
+            WHERE r = (SELECT max(r) FROM rev)
+        """,
+        "small_qty_revenue": """
+            WITH pq AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(l_quantity) AS BIGINT)) AS s
+                FROM lineitem JOIN part
+                  ON p_partkey = l_partkey AND p_brand = 'Brand#3'
+                GROUP BY 1
+            )
+            SELECT round(coalesce(
+                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+                       0) / 700.0, 2) AS avg_yearly
+            FROM lineitem l JOIN pq ON l.l_partkey = pq.l_partkey
+            WHERE CAST(round(l.l_quantity) AS BIGINT) * 5 * pq.n < pq.s
+        """,
+        "disjunctive_revenue": """
+            SELECT round(coalesce(
+                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))),
+                       0) / 10000.0, 2) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "waiting_suppliers": """
+            WITH f AS (
+                SELECT l.l_orderkey AS okey, l.l_suppkey AS supp,
+                       max(CASE WHEN l.l_shipdate >
+                                     o.o_orderdate + INTERVAL 60 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY 1, 2
+            ), g AS (
+                SELECT okey, count(*) AS n_supp, sum(late) AS n_late
+                FROM f GROUP BY 1
+            )
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM f JOIN g USING (okey)
+            JOIN supplier s ON f.supp = s.s_suppkey
+            WHERE f.late = 1 AND g.n_supp > 1 AND g.n_late = 1
+            GROUP BY 1
         """,
         "idle_balances": """
             WITH g AS (

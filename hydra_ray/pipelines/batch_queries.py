@@ -3803,3 +3803,379 @@ def q_avro_evolution(sf_dir):
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return back
+
+
+# ---------------------------------------------- TPC-H-shaped join suite 3
+def q_nation_trade(sf_dir):
+    """TPC-H-Q7-shaped volume-shipping pipeline: revenue shipped between
+    two nations (both directions) per ship-year.  Supplier→nation and
+    customer→nation are broadcast maps filtered to the two nations
+    BEFORE broadcast (dimensions scale with entities, not events);
+    lineitem is date- and supplier-filtered at the scan so only
+    qualifying rows enter the ONE bucketed lineitem⋈orders exchange.
+    Revenue sums exact integer cents×(100−disc) (big-group money rule).
+    Reference analogue: multi-stream enrichment joins in
+    ingest/replicators (see SURVEY.md §2.5)."""
+    from ..stages.join import broadcast_join, bucketed_join
+
+    n_a, n_b = "NATION_13", "NATION_19"
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = nation[nation["n_name"].isin([n_a, n_b])]
+    nk = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nk)].copy()
+    supp["supp_nation"] = supp["s_nationkey"].map(nk)
+    supp = supp[["s_suppkey", "supp_nation"]].rename(
+        columns={"s_suppkey": "l_suppkey"})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nk)].copy()
+    cust["cust_nation"] = cust["c_nationkey"].map(nk)
+    cust = cust[["c_custkey", "cust_nation"]].rename(
+        columns={"c_custkey": "o_custkey"})
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1999-01-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({
+            "okey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev_e4": _rev_e4(t),
+        })
+
+    left = broadcast_join(
+        li.map_batches(prep_li, batch_format="pyarrow"), supp,
+        on="l_suppkey")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    right = broadcast_join(
+        orders.map_batches(
+            lambda t: pa.table({"okey": t["o_orderkey"],
+                                "o_custkey": t["o_custkey"]}),
+            batch_format="pyarrow"),
+        cust, on="o_custkey").select_columns(["okey", "cust_nation"])
+
+    joined = bucketed_join(left, right, key="okey")
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["supp_nation"], t["cust_nation"]))
+        return t.select(["supp_nation", "cust_nation", "l_year", "rev_e4"])
+
+    agg = grouped_aggregate(
+        joined.map_batches(cross_only, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        [AggSpec("sum", "rev_e4", "rev_e4")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": t["supp_nation"],
+            "cust_nation": t["cust_nation"],
+            "l_year": t["l_year"],
+            "revenue": round_f64(
+                pc.divide(pc.cast(t["rev_e4"], pa.float64()),
+                          pa.scalar(10_000.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_product_revenue(sf_dir):
+    """TPC-H-Q9-shaped product-type revenue by supplier nation and order
+    year (profit without the partsupp cost side — the testdata has no
+    partsupp table).  Part is broadcast as a filtered KEY SET, supplier→
+    nation a broadcast map; the only exchange is the bucketed
+    lineitem⋈orders join that attaches the order year."""
+    from ..stages.join import broadcast_join, bucketed_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    keep = np.sort(part.loc[part["p_type"] == "ECONOMY",
+                            "p_partkey"].to_numpy(np.int64))
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp["n_name"] = supp["s_nationkey"].map(nk)
+    supp = supp[["s_suppkey", "n_name"]].rename(
+        columns={"s_suppkey": "l_suppkey"})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keep, pk)
+        idx[idx == len(keep)] = 0
+        t = t.filter(pa.array(keep[idx] == pk))
+        return pa.table({
+            "okey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "rev_e4": _rev_e4(t),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    right = orders.map_batches(
+        lambda t: pa.table({
+            "okey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        }), batch_format="pyarrow")
+
+    joined = bucketed_join(
+        li.map_batches(prep_li, batch_format="pyarrow"), right, key="okey")
+    enriched = broadcast_join(joined, supp, on="l_suppkey")
+
+    agg = grouped_aggregate(
+        enriched.select_columns(["n_name", "o_year", "rev_e4"]),
+        ["n_name", "o_year"], [AggSpec("sum", "rev_e4", "rev_e4")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "o_year": t["o_year"],
+            "revenue": round_f64(
+                pc.divide(pc.cast(t["rev_e4"], pa.float64()),
+                          pa.scalar(10_000.0)), 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_top_supplier(sf_dir):
+    """TPC-H-Q15-shaped top supplier: per-supplier revenue over one
+    quarter, keep the supplier(s) whose revenue equals the global max.
+    The max is computed as a per-block partial fold over the (already
+    tiny, one-row-per-supplier) aggregate — never a global sort — and
+    the comparison is on EXACT integer revenue units, so ties are exact.
+    Supplier names attach via broadcast at the end."""
+    import ray
+
+    from ..stages.join import broadcast_join
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1997-04-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"s_suppkey": t["l_suppkey"], "rev_e4": _rev_e4(t)})
+
+    agg = grouped_aggregate(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["s_suppkey"], [AggSpec("sum", "rev_e4", "rev_e4")]).materialize()
+
+    partials = agg.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [pc.max(t["rev_e4"]).as_py() or 0], pa.int64())}),
+        batch_format="pyarrow").take_all()
+    best = max((r["m"] for r in partials), default=0)
+
+    top = agg.map_batches(
+        lambda t: t.filter(pc.equal(t["rev_e4"], pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    named = broadcast_join(top, supp, on="s_suppkey")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "s_name": t["s_name"],
+            "total_revenue": round_f64(
+                pc.divide(pc.cast(t["rev_e4"], pa.float64()),
+                          pa.scalar(10_000.0)), 2),
+        })
+
+    return named.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_small_qty_revenue(sf_dir):
+    """TPC-H-Q17-shaped small-quantity-order revenue: average yearly
+    revenue lost if small-lot orders (quantity below 20 % of the part's
+    average) were not filled, for one brand.  The per-part (count,
+    sum_qty) aggregate is small (scales with parts, not lineitems) and
+    broadcasts back into a second scan; the threshold comparison is
+    EXACT int64 cross-multiplication ``qty·5·n < Σqty`` (quantities are
+    integral) — a float average would be order-dependent at the
+    boundary.  No all-to-all at any point: the only aggregate is over
+    the brand-filtered minority of lineitem."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    keep = np.sort(part.loc[part["p_brand"] == "Brand#3",
+                            "p_partkey"].to_numpy(np.int64))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keep, pk)
+        idx[idx == len(keep)] = 0
+        t = t.filter(pa.array(keep[idx] == pk))
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"],
+                                     pa.scalar(100.0))), pa.int64()),
+        })
+
+    filt = li.map_batches(prep, batch_format="pyarrow").materialize()
+    agg = grouped_aggregate(
+        filt.select_columns(["l_partkey", "qty"]),
+        ["l_partkey"],
+        [AggSpec("count", None, "n"), AggSpec("sum", "qty", "s")]).to_pandas()
+    pk_sorted = np.sort(agg["l_partkey"].to_numpy(np.int64))
+    order = np.argsort(agg["l_partkey"].to_numpy(np.int64))
+    n_arr = agg["n"].to_numpy(np.int64)[order]
+    s_arr = agg["s"].to_numpy(np.int64)[order]
+    stats = ray.put((pk_sorted, n_arr, s_arr))
+
+    def small_partial(t: pa.Table) -> pa.Table:
+        from ..stages.join import _bcast_get
+
+        pks, ns, ss = _bcast_get(stats)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pks, pk)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        m = qty * 5 * ns[pos] < ss[pos]
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array([int(cents[m].sum())], pa.int64())})
+
+    parts = filt.map_batches(small_partial, batch_format="pyarrow").take_all()
+    tot = sum(r["c"] for r in parts)
+    return pa.table({
+        "avg_yearly": round_f64(
+            pa.array([tot / 700.0], pa.float64()), 2),
+    })
+
+
+def q_disjunctive_revenue(sf_dir):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-range) conjunctions evaluated as ONE
+    vectorized mask per batch against a broadcast part map — no join
+    exchange at all, one integer-cents partial per block, driver folds
+    the scalars."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part[part["p_brand"].isin(["Brand#1", "Brand#2", "Brand#3"])]
+    pk_sorted = np.sort(part["p_partkey"].to_numpy(np.int64))
+    order = np.argsort(part["p_partkey"].to_numpy(np.int64))
+    brand_id = part["p_brand"].map(
+        {"Brand#1": 1, "Brand#2": 2, "Brand#3": 3}).to_numpy(np.int64)[order]
+    size = part["p_size"].to_numpy(np.int64)[order]
+    bmap = ray.put((pk_sorted, brand_id, size))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.join import _bcast_get
+
+        pks, bid, sz = _bcast_get(bmap)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pks, pk)
+        pos[pos == len(pks)] = 0
+        hit = pks[pos] == pk
+        b = np.where(hit, bid[pos], 0)
+        s = np.where(hit, sz[pos], 0)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (((b == 1) & (s >= 1) & (s <= 5) & (q >= 1) & (q <= 11))
+             | ((b == 2) & (s >= 1) & (s <= 10) & (q >= 10) & (q <= 20))
+             | ((b == 3) & (s >= 1) & (s <= 15) & (q >= 20) & (q <= 30)))
+        rev = _rev_e4(t).to_numpy(zero_copy_only=False)
+        return pa.table({"r": pa.array([int(rev[m].sum())], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    tot = sum(r["r"] for r in parts)
+    return pa.table({
+        "revenue": round_f64(pa.array([tot / 10_000.0], pa.float64()), 2),
+    })
+
+
+def q_waiting_suppliers(sf_dir):
+    """TPC-H-Q21-shaped waiting-suppliers pipeline (reshaped to the
+    testdata's columns: "late" = shipped more than 60 days after the
+    order date, finalized orders only): suppliers who were the SOLE late
+    shipper on a multi-supplier order, counted.  Shape: ONE bucketed
+    lineitem⋈orders exchange attaches the order date, then two
+    grouped_aggregate exchanges — (okey, supp) max(late) dedups lines to
+    supplier-order pairs, (okey) count/sum derives the per-order
+    multi-supplier / sole-late flags — and a final bucketed join back to
+    the late pairs.  Every step is a hash-bucket exchange + vectorized
+    kernel; nothing is driver-resident."""
+    from ..stages.join import broadcast_join, bucketed_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    right = orders.map_batches(
+        lambda t: (lambda f: pa.table({
+            "okey": f["o_orderkey"],
+            "odate_ms": ts_to_ms(f["o_orderdate"]),
+        }))(t.filter(pc.equal(t["o_orderstatus"], "F"))),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    left = li.map_batches(
+        lambda t: pa.table({
+            "okey": t["l_orderkey"],
+            "supp": t["l_suppkey"],
+            "ship_ms": ts_to_ms(t["l_shipdate"]),
+        }), batch_format="pyarrow")
+
+    joined = bucketed_join(left, right, key="okey")
+
+    def late_flag(t: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(t["ship_ms"],
+                       pc.add(t["odate_ms"],
+                              pa.scalar(60 * DAY, pa.int64()))),
+            pa.int64())
+        return pa.table({"okey": t["okey"], "supp": t["supp"],
+                         "late": late})
+
+    pairs = grouped_aggregate(
+        joined.map_batches(late_flag, batch_format="pyarrow"),
+        ["okey", "supp"], [AggSpec("max", "late", "late")]).materialize()
+
+    per_order = grouped_aggregate(
+        pairs, ["okey"],
+        [AggSpec("count", None, "n_supp"), AggSpec("sum", "late", "n_late")])
+    sole = per_order.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater(t["n_supp"], pa.scalar(1, pa.int64())),
+            pc.equal(t["n_late"], pa.scalar(1, pa.int64())))),
+        batch_format="pyarrow").select_columns(["okey"])
+
+    late_pairs = pairs.map_batches(
+        lambda t: t.filter(pc.equal(t["late"], pa.scalar(1, pa.int64()))),
+        batch_format="pyarrow")
+    culprits = bucketed_join(late_pairs, sole, key="okey", how="semi")
+
+    agg = grouped_aggregate(
+        culprits.map_batches(
+            lambda t: pa.table({"s_suppkey": t["supp"]}),
+            batch_format="pyarrow"),
+        ["s_suppkey"], [AggSpec("count", None, "numwait")])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    named = broadcast_join(agg, supp, on="s_suppkey")
+    return named.map_batches(
+        lambda t: pa.table({
+            "s_name": t["s_name"],
+            "numwait": pc.cast(t["numwait"], pa.int64()),
+        }), batch_format="pyarrow")
