@@ -155,6 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": q.q_small_qty_revenue,
         "disjunctive_revenue": q.q_disjunctive_revenue,
         "waiting_suppliers": q.q_waiting_suppliers,
+        "discounted_revenue": q.q_discounted_revenue,
+        "market_share": q.q_market_share,
+        "important_parts": q.q_important_parts,
+        "ship_priority": q.q_ship_priority,
+        "promo_suppliers": q.q_promo_suppliers,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
@@ -1286,6 +1291,88 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON f.supp = s.s_suppkey
             WHERE f.late = 1 AND g.n_supp > 1 AND g.n_late = 1
             GROUP BY 1
+        """,
+        "discounted_revenue": """
+            SELECT round(coalesce(
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round(l_discount * 100) AS BIGINT)),
+                       0) / 10000.0, 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "market_share": """
+            WITH v AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev_e4,
+                       CASE WHEN sn.n_name = 'NATION_7' THEN 1 ELSE 0 END
+                           AS is_target
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                JOIN region r ON cn.n_regionkey = r.r_regionkey
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+                  AND o.o_orderdate >= DATE '1996-01-01'
+                  AND o.o_orderdate < DATE '1998-01-01'
+            )
+            SELECT o_year,
+                   round(CAST(sum(rev_e4 * is_target) AS DOUBLE)
+                         / CAST(sum(rev_e4) AS DOUBLE), 4) AS mkt_share
+            FROM v GROUP BY 1
+        """,
+        "important_parts": """
+            WITH v AS (
+                SELECT l_partkey AS p_partkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS rev_e4
+                FROM lineitem GROUP BY 1
+            )
+            SELECT p_partkey, round(rev_e4 / 10000.0, 2) AS value
+            FROM v
+            WHERE rev_e4 * (SELECT count(*) FROM v) * 2
+                  > 3 * (SELECT sum(rev_e4) FROM v)
+        """,
+        "ship_priority": """
+            SELECT CASE WHEN l.l_shipdate > o.o_orderdate
+                             + INTERVAL 30 DAY
+                        THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= DATE '1997-01-01'
+              AND l.l_shipdate < DATE '1998-01-01'
+            GROUP BY 1
+        """,
+        "promo_suppliers": """
+            WITH v AS (
+                SELECT l.l_suppkey AS s_suppkey,
+                       CAST(sum(CAST(round(l.l_quantity) AS BIGINT))
+                            AS BIGINT) AS total_qty
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_name LIKE 'cold%'
+                  AND l.l_shipdate >= DATE '1997-01-01'
+                  AND l.l_shipdate < DATE '1998-01-01'
+                GROUP BY 1
+            )
+            SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
+                   v.total_qty
+            FROM v JOIN supplier s USING (s_suppkey)
+            WHERE v.total_qty > 50
         """,
         "idle_balances": """
             WITH g AS (

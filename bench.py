@@ -40,6 +40,8 @@ QUERY_NAMES = [
     "cheapest_supplier", "supplier_count", "customer_distribution", "idle_balances", "avro_evolution", "loudness_normalize",
     "nation_trade", "product_revenue", "top_supplier", "small_qty_revenue",
     "disjunctive_revenue", "waiting_suppliers",
+    "discounted_revenue", "market_share", "important_parts",
+    "ship_priority", "promo_suppliers",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search", "decontaminate", "dup_spans", "dedup_cut",
     "set_except", "set_intersect", "set_union", "window_distinct",

@@ -4179,3 +4179,306 @@ def q_waiting_suppliers(sf_dir):
             "s_name": t["s_name"],
             "numwait": pc.cast(t["numwait"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+# ---------------------------------------------- TPC-H-shaped join suite 4
+def q_discounted_revenue(sf_dir):
+    """TPC-H-Q6-shaped forecasting-revenue-change: one predicate scan
+    over lineitem (ship-year window, discount band, small quantity), the
+    would-be-forgone revenue ``Σ price·disc`` summed as EXACT integer
+    cents×disc_e2 units per block, driver folds the tiny scalars.  No
+    exchange anywhere; the scan reads only the four needed columns.
+    Reference analogue: predicate filters in the ingest transform chain
+    (SURVEY.md §2.3)."""
+    import ray
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        discc = pc.cast(
+            pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+            pa.int64())
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(discc, pa.scalar(5, pa.int64())),
+                        pc.less_equal(discc, pa.scalar(7, pa.int64()))),
+                pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t2 = t.filter(m)
+        extc = pc.cast(
+            pc.round(pc.multiply(t2["l_extendedprice"], pa.scalar(100.0))),
+            pa.int64())
+        dc = pc.cast(
+            pc.round(pc.multiply(t2["l_discount"], pa.scalar(100.0))),
+            pa.int64())
+        v = pc.sum(pc.multiply(extc, dc)).as_py() or 0
+        return pa.table({"v": pa.array([int(v)], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").take_all()
+    tot = sum(r["v"] for r in parts)
+    return pa.table({
+        "revenue": round_f64(pa.array([tot / 10_000.0], pa.float64()), 2),
+    })
+
+
+def q_market_share(sf_dir):
+    """TPC-H-Q8-shaped national market share: within one region's
+    customers and one part type, the share of yearly revenue supplied by
+    one nation.  Part keys and region-filtered customer keys broadcast
+    as sorted keysets (entity-scale); supplier→nation broadcasts the
+    numerator flag; the only exchange is the bucketed lineitem⋈orders
+    join.  Share = exact-integer national / total revenue per order
+    year, divided once in float64."""
+    from ..stages.join import broadcast_join, bucketed_join
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    reg_key = int(region.loc[region["r_name"] == "ASIA",
+                             "r_regionkey"].iloc[0])
+    reg_nations = set(
+        nation.loc[nation["n_regionkey"] == reg_key, "n_nationkey"]
+        .astype(int))
+    target_key = int(nation.loc[nation["n_name"] == "NATION_7",
+                                "n_nationkey"].iloc[0])
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    keep = np.sort(part.loc[part["p_type"] == "STANDARD",
+                            "p_partkey"].to_numpy(np.int64))
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = np.sort(cust.loc[cust["c_nationkey"].isin(reg_nations),
+                             "c_custkey"].to_numpy(np.int64))
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp["is_target"] = (
+        supp["s_nationkey"].astype(int) == target_key).astype(np.int64)
+    supp = supp[["s_suppkey", "is_target"]].rename(
+        columns={"s_suppkey": "l_suppkey"})
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keep, pk)
+        idx[idx == len(keep)] = 0
+        t = t.filter(pa.array(keep[idx] == pk))
+        return pa.table({
+            "okey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "rev_e4": _rev_e4(t),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ckeys, ck)
+        idx[idx == len(ckeys)] = 0
+        t = t.filter(pa.array(ckeys[idx] == ck))
+        return pa.table({
+            "okey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    joined = bucketed_join(
+        li.map_batches(prep_li, batch_format="pyarrow"),
+        orders.map_batches(prep_orders, batch_format="pyarrow"),
+        key="okey")
+    flagged = broadcast_join(joined, supp, on="l_suppkey")
+
+    def split(t: pa.Table) -> pa.Table:
+        nat = pc.multiply(t["rev_e4"],
+                          pc.cast(t["is_target"], pa.int64()))
+        return pa.table({"o_year": t["o_year"],
+                         "nat_e4": nat, "tot_e4": t["rev_e4"]})
+
+    agg = grouped_aggregate(
+        flagged.map_batches(split, batch_format="pyarrow"),
+        ["o_year"],
+        [AggSpec("sum", "nat_e4", "nat_e4"),
+         AggSpec("sum", "tot_e4", "tot_e4")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nat = t["nat_e4"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = t["tot_e4"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_year": t["o_year"],
+            "mkt_share": round_f64(pa.array(nat / tot, pa.float64()), 4),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_important_parts(sf_dir):
+    """TPC-H-Q11-shaped important stock (reshaped: no partsupp table —
+    "value" is each part's shipped revenue): parts whose total shipped
+    revenue exceeds 1.5× the average part's.  ONE grouped_aggregate
+    exchange per partkey; the global (count, total) folds the per-part
+    partials driver-side (tiny: scales with parts); the HAVING threshold
+    compares EXACT integer units by cross-multiplication
+    (value·n_parts·2 > 3·total) so boundary parts never flip on float
+    error, and the relative threshold stays non-empty at every scale
+    factor (a fixed fraction of total empties once parts outnumber it)."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    agg = grouped_aggregate(
+        li.map_batches(
+            lambda t: pa.table({"p_partkey": t["l_partkey"],
+                                "rev_e4": _rev_e4(t)}),
+            batch_format="pyarrow"),
+        ["p_partkey"], [AggSpec("sum", "rev_e4", "rev_e4")]).materialize()
+
+    partials = agg.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([pc.sum(t["rev_e4"]).as_py() or 0], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+        }),
+        batch_format="pyarrow").take_all()
+    total = sum(r["s"] for r in partials)
+    n_parts = sum(r["n"] for r in partials)
+    thresh = ray.put((int(total), int(n_parts)))
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        from ..stages.join import _bcast_get
+
+        tot, n = _bcast_get(thresh)
+        v = t["rev_e4"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(v * n * 2 > 3 * tot))
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "value": round_f64(
+                pc.divide(pc.cast(t["rev_e4"], pa.float64()),
+                          pa.scalar(10_000.0)), 2),
+        })
+
+    return agg.map_batches(keep_big, batch_format="pyarrow")
+
+
+def q_ship_priority(sf_dir):
+    """TPC-H-Q12-shaped shipping-delay priority count (reshaped: the
+    testdata has no shipmode/commit/receipt dates — "mode" becomes the
+    ship-delay bucket FAST ≤30d / SLOW >30d for 1997 shipments): per
+    bucket, how many lineitems belong to high-priority vs other orders.
+    ONE bucketed lineitem⋈orders exchange, then a per-batch CASE mask +
+    grouped count — the Q12 shape (join + conditional aggregation)."""
+    from ..stages.join import bucketed_join
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"okey": t["l_orderkey"],
+                         "ship_ms": ts_to_ms(t["l_shipdate"])})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    right = orders.map_batches(
+        lambda t: pa.table({
+            "okey": t["o_orderkey"],
+            "odate_ms": ts_to_ms(t["o_orderdate"]),
+            "prio": t["o_orderpriority"],
+        }), batch_format="pyarrow")
+
+    joined = bucketed_join(
+        li.map_batches(prep_li, batch_format="pyarrow"), right, key="okey")
+
+    def classify(t: pa.Table) -> pa.Table:
+        slow = pc.greater(
+            t["ship_ms"],
+            pc.add(t["odate_ms"], pa.scalar(30 * DAY, pa.int64())))
+        bucket = pc.if_else(slow, pa.scalar("SLOW"), pa.scalar("FAST"))
+        high = pc.is_in(t["prio"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "ship_bucket": bucket,
+            "high_line": pc.cast(high, pa.int64()),
+            "low_line": pc.cast(pc.invert(high), pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        joined.map_batches(classify, batch_format="pyarrow"),
+        ["ship_bucket"],
+        [AggSpec("sum", "high_line", "high_line_count"),
+         AggSpec("sum", "low_line", "low_line_count")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "ship_bucket": t["ship_bucket"],
+            "high_line_count": pc.cast(t["high_line_count"], pa.int64()),
+            "low_line_count": pc.cast(t["low_line_count"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def q_promo_suppliers(sf_dir):
+    """TPC-H-Q20-shaped potential-promotion suppliers (reshaped: no
+    partsupp — the availability test becomes a shipped-volume test):
+    suppliers who shipped MORE than 50 units of cold-prefix parts in
+    one year, listed with their account balance.  Part keys broadcast as
+    a sorted set, the only aggregate is over the doubly-filtered
+    minority of lineitem (per-suppkey sum), supplier attributes attach
+    via broadcast.  Threshold compares exact int64 quantity units."""
+    from ..stages.join import broadcast_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    keep = np.sort(
+        part.loc[part["p_name"].str.startswith("cold"),
+                 "p_partkey"].to_numpy(np.int64))
+
+    lo = pd.Timestamp("1997-01-01")
+    hi = pd.Timestamp("1998-01-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keep, pk)
+        idx[idx == len(keep)] = 0
+        t = t.filter(pa.array(keep[idx] == pk))
+        return pa.table({
+            "s_suppkey": t["l_suppkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["s_suppkey"], [AggSpec("sum", "qty", "qty")])
+    big = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["qty"],
+                                      pa.scalar(50, pa.int64()))),
+        batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_acctbal"]).to_pandas()
+    named = broadcast_join(big, supp, on="s_suppkey")
+    return named.map_batches(
+        lambda t: pa.table({
+            "s_name": t["s_name"],
+            "s_acctbal": round_f64(t["s_acctbal"], 2),
+            "total_qty": pc.cast(t["qty"], pa.int64()),
+        }), batch_format="pyarrow")
