@@ -2735,12 +2735,14 @@ def q_image_neardup(sf_dir):
 
 
 def q_video_frames(sf_dir):
-    """Video frame sampling over BOTH real containers — every third
-    clip ships as ISO-BMFF mp4 (pure-spec mp4lite demux), the rest as
-    rawv (flat_map-shaped: one row per sampled frame, brightness +
-    motion energy; rows-only)."""
+    """Video frame sampling over ALL FOUR real containers — the clip
+    rotation ships ISO-BMFF mp4 (pure-spec mp4lite demux), EBML
+    Matroska + WebM (pure-spec mkvlite demux) and rawv (flat_map-
+    shaped: one row per sampled frame, brightness + motion energy;
+    rows-only)."""
     import ray.data as rd
 
+    from ..mkvlite import encode_mkv
     from ..mp4lite import encode_mp4
     from ..stages.multimodal import FrameSampler, encode_rawv
 
@@ -2755,9 +2757,16 @@ def q_video_frames(sf_dir):
                 [np.roll(base, f * 2, axis=1) for f in range(nf)]
             )
             ids.append(f"vid-{i:04d}")
-            if i % 3 == 0:
+            r = i % 4
+            if r == 0:
                 payloads.append(encode_mp4(frames, fps))
                 fmts.append("mp4")
+            elif r == 1:
+                payloads.append(encode_mkv(frames, fps))
+                fmts.append("mkv")
+            elif r == 2:
+                payloads.append(encode_mkv(frames, fps, doctype="webm"))
+                fmts.append("webm")
             else:
                 payloads.append(encode_rawv(frames, fps))
                 fmts.append("rawv")

@@ -359,19 +359,19 @@ def encode_rawv(frames: np.ndarray, fps: int) -> bytes:
     return hdr + np.ascontiguousarray(frames, np.uint8).tobytes()
 
 
-_STUB_VIDEO_FORMATS = ("webm", "mkv")  # mp4 is REAL (mp4lite)
+_STUB_VIDEO_FORMATS = ()  # rawv/mp4/webm/mkv are all REAL containers
 
 
 class FrameSampler:
-    """Video frame-sampling stage (REAL for rawv AND mp4 containers).
+    """Video frame-sampling stage (REAL for rawv, mp4, webm and mkv).
 
     flat_map-shaped: one output row per sampled frame (every
     ``stride_ms``), with frame brightness and motion energy (mean abs
     diff vs the previous sampled frame).  mp4 demuxes through the
-    pure-spec ISO-BMFF layer (`hydra_ray/mp4lite.py`) — raw-gray
-    tracks decode; coded tracks (avc1/…) DLQ with their fourcc.
-    Container formats that need ffmpeg (webm/mkv) stay DLQ stubs —
-    same contract as audio/image decode.
+    pure-spec ISO-BMFF layer (`hydra_ray/mp4lite.py`); webm/mkv through
+    the pure-spec EBML/Matroska layer (`hydra_ray/mkvlite.py`) —
+    uncompressed grayscale tracks decode; coded tracks (avc1/V_VP9/…)
+    DLQ with their codec id — same contract as audio/image decode.
     """
 
     def __init__(self, stride_ms: int = 1000):
@@ -413,13 +413,22 @@ class FrameSampler:
                 self._emit(frames, fps, nf, vid, vids, fidx, ts_ms,
                            bright, motion)
                 continue
+            if fmt in ("webm", "mkv"):
+                from ..mkvlite import MkvError, decode_mkv
+
+                try:
+                    frames, fps = decode_mkv(raw)
+                except MkvError as exc:
+                    err_ids.append(vid)
+                    errs.append(f"MkvError: {exc}")
+                    continue
+                nf = len(frames)
+                self._emit(frames, fps, nf, vid, vids, fidx, ts_ms,
+                           bright, motion)
+                continue
             if fmt != "rawv":
                 err_ids.append(vid)
-                errs.append(
-                    f"UnsupportedVideoFormat: {fmt!r} requires ffmpeg (stub)"
-                    if fmt in _STUB_VIDEO_FORMATS
-                    else f"unknown video format {fmt!r}"
-                )
+                errs.append(f"unknown video format {fmt!r}")
                 continue
             if len(raw) < 14 or raw[:4] != _RAWV_MAGIC:
                 err_ids.append(vid)

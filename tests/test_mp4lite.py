@@ -114,7 +114,7 @@ def test_corrupt_payloads_raise():
 
 def test_frame_sampler_mp4_equals_rawv(ray_session):
     """The same frames through mp4 vs rawv containers sample to
-    identical rows; a coded mp4 and a webm stub land in the DLQ."""
+    identical rows; a coded mp4 and a malformed webm land in the DLQ."""
     import pyarrow as pa
 
     from hydra_ray.mp4lite import encode_mp4
@@ -139,4 +139,4 @@ def test_frame_sampler_mp4_equals_rawv(ray_session):
     assert (m.reset_index(drop=True) == r.reset_index(drop=True)).all().all()
     bad = out[out["decode_error"].notna()].set_index("video_id")
     assert "avc1" in bad.loc["c", "decode_error"]
-    assert "webm" in bad.loc["w", "decode_error"]
+    assert "MkvError" in bad.loc["w", "decode_error"]
