@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q.q_winsorize,
         "shipping_priority": q.q_shipping_priority,
         "ipc_roundtrip": q.q_ipc_roundtrip,
+        "orc_roundtrip": q.q_orc_roundtrip,
         # -- oracled, past the 50-slot window (rotate into it in r4) --
         "best_order": q.q_best_order,
         "date_parts": q.q_date_parts,
@@ -1451,6 +1452,12 @@ def oracle_sql() -> dict[str, str]:
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
                        AS l2
             FROM embeddings
+        """,
+        "orc_roundtrip": """
+            -- identity: the Ray side round-trips through ORC files
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   epoch_ms(o_orderdate) AS odate_ms
+            FROM orders
         """,
         "shipping_priority": """
             SELECT l_orderkey,

@@ -63,7 +63,7 @@ QUERY_NAMES = [
     "pair_support", "k_hop", "bm25_search", "degree_stats", "full_outer",
     "transition_counts", "time_resample", "interval_overlap", "sessionize",
     "csv_roundtrip", "token_entropy", "normalize_text", "winsorize",
-    "shipping_priority", "ewma_value", "ipc_roundtrip",
+    "shipping_priority", "ewma_value", "ipc_roundtrip", "orc_roundtrip",
     "vector_norms",
     "kmeans_embed", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",

@@ -329,6 +329,32 @@ def q_avro_roundtrip(sf_dir):
     return back
 
 
+def q_orc_roundtrip(sf_dir):
+    """Orders → ORC files (Arrow-native, zstd stripes, one file per
+    batch task) → read back with column pruning pushed into the reader
+    (`sources/orc.py`).  The SQL oracle is the IDENTITY projection — a
+    hash match proves the columnar round trip is lossless through the
+    driver gate."""
+    import shutil
+    import uuid
+
+    from ..sources.orc import read_orc, write_orc
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate"])
+    ds = _ms_col(ds, "o_orderdate", "odate_ms")
+    out = f"/tmp/hydra_orc/{uuid.uuid4().hex}"
+    try:
+        write_orc(ds, out)
+        back = read_orc(
+            out, columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                          "o_totalprice", "odate_ms"]).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
 def q_ipc_roundtrip(sf_dir):
     """Embeddings → Arrow IPC files (zstd body buffers, one file per
     batch task) → read back: the columnar interchange edge
