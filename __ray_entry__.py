@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": q.q_important_parts,
         "ship_priority": q.q_ship_priority,
         "promo_suppliers": q.q_promo_suppliers,
+        "components": q.q_components,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
@@ -1374,6 +1375,28 @@ def oracle_sql() -> dict[str, str]:
                    v.total_qty
             FROM v JOIN supplier s USING (s_suppkey)
             WHERE v.total_qty > 50
+        """,
+        "components": """
+            WITH RECURSIVE pp AS (
+                SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+                FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+                WHERE pt.p_brand = 'Brand#1'
+            ), e0 AS (
+                SELECT a.p AS u, b.p AS v
+                FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2
+                HAVING count(*) >= 2
+            ), e AS (
+                SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+            ), nodes AS (
+                SELECT DISTINCT u AS node FROM e
+            ), walk(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.v, walk.lbl FROM walk JOIN e ON e.u = walk.node
+            )
+            SELECT node AS p_partkey, CAST(min(lbl) AS BIGINT) AS component
+            FROM walk GROUP BY 1
         """,
         "idle_balances": """
             WITH g AS (

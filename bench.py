@@ -41,7 +41,7 @@ QUERY_NAMES = [
     "nation_trade", "product_revenue", "top_supplier", "small_qty_revenue",
     "disjunctive_revenue", "waiting_suppliers",
     "discounted_revenue", "market_share", "important_parts",
-    "ship_priority", "promo_suppliers",
+    "ship_priority", "promo_suppliers", "components",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search", "decontaminate", "dup_spans", "dedup_cut",
     "set_except", "set_intersect", "set_union", "window_distinct",
