@@ -542,22 +542,44 @@ def q_shipping_priority(sf_dir):
 
     joined = bucketed_join(li.map_batches(prep_li, batch_format="pyarrow"),
                            right, key="okey")
-    agg = grouped_aggregate(
-        joined, ["okey", "o_orderdate_ms", "o_orderpriority"],
-        [AggSpec("sum", "rev_e4", "rev_e4")],
-    )
 
     def partial_top(t: pa.Table) -> pa.Table:
-        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        # blocks are okey-complete (bucketed_join reduce granularity)
+        # and date/priority are functions of okey — the per-order sum
+        # AND the block's top-10 both resolve here, no second exchange.
         okey = t["okey"].to_numpy(zero_copy_only=False)
-        oms = t["o_orderdate_ms"].to_numpy(zero_copy_only=False)
+        rev = t["rev_e4"].to_numpy(zero_copy_only=False)
+        order = np.argsort(okey, kind="stable")
+        ok = okey[order]
+        new = np.empty(len(ok), bool)
+        new[:1] = True
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        if not len(starts):
+            return pa.table({
+                "okey": pa.array([], pa.int64()),
+                "o_orderdate_ms": pa.array([], pa.int64()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "rev_e4": pa.array([], pa.int64()),
+            })
+        g_rev = np.add.reduceat(rev[order], starts)
+        firsts = order[starts]
+        g_ok = okey[firsts]
+        g_ms = t["o_orderdate_ms"].to_numpy(
+            zero_copy_only=False)[firsts]
         # top-10 by (rev desc, date asc, okey asc)
-        order = np.lexsort((okey, oms, -rev))[:10]
-        return t.take(pa.array(order))
+        top = np.lexsort((g_ok, g_ms, -g_rev))[:10]
+        return pa.table({
+            "okey": pa.array(g_ok[top], pa.int64()),
+            "o_orderdate_ms": pa.array(g_ms[top], pa.int64()),
+            "o_orderpriority": t["o_orderpriority"].take(
+                pa.array(firsts[top])),
+            "rev_e4": pa.array(g_rev[top], pa.int64()),
+        })
 
     import ray
 
-    parts = agg.map_batches(partial_top, batch_format="pyarrow")
+    parts = joined.map_batches(partial_top, batch_format="pyarrow")
     merged = pa.concat_tables(
         [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows],
         promote_options="default",
