@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_e2e": q.q_curation_e2e,
         "compression_ratio": q.q_compression_ratio,
         "kmeans_embed": q.q_kmeans_embed,
+        "text_cluster": q.q_text_cluster,
         "semantic_dedup": q.q_semantic_dedup,
         "ann_ivf": q.q_ann_ivf,
         "ann_pq": q.q_ann_pq,

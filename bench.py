@@ -65,7 +65,7 @@ QUERY_NAMES = [
     "csv_roundtrip", "token_entropy", "normalize_text", "winsorize",
     "shipping_priority", "ewma_value", "ipc_roundtrip", "orc_roundtrip",
     "vector_norms",
-    "kmeans_embed", "semantic_dedup",
+    "kmeans_embed", "text_cluster", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",
     "audio_features", "audio_fbank", "audio_mfcc", "audio_search",
     "pitch_track", "audio_neardup", "flac_roundtrip",

@@ -2135,6 +2135,26 @@ def q_kmeans_embed(sf_dir):
     })
 
 
+def q_text_cluster(sf_dir):
+    """Text → vector → cluster, end to end on documents: feature-hashing
+    embeddings (`text.hash_embed`, one bincount per batch, no shuffle)
+    feed distributed spherical k-means — the composition that turns the
+    embedding tier into a TEXT tool without a model in the sandbox
+    (rows-only: hashing + iterative clustering)."""
+    from ..stages.similarity import kmeans_lloyd
+    from ..stages.text import hash_embed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = hash_embed(ds, dim=128).materialize()
+    cents, sizes, inertia = kmeans_lloyd(
+        emb, k=8, iters=3, id_col="doc_id")
+    return pd.DataFrame({
+        "cluster": np.arange(len(sizes), dtype=np.int64),
+        "n_docs": sizes.astype("int64"),
+        "inertia": np.round(np.full(len(sizes), inertia), 4),
+    })
+
+
 def q_semantic_dedup(sf_dir):
     """SemDeDup-style semantic dedup: k-means clusters bound the pairwise
     search to O(n²/k); min-id keeper per near-dup set (rows-only:

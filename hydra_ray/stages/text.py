@@ -842,3 +842,60 @@ def levenshtein_probe(texts, probe: str, prefix_chars: int = 0) -> np.ndarray:
         if fin.any():
             out[fin] = dp[fin, m]
     return np.where(done0, m, out)
+
+
+
+def hash_embed(ds, text_col: str = "text", id_col: str = "doc_id",
+               dim: int = 256, seed: int = 7):
+    """Feature-hashing (hashing-trick) document embeddings — the text→
+    vector front door for the kmeans / ANN / PCA / SemDeDup tier
+    (Weinberger et al. 2009, "Feature Hashing for Large Scale Multitask
+    Learning").
+
+    Tokenization is ``lower(text)`` split on ``[^a-z]+`` (the tfidf
+    convention).  Each token hashes once (vectorized ``hash64`` mixed
+    with an odd seed multiplier); coordinate = ``h % dim``, sign = top
+    hash bit — the signed variant whose collisions cancel in
+    expectation.  All tokens of a batch accumulate through ONE
+    ``np.bincount`` over ``row·dim + coord``; vectors L2-normalize
+    (all-empty doc → zero vector).  Pure per-batch map, NO shuffle;
+    output schema matches the ``embeddings`` table (id,
+    ``list<float32>``) so every downstream embedding operator composes
+    unchanged.  Deterministic and partition/resume-invariant: the
+    vector is a pure function of the document text.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash64
+
+    mul = np.uint64(((2 * seed + 1) * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def embed(t: pa.Table) -> pa.Table:
+        n_rows = t.num_rows
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.coalesce(t[text_col].combine_chunks(), "")),
+            "[^a-z]+")
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(n_rows, dtype=np.int64),
+                        np.diff(offsets))
+        keep = np.flatnonzero(flat != "")
+        acc = np.zeros(n_rows * dim, np.float64)
+        if len(keep):
+            h = hash64(flat[keep]) * mul
+            coord = (h % np.uint64(dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)).astype(bool), 1.0, -1.0)
+            acc = np.bincount(row[keep] * dim + coord, weights=sign,
+                              minlength=n_rows * dim)
+        mat = acc.reshape(n_rows, dim)
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        np.divide(mat, norms, out=mat, where=norms > 0)
+        vals = pa.array(mat.astype(np.float32).ravel(), pa.float32())
+        offs = pa.array(
+            np.arange(0, (n_rows + 1) * dim, dim, dtype=np.int32))
+        return pa.table({
+            id_col: t[id_col],
+            "embedding": pa.ListArray.from_arrays(offs, vals),
+        })
+
+    return ds.map_batches(embed, batch_format="pyarrow")
