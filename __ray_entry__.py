@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "ipc_roundtrip": q.q_ipc_roundtrip,
         "orc_roundtrip": q.q_orc_roundtrip,
+        "zorder_scan": q.q_zorder_scan,
         # -- oracled, past the 50-slot window (rotate into it in r4) --
         "best_order": q.q_best_order,
         "date_parts": q.q_date_parts,
@@ -1482,6 +1483,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                    epoch_ms(o_orderdate) AS odate_ms
             FROM orders
+        """,
+        "zorder_scan": """
+            -- the Ray side answers this through a z-order clustered
+            -- layout with footer-stats file pruning
+            SELECT event_id, user_id, round(value, 4) AS value
+            FROM events
+            WHERE user_id BETWEEN 2 AND 8
+              AND value BETWEEN 10.0 AND 60.0
         """,
         "shipping_priority": """
             SELECT l_orderkey,

@@ -64,6 +64,7 @@ QUERY_NAMES = [
     "transition_counts", "time_resample", "interval_overlap", "sessionize",
     "csv_roundtrip", "token_entropy", "normalize_text", "winsorize",
     "shipping_priority", "ewma_value", "ipc_roundtrip", "orc_roundtrip",
+    "zorder_scan",
     "vector_norms",
     "kmeans_embed", "text_cluster", "semantic_dedup",
     "distinct_users", "approx_distinct", "heavy_hitters",

@@ -329,6 +329,38 @@ def q_avro_roundtrip(sf_dir):
     return back
 
 
+def q_zorder_scan(sf_dir):
+    """Z-order clustered layout + box-pruned scan: events cluster on
+    (user_id, value) along a Morton curve (`sinks.zorder_write`), then
+    `read_clustered` answers a two-column box predicate reading only
+    the part files whose footer stats intersect the box (pruning
+    changes I/O, never results — the SQL oracle is the plain WHERE).
+    The layout lever for 100 TB tables queried by more than one key."""
+    import shutil
+    import uuid
+
+    from ..sinks import read_clustered, zorder_write
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = f"/tmp/hydra_zorder/{uuid.uuid4().hex}"
+    try:
+        zorder_write(ds, ["user_id", "value"], out, num_partitions=32)
+        box, _n_files = read_clustered(
+            out, {"user_id": (2, 8), "value": (10.0, 60.0)})
+
+        def finalize(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value": round_f64(t["value"], 4),
+            })
+
+        return box.map_batches(
+            finalize, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_orc_roundtrip(sf_dir):
     """Orders → ORC files (Arrow-native, zstd stripes, one file per
     batch task) → read back with column pruning pushed into the reader

@@ -242,3 +242,141 @@ def read_sorted(root: str):
     if not paths:
         return rd.from_items([])
     return rd.read_parquet(paths)
+
+
+def zorder_write(ds, cols, root: str, num_partitions: int = 64,
+                 sample_per_block: int = 32, bits: int = 12):
+    """Z-ORDER (Morton-curve) clustered partitioned output — the
+    multi-dimensional counterpart of :func:`sorted_write`: rows lay out
+    along a bit-interleaved curve over 2+ columns, so a reader pruning
+    on ANY clustered column (or a box over several) skips most part
+    files via their parquet footer min/max stats.  This is the layout
+    lever for 100 TB tables queried by more than one key (the Delta/
+    Iceberg ``ZORDER BY`` idea, from public descriptions).
+
+    Shape: per column, sample-sort cutpoints (``stages.sort``) quantize
+    values into a ``bits``-bit EQUI-DEPTH code (robust to skew — ranks,
+    not raw magnitudes); codes bit-interleave into one int64 z key; the
+    partition id is the TOP ``log2(P)`` z bits (equi-depth codes make
+    the top-bit cells near-equal mass), laid out by the resumable
+    ``write_partitioned`` commit.  One sampling pass + ONE exchange.
+
+    ``num_partitions`` must be a power of two ≤ 2**(bits·len(cols)).
+    Cluster columns must be numeric and non-null (same contract as the
+    range partitioner).  Returns ``{partition: rows}``.
+    """
+    from .stages.sort import range_cutpoints
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("zorder_write needs >= 2 cluster columns")
+    p_bits = int(num_partitions).bit_length() - 1
+    if (1 << p_bits) != num_partitions:
+        raise ValueError("num_partitions must be a power of two")
+    if p_bits > bits * len(cols):
+        raise ValueError("num_partitions exceeds the z key space")
+
+    # per-column equi-depth quantizer: (2**bits - 1) cutpoints
+    cuts = {}
+    for c in cols:
+        cc = range_cutpoints(ds, c, 1 << bits, sample_per_block)
+        cuts[c] = cc if cc is not None else np.array([])
+
+    nc = len(cols)
+    total_bits = bits * nc
+
+    def tag(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        for ci, c in enumerate(cols):
+            v = t[c].to_numpy(zero_copy_only=False)
+            code = np.searchsorted(cuts[c], v, side="left").astype(
+                np.int64)
+            # interleave: bit b of code -> z bit b*nc + (nc-1-ci)
+            for b in range(bits):
+                z |= ((code >> b) & 1) << (b * nc + (nc - 1 - ci))
+        part = (z >> (total_bits - p_bits)).astype(np.int32)
+        out = t
+        for name, arr in (("__z", z), ("partition", part)):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+    def sort_z(g):
+        order = np.argsort(g["__z"].to_numpy(), kind="stable")
+        return g.iloc[order].drop(columns="__z")
+
+    ranged = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("partition")
+        .map_groups(sort_z, batch_format="pandas")
+    )
+    return write_partitioned(ranged, root, partition_col="partition",
+                             num_partitions=num_partitions)
+
+
+def read_clustered(root: str, predicates: dict | None = None):
+    """Read a ``write_partitioned``/``zorder_write`` tree, PRUNING whole
+    part files whose parquet footer min/max stats cannot intersect the
+    predicate box (``{col: (lo, hi)}``, bounds inclusive, either side
+    None for open).  Rows are then exact-filtered — pruning only skips
+    I/O, never changes results.  Only O(files) footer reads happen on
+    the driver; row data streams through the normal parquet read."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(root, "part=*", "*.parquet")))
+    if predicates:
+        kept = []
+        for f in files:
+            md = _pq.read_metadata(f)
+            sch = md.schema.to_arrow_schema()
+            ok = True
+            for col, (lo, hi) in predicates.items():
+                idx = sch.get_field_index(col)
+                if idx < 0:
+                    ok = False
+                    break
+                mn, mx = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mn, mx = None, None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if mn is None:          # no stats: cannot prune
+                    continue
+                if (hi is not None and mn > hi) or (
+                        lo is not None and mx < lo):
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        # keep one file when everything pruned: the exact filter will
+        # drop its rows, but the Dataset keeps the tree's schema (a
+        # 0-file read would lose column names downstream)
+        files = kept or files[:1]
+    if not files:
+        raise ValueError("read_clustered: empty tree")
+    ds = rd.read_parquet(files)
+    if predicates:
+        import pyarrow.compute as pc
+
+        def exact(t: pa.Table) -> pa.Table:
+            m = None
+            for col, (lo, hi) in predicates.items():
+                cm = None
+                if lo is not None:
+                    cm = pc.greater_equal(t[col], pa.scalar(lo))
+                if hi is not None:
+                    hm = pc.less_equal(t[col], pa.scalar(hi))
+                    cm = hm if cm is None else pc.and_(cm, hm)
+                if cm is not None:
+                    m = cm if m is None else pc.and_(m, cm)
+            return t.filter(m) if m is not None else t
+
+        ds = ds.map_batches(exact, batch_format="pyarrow")
+    return ds, len(files)

@@ -253,3 +253,41 @@ def test_levenshtein_probe_matches_dp(texts, probe):
 
     got = levenshtein_probe(texts, probe)
     assert got.tolist() == [ref(t, probe) for t in texts]
+
+
+@given(
+    st.integers(1, 9),     # frames
+    st.integers(1, 17),    # height
+    st.integers(1, 23),    # width
+    st.integers(1, 60),    # fps
+    st.sampled_from(["matroska", "webm"]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_mkv_roundtrip_any_shape(n, h, w, fps, doctype, seed):
+    """encode_mkv → decode_mkv is bit-exact for every frame shape down
+    to 1×1, any fps, both doctypes."""
+    from hydra_ray.mkvlite import decode_mkv, encode_mkv, parse_mkv
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    raw = encode_mkv(frames, fps, doctype=doctype)
+    meta = parse_mkv(raw)
+    assert meta["doctype"] == doctype
+    assert len(meta["blocks"]) == n
+    dec, got_fps = decode_mkv(raw)
+    assert got_fps == fps
+    assert dec.shape == frames.shape
+    assert (dec == frames).all()
+
+
+@given(st.integers(0, 2**49 - 2))
+@settings(max_examples=80, deadline=None)
+def test_ebml_size_varint_roundtrip(v):
+    """_enc_size → _read_vint is the identity for any representable
+    data size (and never emits the reserved all-ones pattern)."""
+    from hydra_ray.mkvlite import _enc_size, _read_vint
+
+    b = _enc_size(v)
+    got, nxt = _read_vint(memoryview(b), 0, len(b), keep_marker=False)
+    assert got == v and nxt == len(b)
