@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pds
 
 from ..stages.dedup import exact_dedup, latest_by_key
 from ..stages.join import asof_join, broadcast_join, interval_join
@@ -47,7 +48,8 @@ DAY = 86_400_000
 _NROWS_CACHE: dict = {}
 
 
-def _read(sf_dir: str, table: str, columns=None, rows_per_block=20_000):
+def _read(sf_dir: str, table: str, columns=None, rows_per_block=20_000,
+          filter=None):
     """Read one table with DATA-derived block sizing.
 
     Ray's default split (2×CPUs) shreds small single-file tables into
@@ -58,7 +60,10 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block=20_000):
     the cluster, so the same rule yields thousands of blocks at 100 TB.
     Compute-heavy downstream stages (ms per ROW, e.g. simhash word
     explode) pass a smaller ``rows_per_block`` so the map stage fans out.
-    """
+
+    ``filter`` (a ``pyarrow.dataset`` expression) pushes row predicates
+    INTO the parquet scan — row groups whose stats cannot match never
+    leave storage, the prune-at-the-read rule for selective scans."""
     import ray.data as rd
 
     path = os.path.join(sf_dir, f"{table}.parquet")
@@ -69,7 +74,9 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block=20_000):
         nrows = pq.read_metadata(path).num_rows
         _NROWS_CACHE[path] = nrows
     nb = max(2, min(64, -(-nrows // rows_per_block)))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+    kw = {} if filter is None else {"filter": filter}
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=nb, **kw)
 
 
 def round_f64(arr, nd: int):
@@ -3369,7 +3376,9 @@ def q_promo_share(sf_dir):
     lo = pd.Timestamp("1997-09-01")
     hi = pd.Timestamp("1997-12-01")
     li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+               filter=(pds.field("l_shipdate") >= lo)
+               & (pds.field("l_shipdate") < hi))
 
     def partial(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
@@ -4111,7 +4120,9 @@ def q_top_supplier(sf_dir):
     lo = pd.Timestamp("1997-01-01")
     hi = pd.Timestamp("1997-04-01")
     li = _read(sf_dir, "lineitem",
-               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+               ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+               filter=(pds.field("l_shipdate") >= lo)
+               & (pds.field("l_shipdate") < hi))
 
     def prep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
@@ -4344,7 +4355,9 @@ def q_discounted_revenue(sf_dir):
     hi = pd.Timestamp("1998-01-01")
     li = _read(sf_dir, "lineitem",
                ["l_quantity", "l_extendedprice", "l_discount",
-                "l_shipdate"])
+                "l_shipdate"],
+               filter=(pds.field("l_shipdate") >= lo)
+               & (pds.field("l_shipdate") < hi))
 
     def partial(t: pa.Table) -> pa.Table:
         discc = pc.cast(
@@ -4533,7 +4546,9 @@ def q_ship_priority(sf_dir):
 
     lo = pd.Timestamp("1997-01-01")
     hi = pd.Timestamp("1998-01-01")
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"],
+               filter=(pds.field("l_shipdate") >= lo)
+               & (pds.field("l_shipdate") < hi))
 
     def prep_li(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
@@ -4598,7 +4613,9 @@ def q_promo_suppliers(sf_dir):
     lo = pd.Timestamp("1997-01-01")
     hi = pd.Timestamp("1998-01-01")
     li = _read(sf_dir, "lineitem",
-               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+               filter=(pds.field("l_shipdate") >= lo)
+               & (pds.field("l_shipdate") < hi))
 
     def prep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
