@@ -80,6 +80,7 @@ QUERY_NAMES = [
     "match_funnel", "table_profile",
     "trim_audio", "transcode_flac",
     "image_features", "image_neardup", "image_resize", "video_frames",
+    "video_neardup",
 ]
 
 

@@ -2932,6 +2932,55 @@ def q_video_frames(sf_dir):
     )
 
 
+def q_video_neardup(sf_dir):
+    """Content-based video near-dup over all four containers: frame
+    dHash fingerprints → banded Hamming exchange → per-pair shared-
+    frame fraction (`multimodal.video_neardup`).  Fixture plants a
+    noisy copy (different container) for every 6th clip; rows-only
+    (perceptual-hash scoring has no SQL form)."""
+    from ..mkvlite import encode_mkv
+    from ..mp4lite import encode_mp4
+    from ..stages.multimodal import encode_rawv, video_neardup
+
+    n = 48
+
+    def make(idx: np.ndarray) -> pa.Table:
+        ids, payloads, fmts = [], [], []
+        for i in idx.tolist():
+            nf, h, w, fps = 24, 32, 32, 12
+            rng = np.random.default_rng(1000 + (i % 6 == 5 and i - 1 or i))
+            texture = rng.integers(0, 160, (h // 4, w // 4)
+                                   ).repeat(4, 0).repeat(4, 1)
+            y, x = np.mgrid[0:h, 0:w]
+            speed = 1 + i % 4 if i % 6 != 5 else 1 + (i - 1) % 4
+            frames = np.empty((nf, h, w), np.uint8)
+            for f in range(nf):
+                bar = ((x + speed * f) % w < 6) * 95
+                noise = rng.integers(-4, 5, (h, w))
+                frames[f] = np.clip(texture + bar + noise, 0, 255
+                                    ).astype(np.uint8)
+            ids.append(f"vid-{i:04d}")
+            r = i % 3
+            if r == 0:
+                payloads.append(encode_mp4(frames, fps))
+                fmts.append("mp4")
+            elif r == 1:
+                payloads.append(encode_mkv(frames, fps))
+                fmts.append("mkv")
+            else:
+                payloads.append(encode_rawv(frames, fps))
+                fmts.append("rawv")
+        return pa.table({
+            "video_id": pa.array(ids),
+            "bytes": pa.array(payloads, pa.large_binary()),
+            "format": pa.array(fmts),
+        })
+
+    ds = _dist_synth(n, make)
+    return video_neardup(ds, stride_ms=250, max_hamming=6,
+                         min_shared=0.5)
+
+
 def q_audio_features(sf_dir):
     """Decode → vectorized per-clip audio features (RMS, peak, ZCR,
     clipping, dominant frequency) on the synthetic clip stream

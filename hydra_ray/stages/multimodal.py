@@ -362,6 +362,32 @@ def encode_rawv(frames: np.ndarray, fps: int) -> bytes:
 _STUB_VIDEO_FORMATS = ()  # rawv/mp4/webm/mkv are all REAL containers
 
 
+def _decode_video(fmt: str, raw: bytes):
+    """Container dispatch shared by FrameSampler / VideoFingerprinter:
+    (frames (n,h,w) uint8, fps) or raises ValueError-family (DLQ)."""
+    if fmt == "mp4":
+        from ..mp4lite import decode_mp4
+
+        return decode_mp4(raw)
+    if fmt in ("webm", "mkv"):
+        from ..mkvlite import decode_mkv
+
+        return decode_mkv(raw)
+    if fmt != "rawv":
+        raise ValueError(f"unknown video format {fmt!r}")
+    if len(raw) < 14 or raw[:4] != _RAWV_MAGIC:
+        raise ValueError("malformed rawv payload")
+    w, h, fps, nf = struct.unpack_from("<HHHI", raw, 4)
+    if fps <= 0 or w <= 0 or h <= 0:
+        raise ValueError(f"malformed rawv header (w={w}, h={h}, fps={fps})")
+    need = 14 + w * h * nf
+    if len(raw) < need:
+        raise ValueError("rawv raster truncated")
+    frames = np.frombuffer(raw, np.uint8, count=w * h * nf,
+                           offset=14).reshape(nf, h, w)
+    return frames, fps
+
+
 class FrameSampler:
     """Video frame-sampling stage (REAL for rawv, mp4, webm and mkv).
 
@@ -400,54 +426,13 @@ class FrameSampler:
             vid = batch["video_id"][i].as_py()
             fmt = batch["format"][i].as_py()
             raw = batch["bytes"][i].as_py()
-            if fmt == "mp4":
-                from ..mp4lite import Mp4Error, decode_mp4
-
-                try:
-                    frames, fps = decode_mp4(raw)
-                except Mp4Error as exc:
-                    err_ids.append(vid)
-                    errs.append(f"Mp4Error: {exc}")
-                    continue
-                nf = len(frames)
-                self._emit(frames, fps, nf, vid, vids, fidx, ts_ms,
-                           bright, motion)
-                continue
-            if fmt in ("webm", "mkv"):
-                from ..mkvlite import MkvError, decode_mkv
-
-                try:
-                    frames, fps = decode_mkv(raw)
-                except MkvError as exc:
-                    err_ids.append(vid)
-                    errs.append(f"MkvError: {exc}")
-                    continue
-                nf = len(frames)
-                self._emit(frames, fps, nf, vid, vids, fidx, ts_ms,
-                           bright, motion)
-                continue
-            if fmt != "rawv":
+            try:
+                frames, fps = _decode_video(fmt, raw)
+            except (ValueError, struct.error) as exc:
                 err_ids.append(vid)
-                errs.append(f"unknown video format {fmt!r}")
+                errs.append(f"{type(exc).__name__}: {exc}")
                 continue
-            if len(raw) < 14 or raw[:4] != _RAWV_MAGIC:
-                err_ids.append(vid)
-                errs.append("malformed rawv payload")
-                continue
-            w, h, fps, nf = struct.unpack_from("<HHHI", raw, 4)
-            if fps <= 0 or w <= 0 or h <= 0:
-                err_ids.append(vid)
-                errs.append(f"malformed rawv header (w={w}, h={h}, fps={fps})")
-                continue
-            need = 14 + w * h * nf
-            if len(raw) < need:
-                err_ids.append(vid)
-                errs.append("rawv raster truncated")
-                continue
-            frames = np.frombuffer(raw, np.uint8, count=w * h * nf, offset=14).reshape(
-                nf, h, w
-            )
-            self._emit(frames, fps, nf, vid, vids, fidx, ts_ms,
+            self._emit(frames, fps, len(frames), vid, vids, fidx, ts_ms,
                        bright, motion)
         main = pa.table(
             {
@@ -483,3 +468,138 @@ def binary_stats(batch: pa.Table, col: str = "bytes") -> pa.Table:
     magic = pc.binary_slice(pc.cast(batch[col], pa.large_binary()), 0, 1)
     batch = batch.append_column("payload_bytes", lengths)
     return batch.append_column("payload_magic", magic)
+
+
+class VideoFingerprinter:
+    """Per-sampled-frame perceptual fingerprints — the video near-dup
+    front end.  One output row per sampled frame (every ``stride_ms``):
+    (video_id, pos = sample ordinal, dhash int64).  Decode dispatches
+    through the same real containers as ``FrameSampler``; undecodable
+    payloads emit a DLQ row (pos −1, the error).  dHash is
+    resize/brightness-robust, so re-encoded or lightly-noised copies
+    fingerprint near-identically frame by frame."""
+
+    def __init__(self, stride_ms: int = 500):
+        self.stride_ms = stride_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, poss, hashes, errs = [], [], [], []
+        for i in range(batch.num_rows):
+            vid = batch["video_id"][i].as_py()
+            fmt = batch["format"][i].as_py()
+            raw = batch["bytes"][i].as_py()
+            try:
+                frames, fps = _decode_video(fmt, raw)
+            except (ValueError, struct.error) as exc:
+                vids.append(vid)
+                poss.append(-1)
+                hashes.append(0)
+                errs.append(f"{type(exc).__name__}: {exc}")
+                continue
+            stride = max(1, int(round(self.stride_ms * fps / 1000.0)))
+            for k, f in enumerate(range(0, len(frames), stride)):
+                vids.append(vid)
+                poss.append(k)
+                hashes.append(dhash64(frames[f].astype(np.float32)))
+                errs.append(None)
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "pos": pa.array(poss, pa.int32()),
+            "dhash": pa.array(hashes, pa.int64()),
+            "decode_error": pa.array(errs, pa.string()),
+        })
+
+
+def video_neardup(ds, stride_ms: int = 500, max_hamming: int = 6,
+                  min_shared: float = 0.5, num_buckets: int = 64):
+    """Content-based video near-dup pairs: fingerprint sampled frames
+    (``VideoFingerprinter``), find frame-level hash matches with the
+    generic banded ``hamming_near_pairs`` exchange, then score a video
+    pair by the fraction of the SHORTER video's sampled frames with a
+    matching frame in the other (``shared`` ≥ ``min_shared`` keeps).
+
+    Scale shape: the frame-pair exchange is the banded LSH bucket
+    exchange (never all-pairs); the per-pair reduce is one
+    grouped_aggregate over distinct matched positions; per-video frame
+    counts are entity-scale and broadcast.  Returns (video_a, video_b,
+    n_shared, shared) with video_a < video_b.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .dedup import bucketed_distinct
+    from .neardup import hamming_near_pairs
+    from .windows import AggSpec, grouped_aggregate
+
+    fp = ds.map_batches(
+        VideoFingerprinter(stride_ms), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["pos"],
+                                            pa.scalar(0, pa.int32()))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # per-video sampled-frame counts: entity-scale, broadcast
+    counts = grouped_aggregate(
+        fp.select_columns(["video_id"]), ["video_id"],
+        [AggSpec("count", None, "n_frames")]).to_pandas()
+    cmap = ray.put(dict(zip(counts["video_id"], counts["n_frames"])))
+
+    # frame identity = "video\x1fpos" (unit separator; NUL would be
+    # mangled by a C-string path in the sort/merge machinery - measured)
+    def key_rows(t: pa.Table) -> pa.Table:
+        fid = pc.binary_join_element_wise(
+            t["video_id"], pc.cast(t["pos"], pa.string()), "\x1f")
+        return pa.table({"fid": fid, "dhash": t["dhash"]})
+
+    pairs = hamming_near_pairs(
+        fp.map_batches(key_rows, batch_format="pyarrow"),
+        "dhash", "fid", max_hamming=max_hamming, num_buckets=num_buckets)
+
+    def to_video_pairs(t: pa.Table) -> pa.Table:
+        a = pc.split_pattern(t["id_a"], "\x1f")
+        b = pc.split_pattern(t["id_b"], "\x1f")
+        va = pc.list_element(a, 0).to_numpy(zero_copy_only=False)
+        fa = pc.list_element(a, 1).to_numpy(zero_copy_only=False)
+        vb = pc.list_element(b, 0).to_numpy(zero_copy_only=False)
+        fb = pc.list_element(b, 1).to_numpy(zero_copy_only=False)
+        keep = va != vb
+        va, vb, fa, fb = va[keep], vb[keep], fa[keep], fb[keep]
+        swap = va > vb
+        lo = np.where(swap, vb, va)
+        hi = np.where(swap, va, vb)
+        lo_pos = np.where(swap, fb, fa)
+        return pa.table({
+            "video_a": pa.array(lo, pa.string()),
+            "video_b": pa.array(hi, pa.string()),
+            "pos_a": pa.array(lo_pos.astype(np.int64), pa.int64()),
+        })
+
+    vp = pairs.map_batches(to_video_pairs, batch_format="pyarrow")
+    distinct = bucketed_distinct(vp, ["video_a", "video_b", "pos_a"],
+                                 num_buckets=num_buckets)
+    scored = grouped_aggregate(
+        distinct.select_columns(["video_a", "video_b"]),
+        ["video_a", "video_b"], [AggSpec("count", None, "n_shared")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from ..stages.join import _bcast_get
+
+        cm = _bcast_get(cmap)
+        na = np.array([cm.get(v, 1) for v in
+                       t["video_a"].to_pylist()], np.float64)
+        nb = np.array([cm.get(v, 1) for v in
+                       t["video_b"].to_pylist()], np.float64)
+        ns = t["n_shared"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        shared = ns / np.minimum(na, nb)
+        keep = pa.array(shared >= min_shared)
+        return pa.table({
+            "video_a": t["video_a"].filter(keep),
+            "video_b": t["video_b"].filter(keep),
+            "n_shared": pc.cast(t["n_shared"].filter(keep), pa.int64()),
+            "shared": pa.array(
+                np.round(shared[shared >= min_shared], 4), pa.float64()),
+        })
+
+    return scored.map_batches(finalize, batch_format="pyarrow")

@@ -105,7 +105,8 @@ def test_frame_sampler_rawv_and_stub():
     assert ok["frame_ts_ms"].tolist() == [0, 1000]
     assert ok["brightness"].tolist() == [0.0, 120.0]
     assert ok["motion"].tolist()[1] == 120.0
-    assert len(err) == 1 and "ffmpeg" in err["decode_error"].iloc[0]
+    # a malformed webm DLQs through the REAL EBML demuxer now
+    assert len(err) == 1 and "MkvError" in err["decode_error"].iloc[0]
     # a malformed mp4 payload DLQs through the real demuxer now
     bad = pa.table({"video_id": pa.array(["v3"]),
                     "bytes": pa.array([b"\x00\x00"], pa.large_binary()),
