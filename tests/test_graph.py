@@ -360,3 +360,16 @@ def test_label_propagation_matches_naive(ray_session, path):
     # the two planted cliques resolve to single communities
     assert len({got[n] for n in range(0, 20)}) == 1
     assert len({got[n] for n in range(50, 70)}) == 1
+
+
+def test_cc_local_and_distributed_paths_identical(rd):
+    """The driver fast path (scatter-min + pointer jumping) and the
+    alternating-star distributed loop label every node identically."""
+    rng = np.random.default_rng(21)
+    pairs = [tuple(sorted(p)) for p in rng.integers(0, 800, size=(900, 2))
+             if p[0] != p[1]]
+    local = _run_cc(rd, pairs)                       # under threshold
+    dist = _run_cc(rd, pairs, local_edges_threshold=0)
+    assert (local == dist).all().all()
+    ref = _uf_labels(pairs).reset_index(drop=True)
+    assert (local == ref.astype("int64")).all().all()
