@@ -123,6 +123,36 @@ def _cmd_rescale(args) -> int:
     return 0
 
 
+def _cmd_state(args) -> int:
+    # read-only: restores checkpoint chains on the driver, no Ray needed
+    from .pipelines.replicate import ReplicateConfig
+    from .state.query import latest_epoch, read_state
+
+    cfg = ReplicateConfig(
+        join_window_ms=args.join_window_ms,
+        allowed_lateness_ms=args.lateness_ms,
+        window_size_ms=args.window_ms,
+        session_gap_ms=args.session_gap_ms,
+        sliding_size_ms=args.sliding_ms,
+        sliding_slide_ms=args.sliding_slide_ms or args.window_ms,
+    )
+    root = f"{args.out}/_checkpoints"
+    epoch = args.epoch if args.epoch is not None else latest_epoch(root)
+    state = read_state(root, cfg, epoch=epoch)
+    summary = {
+        "epoch": epoch,
+        "open_windows": state["windows"].num_rows,
+        "open_sliding": state["sliding"].num_rows,
+        "open_sessions": state["sessions"].num_rows,
+        "view_keys": state["view"].num_rows,
+        "buffers": state["buffers"].to_pylist(),
+    }
+    if args.table:
+        print(state[args.table].to_pandas().head(args.head).to_string())
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="hydra_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -171,6 +201,24 @@ def main(argv=None) -> int:
     rs.add_argument("--sliding-slide-ms", type=int, default=0)
     rs.add_argument("--address-auto", action="store_true")
     rs.set_defaults(fn=_cmd_rescale)
+
+    st = sub.add_parser("state",
+                        help="inspect committed checkpoint state "
+                             "(read-only, no Ray session)")
+    st.add_argument("--out", required=True,
+                    help="pipeline output root (holds _checkpoints)")
+    st.add_argument("--epoch", type=int)
+    st.add_argument("--table",
+                    choices=["windows", "sliding", "sessions", "view",
+                             "buffers"])
+    st.add_argument("--head", type=int, default=20)
+    st.add_argument("--join-window-ms", type=int, default=60_000)
+    st.add_argument("--lateness-ms", type=int, default=30_000)
+    st.add_argument("--window-ms", type=int, default=10_000)
+    st.add_argument("--session-gap-ms", type=int, default=0)
+    st.add_argument("--sliding-ms", type=int, default=0)
+    st.add_argument("--sliding-slide-ms", type=int, default=0)
+    st.set_defaults(fn=_cmd_state)
 
     q = sub.add_parser("query")
     q.add_argument("name")

@@ -1,0 +1,154 @@
+"""Offline queryable state: inspect a streaming pipeline's committed
+checkpoints WITHOUT running (or disturbing) the pipeline.
+
+The ops/debug surface Flink calls "queryable state": a stopped (or
+live) pipeline's checkpoint tree fully determines its per-partition
+state, so ``read_state(ckpt_root, cfg)`` restores each partition's
+full+delta chain into a plain :class:`~hydra_ray.state.store.
+PartitionState` on the driver and renders the internal structures as
+Arrow tables — open windows, open sessions, the compacted view, and
+buffer occupancy.  Read-only: nothing under ``ckpt_root`` is written,
+and a live pipeline never sees the reader (checkpoint dirs are
+immutable once written; the chain search only follows committed
+files).
+
+``cfg`` must be the pipeline's ``ReplicateConfig`` (or an already-
+trimmed ``_StateCfg``): the config DEFINES the positional cell layout
+of window state, exactly as it does for the live actors.
+
+Reference analogue: the admin/status surfaces over consumer-group and
+topic state (SURVEY §2.4) — state is inspectable out-of-band.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from .store import PartitionState, find_restore_chain
+
+__all__ = ["latest_epoch", "read_state"]
+
+
+def _partitions(ckpt_root: str) -> list[int]:
+    if not os.path.isdir(ckpt_root):
+        return []
+    out = []
+    for name in os.listdir(ckpt_root):
+        m = re.fullmatch(r"p(\d{4})", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _max_restorable(base: str) -> int | None:
+    """Largest epoch with a complete full+delta chain under one
+    partition dir."""
+    if not os.path.isdir(base):
+        return None
+    epochs = sorted(
+        int(n[1:]) for n in os.listdir(base) if re.fullmatch(r"e\d{6}", n)
+    )
+    for e in reversed(epochs):
+        if find_restore_chain(base, e) is not None:
+            return e
+    return None
+
+
+def latest_epoch(ckpt_root: str) -> int | None:
+    """Largest epoch restorable on EVERY partition (the pipeline's
+    consistent-cut epoch), or None when any partition has no chain."""
+    parts = _partitions(ckpt_root)
+    if not parts:
+        return None
+    maxes = []
+    for p in parts:
+        m = _max_restorable(os.path.join(ckpt_root, f"p{p:04d}"))
+        if m is None:
+            return None
+        maxes.append(m)
+    return min(maxes)
+
+
+def read_state(ckpt_root: str, cfg, epoch: int | None = None
+               ) -> dict[str, pa.Table]:
+    """Restore every partition's committed state at ``epoch`` (default:
+    the newest epoch restorable on ALL partitions) and return it as
+    Arrow tables:
+
+    - ``windows``   — open tumbling-window cells (partition, clip_id,
+      window_start, cnt, sum_dur_ms)
+    - ``sliding``   — same for sliding windows
+    - ``sessions``  — open session intervals (partition, clip_id,
+      t_start, t_end, cnt, sum_dur_ms)
+    - ``view``      — the compacted view (home-partition rows only)
+    - ``buffers``   — per-partition occupancy (pending join clips,
+      buffered update rows)
+    """
+    from ..pipelines.replicate import ReplicateConfig, _StateCfg
+
+    if isinstance(cfg, ReplicateConfig):
+        cfg = _StateCfg(cfg)
+    if epoch is None:
+        epoch = latest_epoch(ckpt_root)
+        if epoch is None:
+            raise ValueError(f"no restorable checkpoints under {ckpt_root}")
+
+    win_rows, swin_rows, sess_rows, views, buf_rows = [], [], [], [], []
+    for p in _partitions(ckpt_root):
+        base = os.path.join(ckpt_root, f"p{p:04d}")
+        chain = find_restore_chain(base, epoch)
+        if chain is None:
+            raise ValueError(
+                f"partition {p} has no restorable chain at epoch {epoch}")
+        st = PartitionState(p, cfg)
+        st.restore_chain(*chain)
+
+        for (key, ws), cell in st.win.items():
+            win_rows.append((p, key, ws, int(cell[0]), int(cell[1])))
+        for (key, ws), cell in st.swin.items():
+            swin_rows.append((p, key, ws, int(cell[0]), int(cell[1])))
+        for key, runs in st.sessions.items():
+            for iv in runs:
+                sess_rows.append((p, key, int(iv[0]), int(iv[1]),
+                                  int(iv[2]), int(iv[3])))
+        views.append(st.view_snapshot())
+        n_clips = sum(t.num_rows for t in st.clip_buf)
+        n_upd = sum(len(c[0]) for c in st.upd_chunks)
+        buf_rows.append((p, n_clips, n_upd))
+
+    def _wtable(rows):
+        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
+        return pa.table({
+            "partition": pa.array(cols[0], pa.int32()),
+            "clip_id": pa.array(cols[1], pa.string()),
+            "window_start": pa.array(cols[2], pa.int64()),
+            "cnt": pa.array(cols[3], pa.int64()),
+            "sum_dur_ms": pa.array(cols[4], pa.int64()),
+        })
+
+    sc = list(zip(*sess_rows)) if sess_rows else [[]] * 6
+    bc = list(zip(*buf_rows)) if buf_rows else [[], [], []]
+    view = (pa.concat_tables(views) if views
+            else pa.table({"clip_id": pa.array([], pa.string())}))
+    return {
+        "windows": _wtable(win_rows),
+        "sliding": _wtable(swin_rows),
+        "sessions": pa.table({
+            "partition": pa.array(sc[0], pa.int32()),
+            "clip_id": pa.array(sc[1], pa.string()),
+            "t_start": pa.array(sc[2], pa.int64()),
+            "t_end": pa.array(sc[3], pa.int64()),
+            "cnt": pa.array(sc[4], pa.int64()),
+            "sum_dur_ms": pa.array(sc[5], pa.int64()),
+        }),
+        "view": view,
+        "buffers": pa.table({
+            "partition": pa.array(bc[0], pa.int32()),
+            "pending_clips": pa.array(bc[1], pa.int64()),
+            "buffered_updates": pa.array(bc[2], pa.int64()),
+        }),
+    }

@@ -1,0 +1,80 @@
+"""Offline queryable state (`state/query.py read_state`)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import test_replicate as tr
+from hydra_ray.pipelines.replicate import ReplicatePipeline
+from hydra_ray.state.query import latest_epoch, read_state
+from hydra_ray.table import Table
+
+
+@pytest.fixture(scope="module")
+def run(tmp_path_factory, ray_session):
+    root = str(tmp_path_factory.mktemp("squery"))
+    clips, upd = tr.build_sources(root)
+    pipe = ReplicatePipeline(f"{root}/clips", f"{root}/out", tr.cfg(),
+                             f"{root}/updates")
+    pipe.run()
+    return root, clips, upd, pipe
+
+
+def test_final_view_matches_emitted_view(run):
+    root, clips, upd, pipe = run
+    e = latest_epoch(pipe.ckpt_root)
+    assert e is not None and e >= 0
+    state = read_state(pipe.ckpt_root, tr.cfg())
+    got = (state["view"].to_pandas()
+           .sort_values("clip_id").reset_index(drop=True))
+    emitted = (Table(f"{root}/out/views").to_arrow().to_pandas()
+               .sort_values("clip_id").reset_index(drop=True))
+    assert got["clip_id"].tolist() == emitted["clip_id"].tolist()
+    assert got["revision"].tolist() == emitted["revision"].tolist()
+    assert (got["transcript"].fillna("∅").tolist()
+            == emitted["transcript"].fillna("∅").tolist())
+
+
+def test_mid_run_state_is_inspectable(run):
+    """At an interior epoch the restored state holds OPEN windows and
+    sessions (the stream had not flushed); occupancy is per-partition."""
+    root, clips, upd, pipe = run
+    e = latest_epoch(pipe.ckpt_root)
+    mid = max(0, e - 1)
+    state = read_state(pipe.ckpt_root, tr.cfg(), epoch=mid)
+    win = state["windows"].to_pandas()
+    assert len(win) > 0
+    assert (win["cnt"] >= 1).all()
+    assert (win["sum_dur_ms"] >= win["cnt"]).all()  # dur ≥ 1ms each
+    assert set(win["partition"]) <= set(range(tr.cfg().num_partitions))
+    # window starts are aligned to the tumbling size
+    assert (win["window_start"] % tr.cfg().window_size_ms == 0).all()
+    buf = state["buffers"].to_pandas()
+    assert len(buf) == tr.cfg().num_partitions
+    sess = state["sessions"].to_pandas()
+    assert (sess["t_end"] >= sess["t_start"]).all()
+
+
+def test_read_state_is_read_only(run):
+    import hashlib
+    import os
+
+    root, clips, upd, pipe = run
+
+    def tree_digest(base):
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(base)):
+            for f in sorted(filenames):
+                p = os.path.join(dirpath, f)
+                h.update(p.encode())
+                h.update(str(os.path.getsize(p)).encode())
+        return h.hexdigest()
+
+    before = tree_digest(pipe.ckpt_root)
+    read_state(pipe.ckpt_root, tr.cfg())
+    assert tree_digest(pipe.ckpt_root) == before
+
+
+def test_missing_root_raises():
+    with pytest.raises(ValueError, match="no restorable"):
+        read_state("/tmp/does-not-exist-ckpt", tr.cfg())
