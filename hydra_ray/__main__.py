@@ -147,6 +147,10 @@ def _cmd_state(args) -> int:
         "view_keys": state["view"].num_rows,
         "buffers": state["buffers"].to_pylist(),
     }
+    for tier in ("dedup", "neardup"):
+        if tier in state:
+            summary[f"{tier}_entries"] = int(
+                sum(state[tier]["entries"].to_pylist()))
     if args.table:
         print(state[args.table].to_pandas().head(args.head).to_string())
     print(json.dumps(summary))
@@ -210,7 +214,7 @@ def main(argv=None) -> int:
     st.add_argument("--epoch", type=int)
     st.add_argument("--table",
                     choices=["windows", "sliding", "sessions", "view",
-                             "buffers"])
+                             "buffers", "dedup", "neardup"])
     st.add_argument("--head", type=int, default=20)
     st.add_argument("--join-window-ms", type=int, default=60_000)
     st.add_argument("--lateness-ms", type=int, default=30_000)

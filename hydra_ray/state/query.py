@@ -134,7 +134,7 @@ def read_state(ckpt_root: str, cfg, epoch: int | None = None
     bc = list(zip(*buf_rows)) if buf_rows else [[], [], []]
     view = (pa.concat_tables(views) if views
             else pa.table({"clip_id": pa.array([], pa.string())}))
-    return {
+    out = {
         "windows": _wtable(win_rows),
         "sliding": _wtable(swin_rows),
         "sessions": pa.table({
@@ -152,3 +152,54 @@ def read_state(ckpt_root: str, cfg, epoch: int | None = None
             "buffered_updates": pa.array(bc[2], pa.int64()),
         }),
     }
+    for key, prefix in (("dedup", "d"), ("neardup", "n")):
+        idx = _index_summary(ckpt_root, prefix)
+        if idx is not None:
+            out[key] = idx
+    return out
+
+
+def _index_summary(ckpt_root: str, prefix: str) -> pa.Table | None:
+    """Per-shard occupancy of a dedup ('d') / neardup ('n') index tier
+    at each shard's newest restorable epoch (index shards checkpoint on
+    their own epochs; the files share the full+delta chain convention)."""
+    shards = []
+    if os.path.isdir(ckpt_root):
+        for name in sorted(os.listdir(ckpt_root)):
+            if re.fullmatch(prefix + r"\d{4}", name):
+                shards.append(int(name[len(prefix):]))
+    if not shards:
+        return None
+    fname = "seen.npz" if prefix == "d" else "index.npz"
+    dname = "new.npz"
+    rows = []
+    for s in shards:
+        base = os.path.join(ckpt_root, f"{prefix}{s:04d}")
+        e = _max_restorable(base)
+        if e is None:
+            continue
+        full, deltas = find_restore_chain(base, e)
+        n, ts_lo, ts_hi = 0, None, None
+        for d, f in [(full, fname)] + [(d, dname) for d in deltas]:
+            p = os.path.join(d, f)
+            if not os.path.exists(p):
+                continue
+            z = np.load(p)
+            key = "h" if "h" in z else "keys"
+            n += len(z[key])
+            if len(z["ts"]):
+                lo, hi = int(z["ts"].min()), int(z["ts"].max())
+                ts_lo = lo if ts_lo is None else min(ts_lo, lo)
+                ts_hi = hi if ts_hi is None else max(ts_hi, hi)
+        rows.append((s, e, n, ts_lo if ts_lo is not None else -1,
+                     ts_hi if ts_hi is not None else -1))
+    if not rows:
+        return None
+    c = list(zip(*rows))
+    return pa.table({
+        "shard": pa.array(c[0], pa.int32()),
+        "epoch": pa.array(c[1], pa.int64()),
+        "entries": pa.array(c[2], pa.int64()),
+        "ts_min": pa.array(c[3], pa.int64()),
+        "ts_max": pa.array(c[4], pa.int64()),
+    })

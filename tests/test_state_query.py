@@ -78,3 +78,22 @@ def test_read_state_is_read_only(run):
 def test_missing_root_raises():
     with pytest.raises(ValueError, match="no restorable"):
         read_state("/tmp/does-not-exist-ckpt", tr.cfg())
+
+
+def test_dedup_index_summary(tmp_path, ray_session):
+    """With the dedup tier on, read_state surfaces per-shard index
+    occupancy; entries equal the distinct content count the tier kept."""
+    root = str(tmp_path)
+    clips, upd = tr.build_sources(root)
+    c = tr.cfg(dedup=True, num_dedup_shards=2)
+    pipe = ReplicatePipeline(f"{root}/clips", f"{root}/out", c,
+                             f"{root}/updates")
+    metrics = pipe.run()
+    state = read_state(pipe.ckpt_root, c)
+    assert "dedup" in state
+    ded = state["dedup"].to_pandas()
+    assert set(ded["shard"]) == {0, 1}
+    kept = metrics["replicated_out"]
+    assert ded["entries"].sum() == kept
+    assert (ded["ts_min"] >= 0).all() and (ded["ts_max"]
+                                           >= ded["ts_min"]).all()
