@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hard driver signal (rotate across rounds).
         # -- oracled, driver-unverified as of round 2 --
         "jaccard_search": q.q_jaccard_search,
+        "similarity_join": q.q_similarity_join,
         "decontaminate": q.q_decontaminate,
         "embedding_neardup": q.q_embedding_neardup,
         "token_stats": q.q_token_stats,
@@ -1618,6 +1619,35 @@ def oracle_sql() -> dict[str, str]:
                      FROM probe p JOIN g ON p.gram = g.gram GROUP BY 1, 2)
             SELECT probe_id, doc_id, CAST(n_overlap AS BIGINT) AS n_overlap
             FROM hits WHERE n_overlap >= 3
+        """,
+        "similarity_join": r"""
+            WITH sub AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+            ), corpus AS (
+                SELECT doc_id, text FROM sub
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM sub
+                WHERE doc_id % 7 = 0
+            ), d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                FROM corpus
+            ), sh AS (
+                SELECT DISTINCT doc_id, substr(t, CAST(u.i AS INT), 5) AS s
+                FROM d, unnest(generate_series(1, length(t) - 4)) AS u(i)
+            ), cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+                FROM sh a JOIN sh b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(m * 1.0 / (ca.c + cb.c - m), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON id_a = ca.doc_id
+            JOIN cnt cb ON id_b = cb.doc_id
+            WHERE round(m * 1.0 / (ca.c + cb.c - m), 6) >= 0.8
         """,
         "jaccard_search": r"""
             WITH d AS (SELECT doc_id,

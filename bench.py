@@ -43,7 +43,8 @@ QUERY_NAMES = [
     "discounted_revenue", "market_share", "important_parts",
     "ship_priority", "promo_suppliers", "components",
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
-    "jaccard_search", "decontaminate", "dup_spans", "dedup_cut",
+    "jaccard_search", "similarity_join", "decontaminate", "dup_spans",
+    "dedup_cut",
     "set_except", "set_intersect", "set_union", "window_distinct",
     "rolling_range", "cube_sales", "value_moments", "value_regression",
     "flag_aggregates", "first_last_event", "type_entropy", "value_mad", "fuzzy_match", "order_revenue", "avro_roundtrip", "window_quantiles",

@@ -2618,6 +2618,41 @@ def q_components(sf_dir):
         }), batch_format="pyarrow")
 
 
+def q_similarity_join(sf_dir):
+    """EXACT set-similarity self-join (prefix-filtering SSJoin /
+    PPJoin df-ordering — `neardup.similarity_join`): all document pairs
+    with 5-gram Jaccard ≥ 0.8 over a deterministic document subset
+    (doc_id % 5 == 0) ∪ planted copies (every 7th of those re-appears
+    under id+1e6, so exact-dup pairs provably exist).  Unlike the
+    MinHash-LSH path this join is COMPLETE, so the DuckDB pairwise-
+    Jaccard oracle checks it exactly.  The subset keeps the bench entry
+    honest: the synthetic corpus is LOW-ENTROPY (~2k distinct 5-grams
+    over 5.7k docs at sf0.1, 87%% with df ≥ 100), which defeats prefix-
+    filter selectivity by construction — on such data any exact SSJoin
+    degenerates toward all-pairs, which is the LSH tier's regime."""
+    from ..stages.neardup import similarity_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_copies(t: pa.Table) -> pa.Table:
+        ids0 = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids0 % 5 == 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        copies = t.filter(pa.array(ids % 7 == 0))
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                t["doc_id"].combine_chunks(),
+                pc.add(copies["doc_id"],
+                       pa.scalar(1_000_000)).combine_chunks()]),
+            "text": pa.concat_arrays([
+                t["text"].combine_chunks(),
+                copies["text"].combine_chunks()]),
+        })
+
+    corpus = ds.map_batches(with_copies, batch_format="pyarrow")
+    return similarity_join(corpus, threshold=0.8, k=5)
+
+
 def q_salted_agg(sf_dir):
     """Skew-safe two-stage aggregate: every key is hot (event_type has 5
     values over the whole table), so rows salt into (key, salt) partials

@@ -993,3 +993,252 @@ def hamming_near_pairs(
         lambda g: g.groupby(["id_a", "id_b"], as_index=False)["hamming"].min(),
         batch_format="pandas",
     )
+
+
+def similarity_join(
+    ds,
+    threshold: float,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """EXACT set-similarity self-join: every pair with k-gram Jaccard ≥
+    ``threshold`` — the prefix-filtering SSJoin (Chaudhuri et al. 2006;
+    Xiao et al. 2008 PPJoin ordering), the deterministic sibling of the
+    MinHash-LSH candidate path (LSH recall is probabilistic; this join
+    is complete, so it is SQL-oracle-checkable at any threshold).
+
+    Shape (three bucketed exchanges, never all-pairs):
+
+    1. DF — one shingle pass counts each gram's document frequency via
+       a hash(gram)-bucket reduce; the vocabulary-sized (gram, df)
+       table broadcasts (ray.put), defining the PPJoin global order
+       (df ascending, gram hash tiebreak — rare grams first, which is
+       what keeps prefixes selective).
+    2. PREFIX — second shingle pass; each doc emits ONLY its first
+       ``|d| − ceil(t·|d|) + 1`` grams under that order (prefix-filter
+       lemma: J ≥ t ⇒ overlap ≥ t·max(|a|,|b|) ≥ ceil(t·|d|) for both
+       sides ⇒ the two prefixes share ≥ 1 gram), tagged with |d|.  ONE
+       hash(gram)-bucket exchange pairs docs sharing a prefix gram;
+       the size filter |d_min| ≥ t·|d_max| prunes impossible pairs
+       before they leave the bucket.
+    3. VERIFY — candidates dedup (bucketed_distinct), texts attach via
+       the union/groupby lookup (the neardup_clusters pattern — texts
+       never touch the driver), and ``ngram_jaccard_batch`` computes
+       the exact ratio; pairs ≥ threshold emit (id_a, id_b, jaccard),
+       id_a < id_b, jaccard rounded to 6 (the oracle convention).
+
+    Same normalization + ≥k-chars contract as ``jaccard_range_search``
+    (short docs use a fallback whole-string shingle here but produce no
+    grams in SQL — keep oracle fixtures ≥ k normalized chars).
+    """
+    import ray
+
+    from ..hashing import hash64
+
+    t = float(threshold)
+
+    # ---- stage 1: global document frequencies (vocabulary-sized)
+    def gram_partial(tb: pa.Table) -> pa.Table:
+        texts = tb[text_col].to_pylist()
+        flat, starts = _batch_shingles(texts, k)
+        h, d = _unique_per_doc(flat, starts)
+        hh, cnt = np.unique(h, return_counts=True)
+        b = (hh % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "g": pa.array(hh.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+            "__bucket": pa.array(b),
+        })
+
+    def df_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("g", as_index=False)["n"].sum()
+        return out
+
+    df_tbl = (
+        ds.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(df_reduce, batch_format="pandas")
+        .to_pandas()
+    )
+    grams_sorted = np.sort(df_tbl["g"].to_numpy(np.int64)).astype(np.uint64)
+    dfs = df_tbl.set_index("g").loc[
+        grams_sorted.astype(np.int64), "n"].to_numpy(np.int64)
+    df_ref = ray.put((grams_sorted, dfs))
+
+    # ---- stage 2: prefix rows under the (df, gram) global order
+    def prefix_rows(tb: pa.Table) -> pa.Table:
+        gs, dfv = _bcast_get_local(df_ref)
+        texts = tb[text_col].to_pylist()
+        ids = tb[id_col].to_numpy(zero_copy_only=False)
+        flat, starts = _batch_shingles(texts, k)
+        h, d = _unique_per_doc(flat, starts)
+        empty = pa.table({
+            "g": pa.array([], pa.int64()),
+            "id": pa.array([], pa.int64()),
+            "sz": pa.array([], pa.int64()),
+            "__bucket": pa.array([], pa.int32()),
+        })
+        if not len(h):
+            return empty
+        pos = np.searchsorted(gs, h)
+        rank_df = dfv[np.minimum(pos, len(dfv) - 1)]
+        n_d = np.bincount(d, minlength=len(ids)).astype(np.int64)
+        p_d = n_d - np.ceil(t * n_d).astype(np.int64) + 1
+        # order within doc by (df asc, gram asc); take first p_d
+        order = np.lexsort((h, rank_df, d))
+        d_o, h_o = d[order], h[order]
+        run_start = np.cumsum(n_d) - n_d
+        ordinal = np.arange(len(d_o)) - run_start[d_o]
+        keep = ordinal < p_d[d_o]
+        g_keep = h_o[keep].astype(np.int64)
+        id_keep = ids[d_o[keep]]
+        sz_keep = n_d[d_o[keep]]
+        b = (h_o[keep] % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "g": pa.array(g_keep),
+            "id": pa.array(id_keep, pa.int64()),
+            "sz": pa.array(sz_keep),
+            "pos": pa.array(ordinal[keep]),
+            "__bucket": pa.array(b),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(g) < 2:
+            return empty
+        m = g.merge(g, on="g", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        if m.empty:
+            return empty
+        sa = m["sz_a"].to_numpy(np.int64)
+        sb = m["sz_b"].to_numpy(np.int64)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        keep = lo >= np.ceil(t * hi).astype(np.int64)  # size filter
+        # PPJoin positional filter: overlap ≤ 1 + min(remaining grams
+        # after this match on either side); required overlap
+        # α = ceil(t/(1+t)·(|a|+|b|)).  Completeness holds because a
+        # qualifying pair's FIRST shared prefix gram (smallest
+        # positions) satisfies the loosest version of this bound.
+        pa_ = m["pos_a"].to_numpy(np.int64)
+        pb_ = m["pos_b"].to_numpy(np.int64)
+        alpha = np.ceil((t / (1.0 + t)) * (sa + sb)).astype(np.int64)
+        ub = 1 + np.minimum(sa - 1 - pa_, sb - 1 - pb_)
+        keep &= ub >= alpha
+        return m.loc[keep, ["id_a", "id_b"]].drop_duplicates()
+
+    from .dedup import bucketed_distinct
+
+    cands = (
+        ds.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cands = bucketed_distinct(cands, ["id_a", "id_b"],
+                              num_buckets=num_buckets).materialize()
+
+    # ---- stage 3: attach texts + exact verification
+    union_schema = pa.schema([
+        ("lookup", pa.int64()),
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("role", pa.int8()),
+        ("text", pa.string()),
+    ])
+
+    def pair_rows(tb: pa.Table) -> pa.Table:
+        ia = tb["id_a"].to_numpy(zero_copy_only=False)
+        ib = tb["id_b"].to_numpy(zero_copy_only=False)
+        n = len(ia)
+        return pa.table({
+            "lookup": pa.array(np.concatenate([ia, ib])),
+            "id_a": pa.array(np.concatenate([ia, ia])),
+            "id_b": pa.array(np.concatenate([ib, ib])),
+            "role": pa.array(np.repeat(np.array([0, 1], np.int8), n),
+                             pa.int8()),
+            "text": pa.nulls(2 * n, pa.string()),
+        }, schema=union_schema)
+
+    def text_rows(tb: pa.Table) -> pa.Table:
+        n = tb.num_rows
+        return pa.table({
+            "lookup": tb[id_col].cast(pa.int64()),
+            "id_a": pa.nulls(n, pa.int64()),
+            "id_b": pa.nulls(n, pa.int64()),
+            "role": pa.array(np.full(n, -1, np.int8), pa.int8()),
+            "text": tb[text_col].cast(pa.string()),
+        }, schema=union_schema)
+
+    def bucket_of(tb: pa.Table) -> pa.Table:
+        b = (hash64(tb["lookup"]) % np.uint64(num_buckets)).astype(np.int32)
+        return tb.append_column("__bucket", pa.array(b))
+
+    both = (
+        cands.map_batches(pair_rows, batch_format="pyarrow")
+        .union(ds.map_batches(text_rows, batch_format="pyarrow",
+                              batch_size=1024))
+        .map_batches(bucket_of, batch_format="pyarrow")
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        pr = g[g["role"] >= 0]
+        tx = g.loc[g["role"] == -1, ["lookup", "text"]]
+        out = pr[["lookup", "id_a", "id_b", "role"]].merge(
+            tx, on="lookup", how="inner")
+        out = out[["id_a", "id_b", "role", "text"]].copy()
+        # the union's null-padded rows promote the id columns to
+        # float64 in pandas; restore int64 (driver dtype gate)
+        out["id_a"] = out["id_a"].astype("int64")
+        out["id_b"] = out["id_b"].astype("int64")
+        return out
+
+    def rebucket(tb: pa.Table) -> pa.Table:
+        h = hash64(tb["id_a"]) ^ (
+            hash64(tb["id_b"]) * np.uint64(0x9E3779B97F4A7C15))
+        return tb.append_column(
+            "__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    attached = (
+        both.groupby("__bucket")
+        .map_groups(attach, batch_format="pandas")
+        .map_batches(rebucket, batch_format="pyarrow")
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        })
+        if g.empty:
+            return empty
+        g = g.sort_values(["id_a", "id_b", "role"], kind="stable")
+        a = g[g["role"] == 0].reset_index(drop=True)
+        b = g[g["role"] == 1].reset_index(drop=True)
+        if len(a) != len(b):
+            keys_a = pd.MultiIndex.from_frame(a[["id_a", "id_b"]])
+            keys_b = pd.MultiIndex.from_frame(b[["id_a", "id_b"]])
+            common = keys_a.intersection(keys_b)
+            a = a.set_index(["id_a", "id_b"]).loc[common].reset_index()
+            b = b.set_index(["id_a", "id_b"]).loc[common].reset_index()
+        if not len(a):
+            return empty
+        jac = ngram_jaccard_batch(a["text"].tolist(), b["text"].tolist(), k)
+        out = pd.DataFrame({
+            "id_a": a["id_a"].to_numpy(),
+            "id_b": a["id_b"].to_numpy(),
+            "jaccard": np.round(jac, 6),
+        })
+        return out.loc[out["jaccard"] >= t]
+
+    return attached.groupby("__pb").map_groups(verify, batch_format="pandas")
+
+
+def _bcast_get_local(ref):
+    """ray.get with a per-worker cache (the broadcast-read idiom)."""
+    from .join import _bcast_get
+
+    return _bcast_get(ref)

@@ -1,0 +1,80 @@
+"""Exact set-similarity join (`neardup.similarity_join`)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hydra_ray.stages.neardup import _char_shingles, similarity_join
+
+K = 5
+
+
+def _corpus(n=80, seed=3):
+    """High-entropy texts (random words over a large alphabet) with
+    planted near-dup pairs: doc 3i+2 mutates doc 3i+1 lightly."""
+    rng = np.random.default_rng(seed)
+
+    def word():
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, 7))
+
+    texts = []
+    for i in range(n):
+        if i % 3 == 2 and i >= 2:
+            base = texts[i - 1].split()
+            j = rng.integers(0, len(base))
+            base[j] = word()
+            texts.append(" ".join(base))
+        else:
+            texts.append(" ".join(word() for _ in range(30)))
+    return texts
+
+
+def _brute(texts, threshold):
+    sets = [_char_shingles(t, K) for t in texts]
+    out = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(np.intersect1d(sets[a], sets[b]))
+            union = len(sets[a]) + len(sets[b]) - inter
+            j = inter / union if union else 1.0
+            if round(j, 6) >= threshold:
+                out.append((a, b, round(j, 6)))
+    return sorted(out)
+
+
+def _run(texts, threshold, n_blocks=4):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(n_blocks)
+    df = similarity_join(ds, threshold=threshold, k=K).to_pandas()
+    return sorted(zip(df["id_a"], df["id_b"], df["jaccard"]))
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_matches_bruteforce(ray_session, threshold):
+    texts = _corpus()
+    got = _run(texts, threshold)
+    ref = _brute(texts, threshold)
+    assert got == ref
+    assert len(ref) > 0  # planted mutations survive at both thresholds
+
+
+def test_partition_invariance_and_exact_copies(ray_session):
+    texts = _corpus(n=40, seed=9)
+    texts.append(texts[0])  # exact copy -> jaccard 1.0
+    a = _run(texts, 0.7, n_blocks=1)
+    b = _run(texts, 0.7, n_blocks=8)
+    assert a == b
+    assert (0, len(texts) - 1, 1.0) in a
+
+
+def test_low_entropy_corpus_still_exact(ray_session):
+    """Tiny vocabulary (the degenerate regime): every gram is common,
+    prefix filtering prunes nothing, results must STILL be exact."""
+    rng = np.random.default_rng(4)
+    words = ["aaaa", "bbbb", "cccc", "dddd"]
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(30)]
+    assert _run(texts, 0.6) == _brute(texts, 0.6)
