@@ -221,7 +221,8 @@ def connected_components(edges, src_col: str, dst_col: str,
 
 
 def pagerank(edges, src_col: str, dst_col: str, damping: float = 0.85,
-             iters: int = 20, max_nodes: int = 1_000_000_000):
+             iters: int = 20, max_nodes: int = 1_000_000_000,
+             local_edges_threshold: int = 200_000):
     """PageRank by broadcast-pull power iteration (fixed ``iters``).
 
     Input: a Dataset of DIRECTED int64 edges (a duplicated edge counts
@@ -261,6 +262,44 @@ def pagerank(edges, src_col: str, dst_col: str, damping: float = 0.85,
         })
 
     e = edges.map_batches(canon, batch_format="pyarrow").materialize()
+
+    # tiny-graph driver fast path: the whole power iteration is a few
+    # bincounts once edges fit one node (same broadcast-small-side rule
+    # as label_propagation / connected_components — 20 rounds of Dataset
+    # execution fixed cost dwarf the microseconds of math); identical
+    # output to the distributed loop (parity-tested)
+    if 0 < local_edges_threshold and e.count() <= local_edges_threshold:
+        import ray.data as rd
+
+        blocks = _fetch_arrow_blocks(e)
+        if blocks:
+            tbl = pa.concat_tables(blocks)
+            src = tbl["src"].to_numpy(zero_copy_only=False)
+            dst = tbl["dst"].to_numpy(zero_copy_only=False)
+            node_ids = np.unique(np.concatenate([src, dst]))
+            n = len(node_ids)
+            if n > max_nodes:    # same contract as the broadcast path
+                raise ValueError(
+                    f"pagerank's rank vector is O(nodes) state; {n} "
+                    f"nodes exceeds max_nodes={max_nodes}. Use "
+                    "pagerank_sharded (actor-sharded rank state).")
+            if n:
+                si = np.searchsorted(node_ids, src)
+                di = np.searchsorted(node_ids, dst)
+                outdeg = np.bincount(si, minlength=n).astype(np.float64)
+                dangling = outdeg == 0.0
+                safe_deg = np.where(dangling, 1.0, outdeg)
+                r = np.full(n, 1.0 / n)
+                for _ in range(int(iters)):
+                    base = (1.0 - d) / n + d * float(
+                        r[dangling].sum()) / n
+                    w = r / safe_deg
+                    c = np.bincount(di, weights=w[si], minlength=n)
+                    r = base + d * c
+                return rd.from_arrow(pa.table({
+                    "node": pa.array(node_ids, pa.int64()),
+                    "r": pa.array(r, pa.float64()),
+                }))
 
     # node table with outdegree: every endpoint appears (dst-only nodes
     # get outdeg 0 = dangling)

@@ -373,3 +373,21 @@ def test_cc_local_and_distributed_paths_identical(rd):
     assert (local == dist).all().all()
     ref = _uf_labels(pairs).reset_index(drop=True)
     assert (local == ref.astype("int64")).all().all()
+
+
+def test_pagerank_local_and_distributed_paths_identical(rd):
+    """The driver bincount fast path and the broadcast-pull loop rank
+    every node identically (1e-12; same float op order per iteration)."""
+    rng = np.random.default_rng(17)
+    edges = pd.DataFrame({"s": rng.integers(0, 300, 1500),
+                          "d": rng.integers(0, 300, 1500)})
+    from hydra_ray.stages.graph import pagerank
+
+    local = pagerank(rd.from_pandas(edges).repartition(4), "s", "d",
+                     iters=8).to_pandas().sort_values("node")
+    dist = pagerank(rd.from_pandas(edges).repartition(4), "s", "d",
+                    iters=8, local_edges_threshold=0
+                    ).to_pandas().sort_values("node")
+    assert local["node"].tolist() == dist["node"].tolist()
+    np.testing.assert_allclose(local["r"].to_numpy(),
+                               dist["r"].to_numpy(), atol=1e-12)
