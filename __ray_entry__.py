@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_except": q.q_set_except,
         "set_intersect": q.q_set_intersect,
         "set_union": q.q_set_union,
+        "bag_except": q.q_bag_except,
+        "bag_intersect": q.q_bag_intersect,
         "quality_scores": q.q_quality_scores,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
@@ -960,6 +962,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms
             FROM events WHERE event_type = 'click'
             UNION
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY}
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "bag_except": f"""
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms
+            FROM events WHERE event_type = 'click'
+            EXCEPT ALL
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY}
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "bag_intersect": f"""
+            SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY} AS day_ms
+            FROM events WHERE event_type = 'click'
+            INTERSECT ALL
             SELECT user_id, (epoch_ms(ts) // {DAY}) * {DAY}
             FROM events WHERE event_type = 'purchase'
         """,

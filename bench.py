@@ -45,7 +45,8 @@ QUERY_NAMES = [
     "minhash_neardup", "neardup_clusters", "simhash_neardup", "embedding_neardup",
     "jaccard_search", "similarity_join", "decontaminate", "dup_spans",
     "dedup_cut",
-    "set_except", "set_intersect", "set_union", "window_distinct",
+    "set_except", "set_intersect", "set_union", "bag_except",
+    "bag_intersect", "window_distinct",
     "rolling_range", "cube_sales", "value_moments", "value_regression",
     "flag_aggregates", "first_last_event", "type_entropy", "value_mad", "fuzzy_match", "order_revenue", "avro_roundtrip", "window_quantiles",
     "train_split", "source_cap", "stratified_sample", "value_quantiles",

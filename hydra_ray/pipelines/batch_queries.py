@@ -1697,6 +1697,27 @@ def q_set_union(sf_dir):
     return union_distinct(clicks, buys, ["user_id", "day_ms"])
 
 
+def q_bag_except(sf_dir):
+    """(user, day) click rows surviving bag difference against purchase
+    rows — SQL EXCEPT ALL: each pair keeps max(n_clicks − n_purchases,
+    0) duplicate rows.  The combiner ships per-block COUNTS, never a
+    row per duplicate (setops.except_all)."""
+    from ..stages.setops import except_all
+
+    clicks, buys = _setop_sides(sf_dir)
+    return except_all(clicks, buys, ["user_id", "day_ms"])
+
+
+def q_bag_intersect(sf_dir):
+    """(user, day) rows in the bag intersection of clicks and purchases
+    — SQL INTERSECT ALL: min(n_clicks, n_purchases) duplicate rows per
+    pair (setops.intersect_all)."""
+    from ..stages.setops import intersect_all
+
+    clicks, buys = _setop_sides(sf_dir)
+    return intersect_all(clicks, buys, ["user_id", "day_ms"])
+
+
 def q_dedup_cut(sf_dir):
     """Lee et al. substring-dedup CLEANING pass: per-doc bytes removed by
     cutting every duplicated 30-byte span except its canonical first
