@@ -291,3 +291,44 @@ def test_ebml_size_varint_roundtrip(v):
     b = _enc_size(v)
     got, nxt = _read_vint(memoryview(b), 0, len(b), keep_marker=False)
     assert got == v and nxt == len(b)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)),
+             max_size=40),
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)),
+             max_size=40),
+)
+@settings(max_examples=25, deadline=None)
+def test_bag_setops_match_multiset_arithmetic(rows_a, rows_b):
+    """except_all / intersect_all == counter arithmetic on multisets,
+    for any duplicate structure including empty sides."""
+    from collections import Counter
+
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.stages.setops import except_all, intersect_all
+
+    cols = ["k", "v"]
+    dfa = pd.DataFrame(rows_a or [(9, 9)][:0], columns=cols)
+    dfb = pd.DataFrame(rows_b or [(9, 9)][:0], columns=cols)
+    if dfa.empty:
+        dfa = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                            "v": pd.Series([], dtype="int64")})
+    if dfb.empty:
+        dfb = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                            "v": pd.Series([], dtype="int64")})
+    a, b = rd.from_pandas(dfa), rd.from_pandas(dfb)
+    ca, cb = Counter(map(tuple, rows_a)), Counter(map(tuple, rows_b))
+
+    got_e = Counter(map(tuple,
+                        except_all(a, b, cols).to_pandas().to_numpy()))
+    ref_e = Counter({k: n - cb.get(k, 0) for k, n in ca.items()
+                     if n - cb.get(k, 0) > 0})
+    assert got_e == ref_e
+
+    got_i = Counter(map(tuple,
+                        intersect_all(a, b, cols).to_pandas().to_numpy()))
+    ref_i = Counter({k: min(n, cb[k]) for k, n in ca.items() if k in cb})
+    assert got_i == ref_i
