@@ -116,8 +116,11 @@ class CsvDecoder:
         lines = batch[self.text_col].to_pylist()
         if self.header:
             lines = [ln for ln in lines if ln != self.header_line]
-        n = len(lines)
         try:
+            # fast path keeps empty physical lines: they may be blank
+            # lines INSIDE a quoted field (the batch join restores the
+            # newlines and pyarrow's reader resolves the quoting);
+            # standalone blank lines are ignored by ParseOptions
             parsed = self._parse_block(lines)
             err = pa.nulls(parsed.num_rows, pa.string())
             self.stats.rows_ok += parsed.num_rows
@@ -125,11 +128,42 @@ class CsvDecoder:
         except Exception:
             pass
         # slow path: isolate poison rows, coerce per column with per-row
-        # error capture
+        # error capture.  Physical lines first re-join into LOGICAL rows
+        # by quote parity (doubled "" escapes add 2, preserving parity),
+        # so a poison row elsewhere in the batch cannot silently
+        # TRUNCATE a quoted-newline row to its first line — only a
+        # quote left dangling at the batch boundary still DLQs (the
+        # documented boundary contract).  Standalone empty lines are
+        # not rows.
+        logical: list[str] = []
+        open_parts: list[str] = []
+        for ln in lines:
+            if open_parts:
+                open_parts.append(ln)
+                if ln.count('"') % 2 == 1:
+                    logical.append("\n".join(open_parts))
+                    open_parts = []
+            elif ln.count('"') % 2 == 1:
+                open_parts = [ln]
+            elif ln != "":
+                logical.append(ln)
+        dangling_idx = None
+        if open_parts:                      # dangling open quote → DLQ row
+            dangling_idx = len(logical)
+            logical.append("\n".join(open_parts))
+        lines = logical
+        n = len(lines)
         errors = np.full(n, None, dtype=object)
+        if dangling_idx is not None:        # csv.reader would silently
+            errors[dangling_idx] = (        # truncate it — stamp first
+                "CsvParseError: unterminated quoted field at batch "
+                "boundary")
         want = len(self.schema.names)
         fields: list[list] = []
         for i, ln in enumerate(lines):
+            if errors[i] is not None:
+                fields.append([None] * want)
+                continue
             try:
                 rows = list(csv.reader([ln], delimiter=self.delimiter))
                 f = rows[0] if rows else []
@@ -160,7 +194,7 @@ def read_csv_records(paths, schema: pa.Schema, delimiter: str = ",",
     decode-module DLQ split convention."""
     import ray.data as rd
 
-    ds = rd.read_text(paths, **read_kwargs)
+    ds = rd.read_text(paths, drop_empty_lines=False, **read_kwargs)
     return ds.map_batches(
         CsvDecoder(schema, delimiter=delimiter, header=header),
         batch_format="pyarrow",

@@ -86,3 +86,48 @@ def test_dataset_reader_end_to_end(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         good[["id", "name", "score", "ok", "ts"]], df.reset_index(drop=True)
     )
+
+
+def test_quoted_newlines_survive_slow_path(ray_session, tmp_path):
+    """A poison row forces the per-row slow path; quoted-newline rows
+    in the SAME batch must still re-join (quote parity), not silently
+    truncate to their first physical line (regression)."""
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "k": [1, 2, 3],
+        "x": [0.5, -1.25, 3e12],
+        "s": ["a\n\nb", "plain", 'q"uote,comma'],
+    })
+    p = str(tmp_path / "t.csv")
+    df.to_csv(p, index=False)
+    with open(p, "a") as f:
+        f.write("9,notafloat,z\n")
+    schema = pa.schema([("k", pa.int64()), ("x", pa.float64()),
+                       ("s", pa.string())])
+    out = read_csv_records(p, schema, override_num_blocks=1).to_pandas()
+    good = out[out["error"].isna()]
+    bad = out[out["error"].notna()]
+    assert good["s"].tolist() == df["s"].tolist()
+    assert good["x"].tolist() == df["x"].tolist()
+    assert len(bad) == 1 and "TypeCoercion" in bad["error"].iloc[0]
+
+
+def test_dangling_quote_at_batch_boundary_dlqs():
+    """A quote left open at the end of a batch cannot re-join; it must
+    DLQ explicitly, never silently truncate."""
+    import pyarrow as pa_
+
+    from hydra_ray.sources.csvlite import CsvDecoder
+
+    schema = pa.schema([("k", pa.int64()), ("s", pa.string())])
+    batch = pa_.table({"text": pa_.array(
+        ["k,s", "1,ok", 'x,"bad', '2,"fine"'])})
+    # 'x' poisons the fast path; '2,"fine"' is even-parity and fine;
+    # 'x,"bad' dangles (odd parity, swallows the rest)
+    out = CsvDecoder(schema)(batch).to_pandas()
+    good = out[out["error"].isna()]
+    assert good["s"].tolist() == ["ok"]
+    assert any("unterminated" in str(e) or "CsvParse" in str(e)
+               or "ColumnCount" in str(e) or "TypeCoercion" in str(e)
+               for e in out["error"].dropna())

@@ -332,3 +332,91 @@ def test_bag_setops_match_multiset_arithmetic(rows_a, rows_b):
                         intersect_all(a, b, cols).to_pandas().to_numpy()))
     ref_i = Counter({k: min(n, cb[k]) for k, n in ca.items() if k in cb})
     assert got_i == ref_i
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-10**9, 10**9),
+            st.floats(allow_nan=False, allow_infinity=False,
+                      width=64, min_value=-1e12, max_value=1e12),
+            st.text(alphabet='ab,"\n \'é-', min_size=0, max_size=12),
+        ),
+        min_size=1, max_size=25,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_csv_roundtrip_any_content(rows):
+    """pandas to_csv → read_csv_records is lossless for any cell
+    content, including embedded delimiters, quotes and newlines
+    (shortest-repr doubles parse back bit-exact).  One read block:
+    a quoted newline CAN fall on a read_text block boundary, where
+    re-join is impossible by design (the documented DLQ contract) —
+    in-batch behavior is the property under test."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from hydra_ray.sources.csvlite import read_csv_records
+
+    df = pd.DataFrame(rows, columns=["k", "x", "s"])
+    schema = pa.schema([("k", pa.int64()), ("x", pa.float64()),
+                       ("s", pa.string())])
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.csv")
+        df.to_csv(p, index=False)
+        back = read_csv_records(
+            p, schema, override_num_blocks=1).to_pandas()
+        assert back["error"].isna().all()
+        back = back.drop(columns="error").sort_values("k", kind="mergesort")
+        ref = df.sort_values("k", kind="mergesort")
+        assert back["k"].tolist() == ref["k"].tolist()
+        assert back["x"].tolist() == ref["x"].tolist()
+        # pandas writes empty string as NaN-less empty field; reader
+        # may surface it as null — both mean "no content"
+        got_s = back["s"].fillna("").tolist()
+        assert got_s == ref["s"].fillna("").tolist()
+
+
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(0, 900_000), st.integers(1, 100_000),
+    st.integers(0, 900_000), st.integers(1, 100_000),
+)
+@settings(max_examples=10, deadline=None)
+def test_zorder_box_queries_exact(seed, xlo, xw, ylo, yw):
+    """read_clustered over a zorder_write tree returns EXACTLY the
+    brute-force box filter for any box (pruning is I/O-only)."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hydra_ray.sinks import read_clustered, zorder_write
+
+    rng = np.random.default_rng(seed)
+    n = 3_000
+    t = pa.table({
+        "row_id": pa.array(np.arange(n, dtype=np.int64)),
+        "x": pa.array(rng.integers(0, 1_000_000, n, dtype=np.int64)),
+        "y": pa.array(rng.integers(0, 1_000_000, n, dtype=np.int64)),
+    })
+    root = f"/tmp/hydra_zprop/{uuid.uuid4().hex}"
+    try:
+        zorder_write(rd.from_arrow(t).repartition(4), ["x", "y"], root,
+                     num_partitions=16)
+        box = {"x": (xlo, xlo + xw), "y": (ylo, ylo + yw)}
+        ds, _files = read_clustered(root, box)
+        out = ds.to_pandas()
+        # a fully-filtered read loses column names (documented 0-row
+        # Dataset behavior) — empty means the empty set
+        got = set(out["row_id"]) if len(out) else set()
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        m = ((x >= xlo) & (x <= xlo + xw) & (y >= ylo) & (y <= ylo + yw))
+        assert got == set(t["row_id"].to_numpy()[m])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
