@@ -30,10 +30,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # DRIVER WINDOW (first 50 entries are oracle-checked by the
-        # driver). Ordered oracled-first; the 25 queries that lacked a
-        # driver row in round 2 lead so every oracle eventually gets a
-        # hard driver signal (rotate across rounds).
-        # -- oracled, driver-unverified as of round 2 --
+        # driver).  Round-4 rotation (VERDICT r3 #2): slots 1-32 are
+        # the 32 oracled queries that never had a driver CORRECTNESS
+        # row in r1-r3; slots 33-35 the r1-only trio; slots 36-50
+        # oldest (r2-only) verifications, displaced by new r4 oracles
+        # as they land.  After this round every oracle has >=1 hard
+        # driver signal (see CORRECTNESS_LEDGER.md).
+        # -- slots 1-32: never driver-verified before r4 --
+        "nation_trade": q.q_nation_trade,
+        "product_revenue": q.q_product_revenue,
+        "top_supplier": q.q_top_supplier,
+        "small_qty_revenue": q.q_small_qty_revenue,
+        "disjunctive_revenue": q.q_disjunctive_revenue,
+        "waiting_suppliers": q.q_waiting_suppliers,
+        "discounted_revenue": q.q_discounted_revenue,
+        "market_share": q.q_market_share,
+        "important_parts": q.q_important_parts,
+        "ship_priority": q.q_ship_priority,
+        "promo_suppliers": q.q_promo_suppliers,
+        "promo_share": q.q_promo_share,
+        "priority_count": q.q_priority_count,
+        "returned_revenue": q.q_returned_revenue,
+        "large_orders": q.q_large_orders,
+        "cheapest_supplier": q.q_cheapest_supplier,
+        "supplier_count": q.q_supplier_count,
+        "customer_distribution": q.q_customer_distribution,
+        "idle_balances": q.q_idle_balances,
+        "shipping_priority": q.q_shipping_priority,
+        "local_volume": q.q_local_volume,
+        "best_order": q.q_best_order,
+        "date_parts": q.q_date_parts,
+        "string_funcs": q.q_string_funcs,
+        "unpivot_events": q.q_unpivot_events,
+        "orc_roundtrip": q.q_orc_roundtrip,
+        "ipc_roundtrip": q.q_ipc_roundtrip,
+        "winsorize": q.q_winsorize,
+        "normalize_text": q.q_normalize_text,
+        "token_entropy": q.q_token_entropy,
+        "table_profile": q.q_table_profile,
+        "match_funnel": q.q_match_funnel,
+        # -- slots 33-35: last verified in round 1 --
+        "ann_range": q.q_ann_range,
+        "vector_norms": q.q_vector_norms,
+        "distinct_users": q.q_distinct_users,
+        # -- slots 36-50: last verified in round 2 (rotation fill;
+        # new r4 oracles displace from the END of this block) --
+        "upsert_compaction": q.q_upsert_compaction,
+        "rollup_sales": q.q_rollup_sales,
+        "cube_sales": q.q_cube_sales,
+        "rolling_range": q.q_rolling_range,
+        "rolling_value": q.q_rolling_value,
+        "value_bounds": q.q_value_bounds,
+        "quantile_sketch": q.q_quantile_sketch,
+        "hash_join": q.q_hash_join,
+        "left_join": q.q_left_join,
+        "anti_join": q.q_anti_join,
+        "bloom_semi_join": q.q_bloom_semi_join,
+        "global_rank": q.q_global_rank,
+        "value_dispersion": q.q_value_dispersion,
+        "funnel": q.q_funnel,
+        "replication_diff": q.q_replication_diff,
+        # -- oracled, past the 50-slot window (driver-verified in a
+        # recent round; rotate forward in later rounds) --
         "jaccard_search": q.q_jaccard_search,
         "similarity_join": q.q_similarity_join,
         "decontaminate": q.q_decontaminate,
@@ -57,15 +115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q.q_quality_scores,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
-        # components / zorder_scan / avro_evolution hold these three
-        # window slots this round (r1/r2 already driver-verified
-        # ann_range, vector_norms and distinct_users — rotation rule)
         "components": q.q_components,
         "ann_topk": q.q_ann_topk,
         "zorder_scan": q.q_zorder_scan,
         "avro_evolution": q.q_avro_evolution,
         "heavy_hitters": q.q_heavy_hitters,
-        # -- NEW oracled in round 3 (inside the window for a driver row) --
         "value_moments": q.q_value_moments,
         "value_regression": q.q_value_regression,
         "flag_aggregates": q.q_flag_aggregates,
@@ -88,28 +142,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap": q.q_interval_overlap,
         "sessionize": q.q_sessionize,
         "csv_roundtrip": q.q_csv_roundtrip,
-        "token_entropy": q.q_token_entropy,
-        "normalize_text": q.q_normalize_text,
-        "winsorize": q.q_winsorize,
-        "shipping_priority": q.q_shipping_priority,
-        "ipc_roundtrip": q.q_ipc_roundtrip,
-        "orc_roundtrip": q.q_orc_roundtrip,
-        # -- oracled, past the 50-slot window (rotate into it in r4) --
-        "ann_range": q.q_ann_range,
-        "vector_norms": q.q_vector_norms,
-        "distinct_users": q.q_distinct_users,
-        "best_order": q.q_best_order,
-        "date_parts": q.q_date_parts,
-        "string_funcs": q.q_string_funcs,
-        "unpivot_events": q.q_unpivot_events,
-        "local_volume": q.q_local_volume,
-        "promo_share": q.q_promo_share,
-        "priority_count": q.q_priority_count,
-        "returned_revenue": q.q_returned_revenue,
-        "large_orders": q.q_large_orders,
-        "match_funnel": q.q_match_funnel,
-        "table_profile": q.q_table_profile,
-        # -- oracled, driver-verified in round 2 --
         "tumbling_window": q.q_tumbling_window,
         "sliding_window": q.q_sliding_window,
         "session_window": q.q_session_window,
@@ -117,16 +149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q.q_asof_join,
         "value_quantiles": q.q_value_quantiles,
         "value_quantiles_cont": q.q_value_quantiles_cont,
-        "value_dispersion": q.q_value_dispersion,
-        "quantile_sketch": q.q_quantile_sketch,
         "pivot_events": q.q_pivot_events,
-        "rolling_value": q.q_rolling_value,
-        "rolling_range": q.q_rolling_range,
-        "value_bounds": q.q_value_bounds,
         "value_cume": q.q_value_cume,
         "lag_delta": q.q_lag_delta,
         "running_total": q.q_running_total,
-        "funnel": q.q_funnel,
         "value_histogram": q.q_value_histogram,
         "mode_user": q.q_mode_user,
         "value_corr": q.q_value_corr,
@@ -141,34 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_key_extract": q.q_json_key_extract,
         "events_per_day": q.q_events_per_day,
         "pricing_summary": q.q_pricing_summary,
-        "rollup_sales": q.q_rollup_sales,
-        "cube_sales": q.q_cube_sales,
         "salted_agg": q.q_salted_agg,
         "broadcast_enrich": q.q_broadcast_enrich,
-        "hash_join": q.q_hash_join,
-        "anti_join": q.q_anti_join,
-        "bloom_semi_join": q.q_bloom_semi_join,
-        "left_join": q.q_left_join,
-        "global_rank": q.q_global_rank,
         "value_ranks": q.q_value_ranks,
-        "replication_diff": q.q_replication_diff,
-        "upsert_compaction": q.q_upsert_compaction,
         "exact_dedup": q.q_exact_dedup,
-        "cheapest_supplier": q.q_cheapest_supplier,
-        "supplier_count": q.q_supplier_count,
-        "customer_distribution": q.q_customer_distribution,
-        "idle_balances": q.q_idle_balances,
-        "nation_trade": q.q_nation_trade,
-        "product_revenue": q.q_product_revenue,
-        "top_supplier": q.q_top_supplier,
-        "small_qty_revenue": q.q_small_qty_revenue,
-        "disjunctive_revenue": q.q_disjunctive_revenue,
-        "waiting_suppliers": q.q_waiting_suppliers,
-        "discounted_revenue": q.q_discounted_revenue,
-        "market_share": q.q_market_share,
-        "important_parts": q.q_important_parts,
-        "ship_priority": q.q_ship_priority,
-        "promo_suppliers": q.q_promo_suppliers,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.

@@ -152,6 +152,13 @@ def _cmd_state(args) -> int:
             summary[f"{tier}_entries"] = int(
                 sum(state[tier]["entries"].to_pylist()))
     if args.table:
+        if args.table not in state:
+            # dedup/neardup tiers exist only when the checkpoint tree has
+            # that index (ADVICE r3: don't KeyError on a bare tree)
+            print(f"no such state table {args.table!r}; "
+                  f"available: {sorted(state)}")
+            print(json.dumps(summary))
+            return 1
         print(state[args.table].to_pandas().head(args.head).to_string())
     print(json.dumps(summary))
     return 0

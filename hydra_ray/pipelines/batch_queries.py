@@ -579,13 +579,13 @@ def q_shipping_priority(sf_dir):
                 extc, pc.subtract(pa.scalar(100, pa.int64()), discc)),
         })
 
-    joined = bucketed_join(li.map_batches(prep_li, batch_format="pyarrow"),
-                           right, key="okey")
-
     def partial_top(t: pa.Table) -> pa.Table:
-        # blocks are okey-complete (bucketed_join reduce granularity)
-        # and date/priority are functions of okey — the per-order sum
-        # AND the block's top-10 both resolve here, no second exchange.
+        # runs INSIDE the bucketed_join reduce (reduce_fn): the bucket is
+        # okey-complete by construction and date/priority are functions
+        # of okey — the per-order sum AND the bucket's top-10 both
+        # resolve here, no second exchange.  (A chained map_batches
+        # could see a reduce block sliced mid-order by dynamic block
+        # splitting at larger scale factors.)
         okey = t["okey"].to_numpy(zero_copy_only=False)
         rev = t["rev_e4"].to_numpy(zero_copy_only=False)
         order = np.argsort(okey, kind="stable")
@@ -618,7 +618,8 @@ def q_shipping_priority(sf_dir):
 
     import ray
 
-    parts = joined.map_batches(partial_top, batch_format="pyarrow")
+    parts = bucketed_join(li.map_batches(prep_li, batch_format="pyarrow"),
+                          right, key="okey", reduce_fn=partial_top)
     merged = pa.concat_tables(
         [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows],
         promote_options="default",
@@ -4402,10 +4403,11 @@ def q_waiting_suppliers(sf_dir):
             "ship_ms": ts_to_ms(t["l_shipdate"]),
         }), batch_format="pyarrow")
 
-    joined = bucketed_join(left, right, key="okey")
-
     def sole_late_culprits(t: pa.Table) -> pa.Table:
-        # blocks are okey-complete (bucketed_join reduce granularity):
+        # runs INSIDE the bucketed_join reduce (reduce_fn), where the
+        # bucket table is okey-complete by construction — a chained
+        # map_batches could see a reduce block that Ray's dynamic block
+        # splitting sliced mid-order at larger scale factors.
         # resolve pairs, per-order counts and the sole-late filter here.
         okey = t["okey"].to_numpy(zero_copy_only=False)
         supp = t["supp"].to_numpy(zero_copy_only=False)
@@ -4432,9 +4434,11 @@ def q_waiting_suppliers(sf_dir):
         keep = (p_late == 1) & (n_supp[grp] > 1) & (n_late[grp] == 1)
         return pa.table({"s_suppkey": pa.array(p_sp[keep], pa.int64())})
 
+    joined = bucketed_join(left, right, key="okey",
+                           reduce_fn=sole_late_culprits)
+
     agg = grouped_aggregate(
-        joined.map_batches(sole_late_culprits, batch_format="pyarrow"),
-        ["s_suppkey"], [AggSpec("count", None, "numwait")])
+        joined, ["s_suppkey"], [AggSpec("count", None, "numwait")])
 
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
     named = broadcast_join(agg, supp, on="s_suppkey")

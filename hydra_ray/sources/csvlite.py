@@ -115,7 +115,19 @@ class CsvDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         lines = batch[self.text_col].to_pylist()
         if self.header:
-            lines = [ln for ln in lines if ln != self.header_line]
+            # drop header occurrences ONLY at even quote parity, i.e.
+            # standalone logical rows (repeated headers from concatenated
+            # file blocks).  A physical line equal to the header text that
+            # sits INSIDE a quoted multi-line field must survive, or the
+            # fast-path rejoin silently corrupts that row (ADVICE r3).
+            kept = []
+            parity = 0
+            for ln in lines:
+                if parity == 0 and ln == self.header_line:
+                    continue
+                kept.append(ln)
+                parity = (parity + ln.count('"')) % 2
+            lines = kept
         try:
             # fast path keeps empty physical lines: they may be blank
             # lines INSIDE a quoted field (the batch join restores the

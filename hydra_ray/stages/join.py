@@ -57,6 +57,7 @@ def bucketed_join(
     num_buckets: int = 32,
     suffix: str = "_r",
     bloom_fpp: float | None = None,
+    reduce_fn=None,
 ):
     """Partitioned hash join with BUCKETED reduce granularity.
 
@@ -79,8 +80,22 @@ def bucketed_join(
     leave it None unless the left side dominates the shuffle.  Not valid
     for left/outer joins (unmatched left rows must still be emitted with
     null padding, so nothing can be dropped).
+
+    ``reduce_fn`` (pa.Table -> pa.Table), when given, runs on the COMPLETE
+    merged bucket table inside the groupby reduce.  This is the only place
+    a downstream kernel may assume key-complete input: a separate
+    ``map_batches`` after the join sees blocks that Ray's dynamic block
+    splitting may have sliced at arbitrary row boundaries once a reduce
+    output exceeds ``target_max_block_size`` (~128 MiB), silently breaking
+    any per-key whole-group logic.  Fused kernels (per-key dedup/counts/
+    top-k) must therefore be passed here, not chained after the join.
     """
     from ..hashing import hash64
+
+    if reduce_fn is not None and bloom_fpp is not None and how == "anti":
+        # the bloom anti bypass emits left rows WITHOUT a bucket reduce,
+        # so reduce_fn would see key-incomplete batches there
+        raise ValueError("reduce_fn is incompatible with bloom_fpp anti joins")
 
     if bloom_fpp is not None:
         import ray
@@ -153,13 +168,15 @@ def bucketed_join(
         if how in ("semi", "anti"):
             hit = gl[key].isin(gr[key].unique())
             out = gl[hit if how == "semi" else ~hit]
-            return pa.Table.from_pandas(
+            out_t = pa.Table.from_pandas(
                 out, schema=left_only_schema, preserve_index=False
             )
+            return reduce_fn(out_t) if reduce_fn is not None else out_t
         out = gl.merge(gr, on=key, how=how, suffixes=("", suffix))
         # from_pandas semantics: NaN padding from outer joins → nulls,
         # ints stay ints; every block leaves with the identical schema
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        out_t = pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return reduce_fn(out_t) if reduce_fn is not None else out_t
 
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 

@@ -519,15 +519,16 @@ def video_neardup(ds, stride_ms: int = 500, max_hamming: int = 6,
     matching frame in the other (``shared`` ≥ ``min_shared`` keeps).
 
     Scale shape: the frame-pair exchange is the banded LSH bucket
-    exchange (never all-pairs); the per-pair reduce is one
-    grouped_aggregate over distinct matched positions; per-video frame
-    counts are entity-scale and broadcast.  Returns (video_a, video_b,
-    n_shared, shared) with video_a < video_b.
+    exchange (never all-pairs); the per-pair reduce is ONE pair-keyed
+    bucket exchange counting distinct matched positions on BOTH sides;
+    per-video frame counts are entity-scale and broadcast.  Returns
+    (video_a, video_b, n_shared, shared) with video_a < video_b, where
+    ``n_shared`` = distinct matched positions of the SHORTER video (so
+    ``shared`` = n_shared / min(frames) never exceeds 1.0).
     """
     import pyarrow.compute as pc
     import ray
 
-    from .dedup import bucketed_distinct
     from .neardup import hamming_near_pairs
     from .windows import AggSpec, grouped_aggregate
 
@@ -569,18 +570,34 @@ def video_neardup(ds, stride_ms: int = 500, max_hamming: int = 6,
         lo = np.where(swap, vb, va)
         hi = np.where(swap, va, vb)
         lo_pos = np.where(swap, fb, fa)
+        hi_pos = np.where(swap, fa, fb)
         return pa.table({
             "video_a": pa.array(lo, pa.string()),
             "video_b": pa.array(hi, pa.string()),
             "pos_a": pa.array(lo_pos.astype(np.int64), pa.int64()),
+            "pos_b": pa.array(hi_pos.astype(np.int64), pa.int64()),
         })
 
+    # ONE pair-keyed exchange; per pair count DISTINCT matched positions
+    # on EACH side so the score can use the shorter video's count (a few
+    # b-frames each matching many a-positions must not inflate shared
+    # past 1.0 — ADVICE r3).  Pair cardinality is video-pair scale.
+    from ..hashing import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["video_a"], t["video_b"], "\x1f")
+        b = (hash64(key) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["video_a", "video_b"], sort=False)
+                 .agg(n_a=("pos_a", "nunique"), n_b=("pos_b", "nunique"))
+                 .reset_index())
+
     vp = pairs.map_batches(to_video_pairs, batch_format="pyarrow")
-    distinct = bucketed_distinct(vp, ["video_a", "video_b", "pos_a"],
-                                 num_buckets=num_buckets)
-    scored = grouped_aggregate(
-        distinct.select_columns(["video_a", "video_b"]),
-        ["video_a", "video_b"], [AggSpec("count", None, "n_shared")])
+    scored = (vp.map_batches(tag, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(pair_counts, batch_format="pandas"))
 
     def finalize(t: pa.Table) -> pa.Table:
         from ..stages.join import _bcast_get
@@ -590,14 +607,17 @@ def video_neardup(ds, stride_ms: int = 500, max_hamming: int = 6,
                        t["video_a"].to_pylist()], np.float64)
         nb = np.array([cm.get(v, 1) for v in
                        t["video_b"].to_pylist()], np.float64)
-        ns = t["n_shared"].to_numpy(zero_copy_only=False).astype(
-            np.float64)
+        cnt_a = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt_b = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # distinct matched positions OF THE SHORTER video / its frames
+        ns = np.where(na <= nb, cnt_a, cnt_b)
         shared = ns / np.minimum(na, nb)
         keep = pa.array(shared >= min_shared)
         return pa.table({
             "video_a": t["video_a"].filter(keep),
             "video_b": t["video_b"].filter(keep),
-            "n_shared": pc.cast(t["n_shared"].filter(keep), pa.int64()),
+            "n_shared": pa.array(ns[shared >= min_shared].astype(np.int64),
+                                 pa.int64()),
             "shared": pa.array(
                 np.round(shared[shared >= min_shared], 4), pa.float64()),
         })

@@ -113,6 +113,31 @@ def test_quoted_newlines_survive_slow_path(ray_session, tmp_path):
     assert len(bad) == 1 and "TypeCoercion" in bad["error"].iloc[0]
 
 
+def test_header_text_inside_quoted_field_survives():
+    """The header filter drops ONLY standalone (even-quote-parity)
+    occurrences: a physical line equal to the header text that sits
+    inside a quoted multi-line field must survive the rejoin on both
+    the fast and slow paths (ADVICE r3 regression)."""
+    schema = pa.schema([("k", pa.int64()), ("s", pa.string())])
+    hdr = "k,s"
+    # fast path: quoted field whose middle line is exactly the header
+    batch = pa.table({"text": pa.array(
+        [hdr, '1,"a', hdr, 'b"', "2,plain"])})
+    out = CsvDecoder(schema)(batch).to_pandas()
+    assert out["error"].isna().all()
+    assert out["s"].tolist() == [f"a\n{hdr}\nb", "plain"]
+    # slow path (poison row in the same batch): same survival
+    batch2 = pa.table({"text": pa.array(
+        [hdr, '1,"a', hdr, 'b"', "notanint,oops", "2,plain"])})
+    out2 = CsvDecoder(schema)(batch2).to_pandas()
+    good = out2[out2["error"].isna()]
+    assert good["s"].tolist() == [f"a\n{hdr}\nb", "plain"]
+    # repeated standalone headers (concatenated file blocks) still drop
+    batch3 = pa.table({"text": pa.array([hdr, "1,x", hdr, "2,y"])})
+    out3 = CsvDecoder(schema)(batch3).to_pandas()
+    assert out3["k"].tolist() == [1, 2]
+
+
 def test_dangling_quote_at_batch_boundary_dlqs():
     """A quote left open at the end of a batch cannot re-join; it must
     DLQ explicitly, never silently truncate."""

@@ -138,3 +138,33 @@ def test_driver_window_all_oracled():
     oracled = set(entrymod.oracle_sql())
     head = qkeys[: min(50, len(oracled))]
     assert all(k in oracled for k in head), [k for k in head if k not in oracled]
+
+
+def test_correctness_ledger_current():
+    """CORRECTNESS_LEDGER.md must be regenerated whenever the driver window
+    or a CORRECTNESS_r*.json changes, and every oracled query must either
+    already have a green driver row or sit inside the current first-50
+    window — rotation debt can't silently re-accumulate (VERDICT r3 #8)."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import make_ledger
+    finally:
+        sys.path.pop(0)
+
+    with open(os.path.join(root, "CORRECTNESS_LEDGER.md")) as f:
+        on_disk = f.read()
+    assert on_disk == make_ledger.render(), (
+        "stale ledger — run: python tools/make_ledger.py"
+    )
+
+    rounds = make_ledger.collect_rounds()
+    window = set(make_ledger.window_names())
+    uncovered = [
+        n for n in make_ledger.oracled_names()
+        if n not in rounds and n not in window
+    ]
+    assert not uncovered, f"oracled but never driver-verified nor in window: {uncovered}"
