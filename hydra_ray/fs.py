@@ -1,0 +1,233 @@
+"""Pluggable storage backend for every durable artifact in the engine.
+
+The reference engine's durability contract is a replicated external
+service (`ingestors/kafka/.../algebras/KafkaClientAlgebra.scala:217-262`,
+`core/.../transport/Transport.scala:13-102`); the multi-node analogue for
+this engine is object storage (S3/GCS) reached through one
+``pyarrow.fs``-style abstraction.  Object stores have **atomic
+whole-object PUT** (optionally conditional: S3 ``If-None-Match``, GCS
+generation preconditions), GET, LIST, DELETE — and **no rename, no
+append, no in-place mutation**.  Every commit protocol in this repo
+(lancelite manifest versions, 2PC epoch publish, checkpoint chains,
+partitioned-sink ``_DONE`` markers) is therefore built on exactly that
+primitive set:
+
+- ``put(path, data, mode=...)`` — atomic whole-object create;
+  ``mode="create"`` raises if the object exists, ``"create_or_skip"``
+  returns False instead (the conditional-PUT pointer check that decides
+  manifest-version races), ``"overwrite"`` is permitted only on the
+  local backend (object-store code paths must never need it).
+- ``get`` / ``exists`` / ``list_dir`` / ``delete`` / ``delete_tree``.
+- ``put_table`` / ``get_table`` — parquet through an in-memory buffer,
+  so a fragment or checkpoint object is either fully visible or absent
+  (object-store PUT semantics, emulated locally via temp + hard link).
+
+Backends:
+
+- ``LocalFS`` — the default; plain local filesystem.  It MAY use rename
+  internally (e.g. the bulk-load ``adopt_file`` fast path) because
+  renames exist there, but no commit protocol RELIES on it.
+- ``StrictObjectFS`` — the object-store shim used by tests: same local
+  directory underneath (so parquet readers and ``ray.data.read_parquet``
+  keep working on the produced files), but the API **forbids rename and
+  in-place overwrite** — any code path that still needs either fails
+  loudly under this backend.  In a real deployment this class is the
+  template for an S3/GCS implementation: swap the os calls for
+  conditional PUT / GET / LIST-prefix, and ``local_path`` for the
+  object URI handed to ``read_parquet(filesystem=...)``.
+
+Roots are plain paths (→ LocalFS) or ``strict://<path>`` (→ the shim);
+``resolve(root)`` returns ``(fs, base_path)``.  The scheme propagates
+through every derived path (``os.path.join`` keeps the prefix), so a
+whole pipeline — lancelite tables, checkpoints, sinks — switches
+backend by prefixing ONE root string.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["StorageFS", "LocalFS", "StrictObjectFS", "resolve"]
+
+_STRICT_SCHEME = "strict://"
+
+
+class StorageFS:
+    """Object-store-compatible primitive set (see module docstring)."""
+
+    scheme = ""
+
+    # ----------------------------------------------------------- objects
+    def put(self, path: str, data: bytes, *, mode: str = "create") -> bool:
+        raise NotImplementedError
+
+    def get(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        """Names directly under ``path`` ([] if absent) — the LIST-prefix
+        primitive (local dirs emulate object-key prefixes)."""
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.listdir(path))
+
+    def delete(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+
+    def delete_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def ensure_dir(self, path: str) -> None:
+        """mkdir -p; a no-op for real object stores (keys are flat)."""
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------ parquet
+    def local_path(self, path: str) -> str:
+        """A path readable by parquet readers / ``ray.data.read_parquet``.
+        Both sandbox backends store real local files; an S3/GCS
+        implementation returns the object URI instead (plus a
+        ``pyarrow.fs`` handle via ``read_parquet(filesystem=...)``)."""
+        return path
+
+    def put_table(self, table: pa.Table, path: str, *,
+                  compression: str = "zstd",
+                  compression_level: int | None = 1,
+                  mode: str = "create") -> int:
+        """Parquet-serialize ``table`` and PUT it as one atomic object.
+        Returns the object size in bytes."""
+        sink = pa.BufferOutputStream()
+        pq.write_table(
+            table, sink, compression=compression,
+            compression_level=compression_level
+            if compression == "zstd" else None,
+        )
+        data = sink.getvalue().to_pybytes()
+        self.put(path, data, mode=mode)
+        return len(data)
+
+    def get_table(self, path: str, columns: list[str] | None = None) -> pa.Table:
+        return pq.read_table(self.local_path(path), columns=columns)
+
+    # ---------------------------------------------------------- bulk load
+    def adopt_file(self, local_src: str, dest_path: str) -> None:
+        """Adopt an existing LOCAL file (e.g. a Ray ``write_parquet``
+        output) as a new object at ``dest_path``.  Local backend renames;
+        object backends upload (copy) then delete the source."""
+        raise NotImplementedError
+
+
+class LocalFS(StorageFS):
+    """Default backend: plain local filesystem."""
+
+    scheme = ""
+    supports_rename = True
+
+    def put(self, path: str, data: bytes, *, mode: str = "create") -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(path), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        if mode == "overwrite":
+            os.replace(tmp, path)
+            return True
+        try:
+            os.link(tmp, path)  # atomic create-if-absent
+            return True
+        except FileExistsError:
+            if mode == "create_or_skip":
+                return False
+            raise
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def adopt_file(self, local_src: str, dest_path: str) -> None:
+        os.makedirs(os.path.dirname(dest_path), exist_ok=True)
+        os.replace(local_src, dest_path)
+
+
+class StrictObjectFS(StorageFS):
+    """Object-store shim: forbids rename and in-place overwrite.
+
+    Used by tests to prove every commit protocol works with only the
+    S3/GCS primitive set.  Objects are write-once: ``mode="overwrite"``
+    raises, ``"create"`` raises on an existing key, ``"create_or_skip"``
+    is the conditional PUT.  There is deliberately NO rename API.
+    """
+
+    scheme = _STRICT_SCHEME
+    supports_rename = False
+
+    def put(self, path: str, data: bytes, *, mode: str = "create") -> bool:
+        if mode == "overwrite":
+            raise PermissionError(
+                f"StrictObjectFS forbids in-place overwrite: {path}"
+            )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(path), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # emulates atomic conditional PUT
+            return True
+        except FileExistsError:
+            if mode == "create_or_skip":
+                return False
+            raise
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def adopt_file(self, local_src: str, dest_path: str) -> None:
+        with open(local_src, "rb") as f:
+            data = f.read()
+        self.put(dest_path, data, mode="create")
+        os.unlink(local_src)
+
+
+_LOCAL = LocalFS()
+_STRICT = StrictObjectFS()
+
+
+def resolve(root: str) -> tuple[StorageFS, str]:
+    """``root`` → (backend, base path).  ``strict://<path>`` selects the
+    object-store shim; anything else is the local backend.  The scheme
+    survives ``os.path.join`` on derived paths, so resolving any child
+    path of a strict root yields the strict backend again."""
+    if root.startswith(_STRICT_SCHEME):
+        return _STRICT, os.path.abspath(root[len(_STRICT_SCHEME):])
+    return _LOCAL, os.path.abspath(root)
+
+
+def with_scheme(fs: StorageFS, path: str) -> str:
+    """Re-attach ``fs``'s scheme to a resolved path (for handing roots
+    to other processes/actors so they resolve the same backend)."""
+    return f"{fs.scheme}{path}" if fs.scheme else path

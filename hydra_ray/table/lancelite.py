@@ -8,21 +8,26 @@ Lance sink using per-partition epoch IDs and two-phase commit"):
 1. **Versioned manifests** — every commit writes an immutable JSON
    manifest ``_versions/{v:06d}.json`` listing ALL live fragments (parquet
    files) with row counts and the ``(partition, epoch)`` that produced
-   them.  Manifest creation is atomic (`os.link` of a temp file → the
-   final name fails if the version already exists, so exactly one writer
-   wins a version number).
+   them.  Manifest creation is a conditional atomic PUT
+   (``fs.put(mode="create")``: locally an `os.link` create-if-absent, on
+   an object store S3 ``If-None-Match`` / GCS generation precondition),
+   so exactly one writer wins a version number.
 2. **Delta reads** — ``read_fragments(after_version, up_to_version)``
    returns only the fragments added in that version range; this is the
    micro-batch source (the reference's seeked consumer stream,
    `ingestors/kafka/.../algebras/KafkaClientAlgebra.scala:402-434`).
-3. **Two-phase commit** — phase 1: writers stage fragments under
-   ``_staged/`` (``stage_fragment``); phase 2: the driver calls
-   ``commit_epoch`` which renames staged files into ``data/`` and writes
-   one manifest recording the epoch in the table properties.  A crash
-   between the phases leaves only orphaned staged files, which a later
-   ``commit_epoch`` / ``gc_staged`` discards.  Re-committing an
-   already-committed epoch is a **no-op** — this is what turns the
-   reference's at-least-once redelivery
+3. **Two-phase commit, rename-free** — phase 1: writers write fragment
+   objects directly into ``data/`` (``stage_fragment``); a fragment is
+   *staged* = written but referenced by no manifest, hence invisible to
+   every reader.  Phase 2: the driver calls ``commit_epoch``, which
+   appends ONE manifest version referencing the fragments and recording
+   the epoch in the table properties — a pure manifest-log append
+   (write-new-object + conditional-PUT pointer check), no rename
+   anywhere, so the identical protocol runs on S3/GCS.  A crash between
+   the phases leaves only unreferenced fragment objects, which
+   ``gc_staged`` discards.  Re-committing an already-committed epoch is
+   a **no-op** — this is what turns the reference's at-least-once
+   redelivery
    (`core/src/main/scala/hydra/core/transport/Transport.scala:27-49`)
    into exact idempotence.
 4. **Properties / commit log** — each manifest carries a free-form
@@ -31,10 +36,13 @@ Lance sink using per-partition epoch IDs and two-phase commit"):
    offsets-checkpoint topic
    (`.../util/ConsumerGroupsOffsetConsumer.scala:59-74, 219-248`).
 
-At 100 TB the same layout holds: fragments are immutable parquet files in
-object storage, manifests are tiny JSON objects, and the atomic-create
-primitive maps to conditional PUT.  Copy-forward manifests grow O(number
-of fragments); compaction (``checkpoint_manifest``) rewrites the list.
+At 100 TB the same layout holds: fragments are immutable parquet objects,
+manifests are tiny JSON objects, and the atomic-create primitive maps to
+conditional PUT.  All I/O goes through ``hydra_ray.fs`` (``LocalFS`` by
+default; a ``strict://`` root selects the object-store shim that forbids
+rename and in-place overwrite — the whole protocol is tested against
+both).  Copy-forward manifests grow O(number of fragments); ``compact``
+rewrites the list.
 """
 
 from __future__ import annotations
@@ -47,6 +55,8 @@ from typing import Any
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from ..fs import resolve, with_scheme
 
 __all__ = ["FragmentMeta", "Table"]
 
@@ -103,7 +113,10 @@ class Table:
     _SCHEMA_UNSET = object()
 
     def __init__(self, root: str):
-        self.root = os.path.abspath(root)
+        self.fs, self.root = resolve(root)
+        #: pass ``uri`` (not ``root``) to other processes/actors so they
+        #: resolve the same storage backend
+        self.uri = with_scheme(self.fs, self.root)
         # per-instance memo for the stage-time schema check (hot path):
         # sink tables are schema-less, so this avoids a manifest parse per
         # staged fragment; mid-run evolution only ADDS nullable columns,
@@ -128,9 +141,8 @@ class Table:
         (`avro/.../registry/SchemaRegistry.scala:118-129`).
         """
         t = cls(root)
-        os.makedirs(os.path.join(t.root, _MANIFEST_DIR), exist_ok=True)
-        os.makedirs(os.path.join(t.root, _STAGE_DIR), exist_ok=True)
-        os.makedirs(os.path.join(t.root, _DATA_DIR), exist_ok=True)
+        t.fs.ensure_dir(os.path.join(t.root, _MANIFEST_DIR))
+        t.fs.ensure_dir(os.path.join(t.root, _DATA_DIR))
         if key:
             if schema is None:
                 raise ValueError("a key declaration requires a schema")
@@ -170,7 +182,8 @@ class Table:
 
     @classmethod
     def exists(cls, root: str) -> bool:
-        return os.path.isdir(os.path.join(os.path.abspath(root), _MANIFEST_DIR))
+        fs, base = resolve(root)
+        return fs.isdir(os.path.join(base, _MANIFEST_DIR))
 
     def schema(self) -> pa.Schema | None:
         m = self._manifest(self.latest_version())
@@ -183,12 +196,9 @@ class Table:
         return os.path.join(self.root, _MANIFEST_DIR, f"{version:06d}.json")
 
     def latest_version(self) -> int | None:
-        d = os.path.join(self.root, _MANIFEST_DIR)
-        if not os.path.isdir(d):
-            return None
         versions = [
             int(name.split(".")[0])
-            for name in os.listdir(d)
+            for name in self.fs.list_dir(os.path.join(self.root, _MANIFEST_DIR))
             if name.endswith(".json") and not name.startswith(".")
         ]
         return max(versions) if versions else None
@@ -196,23 +206,18 @@ class Table:
     def _manifest(self, version: int | None) -> _Manifest:
         if version is None:
             raise FileNotFoundError(f"no manifests in {self.root}")
-        with open(self._manifest_path(version)) as f:
-            return _Manifest.from_json(json.load(f))
+        return _Manifest.from_json(
+            json.loads(self.fs.get(self._manifest_path(version)))
+        )
 
     def _write_manifest(self, m: _Manifest) -> int:
-        """Atomically create manifest for ``m.version``; raise if taken."""
-        tmp = os.path.join(
-            self.root, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json"
+        """Atomically create manifest for ``m.version``; raise if taken
+        (conditional PUT — the manifest-log pointer check)."""
+        self.fs.put(
+            self._manifest_path(m.version),
+            json.dumps(m.to_json()).encode(),
+            mode="create",
         )
-        with open(tmp, "w") as f:
-            json.dump(m.to_json(), f)
-            f.flush()
-            os.fsync(f.fileno())
-        final = self._manifest_path(m.version)
-        try:
-            os.link(tmp, final)  # atomic create-if-absent
-        finally:
-            os.unlink(tmp)
         return m.version
 
     def properties(self) -> dict[str, Any]:
@@ -231,7 +236,8 @@ class Table:
         return [f for f in self._manifest(v).fragments if f.added_version > after_version]
 
     def fragment_paths(self, frags: list[FragmentMeta]) -> list[str]:
-        return [os.path.join(self.root, f.path) for f in frags]
+        return [self.fs.local_path(os.path.join(self.root, f.path))
+                for f in frags]
 
     def to_dataset(
         self,
@@ -333,15 +339,13 @@ class Table:
     ) -> FragmentMeta:
         name = f"f-{uuid.uuid4().hex}.parquet"
         rel = os.path.join(subdir, name)
-        full = os.path.join(self.root, rel)
-        pq.write_table(
-            data, full, compression=compression,
-            compression_level=1 if compression == "zstd" else None,
+        nbytes = self.fs.put_table(
+            data, os.path.join(self.root, rel), compression=compression,
         )
         return FragmentMeta(
             path=rel,
             rows=data.num_rows,
-            bytes=os.path.getsize(full),
+            bytes=nbytes,
             partition=partition,
             epoch=epoch,
         )
@@ -447,7 +451,7 @@ class Table:
             return s.empty_table() if s is not None else pa.table({})
         tables = []
         for f in frags:
-            t = pq.read_table(os.path.join(self.root, f.path))
+            t = self.fs.get_table(os.path.join(self.root, f.path))
             if "__tombstone" not in t.column_names:
                 t = t.append_column(
                     "__tombstone", pa.array([False] * t.num_rows, pa.bool_())
@@ -470,15 +474,19 @@ class Table:
     ) -> FragmentMeta:
         """Phase 1 of 2PC: write a staged fragment (sink actors call this).
 
-        ``compression="snappy"`` for payload-heavy fragments (float32 PCM
-        barely compresses under zstd but costs real CPU per epoch).
-        Writes against a schema-declared table enforce the same evolution
-        rules as ``append`` (evolution itself happens via ``append``)."""
+        The fragment object lands directly in ``data/`` — *staged* means
+        "referenced by no manifest yet", so it is invisible to every
+        reader and no rename is needed at commit (object-store
+        compatible).  ``compression="snappy"`` for payload-heavy
+        fragments (float32 PCM barely compresses under zstd but costs
+        real CPU per epoch).  Writes against a schema-declared table
+        enforce the same evolution rules as ``append`` (evolution itself
+        happens via ``append``)."""
         if self._stage_schema is Table._SCHEMA_UNSET:
             self._stage_schema = self.schema()
         if self._stage_schema is not None:
             self.check_schema(data.schema)
-        return self._write_fragment(data, _STAGE_DIR, partition, epoch, compression)
+        return self._write_fragment(data, _DATA_DIR, partition, epoch, compression)
 
     def committed_epoch(self, pipeline: str) -> int:
         """Last committed epoch for ``pipeline`` (-1 = none)."""
@@ -503,27 +511,14 @@ class Table:
         """
         committed = self.committed_epoch(pipeline)
         if epoch <= committed:
+            # replayed epoch: its freshly staged fragments are referenced
+            # by no manifest — delete the orphan objects outright
             for f in staged:
-                p = os.path.join(self.root, f.path)
-                if os.path.exists(p):
-                    os.unlink(p)
+                self.fs.delete(os.path.join(self.root, f.path))
             return False
         if epoch != committed + 1:
             raise ValueError(
                 f"epoch gap: committing {epoch} but last committed is {committed}"
-            )
-        moved: list[FragmentMeta] = []
-        for f in staged:
-            new_rel = os.path.join(_DATA_DIR, os.path.basename(f.path))
-            os.replace(os.path.join(self.root, f.path), os.path.join(self.root, new_rel))
-            moved.append(
-                FragmentMeta(
-                    path=new_rel,
-                    rows=f.rows,
-                    bytes=f.bytes,
-                    partition=f.partition,
-                    epoch=f.epoch,
-                )
             )
         pipelines = dict(self.properties().get("pipelines", {}))
         state = dict(pipelines.get(pipeline, {}))
@@ -531,7 +526,8 @@ class Table:
         if extra_state:
             state.update(extra_state)
         pipelines[pipeline] = state
-        self._commit_fragments(moved, {"pipelines": pipelines})
+        # the manifest append IS the publish: no file moves (rename-free)
+        self._commit_fragments(list(staged), {"pipelines": pipelines})
         return True
 
     def update_pipeline_state(self, pipeline: str, updates: dict[str, Any]) -> int:
@@ -607,7 +603,7 @@ class Table:
                     continue
                 tables = []
                 for f in run:  # manifest/version order = MVCC order
-                    t = pq.read_table(os.path.join(self.root, f.path))
+                    t = self.fs.get_table(os.path.join(self.root, f.path))
                     if "__tombstone" not in t.column_names:
                         t = t.append_column(
                             "__tombstone", pa.array([False] * t.num_rows, pa.bool_())
@@ -652,7 +648,8 @@ class Table:
                         keep.extend(b)
                         continue
                     tbl = pa.concat_tables(
-                        [pq.read_table(os.path.join(self.root, f.path)) for f in b],
+                        [self.fs.get_table(os.path.join(self.root, f.path))
+                         for f in b],
                         promote_options="default",
                     )
                     m = self._write_fragment(tbl, _DATA_DIR, part, None)
@@ -687,19 +684,34 @@ class Table:
         raise RuntimeError(f"compact: too much commit contention at {self.root}")
 
     def gc_staged(self) -> int:
-        """Discard orphaned staged fragments (aborted epochs)."""
-        d = os.path.join(self.root, _STAGE_DIR)
+        """Discard orphaned fragment objects: files under ``data/`` that
+        no manifest version references (aborted/replayed epochs, crashed
+        writers).  Single-maintainer contract: call only with no writers
+        in flight (the driver runs it between epochs / at startup)."""
+        referenced: set[str] = set()
+        for name in self.fs.list_dir(os.path.join(self.root, _MANIFEST_DIR)):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            m = self._manifest(int(name.split(".")[0]))
+            referenced.update(f.path for f in m.fragments)
         n = 0
-        for name in os.listdir(d):
-            os.unlink(os.path.join(d, name))
+        for name in self.fs.list_dir(os.path.join(self.root, _DATA_DIR)):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in referenced:
+                self.fs.delete(os.path.join(self.root, rel))
+                n += 1
+        # legacy layout: clear any pre-rename-free staged files too
+        for name in self.fs.list_dir(os.path.join(self.root, _STAGE_DIR)):
+            self.fs.delete(os.path.join(self.root, _STAGE_DIR, name))
             n += 1
         return n
 
     # ---------------------------------------------------------- maintenance
     def register_parquet_dir(self, directory: str) -> int:
-        """Adopt every parquet file of ``directory`` (e.g. a Ray Data
-        ``write_parquet`` output) as fragments via rename — the bulk-load
-        path used to build bench inputs in parallel."""
+        """Adopt every parquet file of LOCAL ``directory`` (e.g. a Ray
+        Data ``write_parquet`` output) as fragments — rename on the local
+        backend, upload on object backends (``fs.adopt_file``); the
+        bulk-load path used to build bench inputs in parallel."""
         frags = []
         for name in sorted(os.listdir(directory)):
             if not name.endswith(".parquet"):
@@ -707,10 +719,11 @@ class Table:
             rel = os.path.join(_DATA_DIR, f"f-{uuid.uuid4().hex}.parquet")
             src = os.path.join(directory, name)
             md = pq.read_metadata(src)
-            os.replace(src, os.path.join(self.root, rel))
+            self.fs.adopt_file(src, os.path.join(self.root, rel))
             frags.append(
                 FragmentMeta(
-                    path=rel, rows=md.num_rows, bytes=os.path.getsize(os.path.join(self.root, rel))
+                    path=rel, rows=md.num_rows,
+                    bytes=self.fs.size(os.path.join(self.root, rel)),
                 )
             )
         return self._commit_fragments(frags)

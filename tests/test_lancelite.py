@@ -66,7 +66,7 @@ def test_crash_between_prepare_and_commit(tmp_path):
     # epoch 1: staged but "crash" before commit (fragment orphaned)
     t.stage_fragment(_tbl(5, 4), 1, 0)
     # restart: last committed epoch is 0 → re-run epoch 1 from scratch
-    t2 = Table(t.root)
+    t2 = Table(t.uri)
     assert t2.committed_epoch("pipe") == 0
     assert t2.gc_staged() == 1
     s_retry = t2.stage_fragment(_tbl(5, 4), 1, 0)
