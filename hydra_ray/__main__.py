@@ -137,8 +137,19 @@ def _cmd_state(args) -> int:
         sliding_slide_ms=args.sliding_slide_ms or args.window_ms,
     )
     root = f"{args.out}/_checkpoints"
-    epoch = args.epoch if args.epoch is not None else latest_epoch(root)
-    state = read_state(root, cfg, epoch=epoch)
+    # a rescale moves partition dirs under a committed layout generation
+    layout = ""
+    try:
+        from .table import Table
+
+        layout = str(
+            Table(f"{args.out}/replicated")
+            .pipeline_state("replicate").get("ckpt_layout", "") or "")
+    except FileNotFoundError:
+        pass
+    epoch = (args.epoch if args.epoch is not None
+             else latest_epoch(root, layout))
+    state = read_state(root, cfg, epoch=epoch, layout=layout)
     summary = {
         "epoch": epoch,
         "open_windows": state["windows"].num_rows,

@@ -231,3 +231,72 @@ def with_scheme(fs: StorageFS, path: str) -> str:
     """Re-attach ``fs``'s scheme to a resolved path (for handing roots
     to other processes/actors so they resolve the same backend)."""
     return f"{fs.scheme}{path}" if fs.scheme else path
+
+
+# ------------------------------------------------------------------ helpers
+# Path-resolving one-liners for call sites that hold scheme-carrying paths
+# (checkpoint trees, sink roots).  ``mode="create_or_skip"`` is the default
+# for checkpoint artifacts: a re-save at the same (partition, epoch) comes
+# from deterministic replay, so an existing complete object is semantically
+# identical and the PUT may no-op (the conditional-PUT idempotence rule).
+
+def fput(path: str, data: bytes, *, mode: str = "create_or_skip") -> bool:
+    fs, p = resolve(path)
+    return fs.put(p, data, mode=mode)
+
+
+def fget(path: str) -> bytes:
+    fs, p = resolve(path)
+    return fs.get(p)
+
+
+def fexists(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.exists(p)
+
+
+def fisdir(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.isdir(p)
+
+
+def flist(path: str) -> list[str]:
+    fs, p = resolve(path)
+    return fs.list_dir(p)
+
+
+def fdelete(path: str) -> None:
+    fs, p = resolve(path)
+    fs.delete(p)
+
+
+def fensure_dir(path: str) -> None:
+    fs, p = resolve(path)
+    fs.ensure_dir(p)
+
+
+def fput_table(table: pa.Table, path: str, *, compression: str = "zstd",
+               compression_level: int | None = 1,
+               mode: str = "create_or_skip") -> int:
+    fs, p = resolve(path)
+    return fs.put_table(table, p, compression=compression,
+                        compression_level=compression_level, mode=mode)
+
+
+def fget_table(path: str, columns: list[str] | None = None) -> pa.Table:
+    fs, p = resolve(path)
+    return fs.get_table(p, columns=columns)
+
+
+def fput_npz(path: str, *, mode: str = "create_or_skip", **arrays) -> bool:
+    import numpy as np
+
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return fput(path, buf.getvalue(), mode=mode)
+
+
+def fget_npz(path: str):
+    import numpy as np
+
+    return np.load(io.BytesIO(fget(path)))

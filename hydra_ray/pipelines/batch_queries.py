@@ -532,13 +532,18 @@ def q_shipping_priority(sf_dir):
     via per-block partial top-k + a driver merge of the tiny partials
     (no global sort).  Filters are applied at the scan so only
     qualifying rows enter the exchange."""
-    from ..stages.join import broadcast_join, bucketed_join
+    from ..stages.join import bucketed_join, dim_join
 
     CUT_MS = 896_659_200_000  # 1998-06-01 UTC
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    # dimension side stays a Dataset; dim_join broadcasts it below the
+    # bound and switches to the partitioned join beyond (customer grows
+    # with SF — the documented cutover rule, VERDICT r3 #5)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table({
+            "o_custkey": t.filter(
+                pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"],
+        }), batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate",
@@ -555,11 +560,11 @@ def q_shipping_priority(sf_dir):
             "o_orderpriority": top["o_orderpriority"],
         })
 
-    right = broadcast_join(
+    right = dim_join(
         orders.map_batches(prep_orders, batch_format="pyarrow"),
-        cust, on="o_custkey",
-    ).map_batches(lambda t: t.drop(columns=["o_custkey"]),
-                  batch_format="pandas")
+        cust, on="o_custkey", how="semi",  # c_custkey unique → semi≡inner
+    ).map_batches(lambda t: t.drop_columns(["o_custkey"]),
+                  batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -2611,22 +2616,21 @@ def q_components(sf_dir):
     reachability closure stays polynomial).  Output = (p_partkey,
     component = min reachable part key)."""
     from ..stages.graph import connected_components, cooccurrence_edges
+    from ..stages.join import dim_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    keep = np.sort(part.loc[part["p_brand"] == "Brand#1",
-                            "p_partkey"].to_numpy(np.int64))
+    # part scales with SF: dim_join broadcasts the brand key set below
+    # the bound, switches to a partitioned semi join beyond (VERDICT r3 #5)
+    brand_keys = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t.filter(
+                pc.equal(t["p_brand"], "Brand#1"))["p_partkey"],
+        }), batch_format="pyarrow")
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def brand_only(t: pa.Table) -> pa.Table:
-        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(keep, pk)
-        idx[idx == len(keep)] = 0
-        return t.filter(pa.array(keep[idx] == pk))
+    li = dim_join(_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+                  brand_keys, on="l_partkey", how="semi")
 
     edges = cooccurrence_edges(
-        li.map_batches(brand_only, batch_format="pyarrow"),
-        "l_orderkey", "l_partkey", with_counts=True)
+        li, "l_orderkey", "l_partkey", with_counts=True)
     freq = edges.map_batches(
         lambda t: pa.table({"u": t["u"], "v": t["v"]}).filter(
             pc.greater_equal(t["pair_count"], 2)),
@@ -3377,21 +3381,27 @@ def q_local_volume(sf_dir):
     assumption: customer filtered to one region fits the object store
     (it is ~1/5 of a dimension table; at 100 TB the same shape holds
     because customer scales with entities, not events)."""
-    from ..stages.join import broadcast_join, bucketed_join
+    from ..stages.join import broadcast_join, bucketed_join, dim_join
 
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
     nation = _read(sf_dir, "nation").to_pandas()
     rkey = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
     nat = nation[nation["n_regionkey"] == rkey]
-    nat_keys = set(nat["n_nationkey"].tolist())
+    nat_keys = sorted(nat["n_nationkey"].tolist())
     nat_names = dict(zip(nat["n_nationkey"].tolist(), nat["n_name"].tolist()))
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust["c_nationkey"].isin(nat_keys)]
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    # customer scales with SF: keep it a Dataset and let dim_join pick
+    # broadcast vs exchange (VERDICT r3 #5 cutover rule)
+    nk_arr = pa.array(nat_keys, pa.int64())
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: (lambda f: pa.table({
+            "o_custkey": f["c_custkey"],
+            "c_nationkey": f["c_nationkey"],
+        }))(t.filter(pc.is_in(t["c_nationkey"], value_set=nk_arr))),
+        batch_format="pyarrow")
 
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp = supp[supp["s_nationkey"].isin(nat_keys)]
+    supp = supp[supp["s_nationkey"].isin(set(nat_keys))]
     supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
 
     lo = pd.Timestamp("1997-01-01")
@@ -3405,7 +3415,7 @@ def q_local_volume(sf_dir):
         t = t.filter(m)
         return pa.table({"okey": t["o_orderkey"], "o_custkey": t["o_custkey"]})
 
-    right = broadcast_join(
+    right = dim_join(
         orders.map_batches(prep_orders, batch_format="pyarrow"),
         cust, on="o_custkey").select_columns(["okey", "c_nationkey"])
 

@@ -40,6 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .. import fs as _fs
 from ..hashing import hash64, partition_for
 from ..stages.decode import AudioDecoder
 from ..stages.skew import salted_partition_for
@@ -739,24 +740,39 @@ def read_replicated(out_root: str, with_payload: bool = True) -> pa.Table:
 
 def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
     """Committed per-epoch lineage from the side log: one entry per epoch
-    ≤ the main sink's committed epoch, duplicate epoch lines (replays)
-    deduped last-wins, malformed tails (crash mid-append) skipped."""
+    ≤ the main sink's committed epoch.  The log is one immutable JSON
+    object per epoch (``_lineage/<name>/e{epoch}.json`` — appending to a
+    shared file would need an append primitive object stores lack); a
+    replayed epoch's duplicate write no-ops on the conditional PUT, and
+    deterministic replay makes the kept first write equivalent.  The
+    legacy single-file ``<name>.jsonl`` layout is still read if present."""
+    from ..fs import fexists, fget, flist
+
     t = Table(os.path.join(out_root, "replicated"))
     committed = t.committed_epoch(name)
-    path = os.path.join(out_root, "_lineage", f"{name}.jsonl")
     ents: dict[int, dict] = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    e = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if e.get("epoch") is not None and e["epoch"] <= committed:
-                    ents[e["epoch"]] = e
+    legacy = os.path.join(out_root, "_lineage", f"{name}.jsonl")
+    if fexists(legacy):
+        for line in fget(legacy).decode().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                e = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if e.get("epoch") is not None and e["epoch"] <= committed:
+                ents[e["epoch"]] = e
+    d = os.path.join(out_root, "_lineage", name)
+    for fn in flist(d):
+        if not fn.endswith(".json") or fn.startswith("."):
+            continue
+        try:
+            e = json.loads(fget(os.path.join(d, fn)))
+        except (json.JSONDecodeError, FileNotFoundError):
+            continue
+        if e.get("epoch") is not None and e["epoch"] <= committed:
+            ents[e["epoch"]] = e
     return [ents[e] for e in sorted(ents)]
 
 
@@ -780,6 +796,12 @@ class ReplicatePipeline:
         self.out_root = out_root
         self.sink = {s: Table.create(os.path.join(out_root, s)) for s in self.SINKS}
         self.ckpt_root = os.path.join(out_root, "_checkpoints")
+        # partition-state base dir: ``ckpt_root/<layout>`` once a rescale
+        # committed a new layout generation (state key "ckpt_layout");
+        # resolved from committed state at run() start.  Dedup/near-dup
+        # shard tiers are content-hash keyed (independent of partition
+        # count) and always live at ckpt_root itself.
+        self.part_root = self.ckpt_root
         self.actors = []
         self.frontiers: dict[str, int] = {}
         self._nonce_counter = 0
@@ -804,10 +826,10 @@ class ReplicatePipeline:
 
         cls = PartitionStateActor()
         cfg = self.cfg
-        sink_roots = {s: t.root for s, t in self.sink.items()}
+        sink_roots = {s: t.uri for s, t in self.sink.items()}
         self.actors = [
             cls.options(num_cpus=cfg.actor_num_cpus).remote(
-                p, _StateCfg(cfg), sink_roots, self.ckpt_root
+                p, _StateCfg(cfg), sink_roots, self.part_root
             )
             for p in range(cfg.num_partitions)
         ]
@@ -890,12 +912,18 @@ class ReplicatePipeline:
         committed = int(state.get("last_epoch", -1))
         swap = state.get("rescale_swap")
         if swap:
+            # legacy (pre-layout-generation) trees only: the dir-swap
+            # rescale could crash mid-swap; refuse to resume over it
             raise RuntimeError(
                 f"a state rescale ({swap.get('old')}→{swap.get('new')} "
                 "partitions) crashed mid-swap; re-run rescale_state, or "
                 f"restore the p* dirs from backup {swap.get('backup')!r} "
                 "and clear 'rescale_swap' via update_pipeline_state"
             )
+        layout = str(state.get("ckpt_layout", "") or "")
+        self.part_root = (
+            os.path.join(self.ckpt_root, layout) if layout else self.ckpt_root
+        )
         stored_p = int(state.get("num_partitions", 0))
         if committed >= 0 and stored_p and stored_p != self.cfg.num_partitions:
             raise ValueError(
@@ -903,19 +931,20 @@ class ReplicatePipeline:
                 f"says {self.cfg.num_partitions}; partition count is state "
                 "layout — run hydra_ray.state.rescale.rescale_state first"
             )
-        if committed >= 0 and stored_p and os.path.isdir(self.ckpt_root):
-            # a half-swapped checkpoint layout (crash between dir moves)
-            # must be refused, never silently restored
+        if committed >= 0 and stored_p and _fs.fisdir(self.part_root):
+            # a checkpoint layout that disagrees with the committed
+            # partition count must be refused, never silently restored
             actual = sum(
-                1 for d in os.listdir(self.ckpt_root)
+                1 for d in _fs.flist(self.part_root)
                 if d.startswith("p") and d[1:].isdigit()
             )
             if actual != stored_p:
                 raise RuntimeError(
-                    f"checkpoint root has {actual} p* dirs but committed "
-                    f"state records num_partitions={stored_p} — layout is "
-                    "inconsistent (interrupted rescale?); restore the "
-                    "backup dir or re-run rescale_state"
+                    f"checkpoint layout {self.part_root} has {actual} p* "
+                    f"dirs but committed state records num_partitions="
+                    f"{stored_p} — layout is inconsistent; re-run "
+                    "rescale_state (or point ckpt_layout back at a "
+                    "consistent generation via update_pipeline_state)"
                 )
         for t in self.sink.values():
             t.gc_staged()
@@ -1125,7 +1154,7 @@ class ReplicatePipeline:
         clips_route = _route_factory(
             self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions,
             decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
-            payload_root=self.sink["payload"].root,
+            payload_root=self.sink["payload"].uri,
             epoch=epoch,
             nonce=nonce,
             hot_keys=hot,
@@ -1433,7 +1462,7 @@ class ReplicatePipeline:
                 "watermark": wm if wm < WATERMARK_MAX else max_ts,
                 "frontiers": self.frontiers,
                 "flushed": flush,
-                "lineage_log": os.path.join("_lineage", f"{self.name}.jsonl"),
+                "lineage_log": os.path.join("_lineage", self.name),
                 "metrics": merged,
                 # sticky hot-key state: the set committed here routes the
                 # NEXT epoch (and any replay of it)
@@ -1475,12 +1504,17 @@ class ReplicatePipeline:
         return merged
 
     def _append_lineage(self, entry: dict):
-        d = os.path.join(self.out_root, "_lineage")
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"{self.name}.jsonl"), "a") as f:
-            f.write(json.dumps(entry) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        """One immutable object per epoch (no file append — object-store
+        compatible); a replay's duplicate write no-ops (conditional PUT,
+        equivalent content by deterministic replay)."""
+        from ..fs import fput
+
+        fput(
+            os.path.join(self.out_root, "_lineage", self.name,
+                         f"e{int(entry['epoch']):06d}.json"),
+            json.dumps(entry).encode(),
+            mode="create_or_skip",
+        )
 
     def _process_hot(self, results: list, epoch: int, wm: int) -> list:
         """Merge hot-key close partials across salt partitions.
@@ -1688,12 +1722,10 @@ class ReplicatePipeline:
         """Delete checkpoint dirs no restore can need: everything before
         the newest FULL snapshot at or below the retention horizon (a
         delta is only restorable with its full base + contiguous chain)."""
-        import shutil
-
         keep = self.cfg.keep_checkpoints
         min_needed = epoch - keep + 1
         dirs = [
-            os.path.join(self.ckpt_root, f"p{p:04d}")
+            os.path.join(self.part_root, f"p{p:04d}")
             for p in range(self.cfg.num_partitions)
         ] + [
             os.path.join(self.ckpt_root, f"d{s:04d}")
@@ -1703,21 +1735,22 @@ class ReplicatePipeline:
             for s in range(len(self.neardup_shards))
         ]
         for d in dirs:
-            if not os.path.isdir(d):
+            if not _fs.fisdir(d):
                 continue
             fulls = [
                 int(n[1:])
-                for n in os.listdir(d)
+                for n in _fs.flist(d)
                 if n.startswith("e")
-                and os.path.exists(os.path.join(d, n, "state.pkl"))
+                and _fs.fexists(os.path.join(d, n, "state.pkl"))
             ]
             base_candidates = [e for e in fulls if e <= min_needed]
             if not base_candidates:
                 continue
             base = max(base_candidates)
-            for n in os.listdir(d):
+            for n in _fs.flist(d):
                 if n.startswith("e") and int(n[1:]) < base:
-                    shutil.rmtree(os.path.join(d, n), ignore_errors=True)
+                    fs_i, dp = _fs.resolve(os.path.join(d, n))
+                    fs_i.delete_tree(dp)
 
 
 @dataclass

@@ -1,11 +1,15 @@
-"""Resumable partitioned batch output.
+"""Resumable partitioned batch output (rename-free).
 
 ``write_partitioned`` writes a Dataset as one directory per key-hash
-partition with a per-partition ``_DONE`` marker, committed stage→rename:
-a crashed run leaves finished partitions adopted and unfinished ones
-invisible, and the NEXT run skips every ``_DONE`` partition at the map
-stage (their rows are filtered before any work or shuffle).  That makes
-bulk output restartable at partition granularity — the batch-side
+partition with a per-partition ``_DONE`` manifest: data files land in
+their FINAL location (Ray's partitioned ``write_parquet``), and the
+commit is the ``_DONE`` object naming exactly the files that constitute
+the partition — readers consult the manifest, so files a crashed run
+left behind are invisible (and swept at the next run's start).  No
+rename anywhere: the same protocol runs on object storage (see
+``hydra_ray.fs``).  The NEXT run skips every ``_DONE`` partition at the
+map stage (their rows are filtered before any work or shuffle).  That
+makes bulk output restartable at partition granularity — the batch-side
 counterpart of the streaming sink's per-partition epochs
 (`table/lancelite.py commit_epoch`), and the "never one giant file"
 rule at 100 TB: partition count is chosen from the KEY SPACE, not the
@@ -14,10 +18,9 @@ cluster.
 Layout::
 
     root/
-      part=17/
+      partition=17/
         <ray write_parquet files>
-        _DONE            # json: rows, run id
-      _stage/<run>/      # in-flight run output (discarded on crash)
+        _DONE            # json: rows, run id, committed file list
 """
 
 from __future__ import annotations
@@ -25,7 +28,6 @@ from __future__ import annotations
 import contextlib
 import json
 import os
-import shutil
 import uuid
 
 import numpy as np
@@ -34,23 +36,48 @@ import pyarrow.parquet as pq
 
 from .hashing import add_partition_column
 
-__all__ = ["write_partitioned", "done_partitions", "sorted_write",
-           "read_sorted", "ordered_execution"]
+__all__ = ["write_partitioned", "done_partitions", "partition_dir",
+           "partition_files", "sorted_write", "read_sorted",
+           "ordered_execution"]
 
-_PART_PREFIX = "part="
+_PART_PREFIX = "partition="
 
 
 def done_partitions(root: str) -> set[int]:
     """Partitions already committed under ``root`` (by ``_DONE`` marker)."""
-    if not os.path.isdir(root):
-        return set()
+    from .fs import fexists, flist
+
     out = set()
-    for name in os.listdir(root):
-        if name.startswith(_PART_PREFIX) and os.path.exists(
+    for name in flist(root):
+        if name.startswith(_PART_PREFIX) and fexists(
             os.path.join(root, name, "_DONE")
         ):
             out.add(int(name[len(_PART_PREFIX):]))
     return out
+
+
+def partition_dir(root: str, p: int) -> str:
+    return os.path.join(root, f"{_PART_PREFIX}{p}")
+
+
+def partition_files(root: str, p: int) -> list[str]:
+    """Full paths of the COMMITTED parquet files of one partition: the
+    ``_DONE`` manifest's file list (uncommitted partitions and crashed
+    runs' leftovers are invisible).  Legacy trees whose ``_DONE`` lacks
+    a file list fall back to the directory listing."""
+    import json as _json
+
+    from .fs import fexists, fget, flist
+
+    d = partition_dir(root, p)
+    marker = os.path.join(d, "_DONE")
+    if not fexists(marker):
+        return []
+    meta = _json.loads(fget(marker))
+    files = meta.get("files")
+    if files is None:  # legacy marker without a manifest
+        files = [f for f in flist(d) if f.endswith(".parquet")]
+    return [os.path.join(d, f) for f in sorted(files)]
 
 
 def write_partitioned(ds, root: str, key_col: str | None = None,
@@ -67,17 +94,29 @@ def write_partitioned(ds, root: str, key_col: str | None = None,
     ``key_col``.
 
     One streaming pass: tag+filter in ``map_batches``, then Ray Data's
-    partitioned ``write_parquet`` into a stage directory; the driver
-    renames each partition into place and writes its marker (O(P) cheap
-    metadata work).  A crash before a partition's rename leaves it in
-    ``_stage`` — invisible to readers and re-done next run.
+    partitioned ``write_parquet`` straight into the FINAL partition
+    dirs; the driver then writes each partition's ``_DONE`` manifest
+    naming the committed files (O(P) cheap metadata work, no renames).
+    A crash before a partition's ``_DONE`` leaves unreferenced files —
+    invisible to readers (they follow the manifest) and swept at the
+    next run's start.
     """
-    os.makedirs(root, exist_ok=True)
-    # single-writer contract: stale stage dirs are crashed runs — discard
-    shutil.rmtree(os.path.join(root, "_stage"), ignore_errors=True)
+    from .fs import fdelete, fensure_dir, flist, resolve
+
+    fs, base = resolve(root)
+    fensure_dir(root)
     done = done_partitions(root)
     run = uuid.uuid4().hex[:12]
-    stage = os.path.join(root, "_stage", run)
+    # single-writer contract: files in non-committed partition dirs are
+    # crashed runs' leftovers — sweep them so the post-write listing is
+    # exactly this run's output
+    for name in flist(root):
+        if not name.startswith(_PART_PREFIX):
+            continue
+        if int(name[len(_PART_PREFIX):]) in done:
+            continue
+        for f in flist(os.path.join(root, name)):
+            fdelete(os.path.join(root, name, f))
 
     done_arr = np.array(sorted(done), dtype=np.int32)
 
@@ -104,48 +143,48 @@ def write_partitioned(ds, root: str, key_col: str | None = None,
         return t
 
     ds.map_batches(tag_and_filter, batch_format="pyarrow").write_parquet(
-        stage, partition_cols=["partition"]
+        fs.local_path(base), partition_cols=["partition"]
     )
 
     committed: dict[int, int] = {}
-    staged = set()
-    if os.path.isdir(stage):
-        for name in os.listdir(stage):
-            if not name.startswith("partition="):
-                continue
-            p = int(name.split("=", 1)[1])
-            staged.add(p)
-            src = os.path.join(stage, name)
-            dest = os.path.join(root, f"{_PART_PREFIX}{p}")
-            os.makedirs(dest, exist_ok=True)
-            # a dest without _DONE may hold orphans from a run that
-            # crashed mid-adoption: wipe them or the re-write duplicates
-            for f in list(os.listdir(dest)):
-                os.unlink(os.path.join(dest, f))
-            rows = 0
-            for f in sorted(os.listdir(src)):
-                if f.endswith(".parquet"):
-                    rows += pq.read_metadata(os.path.join(src, f)).num_rows
-                    os.replace(os.path.join(src, f), os.path.join(dest, f))
-            _mark_done(dest, rows, run)
-            committed[p] = rows
+    written = set()
+    for name in flist(root):
+        if not name.startswith(_PART_PREFIX):
+            continue
+        p = int(name[len(_PART_PREFIX):])
+        if p in done:
+            continue
+        written.add(p)
+        d = os.path.join(root, name)
+        files = [f for f in flist(d) if f.endswith(".parquet")]
+        rows = sum(
+            pq.read_metadata(fs.local_path(
+                os.path.join(base, name, f))).num_rows
+            for f in files
+        )
+        _mark_done(d, rows, run, files)
+        committed[p] = rows
     # empty partitions: commit a marker so a resume never re-waits on them
     for p in range(num_partitions):
-        if p in done or p in staged:
+        if p in done or p in written:
             continue
-        dest = os.path.join(root, f"{_PART_PREFIX}{p}")
-        os.makedirs(dest, exist_ok=True)
-        _mark_done(dest, 0, run)
+        _mark_done(partition_dir(root, p), 0, run, [])
         committed[p] = 0
-    shutil.rmtree(os.path.join(root, "_stage", run), ignore_errors=True)
     return committed
 
 
-def _mark_done(dest: str, rows: int, run: str) -> None:
-    tmp = os.path.join(dest, f"_DONE.tmp.{run}")
-    with open(tmp, "w") as f:
-        json.dump({"rows": rows, "run": run}, f)
-    os.replace(tmp, os.path.join(dest, "_DONE"))
+def _mark_done(dest: str, rows: int, run: str, files: list[str]) -> None:
+    """The partition's commit: ONE atomic object naming its files.  A
+    concurrent/replayed marker loses the conditional PUT (single-writer
+    contract makes that benign)."""
+    from .fs import fput
+
+    fput(
+        os.path.join(dest, "_DONE"),
+        json.dumps({"rows": rows, "run": run,
+                    "files": sorted(files)}).encode(),
+        mode="create_or_skip",
+    )
 
 
 def sorted_write(ds, value_col: str, root: str,
@@ -229,16 +268,14 @@ def read_sorted(root: str):
     """
     import ray.data as rd
 
+    from .fs import flist
+
     paths = []
     for name in sorted(
-        (n for n in os.listdir(root) if n.startswith(_PART_PREFIX)),
+        (n for n in flist(root) if n.startswith(_PART_PREFIX)),
         key=lambda n: int(n.split("=", 1)[1]),
     ):
-        d = os.path.join(root, name)
-        paths.extend(
-            os.path.join(d, f) for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
-        )
+        paths.extend(partition_files(root, int(name.split("=", 1)[1])))
     if not paths:
         return rd.from_items([])
     return rd.read_parquet(paths)
@@ -322,12 +359,17 @@ def read_clustered(root: str, predicates: dict | None = None):
     None for open).  Rows are then exact-filtered — pruning only skips
     I/O, never changes results.  Only O(files) footer reads happen on
     the driver; row data streams through the normal parquet read."""
-    import glob as _glob
-
     import pyarrow.parquet as _pq
     import ray.data as rd
 
-    files = sorted(_glob.glob(os.path.join(root, "part=*", "*.parquet")))
+    from .fs import flist
+
+    files = []
+    for name in sorted(
+        (n for n in flist(root) if n.startswith(_PART_PREFIX)),
+        key=lambda n: int(n.split("=", 1)[1]),
+    ):
+        files.extend(partition_files(root, int(name.split("=", 1)[1])))
     if predicates:
         kept = []
         for f in files:

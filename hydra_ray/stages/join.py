@@ -219,6 +219,64 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str | list[str], how: str = "
     return ds.map_batches(merge, batch_format="pandas")
 
 
+def dim_join(left, dim, on: str, how: str = "inner",
+             broadcast_max_rows: int = 1_000_000, num_buckets: int = 32,
+             suffix: str = "_r"):
+    """Fact ⋈ dimension join with an EXPLICIT broadcast bound.
+
+    The documented cutover rule for dimension tables (VERDICT r3 #5):
+    broadcast the dimension only while it is genuinely small
+    (≤ ``broadcast_max_rows``); beyond the bound fall back to the
+    partitioned ``bucketed_join`` — identical results, one all-to-all
+    exchange instead of a per-task object-store copy.  region/nation/
+    supplier/part stay broadcastable at any scale factor; ``customer``
+    (~150k·SF rows) crosses the default bound between sf≈6 and sf10, at
+    which point every caller of this helper switches shape automatically
+    instead of OOMing a worker heap.
+
+    ``dim`` is a Dataset (materialized once: the row count and the
+    broadcast read the same execution) or an already-collected pandas
+    DataFrame.  ``how``: inner/left (dimension columns attach) or
+    semi/anti (existence filter, left columns only).
+    """
+    import ray
+
+    if isinstance(dim, pd.DataFrame):
+        n = len(dim)
+        small_df = dim
+    else:
+        dim = dim.materialize()
+        n = dim.count()
+        small_df = None
+
+    if n <= broadcast_max_rows:
+        if small_df is None:
+            small_df = dim.to_pandas()
+        if how in ("semi", "anti"):
+            keys_ref = ray.put(np.sort(small_df[on].to_numpy()))
+
+            def filt(t: pa.Table) -> pa.Table:
+                keys = _bcast_get(keys_ref)
+                v = t[on].to_numpy(zero_copy_only=False)
+                if not len(keys):
+                    hit = np.zeros(len(v), dtype=bool)
+                else:
+                    idx = np.searchsorted(keys, v)
+                    idx[idx == len(keys)] = 0
+                    hit = keys[idx] == v
+                return t.filter(pa.array(hit if how == "semi" else ~hit))
+
+            return left.map_batches(filt, batch_format="pyarrow")
+        return broadcast_join(left, small_df, on=on, how=how)
+
+    if small_df is not None:
+        import ray.data as rd
+
+        dim = rd.from_pandas(small_df)
+    return bucketed_join(left, dim, key=on, how=how,
+                         num_buckets=num_buckets, suffix=suffix)
+
+
 def keyed_join(
     left,
     right,

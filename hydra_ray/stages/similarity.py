@@ -548,7 +548,7 @@ def build_ivf_index(ds, root: str, n_centroids: int = 64, id_col="vec_id",
                     vec_col="embedding", sample: int = 4096, seed: int = 42,
                     train: str = "sample") -> str:
     """Persist an IVF-Flat index: centroids + the corpus partitioned into
-    one directory per inverted list (``lists/part=<list_id>/``).
+    one directory per inverted list (``lists/partition=<list_id>/``).
 
     The layout IS the optimization: a search that probes ``nprobe`` lists
     reads ONLY those directories — at 100 TB the object store never sees
@@ -627,14 +627,12 @@ def ivf_search_index(root: str, queries_ids, queries_mat, k: int,
     qmat = _normalize(np.asarray(queries_mat, np.float64))
     probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :nprobe]
     needed = sorted({int(b) for row in probes for b in row})
-    paths = []  # explicit files: the dirs also hold _DONE markers
+    from ..sinks import partition_files
+
+    # committed files only (the _DONE manifests name them)
+    paths = []
     for b in needed:
-        d = os.path.join(root, "lists", f"part={b}")
-        if os.path.isdir(d):
-            paths.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-            )
+        paths.extend(partition_files(os.path.join(root, "lists"), b))
     empty = pa.table(
         {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
          "cosine": pa.array([], pa.float64())}
@@ -846,7 +844,7 @@ def build_ivfpq_index(ds, root: str, n_centroids: int = 64, m: int = 8,
     code_j]`` with one (m, ksub) table per query for the whole search.
 
     Layout: ``centroids.parquet`` + ``codebooks.parquet`` (+ meta cols)
-    and ``lists/part=<list_id>/`` via ``write_partitioned`` (crash-
+    and ``lists/partition=<list_id>/`` via ``write_partitioned`` (crash-
     resumable at list granularity, same contract as ``build_ivf_index``).
     """
     import os
@@ -946,18 +944,17 @@ def ivfpq_search_index(root: str, queries_ids, queries_mat, k: int,
     probes = np.argsort(-cscore, axis=1)[:, :nprobe]
     tables = np.einsum("qjd,jkd->qjk", qmat.reshape(len(qmat), mm, dsub), books)
 
+    from ..sinks import partition_files
+
     needed = sorted({int(b) for row in probes for b in row})
     paths = []
     for b in needed:
-        d = os.path.join(root, "lists", f"part={b}")
-        if os.path.isdir(d):
-            # metadata-only row counts: skip empty list files so the read
-            # never emits 0-row blocks (they confuse downstream schemas)
-            paths.extend(
-                p for f in sorted(os.listdir(d))
-                if f.endswith(".parquet")
-                and pq.ParquetFile(p := os.path.join(d, f)).metadata.num_rows
-            )
+        # metadata-only row counts: skip empty list files so the read
+        # never emits 0-row blocks (they confuse downstream schemas)
+        paths.extend(
+            p for p in partition_files(os.path.join(root, "lists"), b)
+            if pq.ParquetFile(p).metadata.num_rows
+        )
     empty = pa.table(
         {"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
          "score": pa.array([], pa.float64())}

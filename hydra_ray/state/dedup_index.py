@@ -189,16 +189,18 @@ class DedupIndexState:
 
     # ---------------------------------------------------------- checkpoint
     def save(self, directory: str, full: bool = True):
-        os.makedirs(directory, exist_ok=True)
+        from ..fs import fensure_dir, fput, fput_npz
+
+        fensure_dir(directory)
         meta = {"shard": self.shard, "metrics": dict(self.metrics)}
         if full:
             self._compact() if len(self.runs) > 1 else None
             base = (self.runs[0] if self.runs
                     else (np.empty(0, np.uint64), np.empty(0, np.int64)))
-            np.savez(os.path.join(directory, "seen.npz"),
+            fput_npz(os.path.join(directory, "seen.npz"),
                      h=base[0], ts=base[1])
-            with open(os.path.join(directory, "state.pkl"), "wb") as f:
-                pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+            fput(os.path.join(directory, "state.pkl"),
+                 pickle.dumps(meta, protocol=pickle.HIGHEST_PROTOCOL))
         else:
             if self._delta_new:
                 hh = np.concatenate([r for r, _ in self._delta_new])
@@ -207,22 +209,22 @@ class DedupIndexState:
                 hh, tt = hh[order], tt[order]
             else:
                 hh, tt = np.empty(0, np.uint64), np.empty(0, np.int64)
-            np.savez(os.path.join(directory, "new.npz"), h=hh, ts=tt)
-            with open(os.path.join(directory, "delta.pkl"), "wb") as f:
-                pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+            fput_npz(os.path.join(directory, "new.npz"), h=hh, ts=tt)
+            fput(os.path.join(directory, "delta.pkl"),
+                 pickle.dumps(meta, protocol=pickle.HIGHEST_PROTOCOL))
         self._delta_new = []
 
     def restore_chain(self, full_dir: str, delta_dirs: list[str]):
-        z = np.load(os.path.join(full_dir, "seen.npz"))
-        with open(os.path.join(full_dir, "state.pkl"), "rb") as f:
-            meta = pickle.load(f)
+        from ..fs import fget, fget_npz
+
+        z = fget_npz(os.path.join(full_dir, "seen.npz"))
+        meta = pickle.loads(fget(os.path.join(full_dir, "state.pkl")))
         self.runs = [(z["h"], z["ts"])] if len(z["h"]) else []
         for d in delta_dirs:
-            z = np.load(os.path.join(d, "new.npz"))
+            z = fget_npz(os.path.join(d, "new.npz"))
             if len(z["h"]):
                 self.runs.append((z["h"], z["ts"]))
-            with open(os.path.join(d, "delta.pkl"), "rb") as f:
-                meta = pickle.load(f)
+            meta = pickle.loads(fget(os.path.join(d, "delta.pkl")))
         if len(self.runs) > _MAX_RUNS:
             self._compact()
         self.metrics = dict(meta["metrics"])
@@ -258,18 +260,20 @@ def _make_shard_actor():
 
         def restore(self, epoch: int) -> bool:
             base = os.path.join(self.ckpt_root, f"d{self.shard:04d}")
+            from ..fs import fexists, fisdir, flist
+
             self.state.pending.clear()
-            if not os.path.isdir(base):
+            if not fisdir(base):
                 return False
             fulls, deltas = [], {}
-            for name in os.listdir(base):
+            for name in flist(base):
                 if not name.startswith("e"):
                     continue
                 e = int(name[1:])
                 d = os.path.join(base, name)
-                if os.path.exists(os.path.join(d, "state.pkl")):
+                if fexists(os.path.join(d, "state.pkl")):
                     fulls.append(e)
-                elif os.path.exists(os.path.join(d, "delta.pkl")):
+                elif fexists(os.path.join(d, "delta.pkl")):
                     deltas[e] = d
             fulls = [e for e in fulls if e <= epoch]
             if not fulls:

@@ -25,19 +25,19 @@ from __future__ import annotations
 import os
 import re
 
-import numpy as np
 import pyarrow as pa
 
+from ..fs import fexists, fget_npz, fisdir, flist
 from .store import PartitionState, find_restore_chain
 
 __all__ = ["latest_epoch", "read_state"]
 
 
 def _partitions(ckpt_root: str) -> list[int]:
-    if not os.path.isdir(ckpt_root):
+    if not fisdir(ckpt_root):
         return []
     out = []
-    for name in os.listdir(ckpt_root):
+    for name in flist(ckpt_root):
         m = re.fullmatch(r"p(\d{4})", name)
         if m:
             out.append(int(m.group(1)))
@@ -47,10 +47,10 @@ def _partitions(ckpt_root: str) -> list[int]:
 def _max_restorable(base: str) -> int | None:
     """Largest epoch with a complete full+delta chain under one
     partition dir."""
-    if not os.path.isdir(base):
+    if not fisdir(base):
         return None
     epochs = sorted(
-        int(n[1:]) for n in os.listdir(base) if re.fullmatch(r"e\d{6}", n)
+        int(n[1:]) for n in flist(base) if re.fullmatch(r"e\d{6}", n)
     )
     for e in reversed(epochs):
         if find_restore_chain(base, e) is not None:
@@ -58,23 +58,26 @@ def _max_restorable(base: str) -> int | None:
     return None
 
 
-def latest_epoch(ckpt_root: str) -> int | None:
+def latest_epoch(ckpt_root: str, layout: str = "") -> int | None:
     """Largest epoch restorable on EVERY partition (the pipeline's
-    consistent-cut epoch), or None when any partition has no chain."""
-    parts = _partitions(ckpt_root)
+    consistent-cut epoch), or None when any partition has no chain.
+    ``layout`` is the committed ``ckpt_layout`` generation (a rescale
+    moves partition dirs under ``ckpt_root/<layout>``; "" = bare root)."""
+    base_root = os.path.join(ckpt_root, layout) if layout else ckpt_root
+    parts = _partitions(base_root)
     if not parts:
         return None
     maxes = []
     for p in parts:
-        m = _max_restorable(os.path.join(ckpt_root, f"p{p:04d}"))
+        m = _max_restorable(os.path.join(base_root, f"p{p:04d}"))
         if m is None:
             return None
         maxes.append(m)
     return min(maxes)
 
 
-def read_state(ckpt_root: str, cfg, epoch: int | None = None
-               ) -> dict[str, pa.Table]:
+def read_state(ckpt_root: str, cfg, epoch: int | None = None,
+               layout: str = "") -> dict[str, pa.Table]:
     """Restore every partition's committed state at ``epoch`` (default:
     the newest epoch restorable on ALL partitions) and return it as
     Arrow tables:
@@ -92,14 +95,17 @@ def read_state(ckpt_root: str, cfg, epoch: int | None = None
 
     if isinstance(cfg, ReplicateConfig):
         cfg = _StateCfg(cfg)
+    # partition dirs live under the active layout generation; the
+    # dedup/near-dup index tiers stay at the bare checkpoint root
+    base_root = os.path.join(ckpt_root, layout) if layout else ckpt_root
     if epoch is None:
-        epoch = latest_epoch(ckpt_root)
+        epoch = latest_epoch(ckpt_root, layout)
         if epoch is None:
-            raise ValueError(f"no restorable checkpoints under {ckpt_root}")
+            raise ValueError(f"no restorable checkpoints under {base_root}")
 
     win_rows, swin_rows, sess_rows, views, buf_rows = [], [], [], [], []
-    for p in _partitions(ckpt_root):
-        base = os.path.join(ckpt_root, f"p{p:04d}")
+    for p in _partitions(base_root):
+        base = os.path.join(base_root, f"p{p:04d}")
         chain = find_restore_chain(base, epoch)
         if chain is None:
             raise ValueError(
@@ -164,8 +170,8 @@ def _index_summary(ckpt_root: str, prefix: str) -> pa.Table | None:
     at each shard's newest restorable epoch (index shards checkpoint on
     their own epochs; the files share the full+delta chain convention)."""
     shards = []
-    if os.path.isdir(ckpt_root):
-        for name in sorted(os.listdir(ckpt_root)):
+    if fisdir(ckpt_root):
+        for name in flist(ckpt_root):
             if re.fullmatch(prefix + r"\d{4}", name):
                 shards.append(int(name[len(prefix):]))
     if not shards:
@@ -182,9 +188,9 @@ def _index_summary(ckpt_root: str, prefix: str) -> pa.Table | None:
         n, ts_lo, ts_hi = 0, None, None
         for d, f in [(full, fname)] + [(d, dname) for d in deltas]:
             p = os.path.join(d, f)
-            if not os.path.exists(p):
+            if not fexists(p):
                 continue
-            z = np.load(p)
+            z = fget_npz(p)
             key = "h" if "h" in z else "keys"
             n += len(z[key])
             if len(z["ts"]):

@@ -27,24 +27,27 @@ Shape (all heavy work in Ray tasks, scatter/gather by partition):
    updates concatenate then dedup by (key, ts, rev) (hot-key fan-out
    replicas are exact copies); clip/funnel buffers are disjoint row
    sets and concatenate.
-3. SWAP: old ``p*`` checkpoint dirs move to a backup dir, new ones
-   move in, and the main sink's pipeline state records the new
-   ``num_partitions`` (the commit point — `run()` validates it).
-   Dedup/near-dup shard tiers (``d*``/``n*`` dirs) are keyed by
-   content hash, independent of ``num_partitions``, and are left
-   untouched.
+3. COMMIT: the new checkpoints live in a fresh LAYOUT GENERATION dir
+   (``_checkpoints/<gen-…>/p*``) and the main sink's pipeline state
+   records ``{"num_partitions": M, "ckpt_layout": "<gen-…>"}`` in ONE
+   atomic manifest append — the single commit point, no renames (the
+   protocol runs unchanged on object storage).  ``run()`` resolves the
+   active layout from committed state.  Dedup/near-dup shard tiers
+   (``d*``/``n*`` dirs) are keyed by content hash, independent of
+   ``num_partitions``, and stay at the checkpoint root untouched.
 
-Crash safety: all writes land in a temp root first; a crash before the
-swap leaves the old layout fully intact (re-run the rescale).  A crash
-mid-swap leaves the backup dir — restore it by moving ``p*`` dirs back
-before re-running.
+Crash safety: the old layout is NEVER touched — a crash anywhere before
+the state commit leaves an orphan generation dir (harmless; re-run the
+rescale).  Rollback is pure metadata: point ``ckpt_layout`` /
+``num_partitions`` back at the previous generation via
+``update_pipeline_state`` — no file moves in either direction.
 """
 
 from __future__ import annotations
 
 import os
 import pickle
-import shutil
+import uuid
 from collections import defaultdict
 
 import numpy as np
@@ -125,23 +128,28 @@ def _split_one(ckpt_root: str, p: int, epoch: int, cfg, new_p: int,
             m = qs == q
             shard(int(q))["funnel_buf"].append((fk[m], ft[m], fd[m]))
 
+    from ..fs import fput
+
     for q, d in shards.items():
-        qdir = os.path.join(tmp_root, "shards", f"q{q:04d}")
-        os.makedirs(qdir, exist_ok=True)
-        with open(os.path.join(qdir, f"from_p{p:04d}.pkl"), "wb") as f:
-            pickle.dump(d, f, protocol=pickle.HIGHEST_PROTOCOL)
+        fput(
+            os.path.join(tmp_root, "_shards", f"q{q:04d}",
+                         f"from_p{p:04d}.pkl"),
+            pickle.dumps(d, protocol=pickle.HIGHEST_PROTOCOL),
+            mode="create",
+        )
     return {"max_ts": st.max_ts, "metrics": dict(st.metrics)}
 
 
 def _merge_one(q: int, tmp_root: str, epoch: int, cfg, max_ts: int,
                metrics: dict, wm: int | None) -> str:
     """Fold new partition ``q``'s shard files into one full checkpoint."""
+    from ..fs import fget, flist
+
     st = PartitionState(q, cfg)
-    qdir = os.path.join(tmp_root, "shards", f"q{q:04d}")
+    qdir = os.path.join(tmp_root, "_shards", f"q{q:04d}")
     gap = getattr(cfg, "session_gap_ms", 0)
-    for name in sorted(os.listdir(qdir)) if os.path.isdir(qdir) else []:
-        with open(os.path.join(qdir, name), "rb") as f:
-            d = pickle.load(f)
+    for name in flist(qdir):
+        d = pickle.loads(fget(os.path.join(qdir, name)))
         # salted hot key: partials from several old partitions fold with
         # the one shared cell rule (handles the window_sample_k and
         # window_distinct_k cells too)
@@ -196,16 +204,22 @@ def rescale_state(out_root: str, new_num_partitions: int, cfg,
     from ..pipelines.replicate import _StateCfg
     from ..table import Table
 
+    from ..fs import flist, resolve
+
     main = Table(os.path.join(out_root, "replicated"))
     state = main.pipeline_state(name)
     committed = int(state.get("last_epoch", -1))
     if committed < 0:
         raise ValueError(f"no committed epoch for pipeline {name!r} at {out_root}")
     ckpt_root = os.path.join(out_root, "_checkpoints")
+    old_layout = str(state.get("ckpt_layout", "") or "")
+    old_root = (
+        os.path.join(ckpt_root, old_layout) if old_layout else ckpt_root
+    )
     old_p = int(state.get("num_partitions", 0))
     if not old_p:  # older runs didn't record it: count checkpoint dirs
         old_p = sum(
-            1 for d in os.listdir(ckpt_root)
+            1 for d in flist(old_root)
             if d.startswith("p") and d[1:].isdigit()
         )
     new_p = int(new_num_partitions)
@@ -217,13 +231,14 @@ def rescale_state(out_root: str, new_num_partitions: int, cfg,
     wm = int(wm_raw) if wm_raw is not None else None
     scfg = _StateCfg(cfg)
 
-    tmp_root = ckpt_root + ".rescale"
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    os.makedirs(tmp_root)
+    # fresh layout generation; the nonce makes re-runs after a crash
+    # collision-free (an orphan generation dir is harmless garbage)
+    layout = f"gen-e{committed:06d}-P{new_p}-{uuid.uuid4().hex[:8]}"
+    new_root = os.path.join(ckpt_root, layout)
 
     split = ray.remote(_split_one)
     infos = ray.get([
-        split.remote(ckpt_root, p, committed, scfg, new_p, tmp_root)
+        split.remote(old_root, p, committed, scfg, new_p, new_root)
         for p in range(old_p)
     ])
     max_ts = max(i["max_ts"] for i in infos)
@@ -236,34 +251,20 @@ def rescale_state(out_root: str, new_num_partitions: int, cfg,
     # per-partition metrics cannot be split by key; totals (what the
     # commit merges/reports) ride on new partition 0
     ray.get([
-        merge.remote(q, tmp_root, committed, scfg, max_ts,
+        merge.remote(q, new_root, committed, scfg, max_ts,
                      merged_metrics if q == 0 else {}, wm)
         for q in range(new_p)
     ])
 
-    backup = ckpt_root + f".pre-rescale-e{committed:06d}-P{old_p}"
-    shutil.rmtree(backup, ignore_errors=True)
-    os.makedirs(backup)
-    # Commit the NEW count plus a swap-in-progress sentinel BEFORE any
-    # dir moves.  A crash mid-swap then cannot be silently resumed: the
-    # old count fails run()'s num_partitions guard (stored is already
-    # new_p), and the new count is refused by the sentinel until the
-    # rescale is re-run or the backup restored.  Without this ordering a
-    # mid-swap crash left stored_p at the OLD count while new-layout p*
-    # dirs were partially in place — grown partitions' state silently
-    # never restored.
+    # THE commit point: one atomic manifest append records both the new
+    # count and the layout pointer — before it the old layout is fully
+    # live; after it run() resolves the new one.  No renames anywhere.
     main.update_pipeline_state(
         name,
-        {"num_partitions": new_p,
-         "rescale_swap": {"old": old_p, "new": new_p,
-                          "backup": os.path.basename(backup)}},
+        {"num_partitions": new_p, "ckpt_layout": layout},
     )
-    for d in sorted(os.listdir(ckpt_root)):
-        if d.startswith("p") and d[1:].isdigit():
-            os.rename(os.path.join(ckpt_root, d), os.path.join(backup, d))
-    for q in range(new_p):
-        os.rename(os.path.join(tmp_root, f"p{q:04d}"),
-                  os.path.join(ckpt_root, f"p{q:04d}"))
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    main.update_pipeline_state(name, {"rescale_swap": None})
-    return {"epoch": committed, "old": old_p, "new": new_p, "backup": backup}
+    # scratch shard objects are no longer needed
+    fs_i, shards_dir = resolve(os.path.join(new_root, "_shards"))
+    fs_i.delete_tree(shards_dir)
+    return {"epoch": committed, "old": old_p, "new": new_p,
+            "layout": layout, "previous_layout": old_layout}

@@ -1144,9 +1144,9 @@ class PartitionState:
         prunes with the final watermark — exact, because every live-state
         removal (window close, clip emit, update evict) is a monotone
         predicate of the watermark."""
-        import pyarrow.parquet as pq
+        from ..fs import fensure_dir, fput, fput_table
 
-        os.makedirs(directory, exist_ok=True)
+        fensure_dir(directory)
         if full:
             light = {
                 "partition": self.partition,
@@ -1161,14 +1161,13 @@ class PartitionState:
                 "metrics": dict(self.metrics),
                 "wm": wm,
             }
-            with open(os.path.join(directory, "state.pkl"), "wb") as f:
-                pickle.dump(light, f, protocol=pickle.HIGHEST_PROTOCOL)
+            # parquet first, pickle last: a checkpoint is visible (its
+            # state.pkl exists) only once every object in it is complete
             if self.clip_buf:
                 buf = pa.concat_tables(self.clip_buf, promote_options="default")
-                pq.write_table(
-                    buf, os.path.join(directory, "clip_buf.parquet"),
-                    compression="zstd", compression_level=1,
-                )
+                fput_table(buf, os.path.join(directory, "clip_buf.parquet"))
+            fput(os.path.join(directory, "state.pkl"),
+                 pickle.dumps(light, protocol=pickle.HIGHEST_PROTOCOL))
         else:
             delta = {
                 "partition": self.partition,
@@ -1183,21 +1182,17 @@ class PartitionState:
                 "metrics": dict(self.metrics),
                 "wm": wm,
             }
-            with open(os.path.join(directory, "delta.pkl"), "wb") as f:
-                pickle.dump(delta, f, protocol=pickle.HIGHEST_PROTOCOL)
             if self._delta_clips:
                 buf = pa.concat_tables(self._delta_clips, promote_options="default")
-                pq.write_table(
-                    buf, os.path.join(directory, "clip_delta.parquet"),
-                    compression="zstd", compression_level=1,
-                )
+                fput_table(buf, os.path.join(directory, "clip_delta.parquet"))
+            fput(os.path.join(directory, "delta.pkl"),
+                 pickle.dumps(delta, protocol=pickle.HIGHEST_PROTOCOL))
         self._reset_deltas()
 
     def _load_full(self, directory: str):
-        import pyarrow.parquet as pq
+        from ..fs import fexists, fget, fget_table
 
-        with open(os.path.join(directory, "state.pkl"), "rb") as f:
-            light = pickle.load(f)
+        light = pickle.loads(fget(os.path.join(directory, "state.pkl")))
         self.win = light["win"]
         self.swin = light.get("swin", {})
         self.sessions = defaultdict(list, light["sessions"])
@@ -1209,16 +1204,15 @@ class PartitionState:
         self.metrics = defaultdict(int, light["metrics"])
         buf_path = os.path.join(directory, "clip_buf.parquet")
         self.clip_buf = []
-        if os.path.exists(buf_path):
-            self.clip_buf = [pq.read_table(buf_path)]
+        if fexists(buf_path):
+            self.clip_buf = [fget_table(buf_path)]
         self.dlq_buf = []
         return light.get("wm")
 
     def _apply_delta(self, directory: str):
-        import pyarrow.parquet as pq
+        from ..fs import fexists, fget, fget_table
 
-        with open(os.path.join(directory, "delta.pkl"), "rb") as f:
-            d = pickle.load(f)
+        d = pickle.loads(fget(os.path.join(directory, "delta.pkl")))
         sample_k = getattr(self.cfg, "window_sample_k", 0)
         distinct_k = getattr(self.cfg, "window_distinct_k", 0)
         mode_k = getattr(self.cfg, "window_mode_k", 0)
@@ -1233,8 +1227,8 @@ class PartitionState:
         self.max_ts = d["max_ts"]
         self.metrics = defaultdict(int, d["metrics"])
         clip_path = os.path.join(directory, "clip_delta.parquet")
-        if os.path.exists(clip_path):
-            self.clip_buf.append(pq.read_table(clip_path))
+        if fexists(clip_path):
+            self.clip_buf.append(fget_table(clip_path))
         return d.get("wm")
 
     def restore_chain(self, full_dir: str, delta_dirs: list[str]):
@@ -1340,17 +1334,19 @@ def find_restore_chain(base: str, epoch: int) -> tuple[str, list[str]] | None:
     checkpoint dir: the newest FULL snapshot ≤ epoch plus every delta
     after it up to epoch.  ``None`` when no restorable chain exists
     (missing full, or a gap in the delta sequence)."""
-    if not os.path.isdir(base):
+    from ..fs import fexists, fisdir, flist
+
+    if not fisdir(base):
         return None
     fulls, deltas = [], {}
-    for name in os.listdir(base):
+    for name in flist(base):
         if not name.startswith("e"):
             continue
         e = int(name[1:])
         d = os.path.join(base, name)
-        if os.path.exists(os.path.join(d, "state.pkl")):
+        if fexists(os.path.join(d, "state.pkl")):
             fulls.append(e)
-        elif os.path.exists(os.path.join(d, "delta.pkl")):
+        elif fexists(os.path.join(d, "delta.pkl")):
             deltas[e] = d
     fulls = [e for e in fulls if e <= epoch]
     if not fulls:

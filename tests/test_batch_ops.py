@@ -256,7 +256,7 @@ def test_ivf_index_build_search_recall(rd, tmp_path):
     build_ivf_index(ds, root, n_centroids=16)
     assert os.path.exists(os.path.join(root, "centroids.parquet"))
     n_lists = sum(1 for d in os.listdir(os.path.join(root, "lists"))
-                  if d.startswith("part="))
+                  if d.startswith("partition="))
     assert n_lists == 16
 
     import pyarrow.parquet as pq2
@@ -909,7 +909,7 @@ def test_ivf_index_lloyd_training_path(rd, tmp_path):
     root = str(tmp_path / "ivf_lloyd")
     build_ivf_index(_read(sf, "embeddings"), root, n_centroids=8, train="lloyd")
     n_lists = sum(1 for d in os.listdir(os.path.join(root, "lists"))
-                  if d.startswith("part="))
+                  if d.startswith("partition="))
     assert n_lists == 8
 
     import pyarrow.parquet as pq2

@@ -132,31 +132,31 @@ def test_rescale_same_count_is_noop(sources):
     assert info.get("noop") is True
 
 
-def test_rescale_backup_restore_recovery(sources):
-    """The swap keeps a backup of the old p* dirs; restoring it (move
-    back + reset num_partitions) resumes at the OLD count with outputs
-    identical to the uninterrupted baseline — the documented mid-swap
-    crash recovery procedure."""
+def test_rescale_rollback_is_pure_metadata(sources):
+    """The old layout is never touched by a rescale (layout generations,
+    no renames): rolling back = pointing ckpt_layout / num_partitions
+    back at the previous generation via update_pipeline_state, after
+    which a resume at the OLD count produces outputs identical to the
+    uninterrupted baseline."""
     import os
-    import shutil
 
     root = sources
     out = f"{root}/restore"
     _run(root, "restore", 4, max_epochs=2)
     info = rescale_state(out, 6, cfg(4))
-    backup = info["backup"]
-    assert os.path.isdir(backup)
-
-    # recovery: put the old checkpoint layout back
+    assert info["layout"] and os.path.isdir(
+        os.path.join(out, "_checkpoints", info["layout"]))
+    # old layout's partition dirs are still fully present
     ck = f"{out}/_checkpoints"
-    for d in sorted(os.listdir(ck)):
-        if d.startswith("p") and d[1:].isdigit():
-            shutil.rmtree(os.path.join(ck, d))
-    for d in sorted(os.listdir(backup)):
-        os.rename(os.path.join(backup, d), os.path.join(ck, d))
+    old = [d for d in sorted(os.listdir(ck))
+           if d.startswith("p") and d[1:].isdigit()]
+    assert len(old) == 4
+
+    # rollback: metadata only, no file moves
     from hydra_ray.table import Table
     Table(f"{out}/replicated").update_pipeline_state(
-        "replicate", {"num_partitions": 4})
+        "replicate",
+        {"num_partitions": 4, "ckpt_layout": info["previous_layout"]})
 
     _run(root, "restore", 4)  # resume at the old count
     base = _sink_frames(f"{root}/base")
@@ -168,12 +168,10 @@ def test_rescale_backup_restore_recovery(sources):
         pd.testing.assert_frame_equal(g[cols], b[cols], check_dtype=False)
 
 
-def test_half_swapped_layout_refused(sources):
-    """A crash mid-swap (ADVICE r2) must be refused on resume, not
-    silently restored: (a) the swap sentinel blocks a resume at the new
-    count; (b) a p*-dir count that disagrees with the committed
-    num_partitions blocks even after the sentinel is cleared."""
-    import os
+def test_inconsistent_layout_refused(sources):
+    """(a) The legacy mid-swap sentinel (pre-layout-generation trees)
+    still blocks a resume; (b) a p*-dir count that disagrees with the
+    committed num_partitions refuses to restore silently."""
     import shutil
 
     from hydra_ray.table import Table
@@ -183,24 +181,18 @@ def test_half_swapped_layout_refused(sources):
     _run(root, "halfswap", 4, max_epochs=2)
     main = Table(f"{out}/replicated")
 
-    # simulate the crash window: sentinel + new count recorded, dirs
-    # only partially moved (one old partition dir deleted)
+    # (a) legacy sentinel from an old-layout tree
     main.update_pipeline_state(
         "replicate",
-        {"num_partitions": 6,
-         "rescale_swap": {"old": 4, "new": 6, "backup": "bk"}})
-    shutil.rmtree(f"{out}/_checkpoints/p0003")
-
-    with pytest.raises(RuntimeError, match="mid-swap"):
-        _run(root, "halfswap", 6)
+        {"rescale_swap": {"old": 4, "new": 6, "backup": "bk"}})
     with pytest.raises(RuntimeError, match="mid-swap"):
         _run(root, "halfswap", 4)
-
-    # operator clears the sentinel but the layout is still inconsistent
-    # (3 p* dirs vs a recorded count of 6, or of 4): both refuse
     main.update_pipeline_state("replicate", {"rescale_swap": None})
-    with pytest.raises(RuntimeError, match="inconsistent"):
-        _run(root, "halfswap", 6)
-    main.update_pipeline_state("replicate", {"num_partitions": 4})
+
+    # (b) damaged layout: a partition dir missing vs the recorded count
+    shutil.rmtree(f"{out}/_checkpoints/p0003")
     with pytest.raises(RuntimeError, match="inconsistent"):
         _run(root, "halfswap", 4)
+    main.update_pipeline_state("replicate", {"num_partitions": 6})
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        _run(root, "halfswap", 6)

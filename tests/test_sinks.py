@@ -28,7 +28,7 @@ def _df(n=1000):
 def _read_all(root: str) -> pd.DataFrame:
     parts = []
     for name in sorted(os.listdir(root)):
-        if not name.startswith("part="):
+        if not name.startswith("partition="):
             continue
         d = os.path.join(root, name)
         for f in sorted(os.listdir(d)):
@@ -49,7 +49,7 @@ def test_write_partitioned_roundtrip_and_markers(rd, tmp_path):
     assert back["v"].tolist() == df["v"].tolist()
     # marker row counts match files on disk
     for p, rows in committed.items():
-        d = os.path.join(root, f"part={p}")
+        d = os.path.join(root, f"partition={p}")
         disk = sum(pq.read_metadata(os.path.join(d, f)).num_rows
                    for f in os.listdir(d) if f.endswith(".parquet"))
         assert disk == rows
@@ -68,7 +68,7 @@ def test_write_partitioned_skips_done(rd, tmp_path):
     redo = set(range(8))
     mtimes = {}
     for p in range(16):
-        d = os.path.join(root, f"part={p}")
+        d = os.path.join(root, f"partition={p}")
         if p in redo:
             for f in list(os.listdir(d)):
                 os.unlink(os.path.join(d, f))
@@ -80,19 +80,20 @@ def test_write_partitioned_skips_done(rd, tmp_path):
     assert sum(committed.values()) == sum(full[p] for p in redo)
     # untouched partitions keep their original marker (never rewritten)
     for p, t in mtimes.items():
-        assert os.path.getmtime(os.path.join(root, f"part={p}", "_DONE")) == t
+        assert os.path.getmtime(os.path.join(root, f"partition={p}", "_DONE")) == t
     back = _read_all(root).sort_values("v").reset_index(drop=True)
     assert back["v"].tolist() == df["v"].tolist()
 
 
 def test_write_partitioned_recovers_from_crash_mid_adoption(rd, tmp_path):
-    """Orphan parquet files in a dest dir without _DONE (crash between
-    os.replace and _mark_done) must not duplicate rows on resume."""
+    """Orphan parquet files in a partition dir without _DONE (crash
+    between the data write and the _DONE manifest) must not duplicate
+    rows on resume."""
     root = str(tmp_path / "out")
     df = pd.DataFrame({"k": [str(i % 40) for i in range(500)], "v": range(500)})
     write_partitioned(rd.from_pandas(df).repartition(4), root, "k",
                       num_partitions=8)
-    victim = os.path.join(root, "part=3")
+    victim = os.path.join(root, "partition=3")
     os.unlink(os.path.join(victim, "_DONE"))
     assert any(f.endswith(".parquet") for f in os.listdir(victim))
     write_partitioned(rd.from_pandas(df).repartition(4), root, "k",

@@ -127,6 +127,39 @@ def test_lancelite_protocol_on_strict_backend(name, tmp_path):
     getattr(tl, name)(_SchemePath(str(tmp_path)))
 
 
+def test_streaming_exactly_once_on_strict_backend(tmp_path, ray_session):
+    """The FULL streaming pipeline — sources, 2PC epoch sink, checkpoint
+    chains, lineage log — runs on the object-store shim (no rename / no
+    overwrite anywhere), crashes mid-epoch, resumes, and produces output
+    byte-identical to a clean run on the LOCAL backend."""
+    import tests.test_replicate as tr
+    from hydra_ray.pipelines.replicate import CrashPoint, ReplicatePipeline
+
+    # clean run, local backend
+    lroot = str(tmp_path / "local")
+    tr.build_sources(lroot)
+    ReplicatePipeline(f"{lroot}/clips", f"{lroot}/out", tr.cfg(),
+                      f"{lroot}/updates").run()
+    clean_sig = tr._content_signature(f"{lroot}/out")
+
+    # crash + resume, strict backend end to end (sources included)
+    sroot = f"strict://{tmp_path}/strictish"
+    tr.build_sources(sroot)
+    crash = ReplicatePipeline(f"{sroot}/clips", f"{sroot}/out",
+                              tr.cfg(crash_at=(2, "before_main_commit")),
+                              f"{sroot}/updates")
+    with pytest.raises(CrashPoint):
+        crash.run()
+    ReplicatePipeline(f"{sroot}/clips", f"{sroot}/out", tr.cfg(),
+                      f"{sroot}/updates").run()
+    assert tr._content_signature(f"{sroot}/out") == clean_sig
+    # lineage side log readable from the strict tree
+    from hydra_ray.pipelines.replicate import read_lineage
+
+    lineage = read_lineage(f"{sroot}/out")
+    assert lineage and all("epoch" in e for e in lineage)
+
+
 def test_strict_commit_race_and_gc(tmp_path):
     """Version race + orphan GC purely on conditional-PUT semantics."""
     root = f"strict://{tmp_path}/t"
@@ -143,3 +176,39 @@ def test_strict_commit_race_and_gc(tmp_path):
     assert t.gc_staged() == 1
     assert len(t.fs.list_dir(os.path.join(t.root, "data"))) == n_data - 1
     assert Table(root).count_rows() == 5
+
+
+# --------------------------------------------- dim_join broadcast bound
+def test_dim_join_fallback_equals_broadcast(ray_session):
+    """dim_join's partitioned fallback (bound=0) must produce exactly the
+    broadcast path's rows for every join kind (VERDICT r3 #5)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hydra_ray.stages.join import dim_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 2000),
+        "v": np.arange(2000),
+    })
+    dim = pd.DataFrame({
+        "k": np.arange(0, 60, 2),       # half the keys match
+        "name": [f"d{i}" for i in range(0, 60, 2)],
+    })
+
+    for how in ("inner", "left", "semi", "anti"):
+        d = dim if how in ("inner", "left") else dim[["k"]]
+        a = dim_join(rd.from_pandas(left).repartition(4),
+                     rd.from_pandas(d).repartition(2), on="k", how=how,
+                     broadcast_max_rows=10_000).to_pandas()
+        b = dim_join(rd.from_pandas(left).repartition(4),
+                     rd.from_pandas(d).repartition(2), on="k", how=how,
+                     broadcast_max_rows=0).to_pandas()
+        key = [c for c in ("k", "v") if c in a.columns]
+        a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
+        b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)],
+                                      b[sorted(b.columns)],
+                                      check_dtype=False)
