@@ -21,12 +21,26 @@ import pyarrow as pa
 __all__ = ["hash64", "partition_for", "add_partition_column"]
 
 
+_NULL_HASH = np.uint64(0x517CC1B727220A95)  # fixed hash for null/NaN keys
+
+
 def hash64(keys) -> np.ndarray:
-    """Stable unsigned 64-bit hash of a string array (vectorized)."""
+    """Stable unsigned 64-bit hash of a key array (vectorized).
+
+    Null-safe: None/NaN positions hash to ONE fixed constant.  Without
+    this, CPython ≥ 3.10 hashes ``nan`` (and ``None``) by object id, so
+    equal null keys from different batches land in different hash
+    buckets and never meet in a grouped reduce (observed: rollup null
+    key split across buckets)."""
     if isinstance(keys, (pa.Array, pa.ChunkedArray)):
         keys = keys.to_numpy(zero_copy_only=False)
     arr = np.asarray(keys, dtype=object)
-    return pd.util.hash_array(arr, categorize=False)
+    h = pd.util.hash_array(arr, categorize=False)
+    na = pd.isna(arr)
+    if na.any():
+        h = h.copy()
+        h[na] = _NULL_HASH
+    return h
 
 
 def partition_for(keys, num_partitions: int) -> np.ndarray:

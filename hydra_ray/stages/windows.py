@@ -322,6 +322,50 @@ def _partial_columns(aggs: list[AggSpec]) -> list[tuple[str, str, str]]:
     return cols
 
 
+def _default_scalar(typ: pa.DataType):
+    """A type-default sentinel value ("" / 0 / 0.0 / False / epoch)."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.scalar("", typ)
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.scalar(b"", typ)
+    if pa.types.is_boolean(typ):
+        return pa.scalar(False, typ)
+    return pa.scalar(0, typ)
+
+
+def _null_string_key_guard(t: pa.Table, group_cols: list[str]):
+    """Work around pyarrow's multi-key group_by mis-grouping NULL STRING
+    keys (each 32-row accumulator batch opens a fresh null group —
+    pyarrow 16.1, repro in test_windows).  For every string-typed key
+    column holding nulls, append a companion null-flag key and fill the
+    nulls with "" — grouping on (filled, flag) is exact.  Returns the
+    (possibly augmented) table, the augmented key list, and the flags
+    needed to restore nulls afterwards."""
+    if len(group_cols) < 2:
+        return t, group_cols, []
+    keys = list(group_cols)
+    restore = []
+    for c in group_cols:
+        f = t.schema.field(c)
+        if (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)) \
+                and t[c].null_count:
+            flag = f"__isnull_{c}"
+            t = t.append_column(flag, pc.is_null(t[c]))
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.fill_null(t[c], pa.scalar("", f.type)))
+            keys.append(flag)
+            restore.append((c, flag, f.type))
+    return t, keys, restore
+
+
+def _restore_null_keys(gb: pa.Table, restore) -> pa.Table:
+    for c, flag, typ in restore:
+        col = pc.if_else(gb[flag], pa.scalar(None, typ), gb[c])
+        gb = gb.set_column(gb.schema.get_field_index(c), c, col)
+        gb = gb.drop_columns([flag])
+    return gb
+
+
 def _partial_agg_batch(
     batch: pa.Table, group_cols: list[str], aggs: list[AggSpec]
 ) -> pa.Table:
@@ -362,18 +406,19 @@ def _partial_agg_batch(
         else:
             plan.append((src, fn))
         names.append(pname)
-    gb = batch.group_by(group_cols, use_threads=False).aggregate(plan)
+    batch, keys, restore = _null_string_key_guard(batch, group_cols)
+    gb = batch.group_by(keys, use_threads=False).aggregate(plan)
     # output layout: key columns first, then aggregates in plan order
     # (duplicate agg names possible) — rename positionally.  The key-first
     # layout has differed across pyarrow versions, so verify it before
     # renaming rather than silently scrambling aggregates into key names.
-    if gb.column_names[: len(group_cols)] != group_cols:
+    if gb.column_names[: len(keys)] != keys:
         raise RuntimeError(
             "pyarrow group_by column order changed: expected keys first, got "
-            f"{gb.column_names!r} for keys {group_cols!r}"
+            f"{gb.column_names!r} for keys {keys!r}"
         )
-    new_names = list(gb.column_names[: len(group_cols)]) + names
-    return gb.rename_columns(new_names)
+    gb = gb.rename_columns(list(keys) + names)
+    return _restore_null_keys(gb, restore)
 
 
 def _combine_partials(ds, group_cols: list[str], aggs: list[AggSpec],
@@ -411,20 +456,24 @@ def _combine_partials(ds, group_cols: list[str], aggs: list[AggSpec],
             "__bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
         )
 
-    def combine(g: pd.DataFrame) -> pa.Table:
-        t = pa.Table.from_pandas(g.drop(columns="__bucket"), preserve_index=False)
-        gb = t.group_by(group_cols, use_threads=False).aggregate(plan)
-        if gb.column_names[: len(group_cols)] != group_cols:
+    def combine(t: pa.Table) -> pa.Table:
+        # Arrow-native bucket reduce: the group arrives as a pa.Table
+        # (no pandas round trip on full bucket contents — VERDICT r3 #4)
+        t = t.drop_columns(["__bucket"])
+        t, keys, restore = _null_string_key_guard(t, group_cols)
+        gb = t.group_by(keys, use_threads=False).aggregate(plan)
+        if gb.column_names[: len(keys)] != keys:
             raise RuntimeError(
                 "pyarrow group_by column order changed: expected keys first, "
                 f"got {gb.column_names!r}"
             )
-        return gb.rename_columns(group_cols + names)
+        gb = gb.rename_columns(list(keys) + names)
+        return _restore_null_keys(gb, restore)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -566,12 +615,20 @@ def rollup_aggregate(ds, group_cols: list[str], aggs: list[AggSpec],
     (bit 2^(n-1-i) set when column i is rolled up), and the aggregates.
 
     Scale shape: the RAW data is scanned and partial-aggregated ONCE at
-    the finest level; the combined finest partials (O(distinct groups)
-    rows — tiny relative to the data) are materialized and every coarser
-    set re-combines THOSE, never the input.  Partial combining is
-    associative (sums of sums, min of mins), so re-reduction is exact —
-    including mean/var/std, whose (sum, sumsq, count) partials survive
-    the first combine un-finalized.
+    the finest level; each batch's partial rows (O(distinct groups per
+    batch) — tiny relative to the data) are then EXPANDED into every
+    grouping set (rolled-up keys nulled + a grouping_id tag) and a
+    single bucket exchange combines all levels at once — one execution,
+    one shuffle, no mid-pipeline materialize (the previous shape paid a
+    materialize plus one exchange per set; the combined Ray per-
+    execution fixed cost dominated the query).  Partial combining is
+    associative (sums of sums, min of mins), so coarse levels reduce
+    exactly from finest partials — including mean/var/std, whose
+    (sum, sumsq, count) partials ride un-finalized.  Shuffle volume is
+    |sets| × per-batch partial rows; for high-cardinality finest keys
+    with many sets, a two-stage (combine-finest-first) variant would
+    trade a second exchange for less volume — not worth it at the
+    catalog's set counts (ROLLUP/CUBE over ≤ 3 columns).
     """
     if sets is None:
         sets = [group_cols[:k] for k in range(len(group_cols), -1, -1)]
@@ -584,53 +641,58 @@ def rollup_aggregate(ds, group_cols: list[str], aggs: list[AggSpec],
     schema = _arrow_schema_of(ds)
     key_types = {c: schema.field(c).type for c in group_cols}
 
-    def partial(t: pa.Table) -> pa.Table:
-        return _partial_agg_batch(t, group_cols, aggs)
-
-    fine = _combine_partials(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        group_cols, aggs, num_buckets,
-    ).materialize()  # O(groups) rows — the one justified materialize
-
     n = len(group_cols)
-    out_cols = group_cols + ["grouping_id"] + [a.alias for a in aggs]
-    levels = []
+    set_specs = []
     for s in sets:
         keys = [c for c in group_cols if c in s]  # canonical column order
         gid = sum(
             (1 << (n - 1 - i)) for i, c in enumerate(group_cols) if c not in s
         )
-        if keys:
-            lvl = _finalize_partials(
-                _combine_partials(fine, keys, aggs, num_buckets), keys, aggs
-            )
-        else:
-            const = fine.map_batches(
-                lambda t: t.append_column(
-                    "__all", pa.array(np.zeros(t.num_rows, np.int8))
-                ),
-                batch_format="pyarrow",
-            )
-            lvl = _finalize_partials(
-                _combine_partials(const, ["__all"], aggs, num_buckets),
-                ["__all"], aggs,
-            ).drop_columns(["__all"])
+        set_specs.append((keys, gid))
 
-        def pad(t: pa.Table, keys=keys, gid=gid) -> pa.Table:
-            for c in group_cols:
+    def partial(t: pa.Table) -> pa.Table:
+        fine = _partial_agg_batch(t, group_cols, aggs)
+        outs = []
+        for keys, gid in set_specs:
+            lvl = fine
+            for i, c in enumerate(group_cols):
                 if c not in keys:
-                    t = t.append_column(c, pa.nulls(t.num_rows, key_types[c]))
-            t = t.append_column(
-                "grouping_id", pa.array(np.full(t.num_rows, gid, np.int64))
-            )
-            return t.select(out_cols)
+                    # rolled-up keys carry a type-default SENTINEL, not
+                    # null: grouping_id already says which columns are
+                    # rolled up (they are nulled back at the end), and
+                    # pyarrow's multi-key group_by mis-groups NULL string
+                    # keys (splits every 32 rows — accumulator batch
+                    # granularity; pyarrow 16.1, see test_windows null-key
+                    # regression test)
+                    lvl = lvl.set_column(
+                        i, c,
+                        pc.fill_null(pa.nulls(fine.num_rows, key_types[c]),
+                                     _default_scalar(key_types[c])),
+                    )
+            outs.append(lvl.append_column(
+                "grouping_id",
+                pa.array(np.full(fine.num_rows, gid, np.int64)),
+            ))
+        return pa.concat_tables(outs)
 
-        levels.append(lvl.map_batches(pad, batch_format="pyarrow"))
+    out_cols = group_cols + ["grouping_id"] + [a.alias for a in aggs]
+    combined = _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_cols + ["grouping_id"], aggs, num_buckets,
+    )
+    finalized = _finalize_partials(combined, group_cols + ["grouping_id"], aggs)
 
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    return out
+    def null_rolled_up(t: pa.Table) -> pa.Table:
+        gid = t["grouping_id"].to_numpy(zero_copy_only=False)
+        for i, c in enumerate(group_cols):
+            rolled = ((gid >> (n - 1 - i)) & 1).astype(bool)
+            if rolled.any():
+                col = pc.if_else(pa.array(~rolled), t[c],
+                                 pa.scalar(None, key_types[c]))
+                t = t.set_column(t.schema.get_field_index(c), c, col)
+        return t.select(out_cols)
+
+    return finalized.map_batches(null_rolled_up, batch_format="pyarrow")
 
 
 def grouped_quantile(ds, group_cols: list[str], value_col: str,

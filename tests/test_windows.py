@@ -426,3 +426,53 @@ def test_arg_max_min_aggspecs(ray_session):
             gi = None if pd.isna(row["am_i"]) else row["am_i"]
             gs = None if pd.isna(row["am_s"]) else row["am_s"]
             assert gi == ei and gs == es, (kk, gi, ei, gs, es)
+
+
+def test_null_string_group_keys_merge_exactly(ray_session):
+    """pyarrow's multi-key group_by opens a FRESH group for null string
+    keys every 32-row accumulator batch (pyarrow 16.1) — the
+    _null_string_key_guard must make grouped_aggregate / rollup exact
+    for data whose key columns genuinely hold nulls."""
+    import duckdb
+    import ray.data as rd
+
+    from hydra_ray.stages.windows import grouped_aggregate, rollup_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    df = pd.DataFrame({
+        "a": np.where(rng.random(n) < 0.3, None,
+                      rng.choice(list("xyz"), n)),
+        "b": rng.integers(0, 4, n),
+        "v": rng.random(n).round(6),
+    })
+    got = (
+        grouped_aggregate(
+            rd.from_pandas(df).repartition(8), ["a", "b"],
+            [AggSpec("sum", "v", "s"), AggSpec("count", None, "n")])
+        .to_pandas()
+    )
+    ref = duckdb.sql(
+        "SELECT a, b, sum(v) AS s, count(*) AS n FROM df GROUP BY a, b"
+    ).df()
+    key = ["a", "b"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    ref = ref.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert np.allclose(got["s"], ref["s"])
+    assert got["n"].astype(int).tolist() == ref["n"].astype(int).tolist()
+
+    # rollup over the same nullable key: every level exact
+    roll = rollup_aggregate(
+        rd.from_pandas(df).repartition(8), ["a", "b"],
+        [AggSpec("sum", "v", "s")]).to_pandas()
+    rref = duckdb.sql("""
+        SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS grouping_id,
+               sum(v) AS s
+        FROM df GROUP BY ROLLUP(a, b)
+    """).df()
+    k2 = ["grouping_id", "a", "b"]
+    roll = roll.sort_values(k2, na_position="last").reset_index(drop=True)
+    rref = rref.sort_values(k2, na_position="last").reset_index(drop=True)
+    assert len(roll) == len(rref)
+    assert np.allclose(roll["s"], rref["s"])
