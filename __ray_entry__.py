@@ -89,9 +89,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": q.q_global_rank,
         "value_dispersion": q.q_value_dispersion,
         "funnel": q.q_funnel,
-        "replication_diff": q.q_replication_diff,
+        # -- NEW r4 oracles (displace the end of the fill block) --
+        "pagerank_ranks": q.q_pagerank_ranks,
         # -- oracled, past the 50-slot window (driver-verified in a
         # recent round; rotate forward in later rounds) --
+        "replication_diff": q.q_replication_diff,
         "jaccard_search": q.q_jaccard_search,
         "similarity_join": q.q_similarity_join,
         "decontaminate": q.q_decontaminate,
@@ -217,6 +219,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q.q_video_frames,
         "video_neardup": q.q_video_neardup,
     }
+
+
+def _pagerank_sql(iters: int = 8, d: float = 0.85) -> str:
+    """DuckDB PageRank oracle: recursive CTEs cannot aggregate in the
+    recursive term, so the fixed iteration count is UNROLLED as chained
+    CTEs.  Graph = Brand#1 co-purchase, support >= 2, both directions
+    (same base as the components oracle) — no dangling nodes, so the
+    kernel's dangling-mass term is identically zero."""
+    base = """
+        WITH pp AS (
+            SELECT DISTINCT l.l_orderkey AS o, l.l_partkey AS p
+            FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+            WHERE pt.p_brand = 'Brand#1'
+        ), e0 AS (
+            SELECT a.p AS u, b.p AS v
+            FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ), e AS (
+            SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+        ), nodes AS (
+            SELECT DISTINCT u AS node FROM e
+        ), nn AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), od AS (
+            SELECT u AS node, CAST(count(*) AS DOUBLE) AS deg
+            FROM e GROUP BY u
+        ), r0 AS (
+            SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+        )"""
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        its.append(f""", r{k} AS (
+            SELECT nd.node,
+                   (1.0 - {d}) / nn.n + {d} * coalesce(s.acc, 0) AS rank
+            FROM nodes nd CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.v AS node, sum({prev}.rank / od.deg) AS acc
+                FROM e
+                JOIN {prev} ON {prev}.node = e.u
+                JOIN od ON od.node = e.u
+                GROUP BY e.v
+            ) s ON s.node = nd.node
+        )""")
+        prev = f"r{k}"
+    return (base + "".join(its)
+            + f" SELECT node, round(rank, 6) AS rank FROM {prev}")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1423,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS p_partkey, CAST(min(lbl) AS BIGINT) AS component
             FROM walk GROUP BY 1
         """,
+        "pagerank_ranks": _pagerank_sql(),
         "idle_balances": """
             WITH g AS (
                 SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,

@@ -1856,6 +1856,50 @@ def q_pagerank(sf_dir):
     return ranks.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_pagerank_ranks(sf_dir):
+    """ORACLED PageRank (VERDICT r3 #7): 8 damped power iterations over
+    the Brand#1 co-purchase graph (support ≥ 2, both directions — same
+    base graph as q_components), against a DuckDB oracle whose 8
+    iterations are UNROLLED as chained CTEs (recursive CTEs cannot
+    aggregate in the recursive term).  The both-directions graph has no
+    dangling nodes, so the kernel's dangling-mass term is identically
+    zero and the SQL needs no dangling branch.  Ranks round to 6 dp
+    (values ~1e-2 with ~1e-14 cross-impl float noise after 8
+    iterations — far from any rounding boundary)."""
+    from ..stages.graph import cooccurrence_edges, pagerank
+    from ..stages.join import dim_join
+
+    brand_keys = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t.filter(
+                pc.equal(t["p_brand"], "Brand#1"))["p_partkey"],
+        }), batch_format="pyarrow")
+    li = dim_join(_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+                  brand_keys, on="l_partkey", how="semi")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               with_counts=True)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["pair_count"], 2))
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays([u, v]),
+            "dst": pa.concat_arrays([v, u]),
+        })
+
+    ranks = pagerank(edges.map_batches(both_dirs, batch_format="pyarrow"),
+                     "src", "dst", damping=0.85, iters=8)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(t["node"], pa.int64()),
+            "rank": round_f64(t["r"], 6),
+        })
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_pagerank_sharded(sf_dir):
     """Same supply graph as q_pagerank through the ACTOR-SHARDED rank
     tier (`stages/graph.py pagerank_sharded`) — the past-1e9-node scale
