@@ -827,12 +827,18 @@ class ReplicatePipeline:
         cls = PartitionStateActor()
         cfg = self.cfg
         sink_roots = {s: t.uri for s, t in self.sink.items()}
+        # SPREAD: balance partition actors across cluster nodes (a no-op
+        # in single-node local mode; on a real cluster it keeps one
+        # node's failure from taking out every partition's state)
         self.actors = [
-            cls.options(num_cpus=cfg.actor_num_cpus).remote(
+            cls.options(num_cpus=cfg.actor_num_cpus,
+                        scheduling_strategy="SPREAD").remote(
                 p, _StateCfg(cfg), sink_roots, self.part_root
             )
             for p in range(cfg.num_partitions)
         ]
+        # placement record (survives teardown — ops/test introspection)
+        self.actor_nodes = ray.get([a.node_id.remote() for a in self.actors])
         if cfg.dedup:
             from ..state.dedup_index import DedupShardActor
 

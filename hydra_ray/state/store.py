@@ -1469,6 +1469,13 @@ def _make_actor_cls():
         def ping(self) -> int:
             return self.partition
 
+        def node_id(self) -> str:
+            """Which cluster node this actor landed on (multi-node
+            placement introspection for the dress-rehearsal test)."""
+            import ray
+
+            return ray.get_runtime_context().get_node_id()
+
     return _PartitionStateActor
 
 
