@@ -63,7 +63,13 @@ class StorageFS:
     scheme = ""
 
     # ----------------------------------------------------------- objects
-    def put(self, path: str, data: bytes, *, mode: str = "create") -> bool:
+    def put(self, path: str, data: bytes, *, mode: str = "create",
+            durable: bool = False) -> bool:
+        """``durable=True`` adds an fsync before publish — reserved for
+        COMMIT-POINT objects (manifest versions, lineage entries); data
+        objects skip it because their visibility is gated by a later
+        durable commit (measured: blanket per-object fsync cost ~20% of
+        the streaming headline)."""
         raise NotImplementedError
 
     def get(self, path: str) -> bytes:
@@ -112,9 +118,17 @@ class StorageFS:
     def put_table(self, table: pa.Table, path: str, *,
                   compression: str = "zstd",
                   compression_level: int | None = 1,
-                  mode: str = "create") -> int:
+                  mode: str = "create", atomic: bool = True) -> int:
         """Parquet-serialize ``table`` and PUT it as one atomic object.
-        Returns the object size in bytes."""
+        Returns the object size in bytes.
+
+        ``atomic=False`` lets a backend skip the buffer + publish dance
+        when the object's VISIBILITY is gated elsewhere (lancelite
+        fragments are invisible until a manifest references them): the
+        local backend then streams parquet straight to the final path —
+        one less full-size memcpy + 3 fewer metadata ops per fragment
+        (measured on the streaming headline).  Real object stores are
+        atomic per PUT anyway, so the shim ignores the flag."""
         sink = pa.BufferOutputStream()
         pq.write_table(
             table, sink, compression=compression,
@@ -142,15 +156,17 @@ class LocalFS(StorageFS):
     scheme = ""
     supports_rename = True
 
-    def put(self, path: str, data: bytes, *, mode: str = "create") -> bool:
+    def put(self, path: str, data: bytes, *, mode: str = "create",
+            durable: bool = False) -> bool:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = os.path.join(
             os.path.dirname(path), f".tmp-{uuid.uuid4().hex}"
         )
         with open(tmp, "wb") as f:
             f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
+            if durable:
+                f.flush()
+                os.fsync(f.fileno())
         if mode == "overwrite":
             os.replace(tmp, path)
             return True
@@ -169,6 +185,26 @@ class LocalFS(StorageFS):
         os.makedirs(os.path.dirname(dest_path), exist_ok=True)
         os.replace(local_src, dest_path)
 
+    def put_table(self, table: pa.Table, path: str, *,
+                  compression: str = "zstd",
+                  compression_level: int | None = 1,
+                  mode: str = "create", atomic: bool = True) -> int:
+        if atomic:
+            return super().put_table(
+                table, path, compression=compression,
+                compression_level=compression_level, mode=mode)
+        # manifest-gated object: stream parquet directly (a crashed
+        # half-written file stays unreferenced and is gc'd)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if mode == "create" and os.path.exists(path):
+            raise FileExistsError(path)
+        pq.write_table(
+            table, path, compression=compression,
+            compression_level=compression_level
+            if compression == "zstd" else None,
+        )
+        return os.path.getsize(path)
+
 
 class StrictObjectFS(StorageFS):
     """Object-store shim: forbids rename and in-place overwrite.
@@ -182,7 +218,8 @@ class StrictObjectFS(StorageFS):
     scheme = _STRICT_SCHEME
     supports_rename = False
 
-    def put(self, path: str, data: bytes, *, mode: str = "create") -> bool:
+    def put(self, path: str, data: bytes, *, mode: str = "create",
+            durable: bool = False) -> bool:
         if mode == "overwrite":
             raise PermissionError(
                 f"StrictObjectFS forbids in-place overwrite: {path}"
@@ -193,8 +230,9 @@ class StrictObjectFS(StorageFS):
         )
         with open(tmp, "wb") as f:
             f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
+            if durable:
+                f.flush()
+                os.fsync(f.fileno())
         try:
             os.link(tmp, path)  # emulates atomic conditional PUT
             return True

@@ -1515,12 +1515,13 @@ class ReplicatePipeline:
         equivalent content by deterministic replay)."""
         from ..fs import fput
 
-        fput(
+        from ..fs import resolve as _resolve
+
+        fs_i, p = _resolve(
             os.path.join(self.out_root, "_lineage", self.name,
-                         f"e{int(entry['epoch']):06d}.json"),
-            json.dumps(entry).encode(),
-            mode="create_or_skip",
-        )
+                         f"e{int(entry['epoch']):06d}.json"))
+        fs_i.put(p, json.dumps(entry).encode(), mode="create_or_skip",
+                 durable=True)
 
     def _process_hot(self, results: list, epoch: int, wm: int) -> list:
         """Merge hot-key close partials across salt partitions.

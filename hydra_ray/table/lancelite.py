@@ -217,6 +217,7 @@ class Table:
             self._manifest_path(m.version),
             json.dumps(m.to_json()).encode(),
             mode="create",
+            durable=True,    # THE commit point: survive a host crash
         )
         return m.version
 
@@ -339,8 +340,10 @@ class Table:
     ) -> FragmentMeta:
         name = f"f-{uuid.uuid4().hex}.parquet"
         rel = os.path.join(subdir, name)
+        # atomic=False: fragment visibility is manifest-gated (phase 2)
         nbytes = self.fs.put_table(
             data, os.path.join(self.root, rel), compression=compression,
+            atomic=False,
         )
         return FragmentMeta(
             path=rel,
