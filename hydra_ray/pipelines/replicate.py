@@ -222,6 +222,11 @@ class ReplicateConfig:
     # maintenance: bin-pack each sink's small fragments every K committed
     # epochs (0 = off); content/time-travel preserving (Table.compact)
     compact_sinks_every: int = 0
+    # maintenance: bound each sink's manifest log on an endless stream —
+    # keep only the newest K manifest versions (0 = keep all; shortens
+    # time travel to the kept window, Table.truncate_history).  Applied
+    # on the compact_sinks_every cadence.
+    keep_history_versions: int = 0
     # test hooks: raise CrashPoint at a given (epoch, point)
     crash_at: tuple | None = None            # e.g. (1, "after_prepare")
 
@@ -1507,6 +1512,8 @@ class ReplicatePipeline:
         ):
             for t in self.sink.values():
                 t.compact()
+                if cfg.keep_history_versions:
+                    t.truncate_history(cfg.keep_history_versions)
         return merged
 
     def _append_lineage(self, entry: dict):

@@ -709,6 +709,52 @@ class Table:
             n += 1
         return n
 
+    def truncate_history(self, keep_versions: int = 64) -> dict:
+        """Bound the manifest log on an endless stream: delete manifest
+        versions older than ``latest − keep_versions + 1`` and every
+        fragment object ONLY those versions referenced.
+
+        Micro-batch epochs append one manifest version each, and
+        ``gc_staged`` / time travel scan the whole log — unbounded on an
+        endless stream.  Truncation is rename-free and crash-safe in
+        either order: a crash after deleting manifests leaves fragments
+        that the next ``gc_staged`` removes (they are unreferenced by
+        the remaining log); a crash mid-fragment-delete leaves manifests
+        whose re-truncation is idempotent.  Time travel shortens to the
+        kept window — the same contract as Delta/Iceberg VACUUM +
+        ``delete_old_versions``.  Single-maintainer op (run between
+        epochs, like ``compact``).  Returns counts."""
+        latest = self.latest_version()
+        if latest is None or keep_versions < 1:
+            return {"versions_deleted": 0, "fragments_deleted": 0}
+        horizon = latest - keep_versions + 1
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        old_versions, kept_versions = [], []
+        for name in self.fs.list_dir(mdir):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            v = int(name.split(".")[0])
+            (old_versions if v < horizon else kept_versions).append(v)
+        if not old_versions:
+            return {"versions_deleted": 0, "fragments_deleted": 0}
+        kept_refs: set[str] = set()
+        for v in kept_versions:
+            kept_refs.update(f.path for f in self._manifest(v).fragments)
+        doomed: set[str] = set()
+        for v in old_versions:
+            for f in self._manifest(v).fragments:
+                if f.path not in kept_refs:
+                    doomed.add(f.path)
+        # fragments first (idempotent), then the manifest objects
+        for rel in sorted(doomed):
+            self.fs.delete(os.path.join(self.root, rel))
+        for v in old_versions:
+            self.fs.delete(self._manifest_path(v))
+        return {
+            "versions_deleted": len(old_versions),
+            "fragments_deleted": len(doomed),
+        }
+
     # ---------------------------------------------------------- maintenance
     def register_parquet_dir(self, directory: str) -> int:
         """Adopt every parquet file of LOCAL ``directory`` (e.g. a Ray

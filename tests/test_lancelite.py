@@ -301,3 +301,47 @@ def test_compact_keyed_preserves_mvcc_and_tombstones(tmp_path):
     assert (
         t.read_compacted().to_pandas().set_index("k")["v"]["z"] == 31
     )
+
+
+def test_truncate_history_bounds_manifest_log(tmp_path):
+    """Endless-stream maintenance: truncate_history keeps only the newest
+    K manifest versions and deletes fragments only THEY referenced;
+    current reads, later commits, delta reads and gc stay intact."""
+    t = Table.create(str(tmp_path / "t"))
+    for e in range(10):
+        s = t.stage_fragment(_tbl(3, e * 3), epoch=e, partition=0)
+        t.commit_epoch("pipe", e, [s])
+    # overwrite makes the early fragments referenced ONLY by old versions
+    t.write(_tbl(5), mode="overwrite")
+    latest = t.latest_version()
+    info = t.truncate_history(keep_versions=3)
+    assert info["versions_deleted"] == latest - 3 + 1
+    # manifests are copy-forward: pre-overwrite fragments stay referenced
+    # by the kept append-era versions, so nothing is deleted yet...
+    assert info["fragments_deleted"] == 0
+    # ...until the replace version is the only one kept
+    info2 = t.truncate_history(keep_versions=1)
+    assert info2["fragments_deleted"] >= 10  # the pre-overwrite frags
+    # live content intact, epoch state intact, log bounded
+    assert t.count_rows() == 5
+    assert t.committed_epoch("pipe") == 9
+    versions = [int(n.split(".")[0]) for n in
+                t.fs.list_dir(os.path.join(t.root, "_versions"))]
+    assert len(versions) == 1 and max(versions) == latest
+    # idempotent + future commits keep working
+    assert t.truncate_history(1)["versions_deleted"] == 0
+    t.append(_tbl(2, 100))
+    assert t.count_rows() == 7
+    assert t.gc_staged() == 0   # nothing dangling after truncation
+    # delta read against the kept window still works
+    assert sum(f.rows for f in t.read_fragments(latest)) == 2
+
+
+def test_truncate_history_on_strict_backend(tmp_path):
+    t = Table.create(f"strict://{tmp_path}/t")
+    for e in range(6):
+        s = t.stage_fragment(_tbl(2, e * 2), epoch=e, partition=0)
+        t.commit_epoch("pipe", e, [s])
+    t.truncate_history(keep_versions=2)
+    assert t.count_rows() == 12          # append-only: all still live
+    assert t.committed_epoch("pipe") == 5

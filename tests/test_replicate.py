@@ -703,3 +703,25 @@ def test_streaming_fbank_on_payload(ray_session, tmp_path):
         out2["fbank_mean"].combine_chunks().flatten()).reshape(-1, 16)
     for s, m in zip(g2_seq, g2_mean):
         assert np.allclose(m, r2_by_seq[s], atol=1e-5), s
+
+
+def test_history_truncation_preserves_output(tmp_path, ray_session, clean_run):
+    """keep_history_versions bounds every sink's manifest log mid-stream
+    without changing any output (maintenance runs between epochs)."""
+    clean_sig = _content_signature(f"{clean_run[0]}/out")
+    root = str(tmp_path)
+    build_sources(root)
+    c = cfg(compact_sinks_every=2, keep_history_versions=3)
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", c,
+                      f"{root}/updates").run()
+    assert _content_signature(f"{root}/out") == clean_sig
+    import os
+
+    for sink in ("replicated", "windows"):
+        t = Table(f"{root}/out/{sink}")
+        versions = [n for n in t.fs.list_dir(
+            os.path.join(t.root, "_versions")) if n.endswith(".json")]
+        # bounded: 3 kept at the last tick + (epoch + compaction)
+        # versions appended since — far below the ~20 an unbounded
+        # 8-epoch run accumulates
+        assert len(versions) <= 8, len(versions)
