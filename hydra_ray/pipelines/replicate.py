@@ -144,6 +144,16 @@ class ReplicateConfig:
     # near-duplicate storm (one variant dominating a window) without
     # buffering rows.  0 disables (schema unchanged).
     window_mode_k: int = 0
+    # streaming per-window EXACT TOP-K RECORDS by duration: each
+    # (clip_id, window) cell keeps the k LARGEST dur_ms with their
+    # record hashes (hash64(seq); union dedups by hash, keeps the k
+    # largest — an exact order-independent monoid: a record in the
+    # union's top-k has < k larger records in every partial's subset
+    # view, so each partial kept it) and close emits ``top_durs``
+    # (values, descending) + ``top1_dur_ms``.  Salting/routing-
+    # independent, delta-checkpoint- and rescale-safe.  0 disables
+    # (schema unchanged).
+    window_top_k: int = 0
     # streaming per-SESSION duration quantiles: each open session
     # interval additionally carries a deterministic bottom-k-by-
     # hash(seq) sample of dur_ms (the window_sample_k monoid), unioned
@@ -1554,7 +1564,8 @@ class ReplicatePipeline:
             has_sample = "sample_h" in cat.column_names
             has_distinct = "distinct_h" in cat.column_names
             has_mode = "mode_hs" in cat.column_names
-            if has_sample or has_distinct or has_mode:
+            has_top = "top_vs" in cat.column_names
+            if has_sample or has_distinct or has_mode or has_top:
                 # window_sample_k / window_distinct_k / window_mode_k
                 # partials: re-union each key's sketch(es) across salt
                 # partitions, then emit the same final columns (in the
@@ -1568,11 +1579,13 @@ class ReplicatePipeline:
                     _mode_of,
                     _modek_union,
                     _sample_quantiles,
+                    _topk_union,
                 )
 
                 k = cfg.window_sample_k
                 dk = cfg.window_distinct_k
                 mk = cfg.window_mode_k
+                tk = cfg.window_top_k
                 df = cat.to_pandas()
                 cells: dict = {}
                 for r in df.itertuples(index=False):
@@ -1586,6 +1599,8 @@ class ReplicatePipeline:
                             "ch": np.array([], np.uint64),
                             "mh": np.array([], np.uint64),
                             "mc": np.array([], np.int64),
+                            "tv": np.array([], np.int64),
+                            "th": np.array([], np.uint64),
                         }
                     cur["we"] = max(cur["we"], int(r.window_end))
                     cur["n"] += int(r.n_clips)
@@ -1604,6 +1619,11 @@ class ReplicatePipeline:
                             cur["mh"], cur["mc"],
                             np.asarray(r.mode_hs, dtype=np.uint64),
                             np.asarray(r.mode_ns, dtype=np.int64), mk)
+                    if has_top:
+                        cur["tv"], cur["th"] = _topk_union(
+                            cur["tv"], cur["th"],
+                            np.asarray(r.top_vs, dtype=np.int64),
+                            np.asarray(r.top_hs, dtype=np.uint64), tk)
                 kws = sorted(cells)
                 cols = {
                     "clip_id": pa.array([kw[0] for kw in kws], pa.string()),
@@ -1633,6 +1653,13 @@ class ReplicatePipeline:
                         [m[0] for m in modes], pa.uint64())
                     cols["mode_n"] = pa.array(
                         [m[1] for m in modes], pa.int64())
+                if has_top:
+                    cols["top_durs"] = pa.array(
+                        [cells[kw]["tv"].tolist() for kw in kws],
+                        pa.list_(pa.int64()))
+                    cols["top1_dur_ms"] = pa.array(
+                        [int(cells[kw]["tv"][0]) if len(cells[kw]["tv"])
+                         else 0 for kw in kws], pa.int64())
                 merged = pa.table(cols)
                 merged = _stamp(merged, -1, epoch)
                 frag = self.sink[sink_key].stage_fragment(merged, epoch, -1)
@@ -1797,5 +1824,6 @@ class _StateCfg:
         self.window_sample_k = getattr(cfg, "window_sample_k", 0)
         self.window_distinct_k = getattr(cfg, "window_distinct_k", 0)
         self.window_mode_k = getattr(cfg, "window_mode_k", 0)
+        self.window_top_k = getattr(cfg, "window_top_k", 0)
         self.session_sample_k = getattr(cfg, "session_sample_k", 0)
         self.temporal_join = getattr(cfg, "temporal_join", False)

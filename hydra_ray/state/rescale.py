@@ -156,10 +156,11 @@ def _merge_one(q: int, tmp_root: str, epoch: int, cfg, max_ts: int,
         sample_k = getattr(cfg, "window_sample_k", 0)
         distinct_k = getattr(cfg, "window_distinct_k", 0)
         mode_k = getattr(cfg, "window_mode_k", 0)
+        top_k = getattr(cfg, "window_top_k", 0)
         for target, delta in ((st.win, d["win"]), (st.swin, d["swin"])):
             for kw, acc in delta.items():
                 _fold_window_cell(target, kw, acc, sample_k, distinct_k,
-                                  mode_k)
+                                  mode_k, top_k)
         for k, lst in d["sessions"].items():
             for s in lst:
                 if len(s) > 5:

@@ -113,6 +113,22 @@ def _modek_union(h1, c1, h2, c2, k: int):
     return hh[:k], cc[:k]
 
 
+def _topk_union(v1, h1, v2, h2, k: int):
+    """Merge two top-k-by-VALUE record samples (value desc, hash-of-seq
+    ascending tie-break): union, dedup by hash (replay idempotence —
+    hashes are unique per record), keep the k largest.  A record in the
+    union's top-k has < k larger records in every partial's (subset)
+    view, so each partial kept it — union-of-top-k ⊇ top-k-of-union
+    makes the result EXACT.  Associative + commutative + idempotent ⇒
+    identical under any routing/salting, epoch split and rescale fold."""
+    h = np.concatenate([h1, h2])
+    v = np.concatenate([v1, v2])
+    hh, ui = np.unique(h, return_index=True)
+    vv = v[ui]
+    order = np.lexsort((hh, -vv))[:k]
+    return vv[order], hh[order]
+
+
 def _mode_of(mh: np.ndarray, mc: np.ndarray) -> tuple[int, int]:
     """(content hash, exact count) of the most frequent content in the
     sample; count ties break to the smallest hash (``mh`` is sorted
@@ -127,12 +143,12 @@ def _mode_of(mh: np.ndarray, mc: np.ndarray) -> tuple[int, int]:
 
 
 def _fold_window_cell(target: dict, kw, acc, k: int, dk: int = 0,
-                      mk: int = 0):
+                      mk: int = 0, tk: int = 0):
     """Fold one (key, window) partial into a state dict — the ONE merge
     rule shared by live ingest, delta-checkpoint replay and rescale.
     Cell layout is positional, driven by the cfg flags: [cnt, sum]
     (+ [hs, vs] with window_sample_k) (+ [ch] with window_distinct_k)
-    (+ [mh, mc] with window_mode_k).
+    (+ [mh, mc] with window_mode_k) (+ [tv, th] with window_top_k).
     Toggling a flag mid-checkpoint-chain is not supported (a restored
     short cell is extended on first fold; a reinterpreted one is not
     detected)."""
@@ -160,6 +176,13 @@ def _fold_window_cell(target: dict, kw, acc, k: int, dk: int = 0,
         if len(cur) > i + 1:
             cur[i], cur[i + 1] = _modek_union(
                 cur[i], cur[i + 1], acc[i], acc[i + 1], mk)
+        else:
+            cur.extend([acc[i].copy(), acc[i + 1].copy()])
+        i += 2
+    if tk and len(acc) > i + 1:
+        if len(cur) > i + 1:
+            cur[i], cur[i + 1] = _topk_union(
+                cur[i], cur[i + 1], acc[i], acc[i + 1], tk)
         else:
             cur.extend([acc[i].copy(), acc[i + 1].copy()])
 
@@ -357,7 +380,7 @@ class PartitionState:
         targets: list[dict], keys_np: np.ndarray, starts: np.ndarray,
         durs: np.ndarray, hs: np.ndarray | None = None, sample_k: int = 0,
         ch: np.ndarray | None = None, distinct_k: int = 0,
-        mode_k: int = 0,
+        mode_k: int = 0, top_k: int = 0,
     ):
         """Fold per-batch (key, window) partials into the given state dicts
         (live dict + checkpoint-delta dict).
@@ -370,13 +393,16 @@ class PartitionState:
         ``distinct_k`` it keeps each group's k smallest DISTINCT content
         hashes (the KMV sketch partial); with ``mode_k`` it keeps each
         group's k smallest distinct content hashes WITH their exact
-        per-group counts (the frequency/mode partial) — extending the
-        cells to [cnt, sum (, hs, vs)(, ch)(, mh, mc)].
+        per-group counts (the frequency/mode partial); with ``top_k`` it
+        keeps each group's k LARGEST durations with their record hashes
+        (exact top-k monoid) — extending the cells to
+        [cnt, sum (, hs, vs)(, ch)(, mh, mc)(, tv, th)].
         """
         sk = sample_k if hs is not None else 0
         dk = distinct_k if ch is not None else 0
         mk = mode_k if ch is not None else 0
-        if sk or dk or mk:
+        tk = top_k if hs is not None else 0
+        if sk or dk or mk or tk:
             _, kcodes = np.unique(keys_np, return_inverse=True)
             order = np.lexsort(((hs if sk else durs), starts, kcodes))
             kc = kcodes[order]
@@ -427,6 +453,26 @@ class PartitionState:
                 mtake = np.minimum(dcnt, mk)
                 bounds_m = np.zeros(n_g + 1, dtype=np.int64)
                 np.cumsum(mtake, out=bounds_m[1:])
+            if tk:
+                # third pass ordered by (key, window, -dur, hash): same
+                # (kcodes, starts) primary sort as pass 1, so group
+                # enumeration aligns by j; per group keep the first tk
+                # rows = k largest durations, smallest-hash tie-break
+                order3 = np.lexsort((hs, -durs, starts, kcodes))
+                kc3, ws3 = kcodes[order3], starts[order3]
+                first3 = np.r_[True,
+                               (kc3[1:] != kc3[:-1]) | (ws3[1:] != ws3[:-1])]
+                si3 = np.flatnonzero(first3)
+                cnt3 = np.diff(np.append(si3, len(kc3)))
+                take3 = np.minimum(cnt3, tk)
+                rep3 = np.repeat(np.arange(n_g), take3)
+                offs3 = (np.arange(int(take3.sum()))
+                         - np.repeat(np.cumsum(take3) - take3, take3))
+                sel3 = si3[rep3] + offs3
+                bounds_t = np.zeros(n_g + 1, dtype=np.int64)
+                np.cumsum(take3, out=bounds_t[1:])
+                t_v = durs[order3][sel3]
+                t_h = hs[order3][sel3]
             for j in range(n_g):
                 acc = [int(cnt[j]), int(dsum[j])]
                 if sk:
@@ -437,9 +483,12 @@ class PartitionState:
                 if mk:
                     acc += [msel_h[bounds_m[j]:bounds_m[j + 1]],
                             msel_c[bounds_m[j]:bounds_m[j + 1]]]
+                if tk:
+                    acc += [t_v[bounds_t[j]:bounds_t[j + 1]],
+                            t_h[bounds_t[j]:bounds_t[j + 1]]]
                 kw = (ksel[j], int(ws[si[j]]))
                 for target in targets:
-                    _fold_window_cell(target, kw, tuple(acc), sk, dk, mk)
+                    _fold_window_cell(target, kw, tuple(acc), sk, dk, mk, tk)
             return
         t = pa.table(
             {
@@ -473,11 +522,12 @@ class PartitionState:
         sample_k = getattr(cfg, "window_sample_k", 0)
         distinct_k = getattr(cfg, "window_distinct_k", 0)
         mode_k = getattr(cfg, "window_mode_k", 0)
+        top_k = getattr(cfg, "window_top_k", 0)
         if not (distinct_k or mode_k):
             ch = None
         hs = None
-        if sample_k or (getattr(cfg, "session_sample_k", 0)
-                        and cfg.session_gap_ms):
+        if sample_k or top_k or (getattr(cfg, "session_sample_k", 0)
+                                 and cfg.session_gap_ms):
             from ..hashing import hash64
 
             # per-record hash (seq is globally unique): the deterministic
@@ -488,7 +538,7 @@ class PartitionState:
             starts = assign_tumbling(ts, cfg.window_size_ms)
             self._merge_window_partials(
                 [self.win, self._delta_win], keys_np, starts, durs,
-                hs, sample_k, ch, distinct_k, mode_k,
+                hs, sample_k, ch, distinct_k, mode_k, top_k,
             )
         if getattr(cfg, "sliding_size_ms", 0):
             from ..stages.windows import explode_sliding
@@ -498,6 +548,7 @@ class PartitionState:
                 [self.swin, self._delta_swin], keys_np[rows], starts, durs[rows],
                 hs[rows] if hs is not None else None, sample_k,
                 ch[rows] if ch is not None else None, distinct_k, mode_k,
+                top_k,
             )
         if cfg.session_gap_ms:
             gap = cfg.session_gap_ms
@@ -994,6 +1045,31 @@ class PartitionState:
                 ).append_column(
                     "mode_n", pa.array([m[1] for m in modes], pa.int64())
                 )
+            idx += 2
+        top_k = getattr(self.cfg, "window_top_k", 0)
+        if top_k and rows and len(rows[0]) > idx + 1:     # [tv, th] cells
+            if partial:
+                # hot-key partials carry hashes too so the driver merge
+                # can dedup-union before truncating
+                t = t.append_column(
+                    "top_vs",
+                    pa.array([r[idx].tolist() for r in rows],
+                             pa.list_(pa.int64())),
+                ).append_column(
+                    "top_hs",
+                    pa.array([r[idx + 1].tolist() for r in rows],
+                             pa.list_(pa.uint64())),
+                )
+            else:
+                t = t.append_column(
+                    "top_durs",
+                    pa.array([r[idx].tolist() for r in rows],
+                             pa.list_(pa.int64())),
+                ).append_column(
+                    "top1_dur_ms",
+                    pa.array([int(r[idx][0]) if len(r[idx]) else 0
+                              for r in rows], pa.int64()),
+                )
         return t
 
     def _close_window_dict(
@@ -1216,9 +1292,11 @@ class PartitionState:
         sample_k = getattr(self.cfg, "window_sample_k", 0)
         distinct_k = getattr(self.cfg, "window_distinct_k", 0)
         mode_k = getattr(self.cfg, "window_mode_k", 0)
+        top_k = getattr(self.cfg, "window_top_k", 0)
         for target, delta in ((self.win, d["win_delta"]), (self.swin, d["swin_delta"])):
             for kw, acc in delta.items():
-                _fold_window_cell(target, kw, acc, sample_k, distinct_k, mode_k)
+                _fold_window_cell(target, kw, acc, sample_k, distinct_k,
+                                  mode_k, top_k)
         self.upd_chunks.extend(d["upd_delta"])
         self.view.update(d["view_delta"])
         self.funnel.update(d.get("funnel_delta", {}))

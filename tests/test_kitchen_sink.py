@@ -41,6 +41,7 @@ def full_cfg(**kw):
         window_sample_k=64,
         window_distinct_k=64,
         window_mode_k=64,
+        window_top_k=3,
         session_sample_k=64,
         temporal_join=True,
         audio_features=True,
@@ -85,6 +86,12 @@ def _check_outputs(root, metrics):
     # the other sinks produced rows under the full stack
     for sink in ("windows", "sessions", "changelog", "funnels"):
         assert Table(f"{root}/out/{sink}").count_rows() > 0, sink
+    # all four window sketches ride together (10-entry cells)
+    win = Table(f"{root}/out/windows").to_arrow().to_pandas()
+    assert {"p50_dur_ms", "distinct_content", "mode_h",
+            "top_durs", "top1_dur_ms"} <= set(win.columns)
+    assert (win["top1_dur_ms"] == [
+        x[0] if len(x) else 0 for x in win["top_durs"]]).all()
     return df
 
 
