@@ -88,12 +88,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q.q_bloom_semi_join,
         "global_rank": q.q_global_rank,
         "value_dispersion": q.q_value_dispersion,
-        "funnel": q.q_funnel,
         # -- NEW r4 oracles (displace the end of the fill block) --
         "pagerank_ranks": q.q_pagerank_ranks,
+        "export_shards": q.q_export_shards,
         # -- oracled, past the 50-slot window (driver-verified in a
         # recent round; rotate forward in later rounds) --
         "replication_diff": q.q_replication_diff,
+        "funnel": q.q_funnel,
         "jaccard_search": q.q_jaccard_search,
         "similarity_join": q.q_similarity_join,
         "decontaminate": q.q_decontaminate,
@@ -1474,6 +1475,20 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY 1
         """,
         "pagerank_ranks": _pagerank_sql(),
+        "export_shards": """
+            WITH s AS (
+                SELECT doc_id,
+                       (doc_id * 2654435761) % 4294967296 AS h,
+                       CAST((doc_id * 2654435761) % 4294967296 % 8
+                            AS BIGINT) AS shard
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY h, doc_id
+                   ) AS BIGINT) AS pos
+            FROM s
+        """,
         "idle_balances": """
             WITH g AS (
                 SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,

@@ -49,7 +49,7 @@ QUERY_NAMES = [
     "bag_intersect", "window_distinct",
     "rolling_range", "cube_sales", "value_moments", "value_regression",
     "flag_aggregates", "first_last_event", "type_entropy", "value_mad", "fuzzy_match", "order_revenue", "avro_roundtrip", "window_quantiles",
-    "train_split", "source_cap", "stratified_sample", "value_quantiles",
+    "train_split", "export_shards", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
     "lag_delta", "running_total", "value_ranks", "value_bounds", "value_cume",
     "event_paths", "pack_sequences",

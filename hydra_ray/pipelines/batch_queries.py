@@ -1829,6 +1829,44 @@ def q_global_rank(sf_dir):
     return global_rank(ds, "value", ["event_id"], rank_col="rnk")
 
 
+def q_export_shards(sf_dir):
+    """ORACLED deterministic training-export shard manifest: every doc
+    gets a pseudo-random shard (Knuth multiplicative hash on the int64
+    lattice, same convention as train_split — NO transcendentals, so the
+    DuckDB integer math is bit-identical) and a stable position within
+    its shard (row_number ordered by the hash; the odd-constant multiply
+    mod 2^32 is a bijection, so positions are a true deterministic
+    shuffle).  This is the export step of a training pipeline: N shard
+    files, content pseudo-randomly ordered, resumable and identical on
+    every run/cluster size.  Shape: per-batch hash map + ONE bucketed
+    rank exchange (`grouped_rank`)."""
+    from ..stages.rollup import grouped_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (did * np.uint64(2654435761)) % np.uint64(4294967296)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "h": pa.array(h.astype(np.int64)),
+            "shard": pa.array((h % np.uint64(8)).astype(np.int64)),
+        })
+
+    ranked = grouped_rank(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        "shard", "h", "doc_id", {"pos": "row_number"})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "shard": pc.cast(t["shard"], pa.int64()),
+            "pos": pc.cast(t["pos"], pa.int64()),
+        })
+
+    return ranked.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_pagerank(sf_dir):
     """PageRank over the supplier→part supply graph (directed multigraph
     edges from lineitem: every line item is one l_suppkey → l_partkey
