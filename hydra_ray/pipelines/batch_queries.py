@@ -79,6 +79,24 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block=20_000,
                            override_num_blocks=nb, **kw)
 
 
+def _dim_pd(sf_dir: str, table: str, columns=None, filters=None):
+    """Driver-side load of a BOUNDED dimension table as pandas — a plain
+    pyarrow parquet read, NOT a Ray Dataset: a broadcast side needs the
+    rows on the driver anyway, and routing the read through the Dataset
+    executor pays the ~0.3-0.5 s per-execution fixed cost for a
+    metadata-scale I/O (measured; several TPC-H queries paid it 2-3×).
+    ``filters`` is the pyarrow row-filter pushdown (e.g. the 20 custkeys
+    a top-k result needs).  Entity-scale tables that outgrow broadcast
+    go through ``dim_join`` instead — this helper is for driver-resident
+    lookups only."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        columns=columns, filters=filters,
+    ).to_pandas()
+
+
 def round_f64(arr, nd: int):
     """DuckDB-exact ROUND(double, nd): floor(|x·10^nd| + 0.5)·sign(x) / 10^nd.
 
@@ -482,8 +500,7 @@ def q_order_revenue(sf_dir):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _dim_pd(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
     def prep(t: pa.Table) -> pa.Table:
         extc = pc.cast(
@@ -3465,8 +3482,8 @@ def q_local_volume(sf_dir):
     because customer scales with entities, not events)."""
     from ..stages.join import broadcast_join, bucketed_join, dim_join
 
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    nation = _read(sf_dir, "nation").to_pandas()
+    region = _dim_pd(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = _dim_pd(sf_dir, "nation")
     rkey = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
     nat = nation[nation["n_regionkey"] == rkey]
     nat_keys = sorted(nat["n_nationkey"].tolist())
@@ -3482,7 +3499,7 @@ def q_local_volume(sf_dir):
         }))(t.filter(pc.is_in(t["c_nationkey"], value_set=nk_arr))),
         batch_format="pyarrow")
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = _dim_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     supp = supp[supp["s_nationkey"].isin(set(nat_keys))]
     supp = supp.rename(columns={"s_suppkey": "l_suppkey"})
 
@@ -3565,7 +3582,7 @@ def q_promo_share(sf_dir):
     sums once, in float64, in the same expression order as the oracle."""
     import ray
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    part = _dim_pd(sf_dir, "part", ["p_partkey", "p_type"])
     promo = frozenset(
         part.loc[part["p_type"] == "PROMO", "p_partkey"].astype(np.int64)
     )
@@ -3664,27 +3681,34 @@ def q_returned_revenue(sf_dir):
     lo = pd.Timestamp("1997-07-01")
     hi = pd.Timestamp("1997-10-01")
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"])
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=(pds.field("o_orderdate") >= lo)
+                   & (pds.field("o_orderdate") < hi))
 
     def prep_orders(t: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
-                    pc.less(t["o_orderdate"], pa.scalar(hi)))
-        t = t.filter(m)
         return pa.table({"okey": t["o_orderkey"],
                          "c_custkey": t["o_custkey"]})
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount",
-                "l_returnflag"])
+                "l_returnflag"],
+               filter=pds.field("l_returnflag") == "R")
 
     def prep_li(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
         return pa.table({"okey": t["l_orderkey"], "rev_e4": _rev_e4(t)})
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        # per-bucket per-customer partial sums INSIDE the join reduce:
+        # the aggregate exchange then moves |customers-per-bucket| rows
+        # instead of |joined rows| (sums of sums re-combine exactly)
+        gb = t.group_by(["c_custkey"], use_threads=False).aggregate(
+            [("rev_e4", "sum")])
+        return gb.rename_columns(["c_custkey", "rev_e4"])
 
     joined = bucketed_join(
         li.map_batches(prep_li, batch_format="pyarrow"),
         orders.map_batches(prep_orders, batch_format="pyarrow"),
-        key="okey")
+        key="okey", reduce_fn=cust_partial)
     agg = grouped_aggregate(
         joined, ["c_custkey"], [AggSpec("sum", "rev_e4", "rev_e4")])
 
@@ -3703,10 +3727,11 @@ def q_returned_revenue(sf_dir):
     ))[:20]
     top = merged.take(pa.array(order)).to_pandas()
 
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
-                 ).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = _dim_pd(sf_dir, "customer",
+                   ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+                   filters=[("c_custkey", "in",
+                             top["c_custkey"].tolist())])
+    nation = _dim_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
     out = top.merge(cust, on="c_custkey").merge(
         nation, left_on="c_nationkey", right_on="n_nationkey")
     out = out.sort_values(["rev_e4", "c_custkey"],
@@ -3764,7 +3789,7 @@ def q_large_orders(sf_dir):
     joined = bucketed_join(
         orders.map_batches(prep_orders, batch_format="pyarrow"),
         big, key="okey")
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    cust = _dim_pd(sf_dir, "customer", ["c_custkey", "c_name"])
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     out = broadcast_join(joined, cust, on="o_custkey")
 
@@ -4174,17 +4199,17 @@ def q_nation_trade(sf_dir):
     from ..stages.join import broadcast_join, bucketed_join
 
     n_a, n_b = "NATION_13", "NATION_19"
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = _dim_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
     nation = nation[nation["n_name"].isin([n_a, n_b])]
     nk = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = _dim_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     supp = supp[supp["s_nationkey"].isin(nk)].copy()
     supp["supp_nation"] = supp["s_nationkey"].map(nk)
     supp = supp[["s_suppkey", "supp_nation"]].rename(
         columns={"s_suppkey": "l_suppkey"})
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = _dim_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     cust = cust[cust["c_nationkey"].isin(nk)].copy()
     cust["cust_nation"] = cust["c_nationkey"].map(nk)
     cust = cust[["c_custkey", "cust_nation"]].rename(
@@ -4251,13 +4276,13 @@ def q_product_revenue(sf_dir):
     lineitem⋈orders join that attaches the order year."""
     from ..stages.join import broadcast_join, bucketed_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    part = _dim_pd(sf_dir, "part", ["p_partkey", "p_type"])
     keep = np.sort(part.loc[part["p_type"] == "ECONOMY",
                             "p_partkey"].to_numpy(np.int64))
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = _dim_pd(sf_dir, "nation", ["n_nationkey", "n_name"])
     nk = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = _dim_pd(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     supp["n_name"] = supp["s_nationkey"].map(nk)
     supp = supp[["s_suppkey", "n_name"]].rename(
         columns={"s_suppkey": "l_suppkey"})
@@ -4341,7 +4366,7 @@ def q_top_supplier(sf_dir):
     top = agg.map_batches(
         lambda t: t.filter(pc.equal(t["rev_e4"], pa.scalar(best, pa.int64()))),
         batch_format="pyarrow")
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    supp = _dim_pd(sf_dir, "supplier", ["s_suppkey", "s_name"])
     named = broadcast_join(top, supp, on="s_suppkey")
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -4368,7 +4393,7 @@ def q_small_qty_revenue(sf_dir):
     the brand-filtered minority of lineitem."""
     import ray
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    part = _dim_pd(sf_dir, "part", ["p_partkey", "p_brand"])
     keep = np.sort(part.loc[part["p_brand"] == "Brand#3",
                             "p_partkey"].to_numpy(np.int64))
 
@@ -4532,7 +4557,7 @@ def q_waiting_suppliers(sf_dir):
     agg = grouped_aggregate(
         joined, ["s_suppkey"], [AggSpec("count", None, "numwait")])
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    supp = _dim_pd(sf_dir, "supplier", ["s_suppkey", "s_name"])
     named = broadcast_join(agg, supp, on="s_suppkey")
     return named.map_batches(
         lambda t: pa.table({
@@ -4610,12 +4635,11 @@ def q_market_share(sf_dir):
     target_key = int(nation.loc[nation["n_name"] == "NATION_7",
                                 "n_nationkey"].iloc[0])
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    part = _dim_pd(sf_dir, "part", ["p_partkey", "p_type"])
     keep = np.sort(part.loc[part["p_type"] == "STANDARD",
                             "p_partkey"].to_numpy(np.int64))
 
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = _dim_pd(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     ckeys = np.sort(cust.loc[cust["c_nationkey"].isin(reg_nations),
                              "c_custkey"].to_numpy(np.int64))
 
@@ -4806,7 +4830,7 @@ def q_promo_suppliers(sf_dir):
     via broadcast.  Threshold compares exact int64 quantity units."""
     from ..stages.join import broadcast_join
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    part = _dim_pd(sf_dir, "part", ["p_partkey", "p_name"])
     keep = np.sort(
         part.loc[part["p_name"].str.startswith("cold"),
                  "p_partkey"].to_numpy(np.int64))
