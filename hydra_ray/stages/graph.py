@@ -344,29 +344,27 @@ def pagerank(edges, src_col: str, dst_col: str, damping: float = 0.85,
     dangling = outdeg == 0.0
     safe_deg = np.where(dangling, 1.0, outdeg)
     r = np.full(n, 1.0 / n)
+
+    # per-iteration work = one ray task PER MATERIALIZED BLOCK returning
+    # a pre-combined dense contribution vector, folded on the driver —
+    # NOT a Dataset execution per round: 8 rounds × (map + groupby)
+    # executions paid ~2 s of pure per-execution fixed cost at sf0.1
+    # (the same block-ref trick as label_propagation).  The fold is
+    # O(blocks·nodes) float adds — bounded by the max_nodes guard.
+    @ray.remote
+    def _block_contrib(t: pa.Table, w, nn: int):
+        di = t["di"].to_numpy()
+        si = t["si"].to_numpy()
+        return np.bincount(di, weights=w[si], minlength=nn)
+
+    block_refs = e_idx.to_arrow_refs()
     for _ in range(int(iters)):
         base = (1.0 - d) / n + d * float(r[dangling].sum()) / n
         w_ref = ray.put(r / safe_deg)
-
-        def emit(t: pa.Table, w_ref=w_ref) -> pa.Table:
-            w = _bcast_get(w_ref)
-            di = t["di"].to_numpy()
-            order = np.argsort(di, kind="stable")
-            dis = di[order]
-            c = w[t["si"].to_numpy()][order]
-            starts = np.flatnonzero(np.r_[True, dis[1:] != dis[:-1]])
-            return pa.table({
-                "idx": dis[starts],
-                "c": np.add.reduceat(c, starts) if len(starts) else
-                     np.zeros(0, np.float64),
-            })
-
-        contrib = grouped_aggregate(
-            e_idx.map_batches(emit, batch_format="pyarrow"),
-            ["idx"], [AggSpec("sum", "c", "c")],
-        ).to_pandas()
-        c = np.zeros(n)
-        c[contrib["idx"].to_numpy(dtype=np.int64)] = contrib["c"].to_numpy()
+        parts = ray.get([
+            _block_contrib.remote(b, w_ref, n) for b in block_refs
+        ])
+        c = np.sum(parts, axis=0) if parts else np.zeros(n)
         r = base + d * c
 
     out = pa.table({"node": node_ids, "r": r})
