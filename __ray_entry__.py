@@ -85,16 +85,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q.q_hash_join,
         "left_join": q.q_left_join,
         "anti_join": q.q_anti_join,
-        "bloom_semi_join": q.q_bloom_semi_join,
-        "global_rank": q.q_global_rank,
-        "value_dispersion": q.q_value_dispersion,
         # -- NEW r4 oracles (displace the end of the fill block) --
         "pagerank_ranks": q.q_pagerank_ranks,
         "export_shards": q.q_export_shards,
+        "value_matrix": q.q_value_matrix,
+        "benford_digits": q.q_benford_digits,
+        "hour_heatmap": q.q_hour_heatmap,
         # -- oracled, past the 50-slot window (driver-verified in a
         # recent round; rotate forward in later rounds) --
         "replication_diff": q.q_replication_diff,
         "funnel": q.q_funnel,
+        "bloom_semi_join": q.q_bloom_semi_join,
+        "global_rank": q.q_global_rank,
+        "value_dispersion": q.q_value_dispersion,
         "jaccard_search": q.q_jaccard_search,
         "similarity_join": q.q_similarity_join,
         "decontaminate": q.q_decontaminate,
@@ -1475,6 +1478,33 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY 1
         """,
         "pagerank_ranks": _pagerank_sql(),
+        "value_matrix": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4)
+                       AS corr_qty_price,
+                   round(corr(l_quantity, l_discount), 4) AS corr_qty_disc,
+                   round(corr(l_extendedprice, l_discount), 4)
+                       AS corr_price_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "benford_digits": """
+            WITH d AS (
+                SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS digit
+                FROM orders
+            ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM orders)
+            SELECT digit, CAST(count(*) AS BIGINT) AS n,
+                   round(count(*) * 100.0 / tot.t, 4) AS share_pct
+            FROM d CROSS JOIN tot
+            GROUP BY digit, tot.t
+        """,
+        "hour_heatmap": """
+            SELECT dayofweek(ts) AS dow,
+                   CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "export_shards": """
             WITH s AS (
                 SELECT doc_id,

@@ -1846,6 +1846,106 @@ def q_global_rank(sf_dir):
     return global_rank(ds, "value", ["event_id"], rank_col="rnk")
 
 
+def q_value_matrix(sf_dir):
+    """ORACLED pairwise correlation matrix: all three column pairs of
+    (quantity, extendedprice, discount) per returnflag in ONE partial/
+    combine pass — each pair is a covar/corr AggSpec whose cross-moment
+    partials (n, Σx, Σy, Σxy, Σx², Σy²) re-combine exactly."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    agg = grouped_aggregate(li, ["l_returnflag"], [
+        AggSpec("corr", "l_quantity", "corr_qty_price",
+                col2="l_extendedprice"),
+        AggSpec("corr", "l_quantity", "corr_qty_disc", col2="l_discount"),
+        AggSpec("corr", "l_extendedprice", "corr_price_disc",
+                col2="l_discount"),
+    ])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "corr_qty_price": round_f64(t["corr_qty_price"], 4),
+            "corr_qty_disc": round_f64(t["corr_qty_disc"], 4),
+            "corr_price_disc": round_f64(t["corr_price_disc"], 4),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_benford_digits(sf_dir):
+    """ORACLED Benford first-digit profile of order prices: the leading
+    digit comes from the DECIMAL STRING of exact integer cents (pure
+    integer math + a vectorized cast→slice — floor(log10(x)) float
+    arithmetic would ulp-diverge from SQL at power-of-ten boundaries),
+    counted per digit with the n·9 > total cross-multiplied share left
+    as an exact fraction (share_pct round 4)."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def digits(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+            pa.int64())
+        d = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        return pa.table({"digit": d})
+
+    agg = grouped_aggregate(
+        orders.map_batches(digits, batch_format="pyarrow"),
+        ["digit"], [AggSpec("count", None, "n")])
+
+    total = _NROWS_CACHE.get(os.path.join(sf_dir, "orders.parquet"))
+    if total is None:
+        import pyarrow.parquet as pq
+
+        total = pq.read_metadata(
+            os.path.join(sf_dir, "orders.parquet")).num_rows
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64())
+        share = pc.divide(
+            pc.multiply(pc.cast(n, pa.float64()), pa.scalar(100.0)),
+            pa.scalar(float(total)))
+        return pa.table({
+            "digit": t["digit"],
+            "n": n,
+            "share_pct": round_f64(share, 4),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_hour_heatmap(sf_dir):
+    """ORACLED day-of-week × hour-of-day event heatmap: both axes are
+    pure integer/calendar kernels (pc.day_of_week with the DuckDB
+    Sunday=0 convention — see date_parts — and epoch-ms hour math),
+    counts + 2-dp value sums per cell in one partial/combine pass."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def cellify(t: pa.Table) -> pa.Table:
+        ms = np.asarray(ts_to_ms(t["ts"]))
+        dow = pc.day_of_week(t["ts"], count_from_zero=True, week_start=7)
+        return pa.table({
+            "dow": pc.cast(dow, pa.int64()),
+            "hour": pa.array((ms // 3_600_000) % 24, pa.int64()),
+            "value": t["value"],
+        })
+
+    agg = grouped_aggregate(
+        ev.map_batches(cellify, batch_format="pyarrow"),
+        ["dow", "hour"],
+        [AggSpec("count", None, "n"), AggSpec("sum", "value", "sum_value")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": t["dow"],
+            "hour": t["hour"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_value": round_f64(t["sum_value"], 2),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_export_shards(sf_dir):
     """ORACLED deterministic training-export shard manifest: every doc
     gets a pseudo-random shard (Knuth multiplicative hash on the int64
