@@ -88,6 +88,7 @@ class _Manifest:
     fragments: list[FragmentMeta]
     properties: dict[str, Any] = field(default_factory=dict)
     schema_json: str | None = None
+    ts_ms: int | None = None       # wall-clock commit stamp (time travel)
 
     def to_json(self) -> dict:
         return {
@@ -95,6 +96,7 @@ class _Manifest:
             "fragments": [f.to_json() for f in self.fragments],
             "properties": self.properties,
             "schema_json": self.schema_json,
+            "ts_ms": self.ts_ms,
         }
 
     @staticmethod
@@ -104,6 +106,7 @@ class _Manifest:
             fragments=[FragmentMeta.from_json(f) for f in d["fragments"]],
             properties=d.get("properties", {}),
             schema_json=d.get("schema_json"),
+            ts_ms=d.get("ts_ms"),
         )
 
 
@@ -213,6 +216,10 @@ class Table:
     def _write_manifest(self, m: _Manifest) -> int:
         """Atomically create manifest for ``m.version``; raise if taken
         (conditional PUT — the manifest-log pointer check)."""
+        if m.ts_ms is None:
+            import time
+
+            m.ts_ms = int(time.time() * 1000)
         self.fs.put(
             self._manifest_path(m.version),
             json.dumps(m.to_json()).encode(),
@@ -709,6 +716,45 @@ class Table:
             n += 1
         return n
 
+    def version_at(self, ts_ms: int) -> int | None:
+        """Newest version committed at or before wall-clock ``ts_ms``
+        (time travel: ``to_dataset(version=version_at(t))`` is the
+        AS-OF read).  Versions written before the stamp existed count as
+        t=0 (always eligible).  None when nothing that old exists."""
+        best = None
+        for name in self.fs.list_dir(os.path.join(self.root, _MANIFEST_DIR)):
+            if not name.endswith(".json") or name.startswith("."):
+                continue
+            v = int(name.split(".")[0])
+            m = self._manifest(v)
+            if (m.ts_ms or 0) <= ts_ms and (best is None or v > best):
+                best = v
+        return best
+
+    # -------------------------------------------------------------- tags
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a NAMED snapshot (Iceberg-style tag): records
+        ``name → version`` in the table properties via one atomic
+        manifest append.  Re-tagging an existing name moves it (the
+        property commit is the pointer swap).  Returns the tagged
+        version."""
+        v = self.latest_version() if version is None else int(version)
+        if not self.fs.exists(self._manifest_path(v)):
+            raise ValueError(f"cannot tag missing version {v}")
+        tags = dict(self.properties().get("tags", {}))
+        tags[name] = v
+        self._commit_fragments([], {"tags": tags})
+        return v
+
+    def tags(self) -> dict[str, int]:
+        return dict(self.properties().get("tags", {}))
+
+    def tagged_version(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}; have {sorted(tags)}")
+        return int(tags[name])
+
     def truncate_history(self, keep_versions: int = 64) -> dict:
         """Bound the manifest log on an endless stream: delete manifest
         versions older than ``latest − keep_versions + 1`` and every
@@ -728,13 +774,15 @@ class Table:
         if latest is None or keep_versions < 1:
             return {"versions_deleted": 0, "fragments_deleted": 0}
         horizon = latest - keep_versions + 1
+        pinned = set(self.tags().values())   # tagged snapshots never drop
         mdir = os.path.join(self.root, _MANIFEST_DIR)
         old_versions, kept_versions = [], []
         for name in self.fs.list_dir(mdir):
             if not name.endswith(".json") or name.startswith("."):
                 continue
             v = int(name.split(".")[0])
-            (old_versions if v < horizon else kept_versions).append(v)
+            (old_versions if v < horizon and v not in pinned
+             else kept_versions).append(v)
         if not old_versions:
             return {"versions_deleted": 0, "fragments_deleted": 0}
         kept_refs: set[str] = set()

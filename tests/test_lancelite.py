@@ -345,3 +345,38 @@ def test_truncate_history_on_strict_backend(tmp_path):
     t.truncate_history(keep_versions=2)
     assert t.count_rows() == 12          # append-only: all still live
     assert t.committed_epoch("pipe") == 5
+
+
+def test_time_travel_and_tags(tmp_path):
+    """AS-OF reads via manifest commit stamps; named tags pin snapshots
+    (survive history truncation, movable, readable by version)."""
+    import time as _time
+
+    t = Table.create(str(tmp_path / "t"))
+    t.append(_tbl(3))
+    v1 = t.latest_version()
+    stamp = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    t.append(_tbl(2, 3))
+    # AS-OF the stamp sees only the first append
+    av = t.version_at(stamp)
+    assert av == v1
+    assert sum(f.rows for f in t.fragments(av)) == 3
+    assert t.version_at(int(_time.time() * 1000)) == t.latest_version()
+    assert t.version_at(-1) is None
+
+    # tags: pin, read, survive truncation, move
+    t.tag("release-1", v1)
+    assert t.tagged_version("release-1") == v1
+    for e in range(6):
+        t.append(_tbl(1, 10 + e))
+    t.truncate_history(keep_versions=2)
+    # the tagged manifest (and its readable content) survived
+    assert sum(f.rows for f in t.fragments(t.tagged_version("release-1"))) == 3
+    before = t.latest_version()
+    t.tag("release-1")              # move to the current latest (the
+    assert t.tagged_version("release-1") == before  # tag commit appends)
+    with pytest.raises(KeyError):
+        t.tagged_version("nope")
+    with pytest.raises(ValueError):
+        t.tag("bad", version=999)
