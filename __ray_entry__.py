@@ -84,8 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": q.q_quantile_sketch,
         "hash_join": q.q_hash_join,
         "left_join": q.q_left_join,
-        "anti_join": q.q_anti_join,
         # -- NEW r4 oracles (displace the end of the fill block) --
+        "sentence_stats": q.q_sentence_stats,
         "pagerank_ranks": q.q_pagerank_ranks,
         "export_shards": q.q_export_shards,
         "value_matrix": q.q_value_matrix,
@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # recent round; rotate forward in later rounds) --
         "replication_diff": q.q_replication_diff,
         "funnel": q.q_funnel,
+        "anti_join": q.q_anti_join,
         "bloom_semi_join": q.q_bloom_semi_join,
         "global_rank": q.q_global_rank,
         "value_dispersion": q.q_value_dispersion,
@@ -1478,6 +1479,27 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY 1
         """,
         "pagerank_ranks": _pagerank_sql(),
+        "sentence_stats": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split_regex(coalesce(text, ''),
+                                                  '[.!?]+'),
+                               x -> trim(x)),
+                           x -> x <> '') AS sents
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(sents) AS BIGINT) AS n_sentences,
+                   round(list_aggregate(
+                       list_transform(sents, x -> len(x)), 'avg'), 4)
+                       AS avg_chars,
+                   CAST(list_aggregate(
+                       list_transform(sents, x -> len(x)), 'max')
+                       AS BIGINT) AS max_chars
+            FROM s
+        """,
         "value_matrix": """
             SELECT l_returnflag,
                    round(corr(l_quantity, l_extendedprice), 4)

@@ -1846,6 +1846,48 @@ def q_global_rank(sf_dir):
     return global_rank(ds, "value", ["event_id"], rank_col="rnk")
 
 
+def q_sentence_stats(sf_dir):
+    """ORACLED sentence segmentation stats: split each document on
+    ``[.!?]+`` runs, trim whitespace, drop empties, emit per-doc
+    sentence count / mean length / max length — all in one exchange-free
+    Arrow pass (split_pattern_regex → trim → list-offset reduceat; the
+    DuckDB side mirrors it with list_transform/list_filter lambdas).
+    Character counts via utf8_length on BOTH sides (exact beyond
+    ASCII)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(t["text"], pa.scalar("", pa.string()))
+        parts = pc.split_pattern_regex(txt, r"[.!?]+")
+        la = parts.combine_chunks()
+        flat = pc.utf8_trim_whitespace(la.values)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = lens > 0
+        # per-doc counts/sums over the kept sentences only
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        dk = doc_of[keep]
+        lk = lens[keep]
+        n = np.bincount(dk, minlength=t.num_rows)
+        s = np.bincount(dk, weights=lk, minlength=t.num_rows)
+        mx = np.zeros(t.num_rows, np.int64)
+        np.maximum.at(mx, dk, lk)
+        has = n > 0
+        avg = np.divide(s, n, out=np.zeros_like(s, dtype=np.float64),
+                        where=has)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_sentences": pa.array(n.astype(np.int64), pa.int64()),
+            "avg_chars": round_f64(
+                pa.array(np.where(has, avg, np.nan), pa.float64(),
+                         mask=~has), 4),
+            "max_chars": pa.array(mx, pa.int64(), mask=~has),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
 def q_value_matrix(sf_dir):
     """ORACLED pairwise correlation matrix: all three column pairs of
     (quantity, extendedprice, discount) per returnflag in ONE partial/
