@@ -55,6 +55,13 @@ def _cmd_replicate(args) -> int:
         funnel_within_ms=args.funnel_within_ms,
         max_versions_per_epoch=args.versions_per_epoch,
         compact_sinks_every=args.compact_every,
+        keep_history_versions=args.keep_history,
+        window_sample_k=args.window_sample_k,
+        window_distinct_k=args.window_distinct_k,
+        window_mode_k=args.window_mode_k,
+        window_top_k=args.window_top_k,
+        session_sample_k=args.session_sample_k,
+        temporal_join=args.temporal_join,
     )
     pipe = ReplicatePipeline(args.clips, args.out, cfg, args.updates)
     metrics = pipe.run(max_epochs=args.max_epochs)
@@ -199,6 +206,15 @@ def main(argv=None) -> int:
     r.add_argument("--funnel-within-ms", type=int, default=0)
     r.add_argument("--versions-per-epoch", type=int, default=1)
     r.add_argument("--compact-every", type=int, default=0)
+    r.add_argument("--keep-history", type=int, default=0,
+                   help="bound each sink's manifest log to the newest K "
+                        "versions (0 = keep all)")
+    r.add_argument("--window-sample-k", type=int, default=0)
+    r.add_argument("--window-distinct-k", type=int, default=0)
+    r.add_argument("--window-mode-k", type=int, default=0)
+    r.add_argument("--window-top-k", type=int, default=0)
+    r.add_argument("--session-sample-k", type=int, default=0)
+    r.add_argument("--temporal-join", action="store_true")
     r.add_argument("--max-epochs", type=int)
     r.add_argument("--address-auto", action="store_true",
                    help="attach to the submitting cluster (ray job submit)")
