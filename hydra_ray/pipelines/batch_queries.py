@@ -3845,6 +3845,9 @@ def q_returned_revenue(sf_dir):
         # instead of |joined rows| (sums of sums re-combine exactly)
         gb = t.group_by(["c_custkey"], use_threads=False).aggregate(
             [("rev_e4", "sum")])
+        if gb.column_names[0] != "c_custkey":  # keys-first contract
+            raise RuntimeError(
+                f"pyarrow group_by column order changed: {gb.column_names!r}")
         return gb.rename_columns(["c_custkey", "rev_e4"])
 
     joined = bucketed_join(

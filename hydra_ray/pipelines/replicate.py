@@ -234,8 +234,9 @@ class ReplicateConfig:
     compact_sinks_every: int = 0
     # maintenance: bound each sink's manifest log on an endless stream —
     # keep only the newest K manifest versions (0 = keep all; shortens
-    # time travel to the kept window, Table.truncate_history).  Applied
-    # on the compact_sinks_every cadence.
+    # time travel to the kept window, Table.truncate_history).  Runs on
+    # the compact_sinks_every cadence when compaction is on, else every
+    # 8 epochs.
     keep_history_versions: int = 0
     # test hooks: raise CrashPoint at a given (epoch, point)
     crash_at: tuple | None = None            # e.g. (1, "after_prepare")
@@ -1524,6 +1525,11 @@ class ReplicatePipeline:
                 t.compact()
                 if cfg.keep_history_versions:
                     t.truncate_history(cfg.keep_history_versions)
+        elif cfg.keep_history_versions and (epoch + 1) % 8 == 0:
+            # history bound must not silently depend on compaction being
+            # enabled: without compact_sinks_every it runs every 8 epochs
+            for t in self.sink.values():
+                t.truncate_history(cfg.keep_history_versions)
         return merged
 
     def _append_lineage(self, entry: dict):

@@ -334,25 +334,28 @@ def _default_scalar(typ: pa.DataType):
 
 
 def _null_string_key_guard(t: pa.Table, group_cols: list[str]):
-    """Work around pyarrow's multi-key group_by mis-grouping NULL STRING
-    keys (each 32-row accumulator batch opens a fresh null group —
-    pyarrow 16.1, repro in test_windows).  For every string-typed key
-    column holding nulls, append a companion null-flag key and fill the
-    nulls with "" — grouping on (filled, flag) is exact.  Returns the
-    (possibly augmented) table, the augmented key list, and the flags
-    needed to restore nulls afterwards."""
+    """Work around pyarrow's multi-key group_by mis-grouping NULL
+    VARIABLE-WIDTH keys — string AND binary (each 32-row accumulator
+    batch opens a fresh null group; pyarrow 16.1, repros in
+    test_windows).  For every such key column holding nulls, append a
+    companion null-flag key and fill the nulls with ""/b"" — grouping on
+    (filled, flag) is exact.  Returns the (possibly augmented) table,
+    the augmented key list, and the flags needed to restore nulls
+    afterwards."""
     if len(group_cols) < 2:
         return t, group_cols, []
     keys = list(group_cols)
     restore = []
     for c in group_cols:
         f = t.schema.field(c)
-        if (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)) \
-                and t[c].null_count:
+        is_str = pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+        is_bin = pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type)
+        if (is_str or is_bin) and t[c].null_count:
             flag = f"__isnull_{c}"
             t = t.append_column(flag, pc.is_null(t[c]))
             t = t.set_column(t.schema.get_field_index(c), c,
-                             pc.fill_null(t[c], pa.scalar("", f.type)))
+                             pc.fill_null(t[c], pa.scalar(
+                                 "" if is_str else b"", f.type)))
             keys.append(flag)
             restore.append((c, flag, f.type))
     return t, keys, restore

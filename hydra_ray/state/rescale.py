@@ -131,11 +131,14 @@ def _split_one(ckpt_root: str, p: int, epoch: int, cfg, new_p: int,
     from ..fs import fput
 
     for q, d in shards.items():
+        # create_or_skip: a Ray task retry (worker death) re-PUTs
+        # deterministic shard content — skipping the existing complete
+        # object is correct, raising would abort the whole rescale
         fput(
             os.path.join(tmp_root, "_shards", f"q{q:04d}",
                          f"from_p{p:04d}.pkl"),
             pickle.dumps(d, protocol=pickle.HIGHEST_PROTOCOL),
-            mode="create",
+            mode="create_or_skip",
         )
     return {"max_ts": st.max_ts, "metrics": dict(st.metrics)}
 

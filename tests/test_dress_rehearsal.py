@@ -80,13 +80,17 @@ ray.shutdown()
 
 
 def _port_tagged_pids(port: int) -> list[int]:
-    out = subprocess.run(["pgrep", "-af", f"{port}"], capture_output=True,
+    """PIDs of THIS cluster's daemons only: match the explicit
+    gcs_server_port= / gcs-address=…:<port> substrings (a bare digit
+    match could catch the pytest session's own Ray processes through an
+    unrelated port or path containing the digits)."""
+    out = subprocess.run(["pgrep", "-af", "ray"], capture_output=True,
                          text=True).stdout
+    tags = (f"gcs_server_port={port}", f"gcs-address=127.0.0.1:{port}")
     pids = []
     for line in out.splitlines():
         pid, _, cmd = line.partition(" ")
-        if ("raylet" in cmd or "gcs_server" in cmd or "ray/" in cmd
-                or "ray_" in cmd or "default_worker" in cmd):
+        if any(t in cmd for t in tags):
             pids.append(int(pid))
     return pids
 

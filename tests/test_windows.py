@@ -462,6 +462,25 @@ def test_null_string_group_keys_merge_exactly(ray_session):
     assert np.allclose(got["s"], ref["s"])
     assert got["n"].astype(int).tolist() == ref["n"].astype(int).tolist()
 
+    # BINARY null keys hit the same pyarrow bug (verified repro) — the
+    # guard must cover them too
+    dfb = df.copy()
+    dfb["a"] = dfb["a"].map(lambda x: None if x is None else x.encode())
+    import pyarrow as pa_
+    import ray.data as rd2
+    tb = pa_.table({
+        "a": pa_.array(dfb["a"], pa_.binary()),
+        "b": pa_.array(dfb["b"], pa_.int64()),
+        "v": pa_.array(dfb["v"], pa_.float64()),
+    })
+    gotb = (
+        grouped_aggregate(
+            rd2.from_arrow(tb).repartition(8), ["a", "b"],
+            [AggSpec("sum", "v", "s"), AggSpec("count", None, "n")])
+        .to_pandas()
+    )
+    assert len(gotb) == len(ref)   # same group structure as the string run
+
     # rollup over the same nullable key: every level exact
     roll = rollup_aggregate(
         rd.from_pandas(df).repartition(8), ["a", "b"],
