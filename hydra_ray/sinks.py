@@ -61,23 +61,25 @@ def partition_dir(root: str, p: int) -> str:
 
 
 def partition_files(root: str, p: int) -> list[str]:
-    """Full paths of the COMMITTED parquet files of one partition: the
-    ``_DONE`` manifest's file list (uncommitted partitions and crashed
-    runs' leftovers are invisible).  Legacy trees whose ``_DONE`` lacks
-    a file list fall back to the directory listing."""
+    """READABLE paths of the COMMITTED parquet files of one partition:
+    the ``_DONE`` manifest's file list (uncommitted partitions and
+    crashed runs' leftovers are invisible).  Paths come back through
+    ``fs.local_path`` — resolved for parquet readers, never carrying a
+    backend scheme.  Legacy trees whose ``_DONE`` lacks a file list fall
+    back to the directory listing."""
     import json as _json
 
-    from .fs import fexists, fget, flist
+    from .fs import resolve
 
-    d = partition_dir(root, p)
-    marker = os.path.join(d, "_DONE")
-    if not fexists(marker):
+    fs, base = resolve(partition_dir(root, p))
+    marker = os.path.join(base, "_DONE")
+    if not fs.exists(marker):
         return []
-    meta = _json.loads(fget(marker))
+    meta = _json.loads(fs.get(marker))
     files = meta.get("files")
     if files is None:  # legacy marker without a manifest
-        files = [f for f in flist(d) if f.endswith(".parquet")]
-    return [os.path.join(d, f) for f in sorted(files)]
+        files = [f for f in fs.list_dir(base) if f.endswith(".parquet")]
+    return [fs.local_path(os.path.join(base, f)) for f in sorted(files)]
 
 
 def write_partitioned(ds, root: str, key_col: str | None = None,
