@@ -103,6 +103,34 @@ def read_state(ckpt_root: str, cfg, epoch: int | None = None,
         if epoch is None:
             raise ValueError(f"no restorable checkpoints under {base_root}")
 
+    sk = getattr(cfg, "window_sample_k", 0)
+    dk = getattr(cfg, "window_distinct_k", 0)
+    mk = getattr(cfg, "window_mode_k", 0)
+    tk = getattr(cfg, "window_top_k", 0)
+
+    def _sketches(cell):
+        """Open-cell sketch summary columns (positional layout — see
+        store._fold_window_cell): (p50, distinct_est, mode_n, top1)."""
+        from .store import _kmv_estimate, _mode_of, _sample_quantiles
+
+        i = 2
+        p50 = None
+        if sk and len(cell) > i + 1:
+            p50 = _sample_quantiles(cell[i + 1])[0]
+            i += 2
+        dist = None
+        if dk and len(cell) > i:
+            dist = _kmv_estimate(cell[i], dk, n_cap=int(cell[0]))
+            i += 1
+        mode_n = None
+        if mk and len(cell) > i + 1:
+            mode_n = _mode_of(cell[i], cell[i + 1])[1]
+            i += 2
+        top1 = None
+        if tk and len(cell) > i + 1 and len(cell[i]):
+            top1 = int(cell[i][0])
+        return p50, dist, mode_n, top1
+
     win_rows, swin_rows, sess_rows, views, buf_rows = [], [], [], [], []
     for p in _partitions(base_root):
         base = os.path.join(base_root, f"p{p:04d}")
@@ -114,9 +142,11 @@ def read_state(ckpt_root: str, cfg, epoch: int | None = None,
         st.restore_chain(*chain)
 
         for (key, ws), cell in st.win.items():
-            win_rows.append((p, key, ws, int(cell[0]), int(cell[1])))
+            win_rows.append((p, key, ws, int(cell[0]), int(cell[1]),
+                             *_sketches(cell)))
         for (key, ws), cell in st.swin.items():
-            swin_rows.append((p, key, ws, int(cell[0]), int(cell[1])))
+            swin_rows.append((p, key, ws, int(cell[0]), int(cell[1]),
+                              *_sketches(cell)))
         for key, runs in st.sessions.items():
             for iv in runs:
                 sess_rows.append((p, key, int(iv[0]), int(iv[1]),
@@ -127,14 +157,23 @@ def read_state(ckpt_root: str, cfg, epoch: int | None = None,
         buf_rows.append((p, n_clips, n_upd))
 
     def _wtable(rows):
-        cols = list(zip(*rows)) if rows else [[], [], [], [], []]
-        return pa.table({
+        cols = list(zip(*rows)) if rows else [[]] * 9
+        out_cols = {
             "partition": pa.array(cols[0], pa.int32()),
             "clip_id": pa.array(cols[1], pa.string()),
             "window_start": pa.array(cols[2], pa.int64()),
             "cnt": pa.array(cols[3], pa.int64()),
             "sum_dur_ms": pa.array(cols[4], pa.int64()),
-        })
+        }
+        # sketch summaries appear only when their flag is on (schema
+        # stability: a flag-off tree reads exactly as before)
+        for on, name, idx in ((sk, "p50_dur_ms", 5),
+                              (dk, "distinct_content", 6),
+                              (mk, "mode_n", 7),
+                              (tk, "top1_dur_ms", 8)):
+            if on:
+                out_cols[name] = pa.array(cols[idx], pa.int64())
+        return pa.table(out_cols)
 
     sc = list(zip(*sess_rows)) if sess_rows else [[]] * 6
     bc = list(zip(*buf_rows)) if buf_rows else [[], [], []]

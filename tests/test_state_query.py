@@ -97,3 +97,36 @@ def test_dedup_index_summary(tmp_path, ray_session):
     assert ded["entries"].sum() == kept
     assert (ded["ts_min"] >= 0).all() and (ded["ts_max"]
                                            >= ded["ts_min"]).all()
+
+
+def test_read_state_exposes_window_sketches(ray_session, tmp_path):
+    """With sketch flags on, the offline windows table carries the open
+    cells' sketch summaries (p50 / distinct est / mode count / top-1);
+    flag-off trees keep the original schema."""
+    import tests.test_window_topk as tw
+    from hydra_ray.pipelines.replicate import ReplicatePipeline, _StateCfg
+    from hydra_ray.state.query import read_state
+
+    root = str(tmp_path)
+    tw._build(root)
+    cfg = tw._cfg(3, salted=False, window_sample_k=64,
+                  window_distinct_k=64, window_mode_k=64)
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", cfg,
+                      f"{root}/updates").run(max_epochs=2)  # open state
+    st = read_state(f"{root}/out/_checkpoints", cfg)
+    win = st["windows"].to_pandas()
+    assert {"p50_dur_ms", "distinct_content", "mode_n",
+            "top1_dur_ms"} <= set(win.columns)
+    if len(win):
+        assert (win["top1_dur_ms"].dropna() >= win["p50_dur_ms"].dropna()
+                .reindex(win["top1_dur_ms"].dropna().index)).all()
+        assert (win["mode_n"].dropna() >= 1).all()
+    # flag-off: schema unchanged
+    off = tw._cfg(0, salted=False)
+    root2 = str(tmp_path / "off")
+    tw._build(root2)
+    ReplicatePipeline(f"{root2}/clips", f"{root2}/out", off,
+                      f"{root2}/updates").run(max_epochs=2)
+    st2 = read_state(f"{root2}/out/_checkpoints", off)
+    assert set(st2["windows"].column_names) == {
+        "partition", "clip_id", "window_start", "cnt", "sum_dur_ms"}
