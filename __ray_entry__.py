@@ -30,13 +30,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # DRIVER WINDOW (first 50 entries are oracle-checked by the
-        # driver).  Round-4 rotation (VERDICT r3 #2): slots 1-32 are
-        # the 32 oracled queries that never had a driver CORRECTNESS
-        # row in r1-r3; slots 33-35 the r1-only trio; slots 36-50
-        # oldest (r2-only) verifications, displaced by new r4 oracles
-        # as they land.  After this round every oracle has >=1 hard
-        # driver signal (see CORRECTNESS_LEDGER.md).
-        # -- slots 1-32: never driver-verified before r4 --
+        # driver).  Round-5 rotation (VERDICT r4 #3): freshness is the
+        # criterion now that every oracle has >=1 driver row — slots
+        # 1-35 are the 35 oracles whose latest driver row is r1/r2,
+        # slots 36-50 the alphabetically-first r3-verified fill (new
+        # r5 oracles displace from the END of the fill block).
+        # -- slots 1-35: stalest (last driver row r1/r2) --
+        "anti_join": q.q_anti_join,
+        "asof_join": q.q_asof_join,
+        "bloom_semi_join": q.q_bloom_semi_join,
+        "broadcast_enrich": q.q_broadcast_enrich,
+        "consumer_lag": q.q_consumer_lag,
+        "events_per_day": q.q_events_per_day,
+        "exact_dedup": q.q_exact_dedup,
+        "funnel": q.q_funnel,
+        "global_rank": q.q_global_rank,
+        "interval_join": q.q_interval_join,
+        "json_key_extract": q.q_json_key_extract,
+        "lag_delta": q.q_lag_delta,
+        "latest_by_key": q.q_latest_by_key,
+        "mode_user": q.q_mode_user,
+        "pivot_events": q.q_pivot_events,
+        "pricing_summary": q.q_pricing_summary,
+        "replication_diff": q.q_replication_diff,
+        "running_total": q.q_running_total,
+        "salted_agg": q.q_salted_agg,
+        "session_window": q.q_session_window,
+        "sliding_window": q.q_sliding_window,
+        "source_cap": q.q_source_cap,
+        "stratified_sample": q.q_stratified_sample,
+        "token_budget": q.q_token_budget,
+        "topic_tail": q.q_topic_tail,
+        "train_split": q.q_train_split,
+        "tumbling_window": q.q_tumbling_window,
+        "value_corr": q.q_value_corr,
+        "value_cume": q.q_value_cume,
+        "value_dispersion": q.q_value_dispersion,
+        "value_histogram": q.q_value_histogram,
+        "value_outliers": q.q_value_outliers,
+        "value_quantiles": q.q_value_quantiles,
+        "value_quantiles_cont": q.q_value_quantiles_cont,
+        "value_ranks": q.q_value_ranks,
+        # -- slots 36-50: r3-verified fill; new r5 oracles displace
+        # from the END of this block --
+        "ann_topk": q.q_ann_topk,
+        "avro_evolution": q.q_avro_evolution,
+        "avro_roundtrip": q.q_avro_roundtrip,
+        "bag_except": q.q_bag_except,
+        "bag_intersect": q.q_bag_intersect,
+        "bm25_search": q.q_bm25_search,
+        "chunk_docs": q.q_chunk_docs,
+        "components": q.q_components,
+        "csv_roundtrip": q.q_csv_roundtrip,
+        "decontaminate": q.q_decontaminate,
+        "dedup_cut": q.q_dedup_cut,
+        "degree_stats": q.q_degree_stats,
+        "dup_spans": q.q_dup_spans,
+        "embedding_neardup": q.q_embedding_neardup,
+        "event_paths": q.q_event_paths,
+        # -- oracled, past the 50-slot window (driver-verified in a
+        # recent round; rotate forward in later rounds) --
         "nation_trade": q.q_nation_trade,
         "product_revenue": q.q_product_revenue,
         "top_supplier": q.q_top_supplier,
@@ -69,12 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q.q_token_entropy,
         "table_profile": q.q_table_profile,
         "match_funnel": q.q_match_funnel,
-        # -- slots 33-35: last verified in round 1 --
         "ann_range": q.q_ann_range,
         "vector_norms": q.q_vector_norms,
         "distinct_users": q.q_distinct_users,
-        # -- slots 36-50: last verified in round 2 (rotation fill;
-        # new r4 oracles displace from the END of this block) --
         "upsert_compaction": q.q_upsert_compaction,
         "rollup_sales": q.q_rollup_sales,
         "cube_sales": q.q_cube_sales,
@@ -84,48 +134,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch": q.q_quantile_sketch,
         "hash_join": q.q_hash_join,
         "left_join": q.q_left_join,
-        # -- NEW r4 oracles (displace the end of the fill block) --
         "sentence_stats": q.q_sentence_stats,
         "pagerank_ranks": q.q_pagerank_ranks,
         "export_shards": q.q_export_shards,
         "value_matrix": q.q_value_matrix,
         "benford_digits": q.q_benford_digits,
         "hour_heatmap": q.q_hour_heatmap,
-        # -- oracled, past the 50-slot window (driver-verified in a
-        # recent round; rotate forward in later rounds) --
-        "replication_diff": q.q_replication_diff,
-        "funnel": q.q_funnel,
-        "anti_join": q.q_anti_join,
-        "bloom_semi_join": q.q_bloom_semi_join,
-        "global_rank": q.q_global_rank,
-        "value_dispersion": q.q_value_dispersion,
         "jaccard_search": q.q_jaccard_search,
         "similarity_join": q.q_similarity_join,
-        "decontaminate": q.q_decontaminate,
-        "embedding_neardup": q.q_embedding_neardup,
         "token_stats": q.q_token_stats,
         "token_explode": q.q_token_explode,
-        "chunk_docs": q.q_chunk_docs,
         "repetition_stats": q.q_repetition_stats,
-        "event_paths": q.q_event_paths,
         "tfidf_terms": q.q_tfidf_terms,
         "redact_text": q.q_redact_text,
         "top_bigrams": q.q_top_bigrams,
-        "dup_spans": q.q_dup_spans,
-        "dedup_cut": q.q_dedup_cut,
         "window_distinct": q.q_window_distinct,
         "set_except": q.q_set_except,
         "set_intersect": q.q_set_intersect,
         "set_union": q.q_set_union,
-        "bag_except": q.q_bag_except,
-        "bag_intersect": q.q_bag_intersect,
         "quality_scores": q.q_quality_scores,
         "langid": q.q_langid,
         "fingerprint": q.q_fingerprint,
-        "components": q.q_components,
-        "ann_topk": q.q_ann_topk,
         "zorder_scan": q.q_zorder_scan,
-        "avro_evolution": q.q_avro_evolution,
         "heavy_hitters": q.q_heavy_hitters,
         "value_moments": q.q_value_moments,
         "value_regression": q.q_value_regression,
@@ -135,49 +165,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": q.q_value_mad,
         "fuzzy_match": q.q_fuzzy_match,
         "order_revenue": q.q_order_revenue,
-        "avro_roundtrip": q.q_avro_roundtrip,
         "window_quantiles": q.q_window_quantiles,
         "weighted_sample": q.q_weighted_sample,
         "triangle_count": q.q_triangle_count,
         "pair_support": q.q_pair_support,
         "k_hop": q.q_k_hop,
-        "bm25_search": q.q_bm25_search,
-        "degree_stats": q.q_degree_stats,
         "full_outer": q.q_full_outer,
         "transition_counts": q.q_transition_counts,
         "time_resample": q.q_time_resample,
         "interval_overlap": q.q_interval_overlap,
         "sessionize": q.q_sessionize,
-        "csv_roundtrip": q.q_csv_roundtrip,
-        "tumbling_window": q.q_tumbling_window,
-        "sliding_window": q.q_sliding_window,
-        "session_window": q.q_session_window,
-        "interval_join": q.q_interval_join,
-        "asof_join": q.q_asof_join,
-        "value_quantiles": q.q_value_quantiles,
-        "value_quantiles_cont": q.q_value_quantiles_cont,
-        "pivot_events": q.q_pivot_events,
-        "value_cume": q.q_value_cume,
-        "lag_delta": q.q_lag_delta,
-        "running_total": q.q_running_total,
-        "value_histogram": q.q_value_histogram,
-        "mode_user": q.q_mode_user,
-        "value_corr": q.q_value_corr,
-        "value_outliers": q.q_value_outliers,
-        "train_split": q.q_train_split,
-        "source_cap": q.q_source_cap,
-        "stratified_sample": q.q_stratified_sample,
-        "token_budget": q.q_token_budget,
-        "latest_by_key": q.q_latest_by_key,
-        "consumer_lag": q.q_consumer_lag,
-        "topic_tail": q.q_topic_tail,
-        "json_key_extract": q.q_json_key_extract,
-        "events_per_day": q.q_events_per_day,
-        "pricing_summary": q.q_pricing_summary,
-        "salted_agg": q.q_salted_agg,
-        "broadcast_enrich": q.q_broadcast_enrich,
-        "value_ranks": q.q_value_ranks,
-        "exact_dedup": q.q_exact_dedup,
         # -- rows-only (no SQL oracle; covered by dedicated pytest
         # oracles) -- keep LAST so they never displace an oracled query
         # from the driver window.
