@@ -78,3 +78,27 @@ def test_low_entropy_corpus_still_exact(ray_session):
     words = ["aaaa", "bbbb", "cccc", "dddd"]
     texts = [" ".join(rng.choice(words, 12)) for _ in range(30)]
     assert _run(texts, 0.6) == _brute(texts, 0.6)
+
+
+def test_prefilter_path_equals_exact_path(ray_session):
+    """VERDICT r4 #6: the signature-prefilter fast path (default) must
+    produce byte-identical output to the unfiltered exact path on the
+    degenerate low-entropy regime the catalog fixture exercises."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    words = ["quick", "brown", "foxes", "jumps", "overt", "lazys"]
+    texts = [" ".join(rng.choice(words, 15)) for _ in range(60)]
+    texts += texts[:8]  # exact copies -> guaranteed pairs at any t
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t).repartition(4)
+    fast = similarity_join(ds, threshold=0.7, k=K).to_pandas()
+    slow = similarity_join(ds, threshold=0.7, k=K,
+                           prefilter=False).to_pandas()
+
+    def key(d):
+        return d.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(key(fast), key(slow))
+    assert len(fast) >= 8
