@@ -367,17 +367,36 @@ class Table:
         max_retries: int = 20,
         new_schema: pa.Schema | None = None,
         replace: bool = False,
-    ) -> int:
+        prepare=None,
+    ) -> int | None:
         """Append (or with ``replace`` substitute) fragments in a new
-        manifest version (optimistic retry)."""
+        manifest version (optimistic conditional-PUT retry).
+
+        ``prepare(base_manifest) -> dict | None`` — when given, called
+        on EVERY attempt with the freshly read base manifest and must
+        return the complete new properties dict (or None to abort the
+        commit, returning None).  Any read-modify-write on manifest
+        state (pipeline epochs, tags) MUST go through ``prepare``: a
+        pre-loop snapshot merge is a TOCTOU hole — a concurrent writer's
+        commit landing between snapshot and PUT would be clobbered on
+        retry (double-committed epochs, lost sibling-pipeline state;
+        the broker is the reference's single serialization point,
+        `KafkaClientAlgebra.scala:217-262` — here the manifest log is).
+        ``properties_update`` remains for write-once top-level keys.
+        """
         for _ in range(max_retries):
             base = self._manifest(self.latest_version())
             v = base.version + 1
+            if prepare is not None:
+                props = prepare(base)
+                if props is None:
+                    return None
+            else:
+                props = dict(base.properties)
+                if properties_update:
+                    props.update(properties_update)
             for f in new_frags:
                 f.added_version = v
-            props = dict(base.properties)
-            if properties_update:
-                props.update(properties_update)
             m = _Manifest(
                 version=v,
                 fragments=new_frags if replace else base.fragments + new_frags,
@@ -518,38 +537,58 @@ class Table:
         Returns False (and discards the staged files) if ``epoch`` is not
         exactly ``committed+1`` — i.e. a replayed epoch no-ops, which is
         the idempotence that makes total output rows exactly reproducible.
+        The epoch check and the pipelines-state merge both run INSIDE the
+        conditional-PUT retry loop against the freshly read manifest, so
+        a racing driver (zombie resume, sibling pipeline) can neither
+        double-commit an epoch nor have its state clobbered.
         """
-        committed = self.committed_epoch(pipeline)
-        if epoch <= committed:
+
+        def prepare(base: "_Manifest") -> dict[str, Any] | None:
+            pipelines = dict(base.properties.get("pipelines", {}))
+            state = dict(pipelines.get(pipeline, {}))
+            committed = int(state.get("last_epoch", -1))
+            if epoch <= committed:
+                return None  # replayed epoch: abort, discard staged
+            if epoch != committed + 1:
+                raise ValueError(
+                    f"epoch gap: committing {epoch} but last committed "
+                    f"is {committed}"
+                )
+            state["last_epoch"] = epoch
+            if extra_state:
+                state.update(extra_state)
+            pipelines[pipeline] = state
+            props = dict(base.properties)
+            props["pipelines"] = pipelines
+            return props
+
+        # the manifest append IS the publish: no file moves (rename-free)
+        v = self._commit_fragments(list(staged), prepare=prepare)
+        if v is None:
             # replayed epoch: its freshly staged fragments are referenced
             # by no manifest — delete the orphan objects outright
             for f in staged:
                 self.fs.delete(os.path.join(self.root, f.path))
             return False
-        if epoch != committed + 1:
-            raise ValueError(
-                f"epoch gap: committing {epoch} but last committed is {committed}"
-            )
-        pipelines = dict(self.properties().get("pipelines", {}))
-        state = dict(pipelines.get(pipeline, {}))
-        state["last_epoch"] = epoch
-        if extra_state:
-            state.update(extra_state)
-        pipelines[pipeline] = state
-        # the manifest append IS the publish: no file moves (rename-free)
-        self._commit_fragments(list(staged), {"pipelines": pipelines})
         return True
 
     def update_pipeline_state(self, pipeline: str, updates: dict[str, Any]) -> int:
         """Merge ``updates`` into one pipeline's committed state WITHOUT
         advancing its epoch (no fragments) — used by offline maintenance
         that changes run parameters recorded in the state (e.g. a state
-        rescale updating ``num_partitions``)."""
-        pipelines = dict(self.properties().get("pipelines", {}))
-        state = dict(pipelines.get(pipeline, {}))
-        state.update(updates)
-        pipelines[pipeline] = state
-        return self._commit_fragments([], {"pipelines": pipelines})
+        rescale updating ``num_partitions``).  Merges against the fresh
+        manifest inside the retry loop (see ``_commit_fragments``)."""
+
+        def prepare(base: "_Manifest") -> dict[str, Any]:
+            pipelines = dict(base.properties.get("pipelines", {}))
+            state = dict(pipelines.get(pipeline, {}))
+            state.update(updates)
+            pipelines[pipeline] = state
+            props = dict(base.properties)
+            props["pipelines"] = pipelines
+            return props
+
+        return self._commit_fragments([], prepare=prepare)
 
     def compact(self, target_rows: int = 200_000,
                 reader_horizon: int | None = None) -> int | None:
@@ -741,9 +780,15 @@ class Table:
         v = self.latest_version() if version is None else int(version)
         if not self.fs.exists(self._manifest_path(v)):
             raise ValueError(f"cannot tag missing version {v}")
-        tags = dict(self.properties().get("tags", {}))
-        tags[name] = v
-        self._commit_fragments([], {"tags": tags})
+
+        def prepare(base: "_Manifest") -> dict[str, Any]:
+            props = dict(base.properties)
+            tags = dict(props.get("tags", {}))
+            tags[name] = v
+            props["tags"] = tags
+            return props
+
+        self._commit_fragments([], prepare=prepare)
         return v
 
     def tags(self) -> dict[str, int]:
