@@ -47,14 +47,18 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-__all__ = ["StorageFS", "LocalFS", "StrictObjectFS", "resolve"]
+__all__ = ["StorageFS", "LocalFS", "StrictObjectFS", "MeteredStrictFS",
+           "resolve", "metered_root", "meter_counts"]
 
 _STRICT_SCHEME = "strict://"
+_METER_RE = re.compile(r"^metered-([A-Za-z0-9]+)-(\d+)://")
+_METER_BASE = "/tmp/hydra_fsmeter"
 
 
 class StorageFS:
@@ -251,17 +255,145 @@ class StrictObjectFS(StorageFS):
         os.unlink(local_src)
 
 
+class MeteredStrictFS(StrictObjectFS):
+    """Object-store REALISM shim: ``StrictObjectFS`` semantics plus a
+    per-operation round-trip latency injection and an op log.
+
+    At a 30–100 ms object-store round trip, one stray manifest parse per
+    batch is the difference between a 6 s and a 60 s epoch — a local-FS
+    shim hides chatty protocols completely.  This backend makes them
+    measurable: every primitive op (PUT/GET/HEAD/LIST/DELETE) sleeps the
+    injected latency and appends one ``op\\tpath`` line to a per-process
+    log file, so a test can assert the protocol's op COMPLEXITY (an
+    epoch commit is O(1) manifest ops + O(fragments) data PUTs).
+
+    All configuration is encoded in the SCHEME —
+    ``metered-<token>-<latency_ms>://<path>`` — because root strings are
+    the only thing that reaches Ray worker processes; any process that
+    resolves the same path string meters into the same log directory
+    (``/tmp/hydra_fsmeter/<token>/``, one append-only file per backend
+    instance, no cross-process locking).  ``metered_root`` /
+    ``meter_counts`` are the test-facing helpers.
+    """
+
+    def __init__(self, token: str, latency_ms: int):
+        self.token = token
+        self.latency_ms = int(latency_ms)
+        self.scheme = f"metered-{token}-{latency_ms}://"
+        self._log = None
+
+    def _rec(self, op: str, path: str) -> None:
+        if self.latency_ms:
+            import time
+
+            time.sleep(self.latency_ms / 1000.0)
+        if self._log is None:
+            d = os.path.join(_METER_BASE, self.token)
+            os.makedirs(d, exist_ok=True)
+            self._log = open(
+                os.path.join(d, f"{os.getpid()}-{uuid.uuid4().hex}.log"),
+                "a", buffering=1,
+            )
+        self._log.write(f"{op}\t{path}\n")
+
+    def put(self, path, data, *, mode="create", durable=False):
+        self._rec("put", path)
+        return super().put(path, data, mode=mode, durable=durable)
+
+    def get(self, path):
+        self._rec("get", path)
+        return super().get(path)
+
+    def get_table(self, path, columns=None):
+        self._rec("get", path)
+        return super().get_table(path, columns=columns)
+
+    def exists(self, path):
+        self._rec("head", path)
+        return super().exists(path)
+
+    def size(self, path):
+        self._rec("head", path)
+        return super().size(path)
+
+    def isdir(self, path):
+        self._rec("list", path)
+        return super().isdir(path)
+
+    def list_dir(self, path):
+        self._rec("list", path)
+        return super().list_dir(path)
+
+    def delete(self, path):
+        self._rec("delete", path)
+        return super().delete(path)
+
+    def delete_tree(self, path):
+        self._rec("delete", path)
+        return super().delete_tree(path)
+
+    def adopt_file(self, local_src, dest_path):
+        # upload (PUT) + local unlink; the PUT is recorded by put()
+        return super().adopt_file(local_src, dest_path)
+
+    # ``local_path`` stays unmetered: fragment reads through parquet
+    # readers are data-plane GETs a real backend pays, but call sites
+    # also build path lists without reading — counting here would
+    # overstate.  ``get_table`` (the manifest/checkpoint read path) is
+    # what op-complexity assertions care about.
+
+
+def metered_root(path: str, token: str | None = None,
+                 latency_ms: int = 0) -> str:
+    """A root string selecting ``MeteredStrictFS`` for ``path``."""
+    token = token or uuid.uuid4().hex[:12]
+    return f"metered-{token}-{int(latency_ms)}://{path}"
+
+
+def meter_counts(token: str, classify=None) -> dict:
+    """Aggregate op counts across every process that metered ``token``.
+
+    Returns ``{op: n}`` — or, with ``classify(path) -> str | None``,
+    ``{(op, cls): n}`` over ops whose class is not None."""
+    from collections import Counter
+
+    out: Counter = Counter()
+    d = os.path.join(_METER_BASE, token)
+    if not os.path.isdir(d):
+        return {}
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name)) as f:
+            for line in f:
+                op, _, path = line.rstrip("\n").partition("\t")
+                if classify is None:
+                    out[op] += 1
+                else:
+                    cls = classify(path)
+                    if cls is not None:
+                        out[(op, cls)] += 1
+    return dict(out)
+
+
 _LOCAL = LocalFS()
 _STRICT = StrictObjectFS()
+_METERED: dict[tuple[str, int], MeteredStrictFS] = {}
 
 
 def resolve(root: str) -> tuple[StorageFS, str]:
     """``root`` → (backend, base path).  ``strict://<path>`` selects the
-    object-store shim; anything else is the local backend.  The scheme
-    survives ``os.path.join`` on derived paths, so resolving any child
-    path of a strict root yields the strict backend again."""
+    object-store shim, ``metered-<token>-<ms>://<path>`` the metered
+    shim; anything else is the local backend.  The scheme survives
+    ``os.path.join`` on derived paths, so resolving any child path of a
+    strict/metered root yields the same backend again."""
     if root.startswith(_STRICT_SCHEME):
         return _STRICT, os.path.abspath(root[len(_STRICT_SCHEME):])
+    m = _METER_RE.match(root)
+    if m:
+        key = (m.group(1), int(m.group(2)))
+        fs = _METERED.get(key)
+        if fs is None:
+            fs = _METERED[key] = MeteredStrictFS(*key)
+        return fs, os.path.abspath(root[m.end():])
     return _LOCAL, os.path.abspath(root)
 
 
