@@ -86,10 +86,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cut": q.q_dedup_cut,
         "degree_stats": q.q_degree_stats,
         "dup_spans": q.q_dup_spans,
-        "embedding_neardup": q.q_embedding_neardup,
-        "event_paths": q.q_event_paths,
+        # -- NEW r5 oracles (displace the end of the fill block) --
+        "audio_fbank": q.q_audio_fbank,
+        "audio_mfcc": q.q_audio_mfcc,
         # -- oracled, past the 50-slot window (driver-verified in a
         # recent round; rotate forward in later rounds) --
+        "embedding_neardup": q.q_embedding_neardup,
+        "event_paths": q.q_event_paths,
         "nation_trade": q.q_nation_trade,
         "product_revenue": q.q_product_revenue,
         "top_supplier": q.q_top_supplier,
@@ -203,8 +206,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pca": q.q_embed_pca,
         "approx_distinct": q.q_approx_distinct,
         "audio_features": q.q_audio_features,
-        "audio_fbank": q.q_audio_fbank,
-        "audio_mfcc": q.q_audio_mfcc,
         "audio_search": q.q_audio_search,
         "pitch_track": q.q_pitch_track,
         "audio_curation": q.q_audio_curation,
@@ -274,7 +275,22 @@ def _pagerank_sql(iters: int = 8, d: float = 0.85) -> str:
 def oracle_sql() -> dict[str, str]:
     HOUR = 3_600_000
     DAY = 86_400_000
+    import os as _os
+
+    _GOLDEN = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "hydra_ray", "golden")
     return {
+        # stored-reference identity oracles (VERDICT r4 #7): the audio
+        # feature kernels are bitwise deterministic and sf-independent,
+        # so the committed golden tables pin every coefficient
+        # (regenerate via tools/make_audio_golden.py after intentional
+        # kernel changes).
+        "audio_fbank": f"""
+            SELECT * FROM read_parquet('{_GOLDEN}/audio_fbank.parquet')
+        """,
+        "audio_mfcc": f"""
+            SELECT * FROM read_parquet('{_GOLDEN}/audio_mfcc.parquet')
+        """,
         "csv_roundtrip": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
             FROM customer

@@ -3323,11 +3323,43 @@ def q_bpe_tokens(sf_dir):
     return bpe_token_counts(ds, merges, "text", "doc_id")
 
 
+def _explode_feature_cols(t2: pa.Table, mean_col: str, std_col: str,
+                          idx_col: str) -> pa.Table:
+    """(seq, clip_id, n_frames, <vec cols>) → LONG rows, one per
+    coefficient, with the pooled values as round_f64(·, 6) doubles —
+    the driver-hashable identity-oracle shape (scalar columns only;
+    the harness cannot sort/compare fixed_size_list cells)."""
+    mean = t2[mean_col].combine_chunks()
+    width = mean.type.list_size
+    fm = mean.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    fs = (t2[std_col].combine_chunks().flatten()
+          .to_numpy(zero_copy_only=False).astype(np.float64))
+    n = t2.num_rows
+    rep = lambda col: pa.array(np.repeat(
+        t2[col].to_numpy(zero_copy_only=False), width))
+    return pa.table({
+        "seq": rep("seq"),
+        "clip_id": pa.array(np.repeat(
+            t2["clip_id"].to_numpy(zero_copy_only=False), width)),
+        "n_frames": rep("n_frames"),
+        idx_col: pa.array(np.tile(np.arange(width, dtype=np.int64), n)),
+        mean_col: round_f64(pa.array(fm), 6),
+        std_col: round_f64(pa.array(fs), 6),
+    })
+
+
 def q_audio_fbank(sf_dir):
     """Decode → resample to 16 kHz → pooled log-mel filterbank features
     (the speech-model front-end; one batched rfft + filterbank matmul +
-    per-clip reduceat pooling).  Rows-only; the value oracle is the
-    per-clip numpy reference in tests/test_audio_curation.py."""
+    per-clip reduceat pooling), exploded to one row per mel bin.
+
+    ORACLED as a stored-reference identity (VERDICT r4 #7): the synth
+    corpus is sf-independent and the kernel is bitwise deterministic
+    across cpu counts/batch splits (verified 8 vs 32 cpus), so the
+    committed golden parquet (hydra_ray/golden/audio_fbank.parquet,
+    regenerated by tools/make_audio_golden.py) pins every coefficient;
+    the per-clip numpy reference in tests/test_audio_curation.py remains
+    the independent value oracle."""
     from ..stages.audio_curation import Resampler
     from ..stages.audio_features import FbankFeatures
     from ..stages.decode import AudioDecoder, split_dlq
@@ -3343,19 +3375,18 @@ def q_audio_fbank(sf_dir):
         main.map_batches(Resampler(16_000), batch_format="pyarrow")
         .map_batches(FbankFeatures(), batch_format="pyarrow")
     )
-
-    def project(t2: pa.Table) -> pa.Table:
-        return t2.select(["seq", "clip_id", "n_frames",
-                          "fbank_mean", "fbank_std"])
-
-    return feats.map_batches(project, batch_format="pyarrow")
+    return feats.map_batches(
+        lambda t2: _explode_feature_cols(t2, "fbank_mean", "fbank_std",
+                                         "mel"),
+        batch_format="pyarrow")
 
 
 def q_audio_mfcc(sf_dir):
     """Decode → resample to 16 kHz → pooled MFCCs (orthonormal DCT-II
     cepstra over the log-mel frames — one extra matmul on the shared
-    fbank path).  Rows-only; value oracle is the per-clip numpy
-    reference in tests/test_audio_curation.py."""
+    fbank path), exploded to one row per cepstral coefficient.
+    ORACLED against the committed golden
+    (hydra_ray/golden/audio_mfcc.parquet) — see q_audio_fbank."""
     from ..stages.audio_curation import Resampler
     from ..stages.audio_features import FbankFeatures
     from ..stages.decode import AudioDecoder, split_dlq
@@ -3371,12 +3402,10 @@ def q_audio_mfcc(sf_dir):
         main.map_batches(Resampler(16_000), batch_format="pyarrow")
         .map_batches(FbankFeatures(n_mels=24, n_mfcc=13), batch_format="pyarrow")
     )
-
-    def project(t2: pa.Table) -> pa.Table:
-        return t2.select(["seq", "clip_id", "n_frames",
-                          "mfcc_mean", "mfcc_std"])
-
-    return feats.map_batches(project, batch_format="pyarrow")
+    return feats.map_batches(
+        lambda t2: _explode_feature_cols(t2, "mfcc_mean", "mfcc_std",
+                                         "coef"),
+        batch_format="pyarrow")
 
 
 def q_pitch_track(sf_dir):
