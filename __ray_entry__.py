@@ -84,13 +84,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_roundtrip": q.q_csv_roundtrip,
         "decontaminate": q.q_decontaminate,
         "dedup_cut": q.q_dedup_cut,
-        "degree_stats": q.q_degree_stats,
-        "dup_spans": q.q_dup_spans,
         # -- NEW r5 oracles (displace the end of the fill block) --
         "audio_fbank": q.q_audio_fbank,
         "audio_mfcc": q.q_audio_mfcc,
+        "pareto_parts": q.q_pareto_parts,
+        "above_avg_items": q.q_above_avg_items,
         # -- oracled, past the 50-slot window (driver-verified in a
         # recent round; rotate forward in later rounds) --
+        "degree_stats": q.q_degree_stats,
+        "dup_spans": q.q_dup_spans,
         "embedding_neardup": q.q_embedding_neardup,
         "event_paths": q.q_event_paths,
         "nation_trade": q.q_nation_trade,
@@ -290,6 +292,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_mfcc": f"""
             SELECT * FROM read_parquet('{_GOLDEN}/audio_mfcc.parquet')
+        """,
+        "pareto_parts": """
+            SELECT a.p_partkey, CAST(a.p_size AS BIGINT) AS p_size,
+                   round(a.p_retailprice, 2) AS price
+            FROM part a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice <= a.p_retailprice
+                  AND b.p_size <= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size < a.p_size))
+        """,
+        "above_avg_items": """
+            WITH w AS (
+                SELECT l_orderkey, l_linenumber, l_quantity,
+                       avg(l_quantity) OVER (PARTITION BY l_orderkey)
+                           AS order_avg
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   round(order_avg, 6) AS order_avg_qty
+            FROM w WHERE l_quantity > order_avg
         """,
         "csv_roundtrip": """
             SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

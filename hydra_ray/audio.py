@@ -290,6 +290,7 @@ def decode_batch(
     payloads: pa.Array,
     codecs: pa.Array,
     sr_hz: pa.Array | None = None,
+    validate_only: bool = False,
 ) -> tuple[pa.LargeListArray, pa.Array]:
     """Decode a batch of audio payloads → (pcm list<float32>, error string).
 
@@ -304,7 +305,16 @@ def decode_batch(
     string error column (null for ok rows).  Mirrors the reference's
     per-record Either[Throwable, Record] decode routing
     (`KafkaClientAlgebra.scala:354-378`) without per-row exceptions.
-    """
+
+    ``validate_only=True`` runs the IDENTICAL validation (structural
+    checks for the wav-family codecs; flac/adpcm bitstreams decode fully
+    either way, their samples are just discarded) but skips assembling
+    the float32 output buffer, returning ``(n_samples, errors)`` instead
+    — an int32 array (null for failed rows, matching
+    ``list_value_length`` of the full path's pcm) and the same error
+    column.  Callers that only need (decode_error, n_samples) — the
+    passthrough-staging pipeline — avoid materializing 4 bytes/sample
+    they would immediately discard."""
     n = len(payloads)
     data, offsets = _binary_views(payloads)
     codec_np = np.asarray(
@@ -430,6 +440,14 @@ def decode_batch(
     known = is_pcm | is_wav | (fam > 0) | is_f32 | is_flac | is_adpcm
     for i in np.flatnonzero(~known):
         errors[i] = f"unknown codec {codec_np[i]!r}"
+
+    if validate_only:
+        n_samples = pa.array(
+            np.where(ok, span_count, 0).astype(np.int32),
+            pa.int32(),
+            mask=~ok if not ok.all() else None,
+        )
+        return n_samples, pa.array(errors, type=pa.string())
 
     # --- assemble one flat float32 buffer + list offsets ------------------
     out_counts = np.where(ok, span_count, 0)

@@ -114,6 +114,13 @@ def round_f64(arr, nd: int):
     return pc.divide(pc.multiply(mag, pc.sign(y)), p)
 
 
+def _round_f64_np(a: np.ndarray, nd: int) -> np.ndarray:
+    """numpy twin of ``round_f64`` (same DuckDB-exact float steps)."""
+    p = 10.0 ** nd
+    y = a * p
+    return np.floor(np.abs(y) + 0.5) * np.sign(y) / p
+
+
 def _round_cols(ds, cols: dict[str, int]):
     def f(t: pa.Table) -> pa.Table:
         for c, nd in cols.items():
@@ -829,6 +836,81 @@ def q_rolling_value(sf_dir):
         out_col="rolling_mean",
     )
     return _round_cols(out, {"rolling_mean": 4, "value": 2})
+
+
+def q_pareto_parts(sf_dir):
+    """Exact 2-D SKYLINE over parts (minimize retail price AND size):
+    the multi-objective filter shape (Börzsönyi 2001) — block-local
+    vectorized Pareto prune, O(frontier·blocks) survivor union, one
+    exact driver pass (`stages/sort.py skyline2`).  Price carries as
+    exact integer cents so the strict-dominance boundary can never move
+    under float noise; the oracle is the classic NOT EXISTS dominance
+    predicate."""
+    from ..stages.sort import skyline2
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_size": pc.cast(t["p_size"], pa.int64()),
+            "price_cents": pa.array(c),
+        })
+
+    front = skyline2(ds.map_batches(cents, batch_format="pyarrow"),
+                     "price_cents", "p_size")
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "p_size": t["p_size"],
+            "price": round_f64(
+                pc.divide(pc.cast(t["price_cents"], pa.float64()),
+                          pa.scalar(100.0)), 2),
+        })
+
+    return front.map_batches(out, batch_format="pyarrow")
+
+
+def q_above_avg_items(sf_dir):
+    """Correlated-aggregate filter (TPC-H Q17's inner shape, applied
+    per order): lineitems with quantity STRICTLY above their own
+    order's average quantity.  One l_orderkey-bucketed exchange; the
+    per-order mean and the filter fuse into the bucket reduce
+    (key-complete by construction).  Quantities are small integers, so
+    the float64 per-order sums are exact and the > boundary is
+    deterministic on both sides."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    nb = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        from ..hashing import hash64
+
+        b = (hash64(t["l_orderkey"]) % np.uint64(nb)).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qty = g["l_quantity"].to_numpy(np.float64)
+        ok, inv = np.unique(g["l_orderkey"].to_numpy(np.int64),
+                            return_inverse=True)
+        s = np.bincount(inv, weights=qty)
+        c = np.bincount(inv)
+        avg = s[inv] / c[inv]
+        keep = qty > avg
+        out = g.loc[keep, ["l_orderkey", "l_linenumber"]].copy()
+        out["l_quantity"] = qty[keep]
+        out["order_avg_qty"] = _round_f64_np(avg[keep], 6)
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
 
 
 def q_rolling_range(sf_dir):

@@ -354,8 +354,11 @@ class _Router:
                 if len(tables) == 1
                 else pa.concat_tables(tables, promote_options="default")
             )
+            # passthrough fragments hold already-encoded audio bytes —
+            # snappy would scan them for nothing; PCM fragments keep it
+            comp = (None if "bytes" in heavy.column_names else "snappy")
             frag = payload_tbl.stage_fragment(
-                heavy, self.epoch, p, compression="snappy"
+                heavy, self.epoch, p, compression=comp
             )
             frags[p] = json.dumps(frag.to_json())
         self._pending = {}
@@ -541,9 +544,20 @@ class _Router:
                 keep = np.flatnonzero(ok & (parts == p))
                 if len(keep):
                     xform = self.payload_transform
-                    cols = ["seq", "pcm", "n_samples"] + (
-                        ["sr_hz"] if xform is not None else []
-                    )
+                    if xform is None and "bytes" in batch.column_names:
+                        # PASSTHROUGH staging (bytes-per-clip lever): the
+                        # source's ENCODED payload (1–4 B/sample) stages
+                        # instead of the decoded float32 PCM (4 B/sample)
+                        # — decode still ran (validation, features), but
+                        # its full-width output never leaves this task;
+                        # read_replicated re-decodes bit-identically
+                        # through the same LUT kernels on demand.
+                        cols = ["seq", "bytes", "codec", "sr_hz",
+                                "n_samples"]
+                    else:
+                        cols = ["seq", "pcm", "n_samples"] + (
+                            ["sr_hz"] if xform is not None else []
+                        )
                     heavy = batch.select(cols).take(pa.array(keep))
                     if xform is not None:
                         heavy = xform(heavy)
@@ -746,12 +760,61 @@ def read_replicated(out_root: str, with_payload: bool = True) -> pa.Table:
         np.where(mask, take_idx, 0).astype(np.int64), mask=~mask
     )
     matched = payload.take(idx)
+    if "bytes" in matched.column_names:
+        # passthrough fragments hold the ENCODED source payload; rebuild
+        # the decoded pcm here, bit-identically through the same decode
+        # kernels that validated it at ingest (in-flight null rows stay
+        # null — streaming visibility, not an error)
+        matched = _reconstruct_pcm(matched)
     out = light
-    for c in payload.column_names:
+    for c in matched.column_names:
         if c == "seq":
             continue
         out = out.append_column(c, matched[c].combine_chunks())
     return out
+
+
+def _reconstruct_pcm(matched: pa.Table) -> pa.Table:
+    """(bytes, codec, sr_hz, …) payload rows → (pcm, …): decode the
+    non-null rows in one vectorized pass and scatter into a null-padded
+    ``large_list<float32>`` column, preserving the pre-passthrough
+    logical shape (bytes/codec/sr_hz dropped, pcm in their place)."""
+    import pyarrow.compute as pc2
+
+    from ..audio import decode_batch
+
+    n = matched.num_rows
+    valid = pc2.is_valid(matched["bytes"]).to_numpy(zero_copy_only=False)
+    vi = np.flatnonzero(valid)
+    lengths = np.zeros(n, np.int64)
+    if len(vi):
+        sub = matched.take(pa.array(vi))
+        pcm, _err = decode_batch(
+            sub["bytes"].combine_chunks(), sub["codec"], sub["sr_hz"])
+        pcm = pcm.combine_chunks() if isinstance(pcm, pa.ChunkedArray) else pcm
+        flat = pcm.flatten()
+        offs = pcm.offsets.to_numpy(zero_copy_only=False)
+        lengths[vi] = np.diff(offs)
+        values = flat
+    else:
+        values = pa.array([], pa.float32())
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    pcm_full = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), values,
+        mask=pa.array(~valid) if (~valid).any() else None,
+    )
+    out_cols, out_names = [], []
+    for c in matched.column_names:
+        if c == "bytes":
+            out_names.append("pcm")
+            out_cols.append(pcm_full)
+        elif c in ("codec", "sr_hz"):
+            continue
+        else:
+            out_names.append(c)
+            out_cols.append(matched[c].combine_chunks())
+    return pa.table(dict(zip(out_names, out_cols)))
 
 
 def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
@@ -1050,9 +1113,18 @@ class ReplicatePipeline:
                             ncv,
                             nuv,
                         )
+                _t1 = _time.perf_counter()
                 metrics = self._finish_epoch(
                     epoch, acks, pay_frags, clips_v, cv, updates_v, uv, wm, wm_new
                 )
+                if os.environ.get("HYDRA_DEBUG_TIMING"):
+                    import sys as _sys
+
+                    print(
+                        f"[epoch {epoch}] finish_wall="
+                        f"{_time.perf_counter() - _t1:.2f}s",
+                        file=_sys.stderr,
+                    )
                 wm = metrics["__watermark"]
                 clips_v, updates_v = cv, uv
                 flushed = False
@@ -1175,7 +1247,22 @@ class ReplicatePipeline:
         hot = frozenset(self._hot) if cfg.hot_key_threshold else frozenset()
         clips_route = _route_factory(
             self.actors, "clips", wm_prev, "clip_id", cfg.num_partitions,
-            decoder=AudioDecoder(record_size_limit=cfg.record_size_limit),
+            # keep_bytes enables passthrough payload staging (stage the
+            # encoded source bytes, not float32 PCM) when no transform
+            # rewrites the audio — see _Router.__call__.  When nothing
+            # in-flight consumes decoded samples (no transform/filter/
+            # features), skip materializing them entirely: identical
+            # validation + n_samples, no 4 B/sample buffer ever built.
+            decoder=AudioDecoder(
+                record_size_limit=cfg.record_size_limit,
+                keep_bytes=cfg.payload_transform is None,
+                materialize_pcm=(
+                    cfg.payload_transform is not None
+                    or cfg.payload_filter is not None
+                    or cfg.audio_features
+                    or cfg.audio_fbank
+                ),
+            ),
             payload_root=self.sink["payload"].uri,
             epoch=epoch,
             nonce=nonce,

@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["global_rank", "range_cutpoints"]
+__all__ = ["global_rank", "range_cutpoints", "skyline2"]
 
 
 def range_cutpoints(ds, value_col: str, num_buckets: int,
@@ -127,3 +127,56 @@ def global_rank(
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def skyline2(ds, x_col: str, y_col: str):
+    """Exact 2-D SKYLINE (Pareto frontier, minimize both columns):
+    rows no other row dominates — ``other.x ≤ x AND other.y ≤ y`` with
+    at least one strict inequality (exact duplicates all survive, the
+    standard skyline convention; Börzsönyi et al. 2001, ICDE).
+
+    Block-nested-loop shape made streaming: each block prunes LOCALLY
+    with one vectorized sorted scan (sort by (x, y); a row survives iff
+    its y is strictly below the running min-y of all strictly-cheaper x
+    AND it is min-y within its equal-x run, or duplicates a surviving
+    (x, y)), then the O(frontier·blocks) survivor union — tiny for any
+    non-degenerate distribution — takes one final exact pass on the
+    driver with the same kernel.  Local pruning is CORRECT because
+    dominance within a subset implies dominance in the full set; the
+    final pass restores global exactness.
+    """
+
+    def _local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        xs, ys = x[order], y[order]
+        # running strict-prefix min of y over rows with strictly smaller x
+        new_x = np.empty(len(xs), bool)
+        new_x[0] = True
+        new_x[1:] = xs[1:] != xs[:-1]
+        run_id = np.cumsum(new_x) - 1
+        # min y per equal-x run (runs are y-sorted: first element)
+        run_first = np.flatnonzero(new_x)
+        run_min_y = ys[run_first]
+        # prefix min of run minima over PREVIOUS runs
+        prev_min = np.empty(len(run_min_y))
+        prev_min[0] = np.inf
+        np.minimum.accumulate(run_min_y[:-1], out=prev_min[1:])
+        surv = (ys < prev_min[run_id]) & (ys == run_min_y[run_id])
+        keep = np.sort(order[surv])
+        return t.take(pa.array(keep))
+
+    import ray
+
+    survivors = ds.map_batches(_local_skyline, batch_format="pyarrow")
+    tables = [t for t in ray.get(survivors.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return survivors
+    merged = pa.concat_tables(tables, promote_options="default")
+    final = _local_skyline(merged)
+    import ray.data as rd
+
+    return rd.from_arrow(final)

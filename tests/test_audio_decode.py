@@ -192,3 +192,35 @@ def test_audio_fingerprint_invariance_and_neardup(ray_session):
     # false positives are possible in principle but the fixture is distant
     extras = got - planted
     assert len(extras) <= 2, sorted(extras)[:5]
+
+
+def test_validate_only_parity():
+    """decode_batch(validate_only=True) must return exactly the full
+    path's (n_samples, decode_error) — including flac/adpcm bitstream
+    errors and every structural rejection — with no pcm buffer built."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from hydra_ray.audio import decode_batch, encode
+    from hydra_ray.synth import synth_clips_table
+
+    t = synth_clips_table(120)
+    payloads = list(t["bytes"].to_pylist())
+    codecs = list(t["codec"].to_pylist())
+    srs = list(t["sr_hz"].to_pylist())
+    # poison rows: odd pcm16, garbage wav, truncated f32, unknown codec
+    payloads[3] = payloads[3][:-1]; codecs[3] = "pcm16"
+    payloads[7] = b"garbage"; codecs[7] = "wav"
+    payloads[11] = b"\x00\x01\x02"; codecs[11] = "f32"
+    codecs[13] = "opus"
+    pl = pa.array(payloads, pa.binary())
+    cd = pa.array(codecs, pa.string())
+    sr = pa.array(srs, pa.int32())
+
+    pcm, err_full = decode_batch(pl, cd, sr)
+    n_full = pc.list_value_length(pcm)
+    n_val, err_val = decode_batch(pl, cd, sr, validate_only=True)
+
+    assert err_val.to_pylist() == err_full.to_pylist()
+    assert n_val.to_pylist() == n_full.to_pylist()

@@ -1290,3 +1290,39 @@ def test_normalize_text_matches_duckdb_on_unicode(rd):
         for s in docs
     ]
     assert got == want
+
+
+def test_skyline2_partition_invariant_and_exact(ray_session):
+    """skyline2 == brute-force dominance filter, at 1 and 8 blocks
+    (local prune + survivor union is partition-independent)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hydra_ray.stages.sort import skyline2
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    x = rng.integers(0, 500, n).astype(np.int64)
+    y = (500 - x + rng.integers(0, 60, n)).astype(np.int64)
+    t = pa.table({"id": pa.array(np.arange(n)), "x": pa.array(x),
+                  "y": pa.array(y)})
+
+    dominated = np.zeros(n, bool)
+    order = np.lexsort((y, x))
+    min_y = np.inf
+    last_x = None
+    run_min = np.inf
+    for i in order:  # reference scan (O(n log n), independent impl)
+        if last_x is not None and x[i] != last_x:
+            min_y = min(min_y, run_min)
+            run_min = np.inf
+        dominated[i] = (y[i] >= min_y) or (y[i] > run_min)
+        run_min = min(run_min, y[i])
+        last_x = x[i]
+    ref = set(np.flatnonzero(~dominated).tolist())
+
+    for blocks in (1, 8):
+        ds = rd.from_arrow(t).repartition(blocks)
+        got = set(skyline2(ds, "x", "y").to_pandas()["id"].tolist())
+        assert got == ref, (blocks, len(got), len(ref))
