@@ -375,14 +375,16 @@ def main():
     if "--scaling" in sys.argv:
         # This sandbox's wall-clock noise swings several-x run to run
         # (lazy-restore VM memory, shared host), so single measurements
-        # are meaningless.  TWO N→4N pairs are measured (unless
-        # HYDRA_BENCH_LO/HI pin one): 8→32 — the historical protocol,
-        # whose upper level hits the HOST's aggregate delivery ceiling
-        # (~5.5k clips/s; 32 granted vCPUs do not come with 32 vCPUs of
-        # memory bandwidth here, measured BASELINE.md §C) — and 4→16,
-        # where both levels sit below that ceiling and the ratio measures
-        # the ENGINE.  `value` = the best pair's efficiency; per-pair
-        # medians, raw samples and first-touch probes all reported.
+        # are meaningless.  THREE pairs are measured (unless
+        # HYDRA_BENCH_LO/HI pin one): bare 8→32 and 4→16 — the
+        # historical record, where round-5's passthrough/validate-only
+        # optimizations push EVERY level to or past the HOST's aggregate
+        # delivery ceiling (~16-19k clips/s; 32 granted vCPUs do not
+        # come with 32 vCPUs of memory bandwidth, BASELINE.md §C) — and
+        # the curation-at-ingest features config at 4→16, the
+        # CPU-representative regime where the ratio measures the ENGINE.
+        # `value` = the best pair's efficiency; per-pair medians, raw
+        # samples and first-touch probes all reported.
         reps = int(os.environ.get("HYDRA_BENCH_REPS", "3"))
         min_gbs = float(os.environ.get("HYDRA_BENCH_MIN_GBS", "3.0"))
         # scaling needs the compute-bound regime: at 12k clips both levels
