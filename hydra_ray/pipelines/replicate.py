@@ -613,6 +613,8 @@ class _Router:
                                          pa.float32()), 16))
                         heavy = heavy.append_column(
                             "n_frames", pa.array(fb_nf[keep], pa.int64()))
+                    if "pcm" in heavy.column_names:
+                        heavy = _quantize_pcm_lossless(heavy)
                     self._pending.setdefault(int(p), []).append(heavy)
                     self._pbytes += heavy.nbytes
         if self._pbytes >= self.flush_bytes:
@@ -713,6 +715,117 @@ def _empty_ack() -> pa.Table:
     )
 
 
+def _quantize_pcm_lossless(heavy: pa.Table) -> pa.Table:
+    """Transform-path bytes lever: rows whose float32 pcm still sits on
+    the int16 grid (value·32768 integral, |·| ≤ 32767 — true for every
+    slice-style transform like trim over int16-origin sources; false
+    after gain scaling or for f32-codec sources) store as
+    ``pcm_q: large_list<int16>`` (2 B/sample) with ``pcm`` nulled; the
+    rest keep float32 ``pcm``.  Both columns exist in every fragment
+    (stable schema for concat/compaction); reconstruction multiplies by
+    the decode constant float32(1/32767) — verified exact per element
+    at quantize time, so the round trip is bit-identical.  One multiply
+    + compare pass per batch decides; per-row, never per-fragment."""
+    pcm = heavy["pcm"].combine_chunks()
+    # .values (not .flatten()): aligned with the offsets buffer even if
+    # null or sliced rows appear — flatten() compacts values and would
+    # misalign the span math
+    flat = np.asarray(pcm.values, dtype=np.float32)
+    offs = pcm.offsets.to_numpy(zero_copy_only=False)
+    n = len(pcm)
+    # verify-by-roundtrip against the decode contract's own constant
+    # (decode_batch: pcm = int16 · float32(1/32767)): a row qualifies
+    # iff every sample reconstructs BIT-exactly from its nearest int16
+    # under that same multiply.  pcm16/wav/flac/adpcm sources (and any
+    # slice transform of them) qualify; mulaw/alaw/pcm8/f32 grids and
+    # gain-scaled audio fall back to float32 automatically.
+    inv = np.float32(1.0 / 32767.0)
+    nh = np.rint(flat * np.float32(32767.0))
+    elem_ok = (np.abs(nh) <= np.float32(32767.0)) & (
+        nh.astype(np.float32) * inv == flat)
+    lens = np.diff(offs)
+    # per-row all(): count of ok elements == row length
+    row_ok = np.add.reduceat(
+        elem_ok, offs[:-1].clip(0, max(len(elem_ok) - 1, 0))
+    ) == lens if len(elem_ok) else np.zeros(n, bool)
+    row_ok &= lens > 0  # empty rows stay on the float side (no benefit)
+    valid = np.asarray(pc.is_valid(pcm))
+    row_ok &= valid
+    if not row_ok.any():
+        return heavy.append_column(
+            "pcm_q", pa.nulls(n, pa.large_list(pa.int16())))
+    # pcm_q: qualifying rows' samples as int16
+    q_lens = np.where(row_ok, lens, 0)
+    q_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(q_lens, out=q_offs[1:])
+    take = _span_gather_idx(offs[:-1][row_ok], lens[row_ok])
+    q_flat = nh[take].astype(np.int16)
+    pcm_q = pa.LargeListArray.from_arrays(
+        pa.array(q_offs, pa.int64()), pa.array(q_flat, pa.int16()),
+        mask=pa.array(~row_ok),
+    )
+    # pcm: remaining rows only (quantized rows null out)
+    f_keep = valid & ~row_ok
+    f_lens = np.where(f_keep, lens, 0)
+    f_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(f_lens, out=f_offs[1:])
+    take_f = _span_gather_idx(offs[:-1][f_keep], lens[f_keep])
+    pcm_f = pa.LargeListArray.from_arrays(
+        pa.array(f_offs, pa.int64()),
+        pa.array(flat[take_f], pa.float32()),
+        mask=pa.array(~f_keep) if not f_keep.all() else None,
+    )
+    i = heavy.schema.get_field_index("pcm")
+    return heavy.set_column(i, "pcm", pcm_f).append_column("pcm_q", pcm_q)
+
+
+def _merge_quantized_pcm(matched: pa.Table) -> pa.Table:
+    """(pcm: float32|null, pcm_q: int16|null) → one float32 ``pcm``
+    column — the read-side inverse of ``_quantize_pcm_lossless``
+    (·float32(1/32767), the decode constant).  Rows null in BOTH stay
+    null (in-flight padding)."""
+    pf = matched["pcm"].combine_chunks()
+    pq_ = matched["pcm_q"].combine_chunks()
+    n = len(pf)
+    vf = np.asarray(pc.is_valid(pf))
+    vq = np.asarray(pc.is_valid(pq_))
+    f_flat = np.asarray(pf.values, dtype=np.float32)
+    f_offs = pf.offsets.to_numpy(zero_copy_only=False)
+    q_flat = np.asarray(pq_.values, dtype=np.int16)
+    q_offs = pq_.offsets.to_numpy(zero_copy_only=False)
+    f_lens = np.where(vf, np.diff(f_offs), 0)
+    q_lens = np.where(vq, np.diff(q_offs), 0)
+    lens = f_lens + q_lens  # disjoint by construction
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    out = np.empty(offs[-1], np.float32)
+    tgt_f = _span_gather_idx(offs[:-1][vf], f_lens[vf])
+    src_f = _span_gather_idx(f_offs[:-1][vf], f_lens[vf])
+    out[tgt_f] = f_flat[src_f]
+    tgt_q = _span_gather_idx(offs[:-1][vq], q_lens[vq])
+    src_q = _span_gather_idx(q_offs[:-1][vq], q_lens[vq])
+    out[tgt_q] = q_flat[src_q].astype(np.float32) * np.float32(1.0 / 32767.0)
+    merged = pa.LargeListArray.from_arrays(
+        pa.array(offs, pa.int64()), pa.array(out, pa.float32()),
+        mask=pa.array(~(vf | vq)) if not (vf | vq).all() else None,
+    )
+    i = matched.schema.get_field_index("pcm")
+    return matched.set_column(i, "pcm", merged).drop_columns(["pcm_q"])
+
+
+def _span_gather_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices for variable-length spans: concat of
+    [start, start+len) ranges — the arange/repeat pattern."""
+    if not len(starts):
+        return np.empty(0, np.int64)
+    total = int(lens.sum())
+    out = np.ones(total, np.int64)
+    ends = np.cumsum(lens)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
+
+
 def trim_payload(heavy: pa.Table) -> pa.Table:
     """Shipped ``payload_transform``: trim leading/trailing silence from
     each staged clip (frame-RMS span, `audio_curation.trim_silence`),
@@ -766,6 +879,10 @@ def read_replicated(out_root: str, with_payload: bool = True) -> pa.Table:
         # kernels that validated it at ingest (in-flight null rows stay
         # null — streaming visibility, not an error)
         matched = _reconstruct_pcm(matched)
+    if "pcm_q" in matched.column_names:
+        # transform-path fragments: merge the lossless int16 rows back
+        # into one float32 pcm column (exact: ·2⁻¹⁵)
+        matched = _merge_quantized_pcm(matched)
     out = light
     for c in matched.column_names:
         if c == "seq":

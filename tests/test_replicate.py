@@ -725,3 +725,51 @@ def test_history_truncation_preserves_output(tmp_path, ray_session, clean_run):
         # versions appended since — far below the ~20 an unbounded
         # 8-epoch run accumulates
         assert len(versions) <= 8, len(versions)
+
+
+def test_quantized_pcm_staging_bit_exact(tmp_path, ray_session, clean_run):
+    """Transform-path fragments store int16-grid rows as pcm_q
+    (2 B/sample) and read_replicated reconstructs bit-identically: the
+    trim_payload config's joined pcm must equal a clean pre-r5-style
+    float read (the per-row verify-by-roundtrip rule guarantees it)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from hydra_ray.audio import decode_batch
+    from hydra_ray.pipelines.replicate import read_replicated, trim_payload
+    from hydra_ray.stages.audio_curation import trim_silence
+    from hydra_ray.table import Table as LTable
+
+    root = str(tmp_path)
+    build_sources(root)
+    pipe = ReplicatePipeline(
+        f"{root}/clips", f"{root}/out", cfg(payload_transform=trim_payload),
+        f"{root}/updates",
+    )
+    pipe.run()
+    # fragments actually used the quantized column
+    payload = LTable(f"{root}/out/payload").to_arrow()
+    assert "pcm_q" in payload.column_names
+    n_q = pc.sum(pc.cast(pc.is_valid(payload["pcm_q"]), pa.int64())).as_py()
+    assert n_q > 0, "no rows quantized — grid check broken?"
+
+    out = read_replicated(f"{root}/out")
+    assert "pcm_q" not in out.column_names
+    # oracle: decode + trim the source clips directly
+    clips = LTable(f"{root}/clips").to_arrow()
+    pcm, err = decode_batch(clips["bytes"].combine_chunks(),
+                            clips["codec"], clips["sr_hz"])
+    okm = pc.is_null(err).to_numpy(zero_copy_only=False)
+    dec = pa.table({"seq": clips["seq"], "pcm": pcm,
+                    "sr_hz": clips["sr_hz"]}).filter(pa.array(okm))
+    ref = trim_silence(dec.select(["seq", "pcm", "sr_hz"]))
+    ref_map = dict(zip(ref["seq"].to_pylist(),
+                       ref["pcm"].combine_chunks().to_pylist()))
+    got_seq = out["seq"].to_pylist()
+    got_pcm = out["pcm"].combine_chunks()
+    # bit-exact per-row equality on a deterministic sample of rows
+    idx = np.linspace(0, len(got_seq) - 1, 40).astype(int)
+    for i in idx:
+        g = np.asarray(got_pcm[int(i)].as_py(), dtype=np.float32)
+        r = np.asarray(ref_map[got_seq[int(i)]], dtype=np.float32)
+        assert np.array_equal(g.view(np.uint32), r.view(np.uint32)), i
