@@ -83,14 +83,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": q.q_components,
         "csv_roundtrip": q.q_csv_roundtrip,
         "decontaminate": q.q_decontaminate,
-        "dedup_cut": q.q_dedup_cut,
         # -- NEW r5 oracles (displace the end of the fill block) --
+        "regex_extract": q.q_regex_extract,
         "audio_fbank": q.q_audio_fbank,
         "audio_mfcc": q.q_audio_mfcc,
         "pareto_parts": q.q_pareto_parts,
         "above_avg_items": q.q_above_avg_items,
         # -- oracled, past the 50-slot window (driver-verified in a
         # recent round; rotate forward in later rounds) --
+        "dedup_cut": q.q_dedup_cut,
         "degree_stats": q.q_degree_stats,
         "dup_spans": q.q_dup_spans,
         "embedding_neardup": q.q_embedding_neardup,
@@ -188,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replicate_stream": q.q_replicate_stream,
         "pagerank": q.q_pagerank,
         "pagerank_sharded": q.q_pagerank_sharded,
+        "hits_scores": q.q_hits_scores,
         "communities": q.q_communities,
         "random_walks": q.q_random_walks,
         "kcore_parts": q.q_kcore_parts,
@@ -292,6 +294,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_mfcc": f"""
             SELECT * FROM read_parquet('{_GOLDEN}/audio_mfcc.parquet')
+        """,
+        "regex_extract": """
+            SELECT doc_id,
+                   coalesce(regexp_extract(text, '([a-z]{8,})', 1), '')
+                       AS first_long
+            FROM documents
         """,
         "pareto_parts": """
             SELECT a.p_partkey, CAST(a.p_size AS BIGINT) AS p_size,

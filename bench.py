@@ -47,7 +47,7 @@ QUERY_NAMES = [
     "dedup_cut",
     "set_except", "set_intersect", "set_union", "bag_except",
     "bag_intersect", "window_distinct",
-    "rolling_range", "pareto_parts", "above_avg_items", "cube_sales", "sentence_stats", "value_matrix", "benford_digits", "hour_heatmap", "value_moments", "value_regression",
+    "rolling_range", "regex_extract", "pareto_parts", "above_avg_items", "cube_sales", "sentence_stats", "value_matrix", "benford_digits", "hour_heatmap", "value_moments", "value_regression",
     "flag_aggregates", "first_last_event", "type_entropy", "value_mad", "fuzzy_match", "order_revenue", "avro_roundtrip", "window_quantiles",
     "train_split", "export_shards", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",
@@ -57,7 +57,7 @@ QUERY_NAMES = [
     "value_dispersion", "rollup_sales", "funnel", "value_histogram", "mode_user",
     "value_corr", "value_outliers", "token_budget", "lm_quality", "bpe_tokens",
     "curation_e2e",
-    "neardup_cc", "pagerank", "pagerank_ranks", "pagerank_sharded", "communities", "random_walks", "kcore_parts", "audio_curation", "vad_segments",
+    "neardup_cc", "pagerank", "pagerank_ranks", "pagerank_sharded", "hits_scores", "communities", "random_walks", "kcore_parts", "audio_curation", "vad_segments",
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "compression_ratio",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "ann_pq",

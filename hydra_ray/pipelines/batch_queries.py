@@ -838,6 +838,53 @@ def q_rolling_value(sf_dir):
     return _round_cols(out, {"rolling_mean": 4, "value": 2})
 
 
+def q_hits_scores(sf_dir):
+    """HITS hubs/authorities over the supplier→part supply graph (the
+    same directed multigraph as q_pagerank: suppliers are pure hubs,
+    parts pure authorities — the classic bipartite HITS regime).
+    Rows-only; the value oracle is the dense numpy power-iteration
+    parity in tests/test_graph.py.  Scores round to 10 dp."""
+    from ..stages.graph import hits
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t["l_suppkey"],
+            "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                          pa.scalar(1_000_000_000, pa.int64())),
+        })
+
+    scores = hits(ds.map_batches(tag, batch_format="pyarrow"),
+                  "src", "dst", iters=12)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "hub": round_f64(t["hub"], 10),
+            "authority": round_f64(t["authority"], 10),
+        })
+
+    return scores.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_regex_extract(sf_dir):
+    """Scalar regex extraction (both engines run RE2, so semantics are
+    identical by construction): first ≥8-letter word per document via
+    one vectorized `pc.extract_regex` pass — the scalar-function family
+    member for pattern capture (alongside redact_text's replace and the
+    funnel oracles' regexp machinery).  No-match normalizes to '' (the
+    DuckDB regexp_extract convention; Arrow returns a null struct)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["text"], pattern="(?P<w>[a-z]{8,})")
+        w = pc.fill_null(pc.struct_field(m, "w"), "")
+        return pa.table({"doc_id": t["doc_id"], "first_long": w})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_pareto_parts(sf_dir):
     """Exact 2-D SKYLINE over parts (minimize retail price AND size):
     the multi-objective filter shape (Börzsönyi 2001) — block-local

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["connected_components", "cooccurrence_edges", "k_core",
+__all__ = ["connected_components", "cooccurrence_edges", "hits", "k_core",
            "k_hop", "label_propagation",
            "pagerank", "pagerank_sharded", "random_walks",
            "triangle_count"]
@@ -1453,3 +1453,125 @@ def k_core(edges, src_col: str, dst_col: str, k: int = 3,
         .groupby("__bucket")
         .map_groups(degrees, batch_format="pandas")
     )
+
+
+def hits(edges, src_col: str, dst_col: str, iters: int = 20,
+         max_nodes: int = 1_000_000_000,
+         local_edges_threshold: int = 200_000):
+    """HITS hubs-and-authorities (Kleinberg 1999) by the same
+    broadcast-pull block-fold shape as ``pagerank``: directed edges stay
+    distributed and index ONCE against the broadcast sorted node-id
+    vector; each of ``iters`` rounds broadcasts the current (hub, auth)
+    float64 vectors, one ray task per materialized edge block returns
+    BOTH dense contribution partials (auth' gathers hub over incoming
+    edges, hub' gathers auth over outgoing — a single pass per block),
+    and the driver folds + L2-normalizes.  No per-round Dataset
+    execution; O(nodes) driver/worker state under the same ``max_nodes``
+    guard as pagerank.  Output: ``(node, hub, authority)``, each vector
+    L2-normalized (the standard convention; deterministic for a fixed
+    iteration count — power iteration on AᵀA / AAᵀ)."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.compute as _pc
+
+    from .join import _bcast_get
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": _pc.cast(t[src_col], pa.int64()),
+            "dst": _pc.cast(t[dst_col], pa.int64()),
+        })
+
+    e = edges.map_batches(canon, batch_format="pyarrow").materialize()
+
+    def _iterate(si, di, n, rounds):
+        h = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
+        a = h.copy()
+        for _ in range(rounds):
+            a_new = np.bincount(di, weights=h[si], minlength=n)
+            h_new = np.bincount(si, weights=a[di], minlength=n)
+            na = np.linalg.norm(a_new)
+            nh = np.linalg.norm(h_new)
+            a = a_new / na if na else a_new
+            h = h_new / nh if nh else h_new
+        return h, a
+
+    if 0 < local_edges_threshold and e.count() <= local_edges_threshold:
+        blocks = _fetch_arrow_blocks(e)
+        tbl = (pa.concat_tables(blocks) if blocks
+               else pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64())}))
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+        node_ids = np.unique(np.concatenate([src, dst]))
+        n = len(node_ids)
+        if n > max_nodes:
+            raise ValueError(
+                f"hits holds O(nodes) hub/auth state; {n} nodes exceeds "
+                f"max_nodes={max_nodes}")
+        h, a = _iterate(np.searchsorted(node_ids, src),
+                        np.searchsorted(node_ids, dst), n, int(iters))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(node_ids, pa.int64()),
+            "hub": pa.array(h, pa.float64()),
+            "authority": pa.array(a, pa.float64()),
+        }))
+
+    # distributed: node-id collect (bounded by guard) + per-block folds
+    def id_rows(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    from .dedup import bucketed_distinct
+
+    nd = bucketed_distinct(
+        e.map_batches(id_rows, batch_format="pyarrow"), ["node"],
+        num_buckets=64).materialize()
+    n = nd.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"hits holds O(nodes) hub/auth state; {n} nodes exceeds "
+            f"max_nodes={max_nodes}")
+    node_ids = np.sort(np.concatenate([
+        t["node"].to_numpy(zero_copy_only=False)
+        for t in _fetch_arrow_blocks(nd)])) if n else np.empty(0, np.int64)
+    ids_ref = ray.put(node_ids)
+
+    def to_idx(t: pa.Table) -> pa.Table:
+        ids = _bcast_get(ids_ref)
+        return pa.table({
+            "si": np.searchsorted(ids, t["src"].to_numpy()),
+            "di": np.searchsorted(ids, t["dst"].to_numpy()),
+        })
+
+    e_idx = e.map_batches(to_idx, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def _block_contrib(t: pa.Table, hv, av, nn: int):
+        si = t["si"].to_numpy()
+        di = t["di"].to_numpy()
+        return (np.bincount(di, weights=hv[si], minlength=nn),
+                np.bincount(si, weights=av[di], minlength=nn))
+
+    block_refs = e_idx.to_arrow_refs()
+    h = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
+    a = h.copy()
+    for _ in range(int(iters)):
+        hr, ar = ray.put(h), ray.put(a)
+        parts = ray.get([
+            _block_contrib.remote(b, hr, ar, n) for b in block_refs])
+        a_new = (np.sum([p[0] for p in parts], axis=0)
+                 if parts else np.zeros(n))
+        h_new = (np.sum([p[1] for p in parts], axis=0)
+                 if parts else np.zeros(n))
+        na, nh = np.linalg.norm(a_new), np.linalg.norm(h_new)
+        a = a_new / na if na else a_new
+        h = h_new / nh if nh else h_new
+    return rd.from_arrow(pa.table({
+        "node": pa.array(node_ids, pa.int64()),
+        "hub": pa.array(h, pa.float64()),
+        "authority": pa.array(a, pa.float64()),
+    }))

@@ -391,3 +391,40 @@ def test_pagerank_local_and_distributed_paths_identical(rd):
     assert local["node"].tolist() == dist["node"].tolist()
     np.testing.assert_allclose(local["r"].to_numpy(),
                                dist["r"].to_numpy(), atol=1e-12)
+
+
+def test_hits_matches_dense_and_partition_invariant(ray_session):
+    """hits() == dense numpy AᵀA power iteration (both local fast path
+    and the distributed block-fold), at 1 and 6 blocks."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hydra_ray.stages.graph import hits
+
+    rng = np.random.default_rng(3)
+    n_nodes, n_edges = 60, 900
+    src = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    dst = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    t = pa.table({"u": pa.array(src), "v": pa.array(dst)})
+
+    ids = np.unique(np.concatenate([src, dst]))
+    n = len(ids)
+    A = np.zeros((n, n))
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    np.add.at(A, (si, di), 1.0)  # multigraph: multiplicity counts
+    h = np.full(n, 1.0 / np.sqrt(n)); a = h.copy()
+    for _ in range(15):
+        a_new = A.T @ h
+        h_new = A @ a
+        a = a_new / np.linalg.norm(a_new)
+        h = h_new / np.linalg.norm(h_new)
+
+    for blocks, thresh in ((1, 200_000), (6, 200_000), (6, 0)):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = hits(ds, "u", "v", iters=15,
+                   local_edges_threshold=thresh).to_pandas()
+        out = out.sort_values("node").reset_index(drop=True)
+        assert np.allclose(out["hub"].to_numpy(), h, atol=1e-9), (blocks, thresh)
+        assert np.allclose(out["authority"].to_numpy(), a, atol=1e-9)
