@@ -815,7 +815,12 @@ def _merge_quantized_pcm(matched: pa.Table) -> pa.Table:
 
 def _span_gather_idx(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Flat gather indices for variable-length spans: concat of
-    [start, start+len) ranges — the arange/repeat pattern."""
+    [start, start+len) ranges — the arange/repeat pattern.  Zero-length
+    spans contribute nothing (they would otherwise corrupt the
+    difference seeding — found by the hypothesis roundtrip property)."""
+    m = lens > 0
+    if not m.all():
+        starts, lens = starts[m], lens[m]
     if not len(starts):
         return np.empty(0, np.int64)
     total = int(lens.sum())

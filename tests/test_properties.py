@@ -420,3 +420,59 @@ def test_zorder_box_queries_exact(seed, xlo, xw, ylo, yw):
         assert got == set(t["row_id"].to_numpy()[m])
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(st.data())
+@settings(max_examples=40, deadline=None)
+def test_span_gather_and_quantize_roundtrip_property(data):
+    """Property: _quantize_pcm_lossless → _merge_quantized_pcm is
+    BIT-identical for arbitrary mixes of int16-grid rows (the decode
+    constant's grid), foreign-grid rows, scaled rows, and empty rows —
+    and _span_gather_idx equals the naive span concat."""
+    import numpy as np
+    import pyarrow as pa
+
+    import hydra_ray.pipelines.replicate as R
+
+    rng_seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(rng_seed)
+    n_rows = data.draw(st.integers(0, 25))
+    inv = np.float32(1.0 / 32767.0)
+    rows = []
+    for _ in range(n_rows):
+        kind = rng.integers(0, 4)
+        k = int(rng.integers(0, 40))
+        if kind == 0:     # decode-constant grid
+            rows.append(rng.integers(-32767, 32768, k)
+                        .astype(np.int16).astype(np.float32) * inv)
+        elif kind == 1:   # foreign grid (mulaw-style /32768)
+            rows.append(rng.integers(-32768, 32768, k)
+                        .astype(np.float32) / np.float32(32768.0))
+        elif kind == 2:   # arbitrary scaled floats
+            rows.append((rng.random(k).astype(np.float32) * 2.2 - 1.1))
+        else:             # empty row
+            rows.append(np.empty(0, np.float32))
+
+    lens = [len(r) for r in rows]
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    flat = (np.concatenate(rows).astype(np.float32)
+            if rows else np.empty(0, np.float32))
+    pcm = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()),
+                                        pa.array(flat, pa.float32()))
+    heavy = pa.table({"seq": pa.array(range(n_rows), pa.int64()),
+                      "pcm": pcm})
+    q = R._quantize_pcm_lossless(heavy)
+    m = R._merge_quantized_pcm(q)
+    back_lens = [len(x) for x in m["pcm"].combine_chunks().to_pylist()]
+    assert back_lens == lens
+    back = np.asarray(m["pcm"].combine_chunks().flatten(),
+                      dtype=np.float32)
+    assert np.array_equal(flat.view(np.uint32), back.view(np.uint32))
+
+    # _span_gather_idx == naive
+    starts = offs[:-1][np.array(lens) > 0] if n_rows else np.empty(0, np.int64)
+    ls = np.array(lens)[np.array(lens) > 0] if n_rows else np.empty(0, np.int64)
+    got = R._span_gather_idx(starts.astype(np.int64), ls.astype(np.int64))
+    ref = (np.concatenate([np.arange(s, s + l) for s, l in zip(starts, ls)])
+           if len(starts) else np.empty(0, np.int64))
+    assert np.array_equal(got, ref)
