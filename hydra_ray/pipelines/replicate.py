@@ -926,12 +926,40 @@ def _reconstruct_pcm(matched: pa.Table) -> pa.Table:
         pa.array(offsets, pa.int64()), values,
         mask=pa.array(~valid) if (~valid).any() else None,
     )
+    if "pcm" in matched.column_names:
+        # mixed-version payload table (pre-passthrough float fragments
+        # concatenated with passthrough ones): rows with a stored pcm
+        # keep it, rows with bytes get the decoded one
+        old = matched["pcm"].combine_chunks()
+        vo = np.asarray(pc2.is_valid(old))
+        o_flat = np.asarray(old.values, dtype=np.float32)
+        o_offs = old.offsets.to_numpy(zero_copy_only=False)
+        d_offs = pcm_full.offsets.to_numpy(zero_copy_only=False)
+        d_flat = np.asarray(pcm_full.values, dtype=np.float32)
+        vd = np.asarray(pc2.is_valid(pcm_full))
+        o_lens = np.where(vo, np.diff(o_offs), 0)
+        d_lens = np.where(vd & ~vo, np.diff(d_offs), 0)
+        lens2 = o_lens + d_lens
+        offs2 = np.zeros(n + 1, np.int64)
+        np.cumsum(lens2, out=offs2[1:])
+        out2 = np.empty(offs2[-1], np.float32)
+        t_o = _span_gather_idx(offs2[:-1][vo], o_lens[vo])
+        s_o = _span_gather_idx(o_offs[:-1][vo], o_lens[vo])
+        out2[t_o] = o_flat[s_o]
+        keep_d = vd & ~vo
+        t_d = _span_gather_idx(offs2[:-1][keep_d], d_lens[keep_d])
+        s_d = _span_gather_idx(d_offs[:-1][keep_d], d_lens[keep_d])
+        out2[t_d] = d_flat[s_d]
+        pcm_full = pa.LargeListArray.from_arrays(
+            pa.array(offs2, pa.int64()), pa.array(out2, pa.float32()),
+            mask=pa.array(~(vo | vd)) if not (vo | vd).all() else None,
+        )
     out_cols, out_names = [], []
     for c in matched.column_names:
         if c == "bytes":
             out_names.append("pcm")
             out_cols.append(pcm_full)
-        elif c in ("codec", "sr_hz"):
+        elif c in ("codec", "sr_hz", "pcm"):
             continue
         else:
             out_names.append(c)

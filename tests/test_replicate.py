@@ -773,3 +773,42 @@ def test_quantized_pcm_staging_bit_exact(tmp_path, ray_session, clean_run):
         g = np.asarray(got_pcm[int(i)].as_py(), dtype=np.float32)
         r = np.asarray(ref_map[got_seq[int(i)]], dtype=np.float32)
         assert np.array_equal(g.view(np.uint32), r.view(np.uint32)), i
+
+
+def test_reconstruct_pcm_mixed_version_fragments():
+    """A payload table holding BOTH pre-passthrough float fragments and
+    passthrough bytes fragments (in-place upgrade) reconstructs every
+    row: stored pcm wins where present, bytes decode elsewhere,
+    in-flight rows stay null."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hydra_ray.audio import encode
+    from hydra_ray.pipelines.replicate import _reconstruct_pcm
+
+    inv = np.float32(1.0 / 32767.0)
+    old_pcm = (np.arange(-5, 5, dtype=np.int16).astype(np.float32) * inv)
+    wave = np.sin(np.linspace(0, 1, 50)).astype(np.float32) * 0.5
+    raw = encode(wave, "pcm16", 8000)
+    # row0: old float fragment; row1: passthrough; row2: in-flight null
+    matched = pa.table({
+        "seq": pa.array([1, 2, 3], pa.int64()),
+        "pcm": pa.LargeListArray.from_arrays(
+            pa.array([0, 10, 10, 10], pa.int64()),
+            pa.array(old_pcm, pa.float32()),
+            mask=pa.array([False, True, True])),
+        "bytes": pa.array([None, raw, None], pa.binary()),
+        "codec": pa.array([None, "pcm16", None], pa.string()),
+        "sr_hz": pa.array([None, 8000, None], pa.int32()),
+        "n_samples": pa.array([10, 50, None], pa.int32()),
+    })
+    out = _reconstruct_pcm(matched)
+    assert out.column_names == ["seq", "pcm", "n_samples"]
+    col = out["pcm"].combine_chunks()
+    got0 = np.asarray(col[0].as_py(), dtype=np.float32)
+    assert np.array_equal(got0.view(np.uint32), old_pcm.view(np.uint32))
+    got1 = np.asarray(col[1].as_py(), dtype=np.float32)
+    ref1 = (np.clip(wave, -1, 1) * 32767.0).astype("<i2").astype(
+        np.float32) * inv
+    assert np.array_equal(got1.view(np.uint32), ref1.view(np.uint32))
+    assert not col[2].is_valid
