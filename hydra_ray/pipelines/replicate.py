@@ -74,6 +74,13 @@ class ReplicateConfig:
     # clips spread over n_salts salted partitions, their updates fan out
     # to the salt set, and window/session state merges at close
     # (stages/skew.py strategy, wired end to end).  0 disables.
+    # incremental (speculative) window emission: each epoch upserts the
+    # CURRENT cross-partition totals of every tumbling cell touched that
+    # epoch into the windows_live sink (provisional rows; the windows
+    # sink's close-time rows stay the exact finals — read via
+    # read_windows_live).  Off by default: the live view costs one extra
+    # actor round-trip + one staged fragment per epoch.
+    early_fire: bool = False
     hot_key_threshold: float = 0.01
     n_salts: int = 4
     # full state snapshot every K epochs; the epochs between checkpoint
@@ -967,6 +974,34 @@ def _reconstruct_pcm(matched: pa.Table) -> pa.Table:
     return pa.table(dict(zip(out_names, out_cols)))
 
 
+def read_windows_live(out_root: str):
+    """The coherent incremental window view (``early_fire=True`` runs):
+    the windows sink's EXACT close-time rows, overlaid with the latest
+    provisional totals for cells not yet closed.  Returns a pandas frame
+    with a ``provisional`` bool column; converges to exactly the windows
+    sink as the stream drains."""
+    import pandas as pd
+
+    final = Table(os.path.join(out_root, "windows")).to_arrow().to_pandas()
+    base_cols = ["clip_id", "window_start", "window_end", "n_clips",
+                 "sum_dur_ms"]
+    final = (final[[c for c in base_cols if c in final.columns]]
+             if len(final) else pd.DataFrame(columns=base_cols))
+    out = final.assign(provisional=False)
+    live = Table(
+        os.path.join(out_root, "windows_live")).to_arrow().to_pandas()
+    if len(live):
+        live = (live.sort_values("epoch", kind="mergesort")
+                .drop_duplicates(["clip_id", "window_start"], keep="last"))
+        closed = set(zip(out["clip_id"], out["window_start"]))
+        keep = ~pd.MultiIndex.from_frame(
+            live[["clip_id", "window_start"]]).isin(closed)
+        extra = live.loc[keep, base_cols].assign(provisional=True)
+        out = pd.concat([out, extra], ignore_index=True)
+    return out.sort_values(["clip_id", "window_start"]).reset_index(
+        drop=True)
+
+
 def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
     """Committed per-epoch lineage from the side log: one entry per epoch
     ≤ the main sink's committed epoch.  The log is one immutable JSON
@@ -1007,7 +1042,8 @@ def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
 
 class ReplicatePipeline:
     SINKS = ("replicated", "payload", "windows", "sliding",
-             "sessions", "funnels", "changelog", "dlq", "views")
+             "sessions", "funnels", "changelog", "dlq", "views",
+             "windows_live")
     MAIN = "replicated"
 
     def __init__(
@@ -1673,6 +1709,10 @@ class ReplicatePipeline:
                 staged[sink_name].append(FragmentMeta.from_json(frag))
         for sink_name, frag in hot_staged:
             staged[sink_name].append(frag)
+        if cfg.early_fire and cfg.window_size_ms and not flush:
+            early = self._stage_early_windows(results, epoch)
+            if early is not None:
+                staged["windows_live"].append(early)
         if not flush:
             for fj in pay_frags:
                 staged["payload"].append(FragmentMeta.from_json(json.loads(fj)))
@@ -1768,6 +1808,41 @@ class ReplicatePipeline:
             for t in self.sink.values():
                 t.truncate_history(cfg.keep_history_versions)
         return merged
+
+    def _stage_early_windows(self, results: list, epoch: int):
+        """Early-fire driver half: union the per-partition touched-cell
+        sets from this close, fetch every partition's CURRENT partial
+        totals for them (a salted cell's rows span partitions, and an
+        untouched partition may hold a touched cell's older rows), merge
+        additively, and stage ONE provisional fragment.  Deterministic
+        under replay (state is epoch-atomic) and routing-independent
+        (pure addition over partition partials)."""
+        import ray
+
+        touched = [r.get("early_touched") for r in results]
+        touched = [t for t in touched if t is not None and t.num_rows]
+        if not touched:
+            return None
+        tt = pa.concat_tables(touched)
+        df = tt.to_pandas().drop_duplicates(["clip_id", "window_start"])
+        cells = pa.Table.from_pandas(df, preserve_index=False)
+        parts = ray.get([
+            a.render_window_cells.remote(cells) for a in self.actors
+        ])
+        import pandas as pd
+
+        frames = [p.to_pandas() for p in parts if p is not None]
+        if not frames:
+            return None
+        allp = pd.concat(frames, ignore_index=True)
+        agg = allp.groupby(
+            ["clip_id", "window_start", "window_end"], as_index=False,
+        )[["n_clips", "sum_dur_ms"]].sum()
+        agg["epoch"] = np.int64(epoch)
+        tbl = pa.Table.from_pandas(
+            agg.sort_values(["clip_id", "window_start"]),
+            preserve_index=False)
+        return self.sink["windows_live"].stage_fragment(tbl, epoch, 0)
 
     def _append_lineage(self, entry: dict):
         """One immutable object per epoch (no file append — object-store
@@ -2070,3 +2145,4 @@ class _StateCfg:
         self.window_top_k = getattr(cfg, "window_top_k", 0)
         self.session_sample_k = getattr(cfg, "session_sample_k", 0)
         self.temporal_join = getattr(cfg, "temporal_join", False)
+        self.early_fire = getattr(cfg, "early_fire", False)

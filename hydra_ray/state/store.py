@@ -724,6 +724,23 @@ class PartitionState:
         if getattr(self.cfg, "changelog", False):
             out["changelog"] = self._emit_changelog(epoch)
         out["dlq"] = self._emit_dlq(epoch)
+        if getattr(self.cfg, "early_fire", False) and self.cfg.window_size_ms:
+            # incremental (speculative) window emission: report which
+            # still-open tumbling cells THIS epoch touched (the delta
+            # dict holds exactly this epoch's increments — deltas reset
+            # at every checkpoint, and pipelined e+1 ingests are stashed
+            # until close(e+1)).  The driver unions the touched sets and
+            # asks EVERY partition for its current partial totals
+            # (a salted key's cell lives on several partitions, and a
+            # partition untouched this epoch may still hold older rows
+            # of a touched cell), then merges additively — the same
+            # cross-salt fold rule as final close.
+            touched = [kw for kw in self._delta_win if kw in self.win]
+            out["early_touched"] = pa.table({
+                "clip_id": pa.array([k for k, _ in touched], pa.string()),
+                "window_start": pa.array([w for _, w in touched],
+                                         pa.int64()),
+            }) if touched else None
         if wm >= WATERMARK_MAX and self.view:
             # end of stream: materialize the compacted latest-value view
             # (the reference's compacted-topic snapshot, T2 semantics).
@@ -748,6 +765,30 @@ class PartitionState:
         self.metrics["updates_evicted"] += evicted
         self.metrics["epochs_closed"] += 1
         return out
+
+    def render_window_cells(self, cells: pa.Table) -> pa.Table | None:
+        """Current PARTIAL totals (base counters only) of the requested
+        still-open tumbling cells that live on THIS partition — the
+        per-partition half of the early-fire emission; the driver adds
+        partials across partitions/salts.  Sketch columns stay a
+        close-time/queryable-state feature (stable live schema)."""
+        size = self.cfg.window_size_ms
+        ks = cells["clip_id"].to_pylist()
+        ws = cells["window_start"].to_numpy(zero_copy_only=False)
+        rows = []
+        for k, w in zip(ks, ws):
+            cell = self.win.get((k, int(w)))
+            if cell is not None:
+                rows.append((k, int(w), int(cell[0]), int(cell[1])))
+        if not rows:
+            return None
+        return pa.table({
+            "clip_id": pa.array([r[0] for r in rows], pa.string()),
+            "window_start": pa.array([r[1] for r in rows], pa.int64()),
+            "window_end": pa.array([r[1] + size for r in rows], pa.int64()),
+            "n_clips": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
+        })
 
     def _close_funnel(self, epoch: int, wm: int) -> pa.Table | None:
         """Advance every buffered key's earliest-completion chain with the
@@ -1496,6 +1537,7 @@ def _make_actor_cls():
             outputs = self.state.close_epoch(epoch, wm, hot)
             staged = {}
             hot_out = {}
+            early_touched = outputs.pop("early_touched", None)
             for name, tbl in outputs.items():
                 if name.startswith("hot_"):
                     if tbl is not None:
@@ -1516,7 +1558,11 @@ def _make_actor_cls():
                 "key_counts": kc,
                 "metrics": dict(self.state.metrics),
                 "max_ts": self.state.max_ts,
+                "early_touched": early_touched,
             }
+
+        def render_window_cells(self, cells: pa.Table):
+            return self.state.render_window_cells(cells)
 
         def adopt_sessions(self, merged: dict) -> bool:
             self.state.adopt_sessions(merged)

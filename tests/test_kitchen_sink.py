@@ -44,6 +44,7 @@ def full_cfg(**kw):
         window_top_k=3,
         session_sample_k=64,
         temporal_join=True,
+        early_fire=True,
         audio_features=True,
         payload_transform=trim_payload,
         compact_sinks_every=2,
