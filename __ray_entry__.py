@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "pagerank_sharded": q.q_pagerank_sharded,
         "hits_scores": q.q_hits_scores,
+        "early_windows": q.q_early_windows,
         "communities": q.q_communities,
         "random_walks": q.q_random_walks,
         "kcore_parts": q.q_kcore_parts,

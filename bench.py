@@ -57,7 +57,7 @@ QUERY_NAMES = [
     "value_dispersion", "rollup_sales", "funnel", "value_histogram", "mode_user",
     "value_corr", "value_outliers", "token_budget", "lm_quality", "bpe_tokens",
     "curation_e2e",
-    "neardup_cc", "pagerank", "pagerank_ranks", "pagerank_sharded", "hits_scores", "communities", "random_walks", "kcore_parts", "audio_curation", "vad_segments",
+    "neardup_cc", "pagerank", "pagerank_ranks", "pagerank_sharded", "hits_scores", "early_windows", "communities", "random_walks", "kcore_parts", "audio_curation", "vad_segments",
     "tfidf_terms", "quality_scores", "redact_text", "top_bigrams",
     "compression_ratio",
     "langid", "fingerprint", "ann_range", "ann_topk", "ann_ivf", "ann_pq",

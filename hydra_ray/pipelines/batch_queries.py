@@ -2948,6 +2948,36 @@ def q_replicate_stream(sf_dir):
     return out.select(["seq", "clip_id", "transcript", "deleted", "partition", "epoch"])
 
 
+def q_early_windows(sf_dir):
+    """Early-fire incremental window view (rows-only): a mini streaming
+    run with ``early_fire=True`` stopped MID-STREAM — the returned
+    ``read_windows_live`` frame mixes exact close-time finals with
+    provisional totals of still-open cells (the speculative-emission /
+    IVM tier; converges to the windows sink as the stream drains —
+    tests/test_early_fire.py pins provisional∪final against the
+    admitted-rows lineage oracle exactly)."""
+    import tempfile
+
+    from ..pipelines.replicate import (
+        ReplicateConfig,
+        ReplicatePipeline,
+        read_windows_live,
+    )
+    from ..synth import synth_clips_table
+    from ..table import Table
+
+    n = 600
+    root = tempfile.mkdtemp(prefix="hydra_early_q_")
+    clips = synth_clips_table(n)
+    ct = Table.create(f"{root}/clips", schema=clips.schema)
+    for v in range(3):
+        ct.append(clips.slice(v * (n // 3), n // 3))
+    cfg = ReplicateConfig(num_partitions=4, actor_num_cpus=0.25,
+                          early_fire=True)
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", cfg).run(max_epochs=2)
+    return read_windows_live(f"{root}/out")
+
+
 def q_neardup_clusters(sf_dir):
     """MinHash-LSH → Jaccard verify → connected components (rows-only)."""
     from ..stages.neardup import neardup_clusters
