@@ -174,8 +174,11 @@ def run_headline(
         # CPU-representative configuration for scaling measurements now
         # that passthrough staging made the bare replicate
         # delivery-bound on this host (BASELINE.md round-5)
+        # "1" = full curation-at-ingest (features + fbank); "fbank" =
+        # pooled fbank only; unset/other = off (explicit values only —
+        # a stray "0"/"true" must not create an undefined mix)
         audio_features=os.environ.get("HYDRA_BENCH_FEATURES") == "1",
-        audio_fbank=bool(os.environ.get("HYDRA_BENCH_FEATURES")),
+        audio_fbank=os.environ.get("HYDRA_BENCH_FEATURES") in ("1", "fbank"),
     )
     if warm:
         # untimed warmup: small run faults in worker heaps + page cache
@@ -392,8 +395,11 @@ def main():
         # where decode/ingest compute dominates (BASELINE.md §C)
         scaling_clips = os.environ.get("HYDRA_BENCH_CLIPS", "60000")
         if os.environ.get("HYDRA_BENCH_LO") or os.environ.get("HYDRA_BENCH_HI"):
+            # a pinned pair respects the caller's HYDRA_BENCH_FEATURES
             pairs = [(int(os.environ.get("HYDRA_BENCH_LO", "8")),
-                      int(os.environ.get("HYDRA_BENCH_HI", "32")), "bare")]
+                      int(os.environ.get("HYDRA_BENCH_HI", "32")),
+                      "features" if os.environ.get("HYDRA_BENCH_FEATURES")
+                      else "bare")]
         else:
             # r5: passthrough + validate-only decode made the BARE
             # pipeline delivery-bound on this host at >=4 cpus (per-clip
@@ -408,7 +414,9 @@ def main():
         results = []
         for lo, hi, mode in pairs:
             if mode == "features":
-                os.environ["HYDRA_BENCH_FEATURES"] = "1"
+                # keep a caller-chosen variant (e.g. "fbank") if one is
+                # already set; default to the full curation config
+                os.environ.setdefault("HYDRA_BENCH_FEATURES", "1")
             else:
                 os.environ.pop("HYDRA_BENCH_FEATURES", None)
             r = _run_scaling_pair(lo, hi, reps, min_gbs, scaling_clips)

@@ -296,6 +296,14 @@ class MeteredStrictFS(StrictObjectFS):
             )
         self._log.write(f"{op}\t{path}\n")
 
+    def __getstate__(self):
+        # the op log is per-process runtime state; a pickled fs (e.g. a
+        # Table shipped through ray.put) re-opens its own log on first
+        # op in the receiving process
+        d = dict(self.__dict__)
+        d["_log"] = None
+        return d
+
     def put(self, path, data, *, mode="create", durable=False):
         self._rec("put", path)
         return super().put(path, data, mode=mode, durable=durable)

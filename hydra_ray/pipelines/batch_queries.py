@@ -2975,7 +2975,11 @@ def q_early_windows(sf_dir):
     cfg = ReplicateConfig(num_partitions=4, actor_num_cpus=0.25,
                           early_fire=True)
     ReplicatePipeline(f"{root}/clips", f"{root}/out", cfg).run(max_epochs=2)
-    return read_windows_live(f"{root}/out")
+    out = read_windows_live(f"{root}/out")  # pandas frame: fully materialized
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def q_neardup_clusters(sf_dir):

@@ -750,6 +750,9 @@ def _quantize_pcm_lossless(heavy: pa.Table) -> pa.Table:
     nh = np.rint(flat * np.float32(32767.0))
     elem_ok = (np.abs(nh) <= np.float32(32767.0)) & (
         nh.astype(np.float32) * inv == flat)
+    # -0.0 compares equal to +0.0 but reconstructs as +0.0 — exclude it
+    # or the bit-identity contract breaks (review-found)
+    elem_ok &= ~np.signbit(flat) | (flat != np.float32(0.0))
     lens = np.diff(offs)
     # per-row all(): count of ok elements == row length
     row_ok = np.add.reduceat(
@@ -920,6 +923,17 @@ def _reconstruct_pcm(matched: pa.Table) -> pa.Table:
         sub = matched.take(pa.array(vi))
         pcm, _err = decode_batch(
             sub["bytes"].combine_chunks(), sub["codec"], sub["sr_hz"])
+        if _err.null_count != len(_err):
+            # every staged payload decoded cleanly at ingest — a re-decode
+            # failure here means corruption at rest; surface it loudly
+            # rather than returning silently-empty audio
+            import pyarrow.compute as _pc2
+
+            bad = _pc2.drop_null(_err).to_pylist()[:3]
+            raise ValueError(
+                f"payload fragment re-decode failed for "
+                f"{len(_err) - _err.null_count} rows (corruption at "
+                f"rest?): {bad}")
         pcm = pcm.combine_chunks() if isinstance(pcm, pa.ChunkedArray) else pcm
         flat = pcm.flatten()
         offs = pcm.offsets.to_numpy(zero_copy_only=False)

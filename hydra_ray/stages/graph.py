@@ -1485,12 +1485,15 @@ def hits(edges, src_col: str, dst_col: str, iters: int = 20,
 
     e = edges.map_batches(canon, batch_format="pyarrow").materialize()
 
-    def _iterate(si, di, n, rounds):
+    def _iterate(contrib, n, rounds):
+        """Shared per-round math (ONE copy for both paths): ``contrib``
+        maps the current (h, a) to the raw (a_new, h_new) partial sums;
+        normalization/zero-norm handling lives only here, so the
+        local and distributed paths can never desynchronize."""
         h = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
         a = h.copy()
         for _ in range(rounds):
-            a_new = np.bincount(di, weights=h[si], minlength=n)
-            h_new = np.bincount(si, weights=a[di], minlength=n)
+            a_new, h_new = contrib(h, a)
             na = np.linalg.norm(a_new)
             nh = np.linalg.norm(h_new)
             a = a_new / na if na else a_new
@@ -1510,8 +1513,14 @@ def hits(edges, src_col: str, dst_col: str, iters: int = 20,
             raise ValueError(
                 f"hits holds O(nodes) hub/auth state; {n} nodes exceeds "
                 f"max_nodes={max_nodes}")
-        h, a = _iterate(np.searchsorted(node_ids, src),
-                        np.searchsorted(node_ids, dst), n, int(iters))
+        si = np.searchsorted(node_ids, src)
+        di = np.searchsorted(node_ids, dst)
+
+        def local_contrib(hv, av):
+            return (np.bincount(di, weights=hv[si], minlength=n),
+                    np.bincount(si, weights=av[di], minlength=n))
+
+        h, a = _iterate(local_contrib, n, int(iters))
         return rd.from_arrow(pa.table({
             "node": pa.array(node_ids, pa.int64()),
             "hub": pa.array(h, pa.float64()),
@@ -1557,19 +1566,18 @@ def hits(edges, src_col: str, dst_col: str, iters: int = 20,
                 np.bincount(si, weights=av[di], minlength=nn))
 
     block_refs = e_idx.to_arrow_refs()
-    h = np.full(n, 1.0 / np.sqrt(n)) if n else np.empty(0)
-    a = h.copy()
-    for _ in range(int(iters)):
-        hr, ar = ray.put(h), ray.put(a)
+
+    def dist_contrib(hv, av):
+        hr, ar = ray.put(hv), ray.put(av)
         parts = ray.get([
             _block_contrib.remote(b, hr, ar, n) for b in block_refs])
         a_new = (np.sum([p[0] for p in parts], axis=0)
                  if parts else np.zeros(n))
         h_new = (np.sum([p[1] for p in parts], axis=0)
                  if parts else np.zeros(n))
-        na, nh = np.linalg.norm(a_new), np.linalg.norm(h_new)
-        a = a_new / na if na else a_new
-        h = h_new / nh if nh else h_new
+        return a_new, h_new
+
+    h, a = _iterate(dist_contrib, n, int(iters))
     return rd.from_arrow(pa.table({
         "node": pa.array(node_ids, pa.int64()),
         "hub": pa.array(h, pa.float64()),

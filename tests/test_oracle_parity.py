@@ -160,10 +160,22 @@ def test_correctness_ledger_current():
         on_disk = f.read()
     current = make_ledger.render()
     if on_disk != current:
-        # The driver drops CORRECTNESS_r{N}.json AFTER the session ends, so
-        # the committed ledger is stale at every round start.  Self-heal:
-        # regenerate on disk (gets committed with the next milestone) and
-        # keep asserting the rotation-debt invariant below.
+        # The driver drops CORRECTNESS_r{N}.json AFTER the session ends,
+        # so the committed ledger is stale at every round start.
+        # Self-heal ONLY for that case (a CORRECTNESS file newer than the
+        # ledger); any other mismatch — a make_ledger regression, a hand
+        # edit — must still FAIL the suite (review-restored guard).
+        ledger_mtime = os.path.getmtime(ledger_path)
+        import glob
+
+        newer = [
+            p for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+            if os.path.getmtime(p) > ledger_mtime
+        ]
+        assert newer, (
+            "stale ledger without a newer CORRECTNESS file — run: "
+            "python tools/make_ledger.py"
+        )
         with open(ledger_path, "w") as f:
             f.write(current)
 

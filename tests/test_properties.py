@@ -448,8 +448,11 @@ def test_span_gather_and_quantize_roundtrip_property(data):
         elif kind == 1:   # foreign grid (mulaw-style /32768)
             rows.append(rng.integers(-32768, 32768, k)
                         .astype(np.float32) / np.float32(32768.0))
-        elif kind == 2:   # arbitrary scaled floats
-            rows.append((rng.random(k).astype(np.float32) * 2.2 - 1.1))
+        elif kind == 2:   # arbitrary scaled floats, with -0.0 planted
+            r = rng.random(k).astype(np.float32) * 2.2 - 1.1
+            if k:
+                r[rng.integers(0, k)] = np.float32(-0.0)
+            rows.append(r)
         else:             # empty row
             rows.append(np.empty(0, np.float32))
 

@@ -763,15 +763,21 @@ def test_quantized_pcm_staging_bit_exact(tmp_path, ray_session, clean_run):
     dec = pa.table({"seq": clips["seq"], "pcm": pcm,
                     "sr_hz": clips["sr_hz"]}).filter(pa.array(okm))
     ref = trim_silence(dec.select(["seq", "pcm", "sr_hz"]))
-    ref_map = dict(zip(ref["seq"].to_pylist(),
-                       ref["pcm"].combine_chunks().to_pylist()))
+
+    def row_span(col, i):
+        # Arrow-side per-row span (no pcm to_pylist — CLAUDE.md rule)
+        arr = col.combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = np.asarray(arr.values, dtype=np.float32)
+        return vals[offs[i]:offs[i + 1]]
+
+    ref_pos = {s: j for j, s in enumerate(ref["seq"].to_pylist())}
     got_seq = out["seq"].to_pylist()
-    got_pcm = out["pcm"].combine_chunks()
     # bit-exact per-row equality on a deterministic sample of rows
     idx = np.linspace(0, len(got_seq) - 1, 40).astype(int)
     for i in idx:
-        g = np.asarray(got_pcm[int(i)].as_py(), dtype=np.float32)
-        r = np.asarray(ref_map[got_seq[int(i)]], dtype=np.float32)
+        g = row_span(out["pcm"], int(i))
+        r = row_span(ref["pcm"], ref_pos[got_seq[int(i)]])
         assert np.array_equal(g.view(np.uint32), r.view(np.uint32)), i
 
 
