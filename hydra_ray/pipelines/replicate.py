@@ -988,22 +988,25 @@ def _reconstruct_pcm(matched: pa.Table) -> pa.Table:
     return pa.table(dict(zip(out_names, out_cols)))
 
 
-def read_windows_live(out_root: str):
+def read_windows_live(out_root: str, kind: str = "windows"):
     """The coherent incremental window view (``early_fire=True`` runs):
-    the windows sink's EXACT close-time rows, overlaid with the latest
-    provisional totals for cells not yet closed.  Returns a pandas frame
-    with a ``provisional`` bool column; converges to exactly the windows
-    sink as the stream drains."""
+    the windows (or, with ``kind="sliding"``, sliding) sink's EXACT
+    close-time rows, overlaid with the latest provisional totals for
+    cells not yet closed.  Returns a pandas frame with a ``provisional``
+    bool column; converges to exactly the final sink as the stream
+    drains."""
     import pandas as pd
 
-    final = Table(os.path.join(out_root, "windows")).to_arrow().to_pandas()
+    if kind not in ("windows", "sliding"):
+        raise ValueError(f"kind must be windows|sliding, got {kind!r}")
+    final = Table(os.path.join(out_root, kind)).to_arrow().to_pandas()
     base_cols = ["clip_id", "window_start", "window_end", "n_clips",
                  "sum_dur_ms"]
     final = (final[[c for c in base_cols if c in final.columns]]
              if len(final) else pd.DataFrame(columns=base_cols))
     out = final.assign(provisional=False)
     live = Table(
-        os.path.join(out_root, "windows_live")).to_arrow().to_pandas()
+        os.path.join(out_root, f"{kind}_live")).to_arrow().to_pandas()
     if len(live):
         live = (live.sort_values("epoch", kind="mergesort")
                 .drop_duplicates(["clip_id", "window_start"], keep="last"))
@@ -1057,7 +1060,7 @@ def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
 class ReplicatePipeline:
     SINKS = ("replicated", "payload", "windows", "sliding",
              "sessions", "funnels", "changelog", "dlq", "views",
-             "windows_live")
+             "windows_live", "sliding_live")
     MAIN = "replicated"
 
     def __init__(
@@ -1723,10 +1726,9 @@ class ReplicatePipeline:
                 staged[sink_name].append(FragmentMeta.from_json(frag))
         for sink_name, frag in hot_staged:
             staged[sink_name].append(frag)
-        if cfg.early_fire and cfg.window_size_ms and not flush:
-            early = self._stage_early_windows(results, epoch)
-            if early is not None:
-                staged["windows_live"].append(early)
+        if cfg.early_fire and not flush:
+            for sink_name, frag in self._stage_early_windows(results, epoch):
+                staged[sink_name].append(frag)
         if not flush:
             for fj in pay_frags:
                 staged["payload"].append(FragmentMeta.from_json(json.loads(fj)))
@@ -1825,38 +1827,53 @@ class ReplicatePipeline:
 
     def _stage_early_windows(self, results: list, epoch: int):
         """Early-fire driver half: union the per-partition touched-cell
-        sets from this close, fetch every partition's CURRENT partial
-        totals for them (a salted cell's rows span partitions, and an
-        untouched partition may hold a touched cell's older rows), merge
-        additively, and stage ONE provisional fragment.  Deterministic
-        under replay (state is epoch-atomic) and routing-independent
-        (pure addition over partition partials)."""
+        sets from this close (tumbling AND sliding), fetch every
+        partition's CURRENT partial totals for them in ONE RPC round
+        (a salted cell's rows span partitions, and an untouched
+        partition may hold a touched cell's older rows), merge
+        additively, and stage one provisional fragment per live sink.
+        Deterministic under replay (state is epoch-atomic) and
+        routing-independent (pure addition over partition partials).
+        Returns [(sink_name, FragmentMeta), ...]."""
         import ray
 
-        touched = [r.get("early_touched") for r in results]
-        touched = [t for t in touched if t is not None and t.num_rows]
-        if not touched:
-            return None
-        tt = pa.concat_tables(touched)
-        df = tt.to_pandas().drop_duplicates(["clip_id", "window_start"])
-        cells = pa.Table.from_pandas(df, preserve_index=False)
-        parts = ray.get([
-            a.render_window_cells.remote(cells) for a in self.actors
-        ])
         import pandas as pd
 
-        frames = [p.to_pandas() for p in parts if p is not None]
-        if not frames:
-            return None
-        allp = pd.concat(frames, ignore_index=True)
-        agg = allp.groupby(
-            ["clip_id", "window_start", "window_end"], as_index=False,
-        )[["n_clips", "sum_dur_ms"]].sum()
-        agg["epoch"] = np.int64(epoch)
-        tbl = pa.Table.from_pandas(
-            agg.sort_values(["clip_id", "window_start"]),
-            preserve_index=False)
-        return self.sink["windows_live"].stage_fragment(tbl, epoch, 0)
+        def union(key):
+            tabs = [r.get(key) for r in results]
+            tabs = [t for t in tabs if t is not None and t.num_rows]
+            if not tabs:
+                return None
+            df = pa.concat_tables(tabs).to_pandas().drop_duplicates(
+                ["clip_id", "window_start"])
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        w_cells = union("early_touched")
+        s_cells = union("early_touched_sliding")
+        if w_cells is None and s_cells is None:
+            return []
+        parts = ray.get([
+            a.render_window_cells.remote(w_cells, s_cells)
+            for a in self.actors
+        ])
+        staged = []
+        for idx, sink_name in ((0, "windows_live"), (1, "sliding_live")):
+            frames = [p[idx].to_pandas() for p in parts
+                      if p[idx] is not None]
+            if not frames:
+                continue
+            allp = pd.concat(frames, ignore_index=True)
+            agg = allp.groupby(
+                ["clip_id", "window_start", "window_end"], as_index=False,
+            )[["n_clips", "sum_dur_ms"]].sum()
+            agg["epoch"] = np.int64(epoch)
+            tbl = pa.Table.from_pandas(
+                agg.sort_values(["clip_id", "window_start"]),
+                preserve_index=False)
+            staged.append(
+                (sink_name,
+                 self.sink[sink_name].stage_fragment(tbl, epoch, 0)))
+        return staged
 
     def _append_lineage(self, entry: dict):
         """One immutable object per epoch (no file append — object-store

@@ -724,23 +724,34 @@ class PartitionState:
         if getattr(self.cfg, "changelog", False):
             out["changelog"] = self._emit_changelog(epoch)
         out["dlq"] = self._emit_dlq(epoch)
-        if getattr(self.cfg, "early_fire", False) and self.cfg.window_size_ms:
+        if getattr(self.cfg, "early_fire", False):
             # incremental (speculative) window emission: report which
-            # still-open tumbling cells THIS epoch touched (the delta
-            # dict holds exactly this epoch's increments — deltas reset
-            # at every checkpoint, and pipelined e+1 ingests are stashed
-            # until close(e+1)).  The driver unions the touched sets and
-            # asks EVERY partition for its current partial totals
-            # (a salted key's cell lives on several partitions, and a
-            # partition untouched this epoch may still hold older rows
-            # of a touched cell), then merges additively — the same
+            # still-open tumbling/sliding cells THIS epoch touched (the
+            # delta dicts hold exactly this epoch's increments — deltas
+            # reset at every checkpoint, and pipelined e+1 ingests are
+            # stashed until close(e+1)).  The driver unions the touched
+            # sets and asks EVERY partition for its current partial
+            # totals (a salted key's cell lives on several partitions,
+            # and a partition untouched this epoch may still hold older
+            # rows of a touched cell), then merges additively — the same
             # cross-salt fold rule as final close.
-            touched = [kw for kw in self._delta_win if kw in self.win]
-            out["early_touched"] = pa.table({
-                "clip_id": pa.array([k for k, _ in touched], pa.string()),
-                "window_start": pa.array([w for _, w in touched],
-                                         pa.int64()),
-            }) if touched else None
+            def _touched_tbl(delta, live):
+                touched = [kw for kw in delta if kw in live]
+                if not touched:
+                    return None
+                return pa.table({
+                    "clip_id": pa.array([k for k, _ in touched],
+                                        pa.string()),
+                    "window_start": pa.array([w for _, w in touched],
+                                             pa.int64()),
+                })
+
+            if self.cfg.window_size_ms:
+                out["early_touched"] = _touched_tbl(
+                    self._delta_win, self.win)
+            if getattr(self.cfg, "sliding_size_ms", 0):
+                out["early_touched_sliding"] = _touched_tbl(
+                    self._delta_swin, self.swin)
         if wm >= WATERMARK_MAX and self.view:
             # end of stream: materialize the compacted latest-value view
             # (the reference's compacted-topic snapshot, T2 semantics).
@@ -766,18 +777,23 @@ class PartitionState:
         self.metrics["epochs_closed"] += 1
         return out
 
-    def render_window_cells(self, cells: pa.Table) -> pa.Table | None:
+    def render_window_cells(self, cells: pa.Table,
+                            kind: str = "windows") -> pa.Table | None:
         """Current PARTIAL totals (base counters only) of the requested
-        still-open tumbling cells that live on THIS partition — the
-        per-partition half of the early-fire emission; the driver adds
-        partials across partitions/salts.  Sketch columns stay a
-        close-time/queryable-state feature (stable live schema)."""
-        size = self.cfg.window_size_ms
+        still-open tumbling ("windows") or sliding ("sliding") cells
+        that live on THIS partition — the per-partition half of the
+        early-fire emission; the driver adds partials across
+        partitions/salts.  Sketch columns stay a close-time/
+        queryable-state feature (stable live schema)."""
+        if kind == "sliding":
+            live, size = self.swin, getattr(self.cfg, "sliding_size_ms", 0)
+        else:
+            live, size = self.win, self.cfg.window_size_ms
         ks = cells["clip_id"].to_pylist()
         ws = cells["window_start"].to_numpy(zero_copy_only=False)
         rows = []
         for k, w in zip(ks, ws):
-            cell = self.win.get((k, int(w)))
+            cell = live.get((k, int(w)))
             if cell is not None:
                 rows.append((k, int(w), int(cell[0]), int(cell[1])))
         if not rows:
@@ -1538,6 +1554,7 @@ def _make_actor_cls():
             staged = {}
             hot_out = {}
             early_touched = outputs.pop("early_touched", None)
+            early_touched_sliding = outputs.pop("early_touched_sliding", None)
             for name, tbl in outputs.items():
                 if name.startswith("hot_"):
                     if tbl is not None:
@@ -1559,10 +1576,16 @@ def _make_actor_cls():
                 "metrics": dict(self.state.metrics),
                 "max_ts": self.state.max_ts,
                 "early_touched": early_touched,
+                "early_touched_sliding": early_touched_sliding,
             }
 
-        def render_window_cells(self, cells: pa.Table):
-            return self.state.render_window_cells(cells)
+        def render_window_cells(self, cells, sliding_cells=None):
+            """Single RPC for both live kinds → (windows, sliding)."""
+            w = (self.state.render_window_cells(cells, "windows")
+                 if cells is not None else None)
+            sl = (self.state.render_window_cells(sliding_cells, "sliding")
+                  if sliding_cells is not None else None)
+            return w, sl
 
         def adopt_sessions(self, merged: dict) -> bool:
             self.state.adopt_sessions(merged)

@@ -105,3 +105,26 @@ def test_early_fire_crash_resume_identical(tmp_path, ray_session):
                       f"{root}/updates").run()
     got = read_windows_live(f"{root}/out")
     pd.testing.assert_frame_equal(got, clean)
+
+
+def test_early_fire_sliding_convergence(tmp_path, ray_session):
+    """Sliding-window live tier: provisional rows mid-run, exact
+    convergence to the sliding sink after drain."""
+    root = str(tmp_path)
+    tr.build_sources(root)
+    c = tr.cfg(early_fire=True)  # cfg() has sliding_size_ms=20_000
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", c,
+                      f"{root}/updates").run(max_epochs=3)
+    live = read_windows_live(f"{root}/out", kind="sliding")
+    assert live["provisional"].any(), "no provisional sliding rows"
+    # each row should appear in up to size/slide = 2 sliding cells
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", c,
+                      f"{root}/updates").run()
+    live2 = read_windows_live(f"{root}/out", kind="sliding")
+    assert not live2["provisional"].any()
+    final = Table(f"{root}/out/sliding").to_arrow().to_pandas()
+    final = final[["clip_id", "window_start", "window_end", "n_clips",
+                   "sum_dur_ms"]].sort_values(
+        ["clip_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        live2.drop(columns=["provisional"]), final)
