@@ -81,9 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": q.q_bm25_search,
         "chunk_docs": q.q_chunk_docs,
         "components": q.q_components,
-        "csv_roundtrip": q.q_csv_roundtrip,
-        "decontaminate": q.q_decontaminate,
         # -- NEW r5 oracles (displace the end of the fill block) --
+        "date_shift": q.q_date_shift,
+        "string_pack": q.q_string_pack,
         "regex_extract": q.q_regex_extract,
         "audio_fbank": q.q_audio_fbank,
         "audio_mfcc": q.q_audio_mfcc,
@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_items": q.q_above_avg_items,
         # -- oracled, past the 50-slot window (driver-verified in a
         # recent round; rotate forward in later rounds) --
+        "csv_roundtrip": q.q_csv_roundtrip,
+        "decontaminate": q.q_decontaminate,
         "dedup_cut": q.q_dedup_cut,
         "degree_stats": q.q_degree_stats,
         "dup_spans": q.q_dup_spans,
@@ -295,6 +297,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_mfcc": f"""
             SELECT * FROM read_parquet('{_GOLDEN}/audio_mfcc.parquet')
+        """,
+        "date_shift": """
+            SELECT o_orderkey,
+                   epoch_ms(o_orderdate + INTERVAL 30 DAY) AS due_ms,
+                   CAST(date_diff('day', DATE '2024-01-01', o_orderdate)
+                        AS BIGINT) AS age_days
+            FROM orders
+        """,
+        "string_pack": """
+            SELECT c_custkey, reverse(c_name) AS rname,
+                   left(c_name, 6) AS l6,
+                   lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+                   replace(c_mktsegment, 'U', '_') AS seg
+            FROM customer
         """,
         "regex_extract": """
             SELECT doc_id,

@@ -47,7 +47,7 @@ QUERY_NAMES = [
     "dedup_cut",
     "set_except", "set_intersect", "set_union", "bag_except",
     "bag_intersect", "window_distinct",
-    "rolling_range", "regex_extract", "pareto_parts", "above_avg_items", "cube_sales", "sentence_stats", "value_matrix", "benford_digits", "hour_heatmap", "value_moments", "value_regression",
+    "rolling_range", "date_shift", "string_pack", "regex_extract", "pareto_parts", "above_avg_items", "cube_sales", "sentence_stats", "value_matrix", "benford_digits", "hour_heatmap", "value_moments", "value_regression",
     "flag_aggregates", "first_last_event", "type_entropy", "value_mad", "fuzzy_match", "order_revenue", "avro_roundtrip", "window_quantiles",
     "train_split", "export_shards", "source_cap", "stratified_sample", "value_quantiles",
     "value_quantiles_cont", "quantile_sketch", "pivot_events", "rolling_value",

@@ -838,6 +838,49 @@ def q_rolling_value(sf_dir):
     return _round_cols(out, {"rolling_mean": 4, "value": 2})
 
 
+def q_date_shift(sf_dir):
+    """Date/interval arithmetic scalar pack: due date = order date + 30
+    days (timestamp + duration), age in days vs a fixed anchor
+    (`pc.days_between` == DuckDB date_diff('day', …)); exported as
+    epoch-ms / BIGINT per the timestamp convention."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    anchor = np.datetime64("2024-01-01", "us")
+
+    def f(t: pa.Table) -> pa.Table:
+        due = pc.add(t["o_orderdate"],
+                     pa.scalar(30 * 86_400 * 10**6, pa.duration("us")))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "due_ms": pc.divide(pc.cast(due, pa.int64()),
+                                pa.scalar(1000, pa.int64())),
+            "age_days": pc.days_between(pa.scalar(anchor),
+                                        t["o_orderdate"]),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_string_pack(sf_dir):
+    """Second string-function pack (reverse / left / lpad / replace —
+    Arrow utf8_reverse, utf8_slice_codeunits, ascii_lpad,
+    replace_substring vs the DuckDB spellings; byte==char on this ASCII
+    corpus, which is what makes the codeunits slice oracle-exact)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "rname": pc.utf8_reverse(t["c_name"]),
+            "l6": pc.utf8_slice_codeunits(t["c_name"], 0, 6),
+            "pad": pc.ascii_lpad(pc.cast(t["c_custkey"], pa.string()), 8,
+                                 padding="0"),
+            "seg": pc.replace_substring(t["c_mktsegment"], pattern="U",
+                                        replacement="_"),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_hits_scores(sf_dir):
     """HITS hubs/authorities over the supplier→part supply graph (the
     same directed multigraph as q_pagerank: suppliers are pure hubs,
