@@ -336,3 +336,36 @@ def test_streaming_epoch_and_sink_op_complexity(tmp_path, ray_session):
         # drop pure data-plane ops Ray writes locally; keep fs-API ops
         sink_counts[n] = counts
     assert sink_counts[2_000] == sink_counts[4_000], sink_counts
+
+
+def test_streaming_under_injected_latency(tmp_path, ray_session):
+    """The whole streaming pipeline on a metered backend with 5 ms
+    per-op latency: output byte-identical to the local run and wall
+    clock bounded — the latency-tolerance consequence of the O(1)
+    manifest-ops-per-commit protocol (at ~60 metadata ops/epoch, 5 ms
+    injected adds ~0.3 s/epoch; a per-batch-chatty protocol would blow
+    far past the bound)."""
+    import time
+
+    import tests.test_replicate as tr
+    from hydra_ray.fs import metered_root
+    from hydra_ray.pipelines.replicate import ReplicatePipeline
+
+    lroot = str(tmp_path / "plain")
+    tr.build_sources(lroot)
+    t0 = time.time()
+    ReplicatePipeline(f"{lroot}/clips", f"{lroot}/out", tr.cfg(),
+                      f"{lroot}/updates").run()
+    base = time.time() - t0
+    sig = tr._content_signature(f"{lroot}/out")
+
+    mroot = metered_root(str(tmp_path / "lat"), token="lat5", latency_ms=5)
+    tr.build_sources(mroot)
+    t0 = time.time()
+    ReplicatePipeline(f"{mroot}/clips", f"{mroot}/out", tr.cfg(),
+                      f"{mroot}/updates").run()
+    lat = time.time() - t0
+    assert tr._content_signature(f"{mroot}/out") == sig
+    # generous bound: protocol overhead must stay small-multiple, not
+    # per-row/per-batch explosive (host noise makes tight bounds flaky)
+    assert lat < base * 3 + 10, (base, lat)
