@@ -170,14 +170,21 @@ def _cmd_state(args) -> int:
             summary[f"{tier}_entries"] = int(
                 sum(state[tier]["entries"].to_pylist()))
     if args.table:
-        if args.table in ("windows_live", "sliding_live"):
+        if args.table in ("windows_live", "sliding_live",
+                          "sessions_live"):
             # the early-fire ONLINE tier: committed provisional+final
             # overlay straight from the sink tables (no checkpoint read)
-            from .pipelines.replicate import read_windows_live
+            from .pipelines.replicate import (
+                read_sessions_live,
+                read_windows_live,
+            )
 
-            kind = args.table.split("_")[0]
-            print(read_windows_live(args.out, kind=kind)
-                  .head(args.head).to_string())
+            if args.table == "sessions_live":
+                view = read_sessions_live(args.out)
+            else:
+                view = read_windows_live(args.out,
+                                         kind=args.table.split("_")[0])
+            print(view.head(args.head).to_string())
             print(json.dumps(summary))
             return 0
         if args.table not in state:
@@ -259,7 +266,8 @@ def main(argv=None) -> int:
     st.add_argument("--table",
                     choices=["windows", "sliding", "sessions", "view",
                              "buffers", "dedup", "neardup",
-                             "windows_live", "sliding_live"])
+                             "windows_live", "sliding_live",
+                             "sessions_live"])
     st.add_argument("--head", type=int, default=20)
     st.add_argument("--join-window-ms", type=int, default=60_000)
     st.add_argument("--lateness-ms", type=int, default=30_000)

@@ -1019,6 +1019,33 @@ def read_windows_live(out_root: str, kind: str = "windows"):
         drop=True)
 
 
+def read_sessions_live(out_root: str):
+    """Coherent session view for ``early_fire`` runs: the sessions
+    sink's exact closed rows, plus the LATEST epoch's provisional open
+    sessions (older provisional rows are superseded snapshots; a drained
+    stream has closed everything, so only finals remain)."""
+    import pandas as pd
+
+    cols = ["clip_id", "session_start", "session_end", "n_clips",
+            "sum_dur_ms"]
+    final = Table(os.path.join(out_root, "sessions")).to_arrow().to_pandas()
+    final = (final[[c for c in cols if c in final.columns]]
+             if len(final) else pd.DataFrame(columns=cols))
+    out = final.assign(provisional=False)
+    state = Table(os.path.join(out_root, "replicated")).pipeline_state(
+        "replicate")
+    if not bool(state.get("flushed", False)):
+        live = Table(os.path.join(out_root, "sessions_live")) \
+            .to_arrow().to_pandas()
+        if len(live):
+            live = live[live["epoch"] == live["epoch"].max()]
+            out = pd.concat(
+                [out, live[cols].assign(provisional=True)],
+                ignore_index=True)
+    return out.sort_values(["clip_id", "session_start"]).reset_index(
+        drop=True)
+
+
 def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
     """Committed per-epoch lineage from the side log: one entry per epoch
     ≤ the main sink's committed epoch.  The log is one immutable JSON
@@ -1060,7 +1087,7 @@ def read_lineage(out_root: str, name: str = "replicate") -> list[dict]:
 class ReplicatePipeline:
     SINKS = ("replicated", "payload", "windows", "sliding",
              "sessions", "funnels", "changelog", "dlq", "views",
-             "windows_live", "sliding_live")
+             "windows_live", "sliding_live", "sessions_live")
     MAIN = "replicated"
 
     def __init__(
@@ -1850,10 +1877,21 @@ class ReplicatePipeline:
 
         w_cells = union("early_touched")
         s_cells = union("early_touched_sliding")
-        if w_cells is None and s_cells is None:
+        skeys: set = set()
+        for r in results:
+            ks = r.get("early_touched_sessions")
+            if ks:
+                skeys.update(ks)
+        # hot-key sessions were just extracted/adopted by _process_hot;
+        # their open remainders live on home partitions — include the
+        # whole (bounded) hot set so adoption counts as a touch
+        skeys.update(self._hot)
+        skeys_l = sorted(skeys) if (skeys and self.cfg.session_gap_ms) \
+            else None
+        if w_cells is None and s_cells is None and not skeys_l:
             return []
         parts = ray.get([
-            a.render_window_cells.remote(w_cells, s_cells)
+            a.render_window_cells.remote(w_cells, s_cells, skeys_l)
             for a in self.actors
         ])
         staged = []
@@ -1873,6 +1911,18 @@ class ReplicatePipeline:
             staged.append(
                 (sink_name,
                  self.sink[sink_name].stage_fragment(tbl, epoch, 0)))
+        sess_frames = [p[2].to_pandas() for p in parts
+                       if p[2] is not None]
+        if sess_frames:
+            # post-adoption each key's opens sit on ONE partition: concat
+            allp = pd.concat(sess_frames, ignore_index=True)
+            allp["epoch"] = np.int64(epoch)
+            tbl = pa.Table.from_pandas(
+                allp.sort_values(["clip_id", "session_start"]),
+                preserve_index=False)
+            staged.append(
+                ("sessions_live",
+                 self.sink["sessions_live"].stage_fragment(tbl, epoch, 0)))
         return staged
 
     def _append_lineage(self, entry: dict):

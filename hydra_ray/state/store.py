@@ -256,6 +256,10 @@ class PartitionState:
         # per-epoch clip-key counts (reset each close) — feeds the driver's
         # sticky hot-key detection; bounded by the report cap, not by rows
         self.key_counts: dict[str, int] = {}
+        # keys whose open sessions changed since the last close (early-
+        # fire sessions tier; transient — cleared at every close, never
+        # checkpointed: a restore replays the epoch's ingests anyway)
+        self._touched_sessions: set = set()
         self.max_ts = -(1 << 62)
         self.metrics = defaultdict(int)
         # deltas since the last checkpoint (incremental-checkpoint support:
@@ -601,6 +605,8 @@ class PartitionState:
         optional bottom-k duration sample) into the per-key open-session
         list (kept sorted, non-overlapping under the gap relation)."""
         k = getattr(self.cfg, "session_sample_k", 0)
+        if getattr(self.cfg, "early_fire", False):
+            self._touched_sessions.add(key)
         lst = self.sessions[key]
         new = [t0, t1, cnt, dur]
         if hs_s is not None:
@@ -752,6 +758,11 @@ class PartitionState:
             if getattr(self.cfg, "sliding_size_ms", 0):
                 out["early_touched_sliding"] = _touched_tbl(
                     self._delta_swin, self.swin)
+            if self.cfg.session_gap_ms:
+                out["early_touched_sessions"] = sorted(
+                    k for k in self._touched_sessions if k in self.sessions
+                ) or None
+                self._touched_sessions.clear()
         if wm >= WATERMARK_MAX and self.view:
             # end of stream: materialize the compacted latest-value view
             # (the reference's compacted-topic snapshot, T2 semantics).
@@ -804,6 +815,27 @@ class PartitionState:
             "window_end": pa.array([r[1] + size for r in rows], pa.int64()),
             "n_clips": pa.array([r[2] for r in rows], pa.int64()),
             "sum_dur_ms": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    def render_session_cells(self, keys: list) -> pa.Table | None:
+        """Current open-session intervals of the requested keys on THIS
+        partition (early-fire sessions tier).  Runs AFTER hot-key
+        adoption in the epoch sequence, so every key's open sessions are
+        consolidated on exactly one partition — the driver concatenates,
+        no cross-partition gap-merge needed."""
+        rows = []
+        for k in keys:
+            for sess in self.sessions.get(k, ()):
+                rows.append((k, int(sess[0]), int(sess[1]),
+                             int(sess[2]), int(sess[3])))
+        if not rows:
+            return None
+        return pa.table({
+            "clip_id": pa.array([r[0] for r in rows], pa.string()),
+            "session_start": pa.array([r[1] for r in rows], pa.int64()),
+            "session_end": pa.array([r[2] for r in rows], pa.int64()),
+            "n_clips": pa.array([r[3] for r in rows], pa.int64()),
+            "sum_dur_ms": pa.array([r[4] for r in rows], pa.int64()),
         })
 
     def _close_funnel(self, epoch: int, wm: int) -> pa.Table | None:
@@ -1555,6 +1587,8 @@ def _make_actor_cls():
             hot_out = {}
             early_touched = outputs.pop("early_touched", None)
             early_touched_sliding = outputs.pop("early_touched_sliding", None)
+            early_touched_sessions = outputs.pop(
+                "early_touched_sessions", None)
             for name, tbl in outputs.items():
                 if name.startswith("hot_"):
                     if tbl is not None:
@@ -1577,15 +1611,20 @@ def _make_actor_cls():
                 "max_ts": self.state.max_ts,
                 "early_touched": early_touched,
                 "early_touched_sliding": early_touched_sliding,
+                "early_touched_sessions": early_touched_sessions,
             }
 
-        def render_window_cells(self, cells, sliding_cells=None):
-            """Single RPC for both live kinds → (windows, sliding)."""
+        def render_window_cells(self, cells, sliding_cells=None,
+                                session_keys=None):
+            """Single RPC for all live kinds → (windows, sliding,
+            sessions)."""
             w = (self.state.render_window_cells(cells, "windows")
                  if cells is not None else None)
             sl = (self.state.render_window_cells(sliding_cells, "sliding")
                   if sliding_cells is not None else None)
-            return w, sl
+            se = (self.state.render_session_cells(session_keys)
+                  if session_keys else None)
+            return w, sl, se
 
         def adopt_sessions(self, merged: dict) -> bool:
             self.state.adopt_sessions(merged)

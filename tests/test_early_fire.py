@@ -128,3 +128,48 @@ def test_early_fire_sliding_convergence(tmp_path, ray_session):
         ["clip_id", "window_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         live2.drop(columns=["provisional"]), final)
+
+
+def test_early_fire_sessions_match_queryable_state(tmp_path, ray_session):
+    """Sessions live tier: the latest provisional snapshot must equal
+    the OFFLINE queryable state's open sessions at the same epoch (an
+    independent path through the checkpoint chain), restricted to keys
+    touched since their last change; after drain only finals remain and
+    they equal the sessions sink."""
+    from hydra_ray.pipelines.replicate import read_sessions_live
+    from hydra_ray.state.query import read_state
+
+    root = str(tmp_path)
+    tr.build_sources(root)
+    c = tr.cfg(early_fire=True)  # cfg() has session_gap_ms=5_000
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", c,
+                      f"{root}/updates").run(max_epochs=3)
+
+    live = read_sessions_live(f"{root}/out")
+    prov = live[live["provisional"]]
+    assert len(prov) > 0
+
+    state = read_state(f"{root}/out/_checkpoints", c)
+    open_sess = state["sessions"].to_pandas()
+    ref = open_sess.rename(columns={
+        "t_start": "session_start", "t_end": "session_end",
+        "cnt": "n_clips"})
+    ref = ref[["clip_id", "session_start", "session_end", "n_clips",
+               "sum_dur_ms"]]
+    # every provisional row IS an open session in the committed state
+    merged = prov.drop(columns=["provisional"]).merge(
+        ref, on=list(ref.columns), how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), merged[
+        merged["_merge"] != "both"].head()
+
+    # drain → finals only, equal to the sessions sink
+    ReplicatePipeline(f"{root}/clips", f"{root}/out", c,
+                      f"{root}/updates").run()
+    live2 = read_sessions_live(f"{root}/out")
+    assert not live2["provisional"].any()
+    final = Table(f"{root}/out/sessions").to_arrow().to_pandas()
+    final = final[["clip_id", "session_start", "session_end", "n_clips",
+                   "sum_dur_ms"]].sort_values(
+        ["clip_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        live2.drop(columns=["provisional"]), final)
